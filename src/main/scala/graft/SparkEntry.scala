@@ -12,7 +12,12 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
-    pipeline.EcommercePipeline)
+    operators.TextAnalysis,
+    operators.Dedup,
+    operators.Similarity,
+    pipeline.EcommercePipeline,
+    streaming.StreamingQueries,
+    multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape — grouped exact-decimal aggregate over lineitem. */

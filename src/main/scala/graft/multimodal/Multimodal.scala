@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing — opaque binary payloads + typed metadata,
+  * decoded/feature-extracted per partition (north-star extension).
+  *
+  * The image/audio codec libraries are not available in this environment, so
+  * `decodeStub` is a clearly-marked deterministic fake: it derives "decoded"
+  * dimensions from the payload bytes. Everything around it is the real
+  * Spark plumbing a production decoder would use:
+  *  - payloads travel as `BinaryType` columns (columnar, dictionary-free);
+  *  - decode runs via typed `mapPartitions`, so a real codec would be
+  *    initialized once per partition (per JVM task), not per row — the
+  *    Scala analog of `mapInPandas` batch iteration;
+  *  - output schema is a flat typed struct, joinable/filterable downstream.
+  *
+  * Scale posture: decode is map-only (no shuffle); partition sizing is
+  * controlled by the upstream source's `maxPartitionBytes`, which bounds
+  * per-task decoder memory.
+  */
+object Multimodal extends QueryModule {
+
+  /** One media payload row. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features; in production this would carry real decoded
+    * dimensions / frame counts / feature vectors. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_frames: Int)
+
+  /** STUB — stands in for a real image/video decoder (libjpeg/ffmpeg et al.
+    * are not present in this container). Deterministic arithmetic on the
+    * payload length so results are reproducible and oracle-checkable; a
+    * real implementation would replace only this function body. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    (n % 640, (n * 7) % 480, n % 30 + 1)
+  }
+
+  /** Partition-wise feature extraction. The iterator-in/iterator-out shape
+    * is what lets a real decoder amortize per-partition setup. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // (real decoder init would happen here, once per partition)
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, w, h, f)
+      }
+    }
+  }
+
+  /** documents.text encoded as a fake binary payload (the driver testdata
+    * has no true media column; utf-8 bytes stand in for image bytes). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Binary column + mapPartitions feature extraction; the oracle
+    // reproduces the stub's arithmetic from octet_length, plus an md5 over
+    // the payload to pin the bytes themselves.
+    Q("q35_multimodal_features",
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+             |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames,
+             |  md5(text) AS payload_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val feats = extractFeatures(mediaTable(s, d)).toDF()
+        val payloads = Tables.table(s, d, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("payload_md5"))
+        feats.join(payloads, Seq("doc_id"))
+          .select("doc_id", "n_bytes", "width", "height", "n_frames", "payload_md5")
+          .orderBy("doc_id")
+      })
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the north-star surface
+  * (SURVEY §2.B Q26): exact dedup, MinHash+LSH near-dup, SimHash near-dup,
+  * and blocked exact n-gram Jaccard.
+  *
+  * Scale posture: exact dedup shuffles only (hash(text), doc_id) pairs in
+  * its aggregate; MinHash signatures are computed map-side (one pass of
+  * higher-order functions per row) and only (band, band_hash, doc_id)
+  * triples shuffle for bucketing — the classic shingle→minhash→band→
+  * bucket-join layout whose shuffle volume is O(docs × bands), independent
+  * of document length. Candidate verification re-joins shingle sets for
+  * candidate pairs only.
+  */
+object Dedup extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Keep the first row (smallest tie-break) of each duplicate group —
+    * deterministic replacement for `dropDuplicates`' arbitrary pick. */
+  def dedupKeepFirst(df: DataFrame, key: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word 3-gram shingle set (distinct, lowercased). Guarded: `sequence` in
+    * Spark generates a DESCENDING range when start > stop, so short docs
+    * must short-circuit to an empty array. */
+  val shinglesExpr: String =
+    """case when size(toks) >= 3
+      |  then array_distinct(transform(sequence(1, size(toks) - 2),
+      |         i -> concat_ws(' ', slice(toks, i, 3))))
+      |  else array_distinct(toks) end""".stripMargin
+
+  /** MinHash signature: 64 per-permutation minima over hashed shingles.
+    * Permutations are `xxhash64(shingle_hash, i)` — reseeded hashes, not
+    * multiply-mod (which would overflow under ANSI arithmetic). */
+  val MinhashBits = 64
+  val Bands = 16
+  val RowsPerBand = 4
+
+  def withMinhashBands(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${MinhashBits - 1}), i -> array_min(transform(hs, v -> xxhash64(v, i))))"))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> named_struct('b', b, 'h', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")))
+      .select(col("doc_id"), col("sh"), col("band.b").as("band"), col("band.h").as("bh"))
+
+  /** Candidate pairs from LSH banding, verified with exact Jaccard over the
+    * shingle sets; emits pairs with jaccard >= threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val bands = withMinhashBands(docs)
+    val a = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
+    val b = bands.select(col("doc_id").as("b"), col("band").as("band2"), col("bh").as("bh2"))
+    val cand = a.join(b,
+        col("band") === col("band2") && col("bh") === col("bh2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = docs
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit signed vote of token hashes,
+    * assembled with bitwise OR/shift (no arithmetic overflow possible). */
+  val simhashExpr: String =
+    """aggregate(sequence(0, 63), 0L, (acc, i) ->
+      |  acc | shiftleft(
+      |    case when aggregate(toks, 0L,
+      |           (a, t) -> a + (shiftright(xxhash64(t), i) & 1) * 2 - 1) >= 0
+      |         then 1L else 0L end, i))""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // Q26 exact dedup: keep-first per identical text. Window formulation in
+    // the engine; min-per-group in the oracle (equivalent by construction).
+    Q("q26_dedup_exact",
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val counts = docs.groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        counts.select(col("doc_id"), col("n_copies"), md5(col("text")).as("fp"))
+          .orderBy("doc_id")
+      }),
+
+    // Q26b MinHash+LSH near-dup pairs (xxhash64-based — not reproducible in
+    // DuckDB → rows-only here; recall vs the exact blocked oracle below is
+    // asserted in ScalaTest).
+    Q("q26b_dedup_minhash", None,
+      (s, d) => minhashNearDups(t(s, d, "documents"), 0.5).orderBy("a", "b")),
+
+    // Q26c SimHash signatures + near-dup pairs by 16-bit chunk banding and
+    // hamming <= 6 (rows-only; xxhash64-based).
+    Q("q26c_dedup_simhash", None,
+      (s, d) => {
+        val sigs = t(s, d, "documents")
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id"), expr(simhashExpr).as("sig"))
+        val chunks = sigs.withColumn("chunk", explode(expr(
+          "transform(sequence(0, 3), c -> named_struct('c', c, 'v', shiftright(sig, c * 16) & 65535L))")))
+          .select(col("doc_id"), col("sig"), col("chunk.c").as("c"), col("chunk.v").as("v"))
+        val a = chunks.select(col("doc_id").as("a"), col("sig").as("siga"), col("c"), col("v"))
+        val b = chunks.select(col("doc_id").as("b"), col("sig").as("sigb"),
+          col("c").as("c2"), col("v").as("v2"))
+        a.join(b, col("c") === col("c2") && col("v") === col("v2") && col("a") < col("b"))
+          .select(col("a"), col("b"),
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy("a", "b")
+      }),
+
+    // Q26d blocked exact n-gram Jaccard — the oracle-checkable near-dup
+    // variant: candidate pairs share (lang, 24-char prefix), then exact
+    // 3-gram Jaccard >= 0.3. Blocking bounds the pair space the same way
+    // in both engines (LSH generalizes this at scale; see q26b).
+    Q("q26d_ngram_jaccard",
+      Some("""WITH docs AS (
+             |  SELECT doc_id, lang, substring(lower(text), 1, 24) AS blk,
+             |         list_distinct(CASE WHEN len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) >= 3
+             |           THEN list_transform(generate_series(1, len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) - 2),
+             |                  i -> list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i] || ' ' ||
+             |                       list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i+1] || ' ' ||
+             |                       list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i+2])
+             |           ELSE list_filter(string_split_regex(lower(text), ' +'), t -> t != '') END) AS sh
+             |  FROM documents)
+             |SELECT d1.doc_id AS a, d2.doc_id AS b,
+             |       round(CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT)
+             |             / len(list_distinct(list_concat(d1.sh, d2.sh))), 4) AS jaccard
+             |FROM docs d1 JOIN docs d2
+             |  ON d1.lang = d2.lang AND d1.blk = d2.blk AND d1.doc_id < d2.doc_id
+             |WHERE CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT)
+             |      / len(list_distinct(list_concat(d1.sh, d2.sh))) >= 0.3
+             |ORDER BY a, b""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .withColumn("sh", expr(shinglesExpr))
+          .withColumn("blk", substring(lower(col("text")), 1, 24))
+          .select("doc_id", "lang", "blk", "sh")
+        val d1 = docs.select(col("doc_id").as("a"), col("lang"), col("blk"), col("sh").as("sha"))
+        val d2 = docs.select(col("doc_id").as("b"), col("lang").as("lang2"),
+          col("blk").as("blk2"), col("sh").as("shb"))
+        d1.join(d2, col("lang") === col("lang2") && col("blk") === col("blk2")
+            && col("a") < col("b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sha"), col("shb"))).cast("double")
+              / size(array_union(col("sha"), col("shb"))))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a", "b")
+      })
+  )
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the north-star
+  * training-data-pipeline surface (SURVEY §2.B Q28): tokenization, token
+  * statistics, quality scoring, marker-based language id, and document
+  * fingerprinting. Everything is Column/higher-order-function composition
+  * (codegen'd, shuffle only where an aggregation demands it); the per-doc
+  * metrics are embarrassingly parallel map work — the shape that scales to
+  * 100 TB by adding executors.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Whitespace tokenization with empty-token filtering (lowercased). */
+  val tokensExpr = "filter(split(lower(text), ' +'), t -> t != '')"
+
+  /** Stopword list used by quality scoring and language id. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ",", "]")
+  private def sparkList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("array(", ",", ")")
+
+  /** Per-language marker vocabularies for the n-gram/marker-voting language
+    * id heuristic. On organic text these would be learned character n-gram
+    * profiles; the operator shape (score per language → argmax with a fixed
+    * tie-break order) is the same either way. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  val qs: Seq[Q] = Seq(
+
+    // Q28 token counting + top-n terms per language (split → explode →
+    // groupBy → windowed rank; partial aggregation makes the shuffle carry
+    // only (lang, token, count)).
+    Q("q28_token_counts",
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS token
+             |  FROM documents),
+             |counts AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token)
+             |SELECT lang, token, n, rnk FROM (
+             |  SELECT lang, token, n,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+             |  FROM counts) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("lang"), explode(expr(tokensExpr)).as("token"))
+        val counts = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
+        counts
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("lang", "token", "n", "rnk")
+          .orderBy("lang", "rnk")
+      }),
+
+    // Q28b per-document quality metrics (lengths, ratios, bucketed score) —
+    // pure map work, no shuffle.
+    Q("q28b_quality",
+      Some(s"""SELECT doc_id,
+              |  CAST(length(text) AS INTEGER) AS n_char,
+              |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS INTEGER) AS n_tokens,
+              |  CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''), t -> length(t))) AS BIGINT)
+              |    / len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS avg_token_len,
+              |  CAST(len(list_filter(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''), t -> list_contains(${sqlList(Stopwords)}, t))) AS BIGINT)
+              |    / len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS stopword_ratio,
+              |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
+              |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) >= 20 AS INT)
+              |    + CAST(len(list_filter(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''), t -> list_contains(${sqlList(Stopwords)}, t))) * 10
+              |           >= len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS INT)
+              |    + CAST((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 5 <= length(text) AS INT) AS quality_score
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val stop = sparkList(Stopwords)
+        t(s, d, "documents")
+          .withColumn("toks", expr(tokensExpr))
+          .withColumn("stop_hits",
+            expr(s"size(filter(toks, t -> array_contains($stop, t)))"))
+          .withColumn("n_punct",
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("n_punct"))
+          .select(col("doc_id"),
+            length(col("text")).as("n_char"),
+            size(col("toks")).as("n_tokens"),
+            (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+              / size(col("toks"))).as("avg_token_len"),
+            (col("stop_hits").cast("long") / size(col("toks"))).as("stopword_ratio"),
+            col("n_punct"),
+            ((size(col("toks")) >= 20).cast("int")
+              + (col("stop_hits") * 10 >= size(col("toks"))).cast("int")
+              + (col("n_punct") * 5 <= length(col("text"))).cast("int"))
+              .as("quality_score"))
+          .orderBy("doc_id")
+      }),
+
+    // Q28c language id by marker voting with a fixed tie-break order.
+    Q("q28c_langid",
+      Some({
+        val scores = Markers.map { case (l, ws) =>
+          s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')), ${sqlList(ws)})) AS s_$l"
+        }.mkString(",\n  ")
+        val langs = Markers.map(_._1)
+        val argmax = langs.init.map { l =>
+          val geq = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geq THEN '$l'"
+        }.mkString("CASE ", "\n       ", s"\n       ELSE '${langs.last}' END")
+        s"""SELECT doc_id, lang AS labeled_lang, $argmax AS predicted_lang FROM (
+           |  SELECT doc_id, lang,
+           |  $scores
+           |  FROM documents) ORDER BY doc_id""".stripMargin
+      }),
+      (s, d) => {
+        val base = Markers.foldLeft(
+          t(s, d, "documents")
+            .withColumn("dt", expr(s"array_distinct($tokensExpr)"))) {
+          case (df, (l, ws)) =>
+            df.withColumn(s"s_$l",
+              expr(s"size(array_intersect(dt, ${sparkList(ws)}))"))
+        }
+        val langs = Markers.map(_._1)
+        val argmax = langs.init.foldLeft(when(lit(false), lit(null))) {
+          case (acc, l) =>
+            val cond = langs.filter(_ != l)
+              .map(o => col(s"s_$l") >= col(s"s_$o"))
+              .reduce(_ && _)
+            acc.when(cond, l)
+        }.otherwise(langs.last)
+        base.select(col("doc_id"), col("lang").as("labeled_lang"),
+          argmax.as("predicted_lang"))
+          .orderBy("doc_id")
+      }),
+
+    // Q28d content fingerprint (md5 over normalized text) — duplicate-group
+    // discovery by fingerprint equality.
+    Q("q28d_fingerprint",
+      Some("""SELECT doc_id, md5(lower(trim(text))) AS fp,
+             |  count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_same
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("fp")
+        t(s, d, "documents")
+          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("n_same", count(lit(1)).over(w))
+          .select("doc_id", "fp", "n_same")
+          .orderBy("doc_id")
+      }),
+
+    // Q28e rolling polynomial hash over tokens (xxhash64-seeded; not DuckDB-
+    // reproducible → rows-only + determinism spec). Modular arithmetic keeps
+    // every intermediate below 2^35 (ANSI-safe).
+    Q("q28e_rolling_hash", None,
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", expr(tokensExpr))
+        .select(col("doc_id"),
+          expr("aggregate(toks, 0L, (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000000007), 1000000007))")
+            .as("rolling_fp"))
+        .orderBy("doc_id"))
+  )
+}

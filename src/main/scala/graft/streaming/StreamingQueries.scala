@@ -1,0 +1,168 @@
+package graft.streaming
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the `events` table — SURVEY §2.B Q29–Q32,
+  * replacing the reference's sleep-and-RPC micro-batch orchestration
+  * (`transactions_mock_data.py:125-140`, the 10 s S3 wait at `:132`, and the
+  * SQS stub `send_data_to_sqs.py:1-2`) with file-source triggers.
+  *
+  * Each declared query runs the streaming plan to completion with
+  * `Trigger.AvailableNow` into a memory sink and returns the result table —
+  * so the driver's batch-style harness can verify event-time semantics
+  * against a batch oracle. MemoryStream-driven late/out-of-order batches are
+  * exercised in ScalaTest (`StreamingSpec`), where batch boundaries are
+  * controllable.
+  *
+  * Scale posture: event-time windowed aggregation is hash-partitioned by
+  * (window, key) with partial aggregation; watermarks bound state size;
+  * stream-static joins broadcast the static dim side per micro-batch.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** Streaming read of the events parquet (handles the TIMESTAMP(NANOS)
+    * column the same way Tables.table does: nanos-as-long → micros). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory; expose the single events file
+    // through a temp dir symlink (read-only testdata stays untouched).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return the
+    * materialized result. */
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Q29 tumbling-window aggregate (10-minute windows, per event_type).
+    // Oracle = the equivalent batch GROUP BY on epoch-aligned buckets.
+    Q("q29_stream_tumbling",
+      Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val agg = eventsStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+        runToMemory(agg, "q29_out", "complete")
+          .select(col("window.start").cast("long").as("window_start"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy("window_start", "event_type")
+      }),
+
+    // Q30 sliding windows (10-minute window, 5-minute slide): every event
+    // lands in exactly two windows; the oracle enumerates both starts.
+    Q("q30_stream_sliding",
+      Some("""SELECT window_start, count(*) AS n FROM (
+             |  SELECT CAST(floor(epoch(ts) / 300) * 300 - off AS BIGINT) AS window_start
+             |  FROM events CROSS JOIN (VALUES (0), (300)) t(off))
+             |GROUP BY window_start ORDER BY window_start""".stripMargin),
+      (s, d) => {
+        val agg = eventsStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n"))
+        runToMemory(agg, "q30_out", "complete")
+          .select(col("window.start").cast("long").as("window_start"), col("n"))
+          .orderBy("window_start")
+      }),
+
+    // Q30b sessionization (30-minute inactivity gap) — batch gaps-and-islands
+    // formulation, oracle-identical in both engines; the streaming
+    // session_window + watermark variant runs in StreamingSpec where batch
+    // boundaries are controllable.
+    Q("q30b_sessionize",
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts, event_id,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id,
+             |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+             |  CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+             |  count(*) AS n_events
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.table(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull, 1)
+              .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+            max(unix_micros(col("ts"))).as("session_end_us"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    // Q31 watermark semantics: append-mode tumbling aggregate with a
+    // 10-minute watermark over one AvailableNow pass — only windows whose
+    // end is at or below (max event time − 10 min) are finalized and
+    // emitted; the tail windows are withheld as open state. The oracle
+    // applies the same cutoff arithmetically in integer microseconds.
+    Q("q31_stream_watermark",
+      Some("""WITH agg AS (
+             |  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1),
+             |wm AS (SELECT max(epoch_us(ts)) - 600000000 AS cutoff_us FROM events)
+             |SELECT window_start, n FROM agg, wm
+             |WHERE (window_start + 600) * 1000000 <= cutoff_us
+             |ORDER BY window_start""".stripMargin),
+      (s, d) => {
+        val agg = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"))
+        runToMemory(agg, "q31_out", "append")
+          .select(col("window.start").cast("long").as("window_start"), col("n"))
+          .orderBy("window_start")
+      }),
+
+    // Q32 stateful streaming dedup on event_id + stream-static broadcast
+    // join with a dimension table.
+    Q("q32_stream_dedup_join",
+      Some("""SELECT e.event_id, c.c_name FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => {
+        val dim = broadcast(Tables.table(s, d, "customer").select("c_custkey", "c_name"))
+        val joined = eventsStream(s, d)
+          .dropDuplicates("event_id")
+          .join(dim, col("user_id") === col("c_custkey"))
+          .select("event_id", "c_name")
+        runToMemory(joined, "q32_out", "append").orderBy("event_id")
+      })
+  )
+}
