@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two numeric arrays, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product of two numeric arrays, accumulated in double — a custom
+    * codegen'd Expression (see DotProductDouble; the higher-order
+    * `aggregate(zip_with(...))` equivalent allocates an intermediate array
+    * per row and dominated the all-pairs kNN profile). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DotProductDouble(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

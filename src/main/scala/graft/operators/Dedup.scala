@@ -52,8 +52,7 @@ object Dedup extends QueryModule {
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("sh", expr(shinglesExpr))
       .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${MinhashBits - 1}), i -> array_min(transform(hs, v -> xxhash64(v, i))))"))
+      .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs")))
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> named_struct('b', b, 'h', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")))
       .select(col("doc_id"), col("sh"), col("band.b").as("band"), col("band.h").as("bh"))
@@ -81,14 +80,9 @@ object Dedup extends QueryModule {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit signed vote of token hashes,
-    * assembled with bitwise OR/shift (no arithmetic overflow possible). */
-  val simhashExpr: String =
-    """aggregate(sequence(0, 63), 0L, (acc, i) ->
-      |  acc | shiftleft(
-      |    case when aggregate(toks, 0L,
-      |           (a, t) -> a + (shiftright(xxhash64(t), i) & 1) * 2 - 1) >= 0
-      |         then 1L else 0L end, i))""".stripMargin
+  /** Pre-hashed tokens feeding the fused SimHash64 expression (see
+    * graft.functions.Sketches — one pass, fixed-size vote counters). */
+  val hashedTokensExpr: String = "transform(toks, t -> xxhash64(t))"
 
   val qs: Seq[Q] = Seq(
 
@@ -117,7 +111,9 @@ object Dedup extends QueryModule {
       (s, d) => {
         val sigs = t(s, d, "documents")
           .withColumn("toks", expr(TextAnalysis.tokensExpr))
-          .select(col("doc_id"), expr(simhashExpr).as("sig"))
+          .withColumn("th", expr(hashedTokensExpr))
+          .select(col("doc_id"),
+            graft.functions.Sketches.simhash64(col("th")).as("sig"))
         val chunks = sigs.withColumn("chunk", explode(expr(
           "transform(sequence(0, 3), c -> named_struct('c', c, 'v', shiftright(sig, c * 16) & 65535L))")))
           .select(col("doc_id"), col("sig"), col("chunk.c").as("c"), col("chunk.v").as("v"))

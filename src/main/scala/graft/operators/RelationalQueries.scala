@@ -479,13 +479,15 @@ object RelationalQueries extends QueryModule {
         .select("l_orderkey", "l_linenumber")),
 
     // Q25 approx_count_distinct (HLL++) — property-checked in ScalaTest
-    // (relative error ≤ 5% vs exact), not hash-compared.
+    // (relative error ≤ 5% vs exact), not hash-compared. rsd=0.02 sizes the
+    // sketch so the 5% bound holds with margin at every scale factor
+    // (default rsd=0.05 measured 6.4% off on ~1.5k distinct orderkeys).
     Q("q25_approx_distinct", None,
       (s, d) => t(s, d, "lineitem")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders")))
   )
 }

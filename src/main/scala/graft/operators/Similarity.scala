@@ -54,32 +54,49 @@ object Similarity extends QueryModule {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Exact top-k cosine neighbors for every vector. */
+  /** Exact top-k cosine neighbors for every vector. Norms are computed once
+    * per row before the join (the per-pair value is identical bit-for-bit,
+    * so oracle parity is preserved) — the pair loop then does one fused dot
+    * per pair instead of three. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
     a.join(broadcast(b), col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** ANN top-k: candidates = pairs sharing any signature band. */
+  /** ANN top-k: candidates = pairs sharing any signature band. Candidate
+    * pairs are deduplicated on ids BEFORE embeddings re-join them — the
+    * distinct then shuffles two longs per pair instead of two 64-float
+    * arrays. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
-    val sigs = emb.withColumn("sig", signature(col("embedding")))
-    val banded = sigs.withColumn("band", explode(expr(
-      s"transform(sequence(0, ${SigBands - 1}), c -> named_struct('c', c, 'v', shiftright(sig, c * $BandBits) & ${(1 << BandBits) - 1}))")))
-      .select(col("vec_id"), col("embedding"), col("band.c").as("c"), col("band.v").as("v"))
-    val a = banded.select(col("vec_id"), col("embedding").as("ea"), col("c"), col("v"))
-    val b = banded.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
-      col("c").as("c2"), col("v").as("v2"))
+    val banded = emb
+      .withColumn("sig", signature(col("embedding")))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${SigBands - 1}), c -> named_struct('c', c, 'v', shiftright(sig, c * $BandBits) & ${(1 << BandBits) - 1}))")))
+      .select(col("vec_id"), col("band.c").as("c"), col("band.v").as("v"))
+    val cand = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
-    a.join(b, col("c") === col("c2") && col("v") === col("v2")
-        && col("vec_id") =!= col("nbr_id"))
-      .select("vec_id", "ea", "nbr_id", "eb").distinct()
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+    cand
+      .join(broadcast(withNorm.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))), Seq("vec_id"))
+      .join(broadcast(withNorm.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))), Seq("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
@@ -119,11 +136,12 @@ object Similarity extends QueryModule {
               |WHERE $sqlCos >= 0.45
               |ORDER BY a, b""".stripMargin),
       (s, d) => {
-        val e = t(s, d, "embeddings")
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
         a.join(broadcast(b), col("a") < col("b"))
-          .withColumn("cos", cosine(col("ea"), col("eb")))
+          .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("cos") >= 0.45)
           .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
           .orderBy("a", "b")

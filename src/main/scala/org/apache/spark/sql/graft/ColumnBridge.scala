@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ↔ Expression conversion, for
+  * exposing custom Catalyst expressions (e.g. graft.functions.
+  * DotProductDouble) as user-facing Columns. Lives under the
+  * org.apache.spark.sql package namespace solely to satisfy the access
+  * modifier; uses only stable catalyst types in its signature. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

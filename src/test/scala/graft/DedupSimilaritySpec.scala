@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Near-dup and similarity properties (SURVEY §5: Q26/Q27 recall and
+  * determinism checks that the DuckDB oracle can't express). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash-LSH finds every pair the exact blocked jaccard finds (recall=1 on blocked set)") {
+    val exact = SparkEntry.queries("q26d_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val lsh = SparkEntry.queries("q26b_dedup_minhash")(spark, sf).select("a", "b")
+    val missed = exact.join(lsh, Seq("a", "b"), "left_anti").count()
+    assert(missed == 0, s"LSH missed $missed exact near-dup pairs")
+  }
+
+  test("minhash-LSH pairs are verified: every reported pair has jaccard >= 0.5") {
+    val pairs = SparkEntry.queries("q26b_dedup_minhash")(spark, sf)
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("identical texts get identical simhash (hamming 0) and near-identical texts small hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sigs = docs
+      .withColumn("toks", expr(operators.TextAnalysis.tokensExpr))
+      .withColumn("th", expr(Dedup.hashedTokensExpr))
+      .select(col("doc_id"), graft.functions.Sketches.simhash64(col("th")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical texts must have equal simhash")
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"one-word edit ($near bits) should beat unrelated text ($far bits)")
+  }
+
+  test("exact dedup keeps exactly one row per text and keeps the smallest doc_id") {
+    val dup = Tables.table(spark, sf, "documents").limit(50)
+    val doubled = dup.union(dup.withColumn("doc_id", col("doc_id") + 1000000L))
+    val out = Dedup.dedupKeepFirst(doubled, Seq("text"), "doc_id")
+    assert(out.count() == 50)
+    assert(out.filter(col("doc_id") >= 1000000L).count() == 0)
+  }
+
+  test("cosine is 1 on self and symmetric") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.table(spark, sf, "embeddings").limit(20)
+    val selfCos = e.select(cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).collect()(0)
+    assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN recall@3 vs brute force >= 0.4") {
+    val brute = Similarity.bruteForceTopK(Tables.table(spark, sf, "embeddings"), 3)
+      .select("vec_id", "nbr_id")
+    val ann = Similarity.lshTopK(Tables.table(spark, sf, "embeddings"), 3)
+      .select("vec_id", "nbr_id")
+    val total = brute.count().toDouble
+    val hit = brute.join(ann, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
+    assert(hit / total >= 0.4, s"recall ${hit / total}")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream-driven event-time tests (SURVEY §5.4): constructed late /
+  * out-of-order batches against the watermark, streaming session windows,
+  * and watermark-scoped stateful dedup — the behaviors the batch oracle
+  * can't express because they depend on batch boundaries. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("Q31: late rows beyond the 10-minute watermark are dropped") {
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: events at 00:05, 00:12, 00:25 → watermark becomes 00:15
+    input.addData((ts(5), "a"), (ts(12), "b"), (ts(25), "c"))
+    q.processAllAvailable()
+    // batch 2: 00:02 is now LATE (watermark 00:15 > its window end 00:10)
+    // and must be dropped; 00:40 advances the watermark to 00:30
+    input.addData((ts(2), "late"), (ts(40), "d"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("late_test")
+      .select(col("window.start").cast("long").as("s"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ts(0).getTime / 1000
+    // [00:00,00:10): only 00:05 — the late 00:02 did NOT land
+    assert(out(base) == 1, s"late row leaked into the closed window: $out")
+    // [00:10,00:20) and [00:20,00:30) finalized with one row each
+    assert(out(base + 600) == 1 && out(base + 1200) == 1)
+    // [00:40,...) still open (not emitted in append mode)
+    assert(!out.contains(base + 2400))
+  }
+
+  test("Q30: streaming session_window groups by 30-minute inactivity gap") {
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: events at 00:00, 00:10 (one session), then 00:50 (new session
+    // — gap 40 min > 30); a far-future event closes everything
+    input.addData((ts(0), 1L), (ts(10), 1L), (ts(50), 1L))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 99L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("session_test")
+      .filter(col("user_id") === 1L)
+      .select(col("session_window.start").cast("long").as("s"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = ts(0).getTime / 1000
+    assert(out == Map(base -> 2L, (base + 3000) -> 1L),
+      s"expected two sessions (2 events + 1 event), got $out")
+  }
+
+  test("Q32: dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((ts(1), 100L), (ts(2), 101L))
+    q.processAllAvailable()
+    // same event ids re-delivered in a later batch, within the watermark gap
+    input.addData((ts(3), 100L), (ts(4), 101L), (ts(5), 102L))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(100L, 101L, 102L), s"got ${ids.toSeq}")
+  }
+
+  test("Q29 streaming tumbling aggregate equals the batch group-by") {
+    val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
+    val batch = Tables.table(spark, sf, "events")
+      .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600).cast("long").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+      .orderBy("window_start", "event_type")
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}
