@@ -15,6 +15,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
+    operators.ScaleOps,
     pipeline.EcommercePipeline,
     streaming.StreamingQueries,
     multimodal.Multimodal)

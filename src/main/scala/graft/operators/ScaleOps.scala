@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-oriented physical patterns (SURVEY §4 posture, 100 TB design):
+  * bucketed co-located joins and salted skew joins. The correctness of each
+  * is oracle-checked (results equal the plain formulation); the *physical*
+  * property (no shuffle / balanced partitions) is asserted in ScaleOpsSpec
+  * against the executed plan.
+  */
+object ScaleOps extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val Buckets = 8
+
+  /** Write both join sides bucketed+sorted by the join key, then join the
+    * bucketed tables. Both sides expose identical hash-bucket partitioning,
+    * so the sort-merge join runs with ZERO Exchange — at warehouse scale
+    * this is the difference between joining 100 TB with and without moving
+    * 100 TB over the network. Buckets land as external tables under /tmp
+    * (testdata stays read-only). */
+  def bucketedOrdersLineitem(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_buckets$tag"
+    def ensure(name: String, df: DataFrame, key: String): DataFrame = {
+      val tbl = s"graft_${name}_$tag"
+      if (!s.catalog.tableExists(tbl)) {
+        df.write.mode("overwrite")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", s"$base/$name")
+          .saveAsTable(tbl)
+      }
+      s.table(tbl)
+    }
+    (ensure("orders", t(s, dir, "orders"), "o_orderkey"),
+      ensure("lineitem", t(s, dir, "lineitem"), "l_orderkey"))
+  }
+
+  /** Salted skew join: dim side replicated `salt` times, fact side assigned
+    * a deterministic salt from its PK, join on (key, salt). Spreads a hot
+    * key across `salt` reducers; result is row-identical to the plain join.
+    * (AQE's skew-join split handles sort-merge skew automatically; explicit
+    * salting is the portable form that also covers hash aggregation and
+    * older planners.) */
+  def saltedJoin(fact: DataFrame, factKey: String, saltSource: String,
+      dim: DataFrame, dimKey: String, salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(salt)).cast("int"))
+    val saltedDim = dim
+      .withColumn("__salt", explode(expr(s"sequence(0, ${salt - 1})")))
+    saltedFact.join(saltedDim,
+        col(factKey) === col(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // Q36 bucketed co-located join — same answer as the shuffle join (the
+    // oracle is the plain SQL join); ScaleOpsSpec asserts the plan contains
+    // no Exchange.
+    Q("q36_bucketed_join",
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, o_totalprice""".stripMargin),
+      (s, d) => {
+        val (orders, lineitem) = bucketedOrdersLineitem(s, d)
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "o_totalprice")
+      }),
+
+    // Q37 salted skew join — row-identical to the plain broadcast join.
+    Q("q37_salted_skew_join",
+      Some("""SELECT e.event_id, c.c_mktsegment FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY e.event_id""".stripMargin),
+      (s, d) => saltedJoin(
+          t(s, d, "events"), "user_id", "event_id",
+          t(s, d, "customer").select("c_custkey", "c_mktsegment"), "c_custkey",
+          salt = 8)
+        .select("event_id", "c_mktsegment")
+        .orderBy("event_id"))
+  )
+}

@@ -102,6 +102,41 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of
+    * `nCentroids` coarse centroids; a query probes its `nprobe` nearest
+    * centroids and ranks only those clusters' members. Candidate volume is
+    * ~rows × (nprobe/nCentroids) of the brute-force cross product, and the
+    * cluster assignment is a narrow (vec_id, cid) table — the layout that
+    * scales by partitioning on cid. Centroids here are the deterministic
+    * first `nCentroids` vectors; at warehouse scale they would come from
+    * k-means|| over a sample, which changes quality, not the dataflow. */
+  def ivfTopK(emb: DataFrame, k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val cents = broadcast(withNorm.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
+    val ranked = withNorm.join(cents)
+      .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(wAssign))
+      .select("vec_id", "cid", "crn")
+    val members = ranked.filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id").as("nbr_id"))
+    val probes = ranked.filter(col("crn") <= nprobe).select("vec_id", "cid")
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    probes.join(members, Seq("cid"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select("vec_id", "nbr_id").distinct()
+      .join(broadcast(withNorm.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))), Seq("vec_id"))
+      .join(broadcast(withNorm.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))), Seq("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
+  }
+
   private val sqlCos =
     """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       |        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -124,6 +159,10 @@ object Similarity extends QueryModule {
     // asserted in ScalaTest).
     Q("q27b_knn_lsh", None,
       (s, d) => lshTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
+
+    // Q27d IVF ANN top-3 (rows-only; recall asserted in ScalaTest).
+    Q("q27d_knn_ivf", None,
+      (s, d) => ivfTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
 
     // Q27c embedding near-duplicate pairs: cosine >= 0.45, brute on both
     // sides (the LSH path covers the scale story). The driver embeddings

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{ScaleOps, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the scale patterns: bucketed joins must not
+  * shuffle; salted joins must match their plain equivalent row-for-row;
+  * IVF recall must beat random. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed join plan contains no shuffle exchange") {
+    // At test scale the planner prefers a broadcast join, which hides the
+    // bucketing; disable auto-broadcast to expose the co-located SMJ path
+    // a 100 TB fact⋈fact join would take.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (orders, lineitem) = ScaleOps.bucketedOrdersLineitem(spark, sf)
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_totalprice")
+      joined.count() // force AQE final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle, got:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan should read bucketed layout, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed join equals plain shuffle join") {
+    val bucketed = SparkEntry.queries("q36_bucketed_join")(spark, sf)
+    val plain = SparkEntry.queries("q04_join_shuffle")(spark, sf)
+    assert(bucketed.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("salted skew join equals plain join") {
+    val salted = SparkEntry.queries("q37_salted_skew_join")(spark, sf)
+    val plain = Tables.table(spark, sf, "events")
+      .join(Tables.table(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .select("event_id", "c_mktsegment")
+      .orderBy("event_id")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("salted join spreads each key across salt partitions on the fact side") {
+    val fact = Tables.table(spark, sf, "events")
+    val salts = fact
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(8)).cast("int"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("__salt")).as("n_salts"), count(lit(1)).as("n"))
+      .filter(col("n") >= 16) // hot keys
+    val underSpread = salts.filter(col("n_salts") < 4).count()
+    assert(underSpread == 0, "a hot key stayed concentrated in <4 salt buckets")
+  }
+
+  test("IVF ANN recall@3 vs brute force >= 0.3 with bounded candidate volume") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, 3).select("vec_id", "nbr_id")
+    val ivf = Similarity.ivfTopK(emb, 3).select("vec_id", "nbr_id")
+    val total = brute.count().toDouble
+    val hit = brute.join(ivf, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
+    assert(hit / total >= 0.3, s"IVF recall ${hit / total}")
+  }
+}
