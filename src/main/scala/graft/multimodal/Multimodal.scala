@@ -81,6 +81,32 @@ object Multimodal extends QueryModule {
         feats.join(payloads, Seq("doc_id"))
           .select("doc_id", "n_bytes", "width", "height", "n_frames", "payload_md5")
           .orderBy("doc_id")
+      }),
+
+    // Frame sampling over the "video" payloads: one row per sampled frame
+    // (every 3rd frame), with a deterministic byte offset per frame —
+    // the explode-then-process layout a real frame extractor would feed.
+    Q("q35b_frame_sample",
+      Some("""WITH frames AS (
+             |  SELECT doc_id,
+             |    octet_length(encode(text)) AS nb,
+             |    octet_length(encode(text)) % 30 + 1 AS nf,
+             |    unnest(generate_series(0, octet_length(encode(text)) % 30)) AS f
+             |  FROM documents)
+             |SELECT doc_id, CAST(f AS INT) AS frame_id,
+             |  CAST(f * (nb // nf) AS BIGINT) AS byte_offset
+             |FROM frames WHERE f % 3 = 0
+             |ORDER BY doc_id, frame_id""".stripMargin),
+      (s, d) => {
+        Tables.table(s, d, "documents")
+          .withColumn("n_bytes", length(col("text").cast("binary")))
+          .withColumn("n_frames", col("n_bytes") % 30 + 1)
+          .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+          .filter(col("frame_id") % 3 === 0)
+          .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
+            (col("frame_id").cast("long")
+              * expr("n_bytes div n_frames")).as("byte_offset"))
+          .orderBy("doc_id", "frame_id")
       })
   )
 }

@@ -399,18 +399,21 @@ object RelationalQueries extends QueryModule {
           explode(array_distinct(split(col("p_name"), " "))).as("token"))
         .orderBy("p_partkey", "token")),
 
-    // Q21b scalar array functions
+    // Q21b scalar array functions. The sorted-distinct token list is
+    // emitted as a joined string rather than an array column: array-typed
+    // outputs compare engine-dependently (numpy repr vs list), strings
+    // don't.
     Q("q21b_array_fns",
       Some("""SELECT p_partkey,
              |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_tok,
              |  CAST(list_contains(string_split(p_name, ' '), 'red') AS INTEGER) AS has_red,
-             |  list_sort(list_distinct(string_split(p_name, ' '))) AS toks
+             |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS toks
              |FROM part ORDER BY p_partkey""".stripMargin),
       (s, d) => t(s, d, "part")
         .select(col("p_partkey"),
           size(split(col("p_name"), " ")).as("n_tok"),
           array_contains(split(col("p_name"), " "), "red").cast("int").as("has_red"),
-          sort_array(array_distinct(split(col("p_name"), " "))).as("toks"))
+          array_join(sort_array(array_distinct(split(col("p_name"), " "))), ",").as("toks"))
         .orderBy("p_partkey")),
 
     // Q22 JSON functions over events.props

@@ -168,6 +168,26 @@ object EcommercePipeline extends QueryModule {
       .join(broadcast(dimC.select("customer_id", "first_name", "last_name", "email",
         "membership_level")), Seq("customer_id"))
 
+  /** Warehouse-style append load (O6/O20): seed a managed table with the
+    * already-present rows, then append only anti-join survivors — the
+    * reference's INSERT-batch + dedup contract
+    * (`dimension_tables_mock.py:69-73` after `:62-63`). A second identical
+    * append adds zero rows (idempotence; asserted in-line and in
+    * GeneratorsSpec). */
+  def warehouseAppendReplay(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_dimp_wh_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val path = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    val all = dimProducts(s, dir)
+    val existing = all.filter(col("product_id").substr(6, 6).cast("long") % 2 === 0)
+    existing.write.mode("overwrite").option("path", path).saveAsTable(tbl)
+    val newRows = antiJoinDedup(all, s.table(tbl), "product_id")
+    newRows.write.mode("append").insertInto(tbl)
+    // replay the trigger: a second pass must find nothing new
+    val second = antiJoinDedup(all, s.table(tbl), "product_id")
+    second.write.mode("append").insertInto(tbl)
+    s.table(tbl)
+  }
+
   // ---- declared queries ------------------------------------------------
 
   val qs: Seq[Q] = Seq(
@@ -218,6 +238,18 @@ object EcommercePipeline extends QueryModule {
           .filter(col("product_id").substr(6, 6).cast("long") % 2 === 0)
         antiJoinDedup(cand, existing, "product_id").orderBy("product_id")
       }),
+
+    // O6/O20 warehouse append with anti-join dedup, replayed twice —
+    // final table must equal the full derivation exactly once per key.
+    Q("q33f_warehouse_append",
+      Some(s"""SELECT
+              |  ${sqlDigitId("prod-", "p_partkey", 6)} AS product_id,
+              |  'Product ' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') AS product_name,
+              |  ${sqlChoice("p_partkey", 7919L, Categories)} AS category,
+              |  ${sqlMoney("p_partkey")} AS price,
+              |  ${sqlDigitId("S", "p_partkey", 4)} AS supplier_id
+              |FROM part ORDER BY product_id""".stripMargin),
+      (s, d) => warehouseAppendReplay(s, d).orderBy("product_id")),
 
     // O15 sequence-numbered ids. A global row_number is the exact reference
     // semantic (`{i:04}` batch counter); at cluster scale the same operator
