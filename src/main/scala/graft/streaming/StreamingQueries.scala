@@ -150,6 +150,64 @@ object StreamingQueries extends QueryModule {
           .orderBy("window_start")
       }),
 
+    // Q34 the reference pipeline's transform leg as a stream: the
+    // partitioned header-CSV batches the generator lands (E2,
+    // `transactions_mock_data.py:85-98`) are consumed by a file-source
+    // stream and enriched with the broadcast dims per micro-batch — the
+    // Glue handoff (`:105-123`) without the 10 s sleep (`:132`): the
+    // trigger sees exactly the committed files. Oracle = the batch
+    // derivation (stream and batch must agree on AvailableNow input).
+    Q("q34_streaming_pipeline",
+      Some("""WITH txn AS (
+             |  SELECT
+             |    'TXN' || strftime(l_shipdate, '%Y%m%d%H%M%S') ||
+             |      lpad(CAST(l_orderkey AS VARCHAR), 8, '0') ||
+             |      lpad(CAST(l_linenumber AS VARCHAR), 2, '0') ||
+             |      lpad(CAST(l_partkey % 1000000 AS VARCHAR), 6, '0') ||
+             |      lpad(CAST(l_suppkey AS VARCHAR), 4, '0') AS transaction_id,
+             |    'prod-' || lpad(CAST(l_partkey % 1000000 AS VARCHAR), 6, '0') AS product_id,
+             |    CAST(l_quantity AS INT) AS quantity
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |dimp AS (
+             |  SELECT 'prod-' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') AS product_id,
+             |         ['Electronics','Clothing','Home','Books','Toys'][CAST((p_partkey * 7919) % 5 + 1 AS INT)] AS category
+             |  FROM part)
+             |SELECT t.transaction_id, t.quantity, p.category
+             |FROM txn t JOIN dimp p ON t.product_id = p.product_id
+             |ORDER BY transaction_id""".stripMargin),
+      (s, d) => {
+        import graft.pipeline.EcommercePipeline
+        val landDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_csv_").toString
+        EcommercePipeline.csvRoundTrip(EcommercePipeline.transactions(s, d), landDir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("transaction_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("customer_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("product_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("quantity",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.DecimalType(12, 2)),
+          org.apache.spark.sql.types.StructField("transaction_date",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("payment_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val dims = broadcast(EcommercePipeline.dimProducts(s, d)
+          .select("product_id", "category"))
+        val enriched = s.readStream
+          .schema(schema)
+          .option("header", "true")
+          .csv(landDir)
+          .join(dims, Seq("product_id"))
+          .select("transaction_id", "quantity", "category")
+        runToMemory(enriched, "q34_out", "append").orderBy("transaction_id")
+      }),
+
     // Q32 stateful streaming dedup on event_id + stream-static broadcast
     // join with a dimension table.
     Q("q32_stream_dedup_join",
