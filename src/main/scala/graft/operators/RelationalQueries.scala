@@ -155,6 +155,23 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Q09b exact interpolated percentiles per group — Spark `percentile`
+    // and DuckDB `quantile_cont` apply the same interpolation formula to
+    // the same sorted doubles, so results are bit-identical.
+    Q("q09b_percentiles",
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90,
+             |  quantile_cont(o_totalprice, 0.99) AS p99
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+        .orderBy("o_orderpriority")),
+
     // Q10 global aggregate (O-counts at `dimension_tables_mock.py:74,131`)
     Q("q10_agg_global",
       Some("""SELECT count(*) AS n_orders,
