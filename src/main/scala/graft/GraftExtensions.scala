@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.{DotProductDouble, MinHashSignature, SimHash64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the custom codegen expressions — so `spark.sql` users
+  * get the same fused operators the DataFrame API exposes through
+  * graft.functions:
+  *
+  *   graft_dot(a, b)      double dot product over float/double arrays
+  *   graft_minhash64(hs)  64-minima MinHash signature of hashed shingles
+  *   graft_simhash64(th)  64-bit SimHash of hashed tokens
+  *
+  * Two registration paths: `GraftFunctions.register(spark)` on a live
+  * session, or `spark.sql.extensions=graft.GraftExtensions` at session
+  * build time (the SparkSessionExtensions route a cluster would use).
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_dot", es => DotProductDouble(es(0), es(1)),
+      "graft_dot(a, b) - ordered double-accumulated dot product"),
+    ("graft_minhash64", es => MinHashSignature(es.head),
+      "graft_minhash64(hashed_shingles) - 64-long MinHash signature"),
+    ("graft_simhash64", es => SimHash64(es.head),
+      "graft_simhash64(hashed_tokens) - 64-bit SimHash"))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage), builder))
+    }
+}

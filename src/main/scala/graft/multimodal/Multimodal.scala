@@ -83,6 +83,36 @@ object Multimodal extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // Resize planning: aspect-preserving fit of the stub-decoded (width,
+    // height) into a 224×224 target box — integer arithmetic identical in
+    // both engines (floor division by the larger relative dimension).
+    // A real resize would consume these plans inside the partition-wise
+    // decode; the planning math and schema are the production shape.
+    Q("q35c_resize_plan",
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS w,
+             |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS h
+             |  FROM documents)
+             |SELECT doc_id, w, h,
+             |  CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS INT) AS out_w,
+             |  CAST(CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS INT) AS out_h,
+             |  CAST(CASE WHEN w >= h THEN (h * 224) // w ELSE (w * 224) // h END AS INT) AS short_side
+             |FROM dims ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val base = Tables.table(s, d, "documents")
+          .withColumn("w", length(col("text").cast("binary")) % 640 + 1)
+          .withColumn("h", (length(col("text").cast("binary")) * 7) % 480 + 1)
+        base.select(col("doc_id"), col("w"), col("h"),
+          when(col("w") >= col("h"), 224)
+            .otherwise(expr("(w * 224) div h")).cast("int").as("out_w"),
+          when(col("h") >= col("w"), 224)
+            .otherwise(expr("(h * 224) div w")).cast("int").as("out_h"),
+          when(col("w") >= col("h"), expr("(h * 224) div w"))
+            .otherwise(expr("(w * 224) div h")).cast("int").as("short_side"))
+          .orderBy("doc_id")
+      }),
+
     // Frame sampling over the "video" payloads: one row per sampled frame
     // (every 3rd frame), with a deterministic byte offset per frame —
     // the explode-then-process layout a real frame extractor would feed.

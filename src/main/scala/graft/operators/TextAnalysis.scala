@@ -157,6 +157,22 @@ object TextAnalysis extends QueryModule {
           .orderBy("doc_id")
       }),
 
+    // Q28f BPE-ish regex tokenization: letter runs, digit runs, and single
+    // non-alphanumeric marks as separate tokens (the pre-tokenizer shape
+    // BPE vocabularies train over), counted per class.
+    Q("q28f_regex_tokens",
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_word,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+             |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_mark
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_word"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+          size(expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).as("n_mark"))
+        .orderBy("doc_id")),
+
     // Q28e rolling polynomial hash over tokens (xxhash64-seeded; not DuckDB-
     // reproducible → rows-only + determinism spec). Modular arithmetic keeps
     // every intermediate below 2^35 (ANSI-safe).
