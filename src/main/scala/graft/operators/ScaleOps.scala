@@ -40,6 +40,23 @@ object ScaleOps extends QueryModule {
       ensure("lineitem", t(s, dir, "lineitem"), "l_orderkey"))
   }
 
+  /** Orders written as year-partitioned parquet (the reference's
+    * time-partitioned S3 layout, `transactions_mock_data.py:85-91`, at
+    * warehouse granularity). Reads against this table prune whole year
+    * directories — statically for literal predicates, dynamically (DPP)
+    * when the filter arrives through a join. */
+  def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_part_orders$tag"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -72,6 +89,25 @@ object ScaleOps extends QueryModule {
           .select("l_orderkey", "l_linenumber", "l_partkey", "o_totalprice")
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "o_totalprice")
       }),
+
+    // Q38 partition-pruned join: the year filter reaches the fact scan as
+    // a partition filter (static pruning for the literal; DPP wiring is
+    // plan-asserted in ScaleOpsSpec for the join-derived case).
+    Q("q38_partition_pruned_join",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_nationkey = 1 AND year(o_orderdate) BETWEEN 1996 AND 1998
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => partitionedOrders(s, d)
+        .filter(col("o_year").between(1996, 1998))
+        .join(broadcast(t(s, d, "customer").filter(col("c_nationkey") === 1)
+          .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("revenue"))
+        .orderBy("o_year")),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.
     Q("q37_salted_skew_join",

@@ -54,6 +54,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(underSpread == 0, "a hot key stayed concentrated in <4 salt buckets")
   }
 
+  test("partitioned fact scan prunes year directories (static + DPP)") {
+    val po = ScaleOps.partitionedOrders(spark, sf)
+    // static pruning: literal year predicate must land in PartitionFilters
+    val static = po.filter(col("o_year") === 1997).select("o_orderkey")
+    val staticPlan = static.queryExecution.executedPlan.toString
+    assert(staticPlan.contains("PartitionFilters") && staticPlan.contains("o_year"),
+      s"static partition filter missing:\n$staticPlan")
+    // dynamic pruning: the canonical DPP shape — join on the partition
+    // column with a selective FILTER on the build side (DPP only
+    // considers filtered build sides; a bare distinct/limit doesn't
+    // qualify as prunable evidence).
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val years = Tables.table(spark, sf, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_orderpriority"))
+        .distinct()
+        .filter(col("o_orderpriority") === "1-URGENT" && col("y") <= 1997)
+      val dpp = po.join(years, col("o_year") === col("y"))
+        .select("o_orderkey", "y")
+      dpp.count()
+      val dppPlan = dpp.queryExecution.executedPlan.toString
+      assert(dppPlan.contains("dynamicpruning"),
+        s"expected dynamic partition pruning in:\n$dppPlan")
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+  }
+
   test("IVF ANN recall@3 vs brute force >= 0.3 with bounded candidate volume") {
     val emb = Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 3).select("vec_id", "nbr_id")
