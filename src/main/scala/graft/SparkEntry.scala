@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.ScaleOps,
+    operators.AsOfJoin,
     pipeline.EcommercePipeline,
     streaming.StreamingQueries,
     multimodal.Multimodal)
