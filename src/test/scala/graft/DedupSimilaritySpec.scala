@@ -57,13 +57,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-9)
   }
 
-  test("LSH ANN recall@3 vs brute force >= 0.4") {
+  test("multi-probe LSH ANN recall@3 vs brute force >= 0.8") {
     val brute = Similarity.bruteForceTopK(Tables.table(spark, sf, "embeddings"), 3)
       .select("vec_id", "nbr_id")
     val ann = Similarity.lshTopK(Tables.table(spark, sf, "embeddings"), 3)
       .select("vec_id", "nbr_id")
     val total = brute.count().toDouble
     val hit = brute.join(ann, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
-    assert(hit / total >= 0.4, s"recall ${hit / total}")
+    assert(hit / total >= 0.8, s"recall ${hit / total}")
   }
 }
