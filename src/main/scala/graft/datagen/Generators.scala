@@ -35,13 +35,15 @@ object Generators {
   }
 
   /** Uniform 2-dp money value in [lo, hi] — O10 (`round(uniform(10,500),2)`,
-    * reference `dimension_tables_mock.py:54`). Exact DECIMAL(12,2) result;
-    * the intermediate `h/100.0` double has an exact 2-dp decimal value, so
-    * the cast is engine-independent. */
+    * reference `dimension_tables_mock.py:54`). Computed as an exact
+    * DECIMAL(12,2), surfaced as DOUBLE: the one exact→IEEE conversion is
+    * engine-independent, and DOUBLE output columns hash identically under
+    * every parquet/pandas reader (DECIMAL outputs don't — pyarrow yields
+    * Decimal objects where DuckDB yields float64). */
   def uniformMoney(key: Column, lo: Double, hi: Double): Column = {
     val steps = ((hi - lo) * 100).toLong + 1 // inclusive hundredths
     (lit(lo) + hashMod(key, KnuthMult, steps) / lit(100.0))
-      .cast(DecimalType(12, 2))
+      .cast(DecimalType(12, 2)).cast("double")
   }
 
   /** Uniform categorical choice — O11 (`random.choice`, reference

@@ -133,13 +133,16 @@ object RelationalQueries extends QueryModule {
           .orderBy("custkey", "n_pairs")
       }),
 
-    // Q09 grouped hash aggregate (TPC-H Q1 shape). Exact decimal sums;
-    // avg derived as DOUBLE(exact_sum)/count — bit-identical across engines.
+    // Q09 grouped hash aggregate (TPC-H Q1 shape). Exact decimal sums,
+    // surfaced as DOUBLE: the one exact→IEEE conversion at the end is
+    // bit-identical across engines, and a DOUBLE output column hashes the
+    // same under every parquet/pandas reader (DECIMAL outputs don't — they
+    // round-trip as Decimal objects in pyarrow but float64 in DuckDB).
     Q("q09_agg_group",
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -147,10 +150,10 @@ object RelationalQueries extends QueryModule {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -175,20 +178,20 @@ object RelationalQueries extends QueryModule {
     // Q10 global aggregate (O-counts at `dimension_tables_mock.py:74,131`)
     Q("q10_agg_global",
       Some("""SELECT count(*) AS n_orders,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
              |  CAST(min(o_orderdate) AS DATE) AS min_date,
              |  CAST(max(o_orderdate) AS DATE) AS max_date,
-             |  CAST(min(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-             |  CAST(max(o_totalprice) AS DECIMAL(18,2)) AS max_price
+             |  min(o_totalprice) AS min_price,
+             |  max(o_totalprice) AS max_price
              |FROM orders""".stripMargin),
       (s, d) => t(s, d, "orders")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_total"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_total"),
           min(col("o_orderdate")).cast("date").as("min_date"),
           max(col("o_orderdate")).cast("date").as("max_date"),
-          dec(min(col("o_totalprice"))).as("min_price"),
-          dec(max(col("o_totalprice"))).as("max_price"))),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))),
 
     // Q11 DISTINCT / count(DISTINCT) (unique-email O13 analog)
     Q("q11_count_distinct",
@@ -206,7 +209,7 @@ object RelationalQueries extends QueryModule {
     // Spark ASC defaults nulls-first, DuckDB defaults nulls-last.
     Q("q12_rollup",
       Some("""SELECT n_name, o_orderpriority, count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
@@ -219,7 +222,7 @@ object RelationalQueries extends QueryModule {
         // dialect-shared with the oracle.
         Tables.registerAll(s, d)
         s.sql("""SELECT n_name, o_orderpriority, count(*) AS n,
-                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
                 |FROM orders
                 |JOIN customer ON o_custkey = c_custkey
                 |JOIN nation ON c_nationkey = n_nationkey
@@ -262,9 +265,9 @@ object RelationalQueries extends QueryModule {
         t(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("date").as("odate"),
-            row_number().over(w).as("rn"),
-            rank().over(w).as("rk"),
-            dense_rank().over(w).as("drk"))
+            row_number().over(w).cast("long").as("rn"),
+            rank().over(w).cast("long").as("rk"),
+            dense_rank().over(w).cast("long").as("drk"))
           .filter(col("rn") <= 3)
           .orderBy("o_custkey", "rn")
       }),
@@ -274,7 +277,7 @@ object RelationalQueries extends QueryModule {
       Some("""SELECT o_custkey, o_orderkey,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
              |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
              |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
@@ -284,7 +287,7 @@ object RelationalQueries extends QueryModule {
           .select(col("o_custkey"), col("o_orderkey"),
             sum(dec(col("o_totalprice")))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast(DecimalType(18, 2)).as("running_total"),
+              .cast("double").as("running_total"),
             lag(col("o_orderkey"), 1).over(w).as("prev_order"),
             lead(col("o_orderkey"), 1).over(w).as("next_order"))
           .orderBy("o_custkey", "o_orderkey")
@@ -292,10 +295,10 @@ object RelationalQueries extends QueryModule {
 
     // Q16 top-k: ORDER BY ... LIMIT → TakeOrderedAndProject (O3's LIMIT)
     Q("q16_topk",
-      Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      Some("""SELECT o_orderkey, o_totalprice AS price
              |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin),
       (s, d) => t(s, d, "orders")
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
         .orderBy(desc("price"), asc("o_orderkey"))
         .limit(10)),
 
@@ -382,7 +385,7 @@ object RelationalQueries extends QueryModule {
              |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
              |  CAST(ceil(o_totalprice) AS BIGINT) AS ce,
              |  abs(o_totalprice - 250000.0) AS ab,
-             |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS rnd,
+             |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd,
              |  o_orderkey % 7 AS m7,
              |  sqrt(o_totalprice) AS sq,
              |  CASE WHEN (o_orderkey * 7919) % 100 < 60 THEN 'Bronze'
@@ -397,7 +400,7 @@ object RelationalQueries extends QueryModule {
             floor(col("o_totalprice")).as("fl"),
             ceil(col("o_totalprice")).as("ce"),
             abs(col("o_totalprice") - 250000.0).as("ab"),
-            round(dec(col("o_totalprice")), 1).cast(DecimalType(18, 1)).as("rnd"),
+            round(dec(col("o_totalprice")), 1).cast("double").as("rnd"),
             (col("o_orderkey") % 7).as("m7"),
             sqrt(col("o_totalprice")).as("sq"),
             when(bucket < 60, "Bronze")

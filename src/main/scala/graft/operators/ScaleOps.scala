@@ -95,7 +95,7 @@ object ScaleOps extends QueryModule {
     // plan-asserted in ScaleOpsSpec for the join-derived case).
     Q("q38_partition_pruned_join",
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE c_nationkey = 1 AND year(o_orderdate) BETWEEN 1996 AND 1998
              |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -105,7 +105,7 @@ object ScaleOps extends QueryModule {
           .select("c_custkey")), col("o_custkey") === col("c_custkey"))
         .groupBy("o_year")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy("o_year")),
 

@@ -69,7 +69,7 @@ object Similarity extends QueryModule {
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** ANN top-k: candidates = pairs sharing any signature band, with
@@ -107,7 +107,7 @@ object Similarity extends QueryModule {
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
@@ -142,7 +142,7 @@ object Similarity extends QueryModule {
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("vec_id"), col("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
   private val sqlCos =

@@ -60,7 +60,7 @@ object TextAnalysis extends QueryModule {
         val counts = toks.groupBy("lang", "token").agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("lang").orderBy(desc("n"), asc("token"))
         counts
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .select("lang", "token", "n", "rnk")
           .orderBy("lang", "rnk")

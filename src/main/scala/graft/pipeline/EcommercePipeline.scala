@@ -44,7 +44,7 @@ object EcommercePipeline extends QueryModule {
     s"[${options.map(o => s"'$o'").mkString(",")}]" +
       s"[CAST(($key * $mult) % ${options.size} + 1 AS INT)]"
   private def sqlMoney(key: String): String =
-    s"CAST(10.0 + (($key * $KnuthMult) % 49001) / 100.0 AS DECIMAL(12,2))"
+    s"CAST(CAST(10.0 + (($key * $KnuthMult) % 49001) / 100.0 AS DECIMAL(12,2)) AS DOUBLE)"
   private def sqlWeighted(key: String): String =
     s"""CASE WHEN ($key * $KnuthMult) % 100 < 60 THEN 'Bronze'
        |     WHEN ($key * $KnuthMult) % 100 < 85 THEN 'Silver'
@@ -154,7 +154,7 @@ object EcommercePipeline extends QueryModule {
       StructField("customer_id", StringType),
       StructField("product_id", StringType),
       StructField("quantity", IntegerType),
-      StructField("price", DecimalType(12, 2)),
+      StructField("price", DoubleType),
       StructField("transaction_date", StringType),
       StructField("payment_type", StringType),
       StructField("status", StringType)))
@@ -263,7 +263,7 @@ object EcommercePipeline extends QueryModule {
       Some("""SELECT row_number() OVER (ORDER BY o_orderkey) AS seq, o_orderkey
              |FROM orders ORDER BY seq""".stripMargin),
       (s, d) => t(s, d, "orders")
-        .select(row_number().over(Window.orderBy("o_orderkey")).as("seq"),
+        .select(row_number().over(Window.orderBy("o_orderkey")).cast("long").as("seq"),
           col("o_orderkey"))
         .orderBy("seq")),
 

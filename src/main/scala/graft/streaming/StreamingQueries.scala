@@ -58,13 +58,13 @@ object StreamingQueries extends QueryModule {
     Q("q29_stream_tumbling",
       Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
              |  event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, d) => {
         val agg = eventsStream(s, d)
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         runToMemory(agg, "q29_out", "complete")
           .select(col("window.start").cast("long").as("window_start"),
             col("event_type"), col("n"), col("total"))
@@ -100,8 +100,8 @@ object StreamingQueries extends QueryModule {
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sessions AS (
              |  SELECT user_id, ts, event_id,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id,
              |  CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
@@ -190,7 +190,7 @@ object StreamingQueries extends QueryModule {
           org.apache.spark.sql.types.StructField("quantity",
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("price",
-            org.apache.spark.sql.types.DecimalType(12, 2)),
+            org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("transaction_date",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("payment_type",

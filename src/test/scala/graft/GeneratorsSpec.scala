@@ -26,8 +26,14 @@ class GeneratorsSpec extends SparkSpec {
   test("prices lie in [10, 500] with scale 2") {
     val out = products.filter(col("price") < 10.0 || col("price") > 500.0).count()
     assert(out == 0)
-    // DECIMAL(12,2): scale is structural
-    assert(products.schema("price").dataType.sql == "DECIMAL(12,2)")
+    // exact 2-dp decimal surfaced as DOUBLE (hash-canonical output type);
+    // every value must survive the DECIMAL(12,2) round-trip bit-exactly,
+    // i.e. be the IEEE-nearest double of a 2-dp decimal
+    assert(products.schema("price").dataType.sql == "DOUBLE")
+    val nonCent = products
+      .filter(col("price") =!=
+        col("price").cast("decimal(12,2)").cast("double")).count()
+    assert(nonCent == 0)
   }
 
   test("membership levels respect the .60/.25/.10/.05 weighting (±5pp)") {

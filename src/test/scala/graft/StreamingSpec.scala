@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy((floor(unix_timestamp(col("ts")) / 600) * 600).cast("long").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy("window_start", "event_type")
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
