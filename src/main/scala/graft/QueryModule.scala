@@ -17,6 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DOUBLE aggregates go through DECIMAL casts (exact, associative) or are
   * derived as `CAST(exact_decimal AS DOUBLE) / exact_int` (bit-identical IEEE
   * on both engines); TIMESTAMP outputs are cast to DATE/STRING/BIGINT-epoch.
+  *
+  * Output-type canon (hash gate): final schemas contain only BIGINT, DOUBLE,
+  * VARCHAR, BOOLEAN, DATE, INT. Never DECIMAL (pyarrow reads it as Decimal
+  * objects, DuckDB's pandas conversion as float64 — value-equal, hash-
+  * different): compute exactly in DECIMAL, cast the final column to DOUBLE
+  * on BOTH sides. Cast rank/row_number/ntile to BIGINT (Spark emits INT,
+  * DuckDB BIGINT); DuckDB `sum(INT)` is HUGEINT → wrap in CAST(... AS
+  * BIGINT). `tools/strict_check.py` enforces this locally (dtype + repr).
   */
 final case class Q(
     name: String,

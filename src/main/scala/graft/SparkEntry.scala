@@ -12,6 +12,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
+    operators.AnalyticsExt,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,

@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extended analytics surface — round-2 widening of SURVEY §2.B.
+  *
+  * The reference's Glue/Redshift contract implies the full warehouse SQL
+  * surface (SURVEY §2.B "the engine must expose the full Spark-SQL relational
+  * surface these capabilities sit in"); this module covers the analytic
+  * operators the round-1 corpus left out: pivot/unpivot reshaping, GROUPING
+  * SETS, ordered string aggregation, exact moment statistics, window
+  * navigation functions, RANGE frames, FILTER-style conditional aggregates,
+  * histogram bucketing, and date truncation.
+  *
+  * Scale notes: everything stays in Catalyst built-ins (codegen'd, partial-
+  * aggregate friendly). Pivot with an explicit value list avoids the
+  * distinct-scan pass AND keeps the plan static — at 100 TB an implicit
+  * pivot would add a full shuffle just to discover column names. Moment
+  * statistics are computed from single-pass exact decimal power sums
+  * (Σx, Σx², Σxy): algebraic, so map-side partial aggregation applies and
+  * the shuffle carries 3 numbers per group instead of the group's rows —
+  * and unlike streaming float moments the result is order-independent,
+  * hence reproducible under any partitioning.
+  */
+object AnalyticsExt extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val qs: Seq[Q] = Seq(
+
+    // Q40 pivot (long → wide). Explicit value list => static schema, no
+    // discovery scan; counts coalesced to 0 so absent cells match the
+    // oracle's FILTER counts.
+    Q("q40_pivot",
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
+    // Q41 unpivot (wide → long, melt). Value columns unified to DOUBLE.
+    Q("q41_unpivot",
+      Some("""SELECT o_orderkey, k, v FROM (
+             |  SELECT o_orderkey, 'key100' AS k, CAST(o_orderkey % 100 AS DOUBLE) AS v FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, 'total' AS k, o_totalprice AS v FROM orders)
+             |ORDER BY o_orderkey, k""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").as("total"),
+          (col("o_orderkey") % 100).cast("double").as("key100"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("key100"), col("total")), "k", "v")
+        .orderBy("o_orderkey", "k")),
+
+    // Q42 GROUPING SETS — the general form behind rollup/cube (one Expand
+    // node, grouping-id routed). SQL path: dialect-shared text, and the
+    // DataFrame rollup/cube re-reference issue (see q12) doesn't arise.
+    Q("q42_grouping_sets",
+      Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))
+             |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders JOIN customer ON o_custkey = c_custkey
+                |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))
+                |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      }),
+
+    // Q43 ordered string aggregation (listagg). Spark's collect_list is
+    // partition-order-dependent, so determinism comes from sorting the
+    // collected set — same contract as DuckDB's ORDER BY clause.
+    Q("q43_string_agg",
+      Some("""SELECT o_orderstatus,
+             |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+             |  count(DISTINCT o_orderpriority) AS n_prios
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prios"),
+          countDistinct(col("o_orderpriority")).as("n_prios"))
+        .orderBy("o_orderstatus")),
+
+    // Q44 exact moment statistics: variance/stddev/covariance/correlation
+    // derived from exact decimal power sums. Unlike the engines' native
+    // single-pass float aggregates (summation-order-dependent → never
+    // hash-stable), Σx/Σx²/Σxy in DECIMAL are associative, so the final
+    // double arithmetic is bit-identical regardless of partitioning.
+    Q("q44_stats_exact",
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  sx / n AS mean_qty,
+             |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+             |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+             |  round((sxy - sx * sy / n) / (n - 1), 9) AS covar_qp,
+             |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qp
+             |FROM sums ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val sums = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        val n = col("n"); val sx = col("sx"); val sy = col("sy")
+        val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+        sums.select(col("l_returnflag"), n,
+            (sx / n).as("mean_qty"),
+            ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+            sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty"),
+            // Σxy and Σy² exceed 2^53 in scaled decimal units, so the
+            // decimal→double conversion may differ by 1 ulp between
+            // engines (Spark converts once, DuckDB converts units then
+            // divides by 10^scale); a 9-dp round absorbs it — both
+            // engines round doubles half-away-from-zero
+            round((sxy - sx * sy / n) / (n - 1), 9).as("covar_qp"),
+            round((n * sxy - sx * sy)
+              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9).as("corr_qp"))
+          .orderBy("l_returnflag")
+      }),
+
+    // Q45 window navigation: first/last/nth value, ntile, percent_rank,
+    // cume_dist. Frames spelled explicitly — last/nth need UNBOUNDED
+    // FOLLOWING (the default frame stops at CURRENT ROW). percent_rank and
+    // cume_dist are exact integer ratios → bit-stable doubles.
+    Q("q45_window_nav",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_ord,
+             |  last_value(o_orderkey) OVER wf AS last_ord,
+             |  nth_value(o_orderkey, 2) OVER wf AS second_ord,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ord"),
+            last(col("o_orderkey")).over(wf).as("last_ord"),
+            nth_value(col("o_orderkey"), 2).over(wf).as("second_ord"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Q46 RANGE frame over a numeric sort key: sum of totals for orders
+    // whose key lies within 100 of the current one (value-based frame, not
+    // row-count-based — the other half of the SQL frame spec next to q15's
+    // ROWS frame).
+    Q("q46_range_frame",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rangeBetween(-100, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("near_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Q47 conditional aggregation: FILTER-style counts, boolean aggregates.
+    Q("q47_cond_agg",
+      Some("""SELECT c_mktsegment,
+             |  count(*) AS n,
+             |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  bool_and(o_totalprice > 0) AS all_pos,
+             |  bool_or(o_totalprice > 500000) AS any_huge
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_totalprice") > 500000).as("any_huge"))
+        .orderBy("c_mktsegment")),
+
+    // Q48 histogram bucketing: fixed-width buckets as pure integer/double
+    // arithmetic (identical in any engine; width_bucket built-ins differ).
+    Q("q48_bucket_hist",
+      Some("""SELECT CAST(least(floor(o_totalprice / 60000), 9) AS BIGINT) AS bucket,
+             |  count(*) AS n,
+             |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 60000), lit(9)).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // Q49 date truncation family: month/quarter/week starts + month end.
+    // Spark date_trunc returns TIMESTAMP → cast DATE to match DuckDB.
+    Q("q49_date_trunc",
+      Some("""SELECT o_orderkey,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+             |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             |  last_day(CAST(o_orderdate AS DATE)) AS mon_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk"),
+          last_day(col("o_orderdate").cast("date")).as("mon_end"))
+        .orderBy("o_orderkey"))
+  )
+}

@@ -84,6 +84,68 @@ object Dedup extends QueryModule {
     * graft.functions.Sketches — one pass, fixed-size vote counters). */
   val hashedTokensExpr: String = "transform(toks, t -> xxhash64(t))"
 
+  /** DuckDB mirror of the blocked-shingle doc prep (q26d's CTE body),
+    * shared with the cluster oracle. Pre-stripped: embed via concatenation
+    * only (never inside another stripMargin — `||` at line starts would
+    * lose a pipe). */
+  private val docsShingleSql: String =
+    """SELECT doc_id, lang, substring(lower(text), 1, 24) AS blk,
+      |       list_distinct(CASE WHEN len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) >= 3
+      |         THEN list_transform(generate_series(1, len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) - 2),
+      |                i -> list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i] || ' ' ||
+      |                     list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i+1] || ' ' ||
+      |                     list_filter(string_split_regex(lower(text), ' +'), t -> t != '')[i+2])
+      |         ELSE list_filter(string_split_regex(lower(text), ' +'), t -> t != '') END) AS sh
+      |FROM documents""".stripMargin
+
+  /** Near-dup edges: blocked candidates (same lang + 24-char prefix),
+    * verified with exact 3-gram Jaccard ≥ threshold (q26d's pair set). */
+  def jaccardEdges(docs: DataFrame, threshold: Double): DataFrame = {
+    val prepped = docs
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .withColumn("sh", expr(shinglesExpr))
+      .withColumn("blk", substring(lower(col("text")), 1, 24))
+      .select("doc_id", "lang", "blk", "sh")
+    val d1 = prepped.select(col("doc_id").as("a"), col("lang"), col("blk"), col("sh").as("sha"))
+    val d2 = prepped.select(col("doc_id").as("b"), col("lang").as("lang2"),
+      col("blk").as("blk2"), col("sh").as("shb"))
+    d1.join(d2, col("lang") === col("lang2") && col("blk") === col("blk2")
+        && col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Connected components by iterative min-label propagation — the standard
+    * distributed formulation (each round: every node takes the min label
+    * among itself and its neighbors; converges in O(component diameter)
+    * rounds). Each round is one shuffle join + partial-aggregated min, so
+    * at 100 TB the per-round cost is proportional to |edges|, and near-dup
+    * edge sets are sparse by construction (LSH/blocking bounds candidates).
+    * The result is partitioning-independent: min is commutative/associative.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = und.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+    }
+    und.unpersist()
+    labels
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q26 exact dedup: keep-first per identical text. Window formulation in
@@ -150,23 +212,41 @@ object Dedup extends QueryModule {
              |WHERE CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT)
              |      / len(list_distinct(list_concat(d1.sh, d2.sh))) >= 0.3
              |ORDER BY a, b""".stripMargin),
+      (s, d) => jaccardEdges(t(s, d, "documents"), 0.3).orderBy("a", "b")),
+
+    // Q26e near-dup clusters: connected components over the q26d edge set
+    // (min-label propagation in the engine, recursive CTE in the oracle),
+    // then per-cluster canonical pick — the "keep one representative per
+    // duplicate cluster" step every dedup pipeline ends with.
+    Q("q26e_dup_clusters",
+      Some("WITH RECURSIVE docs AS (\n" + docsShingleSql + "),\n" +
+        """pairs AS (
+          |  SELECT d1.doc_id AS a, d2.doc_id AS b
+          |  FROM docs d1 JOIN docs d2
+          |    ON d1.lang = d2.lang AND d1.blk = d2.blk AND d1.doc_id < d2.doc_id
+          |  WHERE CAST(len(list_intersect(d1.sh, d2.sh)) AS BIGINT)
+          |        / len(list_distinct(list_concat(d1.sh, d2.sh))) >= 0.3),
+          |edges AS (SELECT a AS src, b AS dst FROM pairs
+          |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+          |reach(node, lbl) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+          |clusters AS (
+          |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+          |SELECT doc_id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          |  doc_id = cluster_id AS keep
+          |FROM clusters ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents")
-          .withColumn("toks", expr(TextAnalysis.tokensExpr))
-          .withColumn("sh", expr(shinglesExpr))
-          .withColumn("blk", substring(lower(col("text")), 1, 24))
-          .select("doc_id", "lang", "blk", "sh")
-        val d1 = docs.select(col("doc_id").as("a"), col("lang"), col("blk"), col("sh").as("sha"))
-        val d2 = docs.select(col("doc_id").as("b"), col("lang").as("lang2"),
-          col("blk").as("blk2"), col("sh").as("shb"))
-        d1.join(d2, col("lang") === col("lang2") && col("blk") === col("blk2")
-            && col("a") < col("b"))
-          .withColumn("jaccard",
-            size(array_intersect(col("sha"), col("shb"))).cast("double")
-              / size(array_union(col("sha"), col("shb"))))
-          .filter(col("jaccard") >= 0.3)
-          .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy("a", "b")
+        val labels = connectedComponents(docs, jaccardEdges(docs, 0.3))
+        val w = Window.partitionBy("cluster_id")
+        labels
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -192,6 +192,35 @@ object Similarity extends QueryModule {
           .filter(col("cos") >= 0.45)
           .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
           .orderBy("a", "b")
+      }),
+
+    // Q27e per-row embedding statistics: dimension, L2 norm, normalized
+    // leading component, component sum/max. Pure map work (no shuffle —
+    // scales by adding executors). Both sides fold the vector in index
+    // order with a double accumulator, so the sums are bit-identical
+    // (IEEE: 0+x == x, so Spark's 0-seeded aggregate equals DuckDB's
+    // seedless list_reduce).
+    Q("q27e_embed_stats",
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS dim,
+             |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2,
+             |  CAST(embedding[1] AS DOUBLE)
+             |    / sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS u0,
+             |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS comp_sum,
+             |  CAST(list_max(embedding) AS DOUBLE) AS comp_max
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val l2 = sqrt(expr(
+          "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            l2.as("l2"),
+            (element_at(col("embedding"), 1).cast("double") / l2).as("u0"),
+            expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
+              .as("comp_sum"),
+            array_max(col("embedding")).cast("double").as("comp_max"))
+          .orderBy("vec_id")
       })
   )
 }

@@ -173,15 +173,57 @@ object TextAnalysis extends QueryModule {
           size(expr("regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)")).as("n_mark"))
         .orderBy("doc_id")),
 
-    // Q28e rolling polynomial hash over tokens (xxhash64-seeded; not DuckDB-
-    // reproducible → rows-only + determinism spec). Modular arithmetic keeps
-    // every intermediate below 2^35 (ANSI-safe).
-    Q("q28e_rolling_hash", None,
+    // Q28e rolling polynomial hash over tokens. Token hashes are themselves
+    // code-point polynomials, so the whole fingerprint is pure 64-bit
+    // integer arithmetic — engine-independent (unlike an xxhash64-seeded
+    // variant) and ANSI-safe: with M = 1e9+7, acc*31+h < 2^35 and
+    // a*127+cp < 2^38. Order-sensitive by construction (it's a sequential
+    // fold), which is the point of a *rolling* fingerprint; the map work is
+    // embarrassingly parallel across rows.
+    Q("q28e_rolling_hash",
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''),
+             |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+             |           (a, c) -> (a * 127 + c) % 1000000007))),
+             |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => t(s, d, "documents")
         .withColumn("toks", expr(tokensExpr))
         .select(col("doc_id"),
-          expr("aggregate(toks, 0L, (acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 1000000007), 1000000007))")
+          expr("""aggregate(toks, 0L, (acc, t) ->
+                 |  (acc * 31 + aggregate(split(t, ''), 0L,
+                 |     (a, c) -> (a * 127 + ascii(c)) % 1000000007)) % 1000000007)""".stripMargin)
             .as("rolling_fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q28g corpus document frequency: how many documents contain each token
+    // (the DF side of TF-IDF; the ratio is an exact integer division →
+    // bit-stable double). distinct-per-doc before the explode keeps the
+    // shuffle payload at one row per (doc, distinct token).
+    Q("q28g_doc_freq",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''))) AS token
+             |  FROM documents),
+             |tot AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT token, count(*) AS df,
+             |  CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM tot) AS doc_ratio
+             |FROM tok GROUP BY token
+             |ORDER BY df DESC, token LIMIT 20""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tot = docs.agg(count(lit(1)).as("n_docs"))
+        docs
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct($tokensExpr)")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(tot))
+          .select(col("token"), col("df"),
+            (col("df").cast("double") / col("n_docs")).as("doc_ratio"))
+          .orderBy(desc("df"), asc("token"))
+          .limit(20)
+      })
   )
 }
