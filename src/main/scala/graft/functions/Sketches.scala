@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.catalyst.expressions.XXH64
 
 /** Fused sketch expressions for the dedup operators.
   *
@@ -19,11 +18,14 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * pass over the input with fixed-size local state (64 longs / 64 ints),
   * inside whole-stage codegen.
   *
-  * Hash family: XXH64 over the pre-hashed element with the hash index as
-  * seed (`XXH64.hashLong(v, i)`) — the same primitive Spark's `xxhash64`
-  * builtin uses. These sketches are engine-internal (rows-only checks):
-  * their contract is recall against the exact-Jaccard oracle, not a fixed
-  * byte layout.
+  * Hash families are chosen to be exactly reproducible in portable ANSI
+  * SQL (so a DuckDB oracle can replay them bit-for-bit): MinHash uses the
+  * classic universal family `(a_i * h + b_i) mod p` with `p = 2^31 - 1`
+  * over a pre-reduced 31-bit base hash (all intermediates < 2^62, so the
+  * arithmetic is exact in signed 64-bit in any engine); SimHash votes over
+  * the bits of the pre-hashed element directly. Both sketches hash each
+  * element once per index with fixed-size local state, inside whole-stage
+  * codegen.
   */
 abstract class SketchOverHashedArray extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -33,7 +35,14 @@ abstract class SketchOverHashedArray extends UnaryExpression {
   }
 }
 
-/** 64-minima MinHash signature of a hashed-shingle set. */
+/** 64-minima MinHash signature of a hashed-shingle set.
+  *
+  * Permutation i is `(a_i * h + b_i) mod p` with `p = 2^31 - 1` and
+  * `a_i = (2654435761 (i+1)) mod p`, `b_i = (2246822519 (i+3)) mod p` —
+  * the standard universal hash family, chosen over reseeded xxhash64
+  * because the whole computation is replayable in any SQL engine (the
+  * DuckDB oracle recomputes it term-for-term). Inputs must already be
+  * reduced mod p (31-bit), so `a_i * h < 2^62` never overflows. */
 case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -46,7 +55,9 @@ case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
       val v = hs.getLong(j)
       var i = 0
       while (i < 64) {
-        val h = XXH64.hashLong(v, i)
+        val a = (2654435761L * (i + 1)) % 2147483647L
+        val b = (2246822519L * (i + 3)) % 2147483647L
+        val h = (a * v + b) % 2147483647L
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -63,6 +74,8 @@ case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
       val h = ctx.freshName("h")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
       s"""
          |long[] $sig = new long[64];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
@@ -70,7 +83,9 @@ case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
          |for (int $j = 0; $j < $n; $j++) {
          |  long $v = $c.getLong($j);
          |  for (int $i = 0; $i < 64; $i++) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($v, $i);
+         |    long $a = (2654435761L * ($i + 1)) % 2147483647L;
+         |    long $b = (2246822519L * ($i + 3)) % 2147483647L;
+         |    long $h = ($a * $v + $b) % 2147483647L;
          |    if ($h < $sig[$i]) $sig[$i] = $h;
          |  }
          |}

@@ -41,20 +41,39 @@ object Dedup extends QueryModule {
       |  else array_distinct(toks) end""".stripMargin
 
   /** MinHash signature: 64 per-permutation minima over hashed shingles.
-    * Permutations are `xxhash64(shingle_hash, i)` — reseeded hashes, not
-    * multiply-mod (which would overflow under ANSI arithmetic). */
+    *
+    * The base hash is the first 15 hex digits of md5 (60 bits) reduced mod
+    * 2^31-1, and each permutation is `(a_i h + b_i) mod 2^31-1` — every
+    * step is exact signed-64 integer arithmetic that any SQL engine
+    * reproduces bit-for-bit, so the whole LSH (signature, banding, bucket
+    * keys) hash-checks against the DuckDB oracle rather than relying on an
+    * engine-private hash like xxhash64. */
   val MinhashBits = 64
   val Bands = 16
   val RowsPerBand = 4
+
+  /** 31-bit md5-derived base hash of a string `s`, as a SQL fragment
+    * (Spark dialect). `conv` parses 15 hex chars = 60 bits < 2^63. */
+  def baseHash31(s: String): String =
+    s"cast(conv(substring(md5($s), 1, 15), 16, 10) as bigint) % 2147483647"
+
+  /** Same base hash in DuckDB's dialect (hex-prefixed cast). */
+  def duckBaseHash31(s: String): String =
+    s"CAST(concat('0x', substring(md5($s), 1, 15)) AS BIGINT) % 2147483647"
+
+  /** Polynomial fold of one band's signature slice into a bucket key —
+    * values are < 2^31 so `acc * 1000003 + v < 2^52` stays exact. */
+  private def bandHashSpark: String =
+    s"aggregate(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), 0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L)"
 
   def withMinhashBands(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("sh", expr(shinglesExpr))
-      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .withColumn("hs", expr(s"transform(sh, s -> ${baseHash31("s")})"))
       .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs")))
       .withColumn("band", explode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> named_struct('b', b, 'h', xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand))))")))
+        s"transform(sequence(0, ${Bands - 1}), b -> named_struct('b', b, 'h', $bandHashSpark))")))
       .select(col("doc_id"), col("sh"), col("band.b").as("band"), col("band.h").as("bh"))
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard over the
@@ -81,8 +100,12 @@ object Dedup extends QueryModule {
   }
 
   /** Pre-hashed tokens feeding the fused SimHash64 expression (see
-    * graft.functions.Sketches — one pass, fixed-size vote counters). */
-  val hashedTokensExpr: String = "transform(toks, t -> xxhash64(t))"
+    * graft.functions.Sketches — one pass, fixed-size vote counters).
+    * md5-derived 60-bit hashes (not xxhash64) so the per-bit votes are
+    * replayable in the DuckDB oracle; bits 60-63 are always 0 on both
+    * sides, which the banding and hamming distance tolerate. */
+  val hashedTokensExpr: String =
+    "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
 
   /** DuckDB mirror of the blocked-shingle doc prep (q26d's CTE body),
     * shared with the cluster oracle. Pre-stripped: embed via concatenation
@@ -161,15 +184,64 @@ object Dedup extends QueryModule {
           .orderBy("doc_id")
       }),
 
-    // Q26b MinHash+LSH near-dup pairs (xxhash64-based — not reproducible in
-    // DuckDB → rows-only here; recall vs the exact blocked oracle below is
-    // asserted in ScalaTest).
-    Q("q26b_dedup_minhash", None,
+    // Q26b MinHash+LSH near-dup pairs, fully hash-checked: the md5-derived
+    // base hash, the 64 universal-family permutations, the banding fold,
+    // the bucket join, and the exact-Jaccard verification are all replayed
+    // term-for-term by the DuckDB oracle. Recall vs the exact blocked
+    // oracle is additionally asserted in ScalaTest.
+    Q("q26b_dedup_minhash",
+      Some("WITH docs AS (\n" + docsShingleSql + "),\n" +
+        """hs AS (
+          |  SELECT doc_id, sh,
+          |         list_transform(sh, s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+          |  FROM docs),
+          |sig AS (
+          |  SELECT doc_id,
+          |         list_transform(generate_series(0, 63), i ->
+          |           list_min(list_transform(hs, h ->
+          |             ((2654435761 * (i + 1)) % 2147483647 * h + (2246822519 * (i + 3)) % 2147483647) % 2147483647))) AS sig
+          |  FROM hs),
+          |bands AS (
+          |  SELECT doc_id, b AS band,
+          |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b * 4 + 1, b * 4 + 4)),
+          |           (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bh
+          |  FROM sig, range(0, 16) t(b)),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          |SELECT c.a, c.b,
+          |       round(CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT)
+          |             / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+          |FROM cand c JOIN docs da ON da.doc_id = c.a JOIN docs db ON db.doc_id = c.b
+          |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT)
+          |      / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.5
+          |ORDER BY a, b""".stripMargin),
       (s, d) => minhashNearDups(t(s, d, "documents"), 0.5).orderBy("a", "b")),
 
-    // Q26c SimHash signatures + near-dup pairs by 16-bit chunk banding and
-    // hamming <= 6 (rows-only; xxhash64-based).
-    Q("q26c_dedup_simhash", None,
+    // Q26c SimHash near-dup pairs by 16-bit chunk banding and hamming <= 6,
+    // hash-checked: md5-derived 60-bit token hashes make the per-bit votes
+    // exactly replayable in the oracle.
+    Q("q26c_dedup_simhash",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS toks
+             |  FROM documents),
+             |th AS (
+             |  SELECT doc_id, list_transform(toks, t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS th
+             |  FROM toks),
+             |sig AS (
+             |  SELECT doc_id,
+             |         CAST(list_sum(list_transform(generate_series(0, 63), b ->
+             |           CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+             |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+             |  FROM th),
+             |chunks AS (
+             |  SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS v
+             |  FROM sig, range(0, 4) t(c))
+             |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             |       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+             |FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+             |WHERE bit_count(xor(x.sig, y.sig)) <= 6
+             |ORDER BY a, b""".stripMargin),
       (s, d) => {
         val sigs = t(s, d, "documents")
           .withColumn("toks", expr(TextAnalysis.tokensExpr))
@@ -184,7 +256,7 @@ object Dedup extends QueryModule {
           col("c").as("c2"), col("v").as("v2"))
         a.join(b, col("c") === col("c2") && col("v") === col("v2") && col("a") < col("b"))
           .select(col("a"), col("b"),
-            bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+            bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 6)
           .orderBy("a", "b")
