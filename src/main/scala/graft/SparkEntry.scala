@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
     operators.AnalyticsExt,
+    operators.RelationalExt,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 relational widening — the join/generator/function shapes the
+  * round-1 corpus (RelationalQueries, AnalyticsExt) left out: full outer
+  * join, cross join, positional explode (LATERAL ... WITH ORDINALITY),
+  * null-handling scalar functions, map construction/inspection, and a
+  * TF-IDF ranking pipeline (the scoring half behind q28g's document
+  * frequencies).
+  *
+  * Scale posture: q50 is a key-partitioned shuffle join whose both sides
+  * pre-aggregate/filter before the exchange; q51's cross join is
+  * dimension×dimension (broadcast NLJ — the only safe cross-join shape at
+  * 100 TB; fact×fact cross joins are rejected by design); q52/q53/q54 are
+  * pure map-side work; q55 reuses the q28g shuffle layout (explode →
+  * partial-agg counts) plus one broadcast of the tiny per-token DF side.
+  */
+object RelationalExt extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val qs: Seq[Q] = Seq(
+
+    // Q50 FULL OUTER JOIN: misaligned subsets of customers (every 3rd key)
+    // vs per-customer order rollups (every 5th order) so both null sides
+    // materialize. All nullable outputs are coalesced to sentinels — the
+    // missing_dim/missing_fact indicators carry the null structure — which
+    // keeps the hash gate off engine-specific null→NaN promotion.
+    Q("q50_full_outer_join",
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+             |     o AS (SELECT o_custkey, count(*) AS n_ord,
+             |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |           FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, o_custkey) AS k,
+             |  coalesce(c_mktsegment, 'NONE') AS seg,
+             |  coalesce(n_ord, 0) AS n_ord,
+             |  coalesce(total, 0.0) AS total,
+             |  CAST(c_custkey IS NULL AS INT) AS missing_dim,
+             |  CAST(o_custkey IS NULL AS INT) AS missing_fact
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY k""".stripMargin),
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select("c_custkey", "c_mktsegment")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            coalesce(col("c_mktsegment"), lit("NONE")).as("seg"),
+            coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+            coalesce(col("total"), lit(0.0)).as("total"),
+            col("c_custkey").isNull.cast("int").as("missing_dim"),
+            col("o_custkey").isNull.cast("int").as("missing_fact"))
+          .orderBy("k")
+      }),
+
+    // Q51 CROSS JOIN over two dimensions (nation × region, 25×5) — the
+    // cartesian generator shape. Dimension×dimension only: Spark plans it
+    // as a broadcast nested-loop join, which is the sole cross-join form
+    // that survives scale-up (anything × a small broadcast side).
+    Q("q51_cross_join",
+      Some("""SELECT n_name, r_name,
+             |  CAST(n_nationkey * 10 + r_regionkey AS BIGINT) AS pair_id
+             |FROM nation CROSS JOIN region
+             |ORDER BY n_name, r_name""".stripMargin),
+      (s, d) => t(s, d, "nation")
+        .crossJoin(broadcast(t(s, d, "region")))
+        .select(col("n_name"), col("r_name"),
+          (col("n_nationkey") * 10 + col("r_regionkey")).cast("long").as("pair_id"))
+        .orderBy("n_name", "r_name")),
+
+    // Q52 positional explode — LATERAL unnest WITH ORDINALITY. Spark's
+    // posexplode is a Generator running inside the scan stage (no shuffle);
+    // the oracle replays ordinality via a scalar unnest(generate_series).
+    Q("q52_posexplode",
+      Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+             |SELECT p_partkey, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+             |FROM (SELECT p_partkey, ws, unnest(generate_series(1, len(ws))) AS i FROM w)
+             |ORDER BY p_partkey, pos""".stripMargin),
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos"), col("col").as("word"))
+        .orderBy("p_partkey", "pos")),
+
+    // Q53 null-handling scalar functions: NULLIF / COALESCE / LEAST /
+    // GREATEST / IFNULL — nulls are manufactured with nullif so the
+    // null-propagation paths actually execute.
+    Q("q53_null_fns",
+      Some("""SELECT p_partkey,
+             |  coalesce(nullif(p_brand, 'Brand#2'), 'OTHER') AS brand_or_other,
+             |  CAST(least(p_size, 25) AS INT) AS size_cap,
+             |  CAST(greatest(p_size, 10) AS INT) AS size_floor,
+             |  CAST(nullif(p_size, 15) IS NULL AS INT) AS was_15,
+             |  ifnull(nullif(p_type, 'ECONOMY'), 'economy-grade') AS type_or_default
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, d) => t(s, d, "part")
+        .selectExpr("p_partkey",
+          "coalesce(nullif(p_brand, 'Brand#2'), 'OTHER') AS brand_or_other",
+          "CAST(least(p_size, 25) AS INT) AS size_cap",
+          "CAST(greatest(p_size, 10) AS INT) AS size_floor",
+          "CAST(nullif(p_size, 15) IS NULL AS INT) AS was_15",
+          "ifnull(nullif(p_type, 'ECONOMY'), 'economy-grade') AS type_or_default")
+        .orderBy("p_partkey")),
+
+    // Q54 map construction + inspection: word → length map per part name.
+    // The oracle doesn't need map types at all — it recomputes each
+    // extraction from the underlying list, which is exactly the semantic
+    // contract (maps are an access-path choice, not a result shape).
+    Q("q54_map_fns",
+      Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+             |SELECT p_partkey,
+             |  CAST(len(ws) AS INT) AS n_entries,
+             |  CAST(coalesce(length(list_filter(ws, x -> x = 'red')[1]), -1) AS INT) AS red_len,
+             |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS len_sum,
+             |  CAST(len(list_filter(ws, x -> length(x) > 4)) AS INT) AS n_long,
+             |  array_to_string(list_sort(ws), ',') AS keys_sorted
+             |FROM w ORDER BY p_partkey""".stripMargin),
+      (s, d) => t(s, d, "part")
+        .withColumn("ws", split(col("p_name"), " "))
+        .withColumn("m", map_from_arrays(col("ws"),
+          expr("transform(ws, x -> length(x))")))
+        .select(col("p_partkey"),
+          size(col("m")).as("n_entries"),
+          coalesce(try_element_at(col("m"), lit("red")), lit(-1)).as("red_len"),
+          expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("len_sum"),
+          size(expr("map_filter(m, (k, v) -> v > 4)")).as("n_long"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"))
+        .orderBy("p_partkey")),
+
+    // Q55 TF-IDF top-3 terms per document. The score is the exact integer
+    // rational tf·idf' = (cnt·(N+1)) / (n_tokens·(df+1)) — a single double
+    // division of exact BIGINTs, so both engines produce bit-identical
+    // scores and the rank order is hash-stable (a log-based idf would
+    // differ across libm implementations). Shuffle layout: one explode →
+    // count per (doc, token) [partial-agg combines map-side], the tiny
+    // (token, df) side is broadcast back, N is a broadcast scalar.
+    Q("q55_tfidf",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+             |nt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token,
+             |    CAST(tf.c * (n.nd + 1) AS DOUBLE) / CAST(nt.n_tok * (df.df + 1) AS DOUBLE) AS tfidf
+             |  FROM tf JOIN nt ON tf.doc_id = nt.doc_id
+             |          JOIN df ON tf.token = df.token
+             |          CROSS JOIN n)
+             |SELECT doc_id, token, tfidf, rnk FROM (
+             |  SELECT doc_id, token, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+             |  FROM scored) WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(expr(TextAnalysis.tokensExpr)).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        val nt = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+        tf.join(nt, "doc_id")
+          .join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("token"),
+            ((col("c") * (col("nd") + 1)).cast("double")
+              / (col("n_tok") * (col("df") + 1)).cast("double")).as("tfidf"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "token", "tfidf", "rnk")
+          .orderBy("doc_id", "rnk")
+      })
+  )
+}

@@ -54,19 +54,19 @@ object Similarity extends QueryModule {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Exact top-k cosine neighbors for every vector. Norms are computed once
-    * per row before the join (the per-pair value is identical bit-for-bit,
-    * so oracle parity is preserved) — the pair loop then does one fused dot
-    * per pair instead of three. */
+  /** Exact top-k cosine neighbors for every vector, via the whole-operator
+    * KnnTopK plan (graft.plans — custom LogicalPlan/Strategy/SparkPlan):
+    * the query side is broadcast and each document partition streams once
+    * into bounded per-query heaps, so the |Q|·|D| cross product is never
+    * materialized and nothing is sorted but the ≤ |Q|·k·partitions
+    * candidate union. Scores replicate the DotProductDouble arithmetic
+    * bit-for-bit, so the DuckDB oracle contract is unchanged. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
-    val withNorm = emb.select(col("vec_id"), col("embedding"),
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withNorm.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
+    val cand = graft.plans.KnnTopK.candidates(prep(emb), prep(emb), k)
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
-    a.join(broadcast(b), col("vec_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+    cand
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("nbr_id"), round(col("cos"), 4).as("cos"))

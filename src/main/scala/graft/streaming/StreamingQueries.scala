@@ -4,7 +4,15 @@ import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Per-user funnel state for q30c (view → click → purchase). Monotone:
+  * stage only advances and the first_*_us fields are write-once, so a
+  * max-aggregate over per-batch emissions reconstructs the final state. */
+final case class FunnelState(stage: Int, vUs: Long, cUs: Long, pUs: Long)
+final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+final case class FunnelOut(user_id: Long, stage: Long,
+    first_view_us: Long, first_click_us: Long, first_purchase_us: Long)
 
 /** Structured Streaming over the `events` table — SURVEY §2.B Q29–Q32,
   * replacing the reference's sleep-and-RPC micro-batch orchestration
@@ -206,6 +214,76 @@ object StreamingQueries extends QueryModule {
           .join(dims, Seq("product_id"))
           .select("transaction_id", "quantity", "category")
         runToMemory(enriched, "q34_out", "append").orderBy("transaction_id")
+      }),
+
+    // Q30c custom streaming state machine via flatMapGroupsWithState: the
+    // view → click → purchase funnel per user. The transition demands a
+    // strictly increasing event time at each step, which makes the result
+    // independent of intra-timestamp arrival order, and events are folded
+    // in (ts, event_id) order within each micro-batch, so state is
+    // deterministic across batch slicings. Greedy-earliest is exact here:
+    // if any strictly increasing view<click<purchase chain exists, the
+    // chain through the earliest view and earliest subsequent click finds
+    // it. State is O(1) per user (4 longs) — the shape that holds at 100 TB
+    // where per-user event lists would not. Oracle = the closed-form
+    // min-timestamp cascade.
+    Q("q30c_funnel_state",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+             |      FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_us
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+             |      GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN p_us IS NOT NULL THEN 3
+             |            WHEN c_us IS NOT NULL THEN 2
+             |            WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+             |  coalesce(v_us, -1) AS first_view_us,
+             |  coalesce(c_us, -1) AS first_click_us,
+             |  coalesce(p_us, -1) AS first_purchase_us
+             |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             |       LEFT JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .as[FunnelEvent]
+        val out = ev.groupByKey(_.user_id)
+          .flatMapGroupsWithState[FunnelState, FunnelOut](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            case (user, rows, state) =>
+              var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
+              rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+                e.event_type match {
+                  case "view" if st.stage == 0 =>
+                    st = st.copy(stage = 1, vUs = e.ts_us)
+                  case "click" if st.stage == 1 && e.ts_us > st.vUs =>
+                    st = st.copy(stage = 2, cUs = e.ts_us)
+                  case "purchase" if st.stage == 2 && e.ts_us > st.cUs =>
+                    st = st.copy(stage = 3, pUs = e.ts_us)
+                  case _ => ()
+                }
+              }
+              state.update(st)
+              Iterator(FunnelOut(user, st.stage.toLong, st.vUs, st.cUs, st.pUs))
+          }
+        // One emission per touched user per micro-batch; the fields are
+        // monotone write-once, so max() collapses them to the final state
+        // regardless of how AvailableNow sliced the input.
+        runToMemory(out.toDF(), "q30c_out", "update")
+          .groupBy("user_id")
+          .agg(max(col("stage")).as("stage"),
+            max(col("first_view_us")).as("first_view_us"),
+            max(col("first_click_us")).as("first_click_us"),
+            max(col("first_purchase_us")).as("first_purchase_us"))
+          .orderBy("user_id")
       }),
 
     // Q32 stateful streaming dedup on event_id + stream-static broadcast

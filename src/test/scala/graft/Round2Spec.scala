@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: the KnnTopK custom plan, the funnel state machine,
+  * and the widened relational surface. */
+class Round2Spec extends SparkSpec {
+
+  test("KnnTopK custom plan: physical plan contains the custom exec, no window over the cross product") {
+    val out = SparkEntry.queries("q27_knn_brute")(spark, sf)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("KnnTopKPartial"),
+      s"expected the custom KnnTopKPartialExec in the plan, got:\n$plan")
+  }
+
+  test("KnnTopK equals the composed broadcast-NLJ + window formulation") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val custom = Similarity.bruteForceTopK(emb, 3).orderBy("vec_id", "rnk")
+    // reference formulation: materialized cross product + window rank
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    val ref = a.join(broadcast(b), col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("nbr_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("vec_id", "rnk")
+    assert(custom.collect().toSeq == ref.collect().toSeq)
+  }
+
+  test("funnel stages are consistent with per-user event history") {
+    val out = SparkEntry.queries("q30c_funnel_state")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val stage = r.getLong(1)
+      val v = r.getLong(2); val c = r.getLong(3); val p = r.getLong(4)
+      // write-once fields populate exactly up to the reached stage
+      assert((stage >= 1) == (v >= 0), s"stage $stage vs view $v")
+      assert((stage >= 2) == (c >= 0), s"stage $stage vs click $c")
+      assert((stage >= 3) == (p >= 0), s"stage $stage vs purchase $p")
+      if (stage >= 2) assert(c > v, "click must be strictly after view")
+      if (stage >= 3) assert(p > c, "purchase must be strictly after click")
+    }
+  }
+
+  test("full outer join emits both null sides") {
+    val rows = SparkEntry.queries("q50_full_outer_join")(spark, sf).collect()
+    assert(rows.exists(_.getInt(4) == 1), "expected at least one dim-missing row")
+    assert(rows.exists(_.getInt(5) == 1), "expected at least one fact-missing row")
+    assert(!rows.exists(r => r.getInt(4) == 1 && r.getInt(5) == 1))
+  }
+
+  test("tfidf ranks are 1..3 per doc and scores are descending within a doc") {
+    val rows = SparkEntry.queries("q55_tfidf")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, "tfidf must be non-increasing by rank")
+    }
+  }
+}
