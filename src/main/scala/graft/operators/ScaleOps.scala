@@ -29,10 +29,20 @@ object ScaleOps extends QueryModule {
     def ensure(name: String, df: DataFrame, key: String): DataFrame = {
       val tbl = s"graft_${name}_$tag"
       if (!s.catalog.tableExists(tbl)) {
-        df.write.mode("overwrite")
-          .bucketBy(Buckets, key).sortBy(key)
-          .option("path", s"$base/$name")
-          .saveAsTable(tbl)
+        if (new java.io.File(s"$base/$name/_SUCCESS").exists()) {
+          // Bucketed files already on disk from an earlier session (the
+          // in-memory catalog dies with each JVM): re-register the layout
+          // as an external bucketed table instead of rewriting the data —
+          // bucketing is a one-time ETL decision, not per-query work.
+          s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+                   |LOCATION '$base/$name'""".stripMargin)
+        } else {
+          df.write.mode("overwrite")
+            .bucketBy(Buckets, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .saveAsTable(tbl)
+        }
       }
       s.table(tbl)
     }
