@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Similarity,
     operators.ScaleOps,
     operators.AsOfJoin,
+    sources.SourceFormats,
     pipeline.EcommercePipeline,
     streaming.StreamingQueries,
     multimodal.Multimodal)

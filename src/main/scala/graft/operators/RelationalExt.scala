@@ -185,6 +185,36 @@ object RelationalExt extends QueryModule {
           .filter(col("rnk") <= 3)
           .select("doc_id", "token", "tfidf", "rnk")
           .orderBy("doc_id", "rnk")
+      }),
+
+    // Q56 top-k per group via the typed TopKAggregator (§2.C custom
+    // aggregation): map-side partial aggregation reduces every partition
+    // to ≤ k rows per customer BEFORE the shuffle — the window row_number
+    // formulation (the oracle here) shuffles all rows and sorts whole
+    // partitions. Same total (score DESC, id ASC) order → identical rows.
+    Q("q56_topk_agg",
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) WHERE rnk <= 3
+             |ORDER BY o_custkey, rnk""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk.toColumn)
+          .flatMap { case (custkey, top) =>
+            top.zipWithIndex.map { case ((price, id), i) =>
+              (custkey, (i + 1).toLong, id, price)
+            }
+          }
+          .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rnk")
       })
   )
 }

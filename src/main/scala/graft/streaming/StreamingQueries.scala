@@ -286,6 +286,40 @@ object StreamingQueries extends QueryModule {
           .orderBy("user_id")
       }),
 
+    // Q32b stream-stream interval join: views ⋈ purchases of the same user
+    // within 30 minutes, both sides watermarked (10 min) so the join state
+    // is bounded — at production scale the watermark is what keeps the
+    // buffered-side state from growing without limit. One AvailableNow
+    // batch emits every in-window match; the oracle is the equivalent
+    // batch interval join in integer microseconds.
+    Q("q32b_stream_stream_join",
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND v.event_type = 'view' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) >= epoch_us(v.ts)
+             | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+             |ORDER BY view_id, purchase_id""".stripMargin),
+      (s, d) => {
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+          .select("view_id", "purchase_id")
+        runToMemory(joined, "q32b_out", "append")
+          .orderBy("view_id", "purchase_id")
+      }),
+
     // Q32 stateful streaming dedup on event_id + stream-static broadcast
     // join with a dimension table.
     Q("q32_stream_dedup_join",
