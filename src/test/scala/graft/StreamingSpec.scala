@@ -93,6 +93,85 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(100L, 101L, 102L), s"got ${ids.toSeq}")
   }
 
+  test("Q30c: funnel state survives batch boundaries and keeps strict ordering") {
+    import graft.streaming.{FunnelEvent, FunnelOut, FunnelState}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val input = MemoryStream[FunnelEvent]
+    val out = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
+          rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.stage == 0 => st = st.copy(stage = 1, vUs = e.ts_us)
+              case "click" if st.stage == 1 && e.ts_us > st.vUs =>
+                st = st.copy(stage = 2, cUs = e.ts_us)
+              case "purchase" if st.stage == 2 && e.ts_us > st.cUs =>
+                st = st.copy(stage = 3, pUs = e.ts_us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator(FunnelOut(user, st.stage.toLong, st.vUs, st.cUs, st.pUs))
+      }
+    val q = out.toDF().writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: user 7 views at t=100 and clicks at the SAME microsecond
+    // (strict ordering → click must NOT count), user 8 views
+    input.addData(FunnelEvent(7L, "view", 100L, 1L),
+      FunnelEvent(7L, "click", 100L, 2L), FunnelEvent(8L, "view", 50L, 3L))
+    q.processAllAvailable()
+    // batch 2: user 7 clicks later and purchases; user 8 purchases with no
+    // click (must stay at stage 1). State must carry across the batches.
+    input.addData(FunnelEvent(7L, "click", 200L, 4L),
+      FunnelEvent(7L, "purchase", 300L, 5L), FunnelEvent(8L, "purchase", 60L, 6L))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("funnel_test")
+      .groupBy("user_id")
+      .agg(max("stage").as("stage"), max("first_click_us").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last(7L) == (3L, 200L),
+      s"user 7 should complete the funnel via the later click, got ${last(7L)}")
+    assert(last(8L)._1 == 1L, s"user 8 must stall at view, got ${last(8L)}")
+  }
+
+  test("Q32b: stream-stream join buffers across batches and respects the interval") {
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("v_ts", "v_user", "view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("view_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // view arrives first, alone in its batch — must be buffered as state
+    views.addData((ts(0), 1L, 10L))
+    q.processAllAvailable()
+    // purchase arrives two batches later, still inside the 30-min window;
+    // a second purchase is OUTSIDE the window and must not match
+    purchases.addData((ts(20), 1L, 20L))
+    q.processAllAvailable()
+    purchases.addData((ts(35), 1L, 21L))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L)),
+      s"expected exactly the in-window cross-batch match, got $pairs")
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
