@@ -33,9 +33,14 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
+    // Whole-operator plans (graft.plans): sessions built with
+    // spark.sql.extensions=graft.GraftExtensions plan KnnTopKNode without
+    // touching the experimental-methods API.
+    e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+  }
 }

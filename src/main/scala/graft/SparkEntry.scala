@@ -15,6 +15,7 @@ object SparkEntry {
     operators.AnalyticsExt,
     operators.RelationalExt,
     operators.TextAnalysis,
+    operators.CorpusOps,
     operators.Dedup,
     operators.Similarity,
     operators.ScaleOps,
