@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan hygiene over the relational corpus (SURVEY §4): the
+  * declarative plans must actually exhibit the optimizations the 100 TB
+  * posture depends on — column pruning and filter pushdown at the scan,
+  * broadcast of dimension joins, TakeOrderedAndProject for top-k, partial
+  * (map-side) aggregation, and whole-stage codegen in scalar pipelines. */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // drive THIS plan to completion so AQE finalizes and codegen inserts
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: scan prunes to the projected columns only") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("c_custkey"), p)
+    assert(!p.contains("c_acctbal") && !p.contains("c_mktsegment"),
+      s"unprojected columns reached the scan:\n$p")
+  }
+
+  test("q02: predicates push down to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q03: dimension join broadcasts") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q16: ORDER BY + LIMIT plans as TakeOrderedAndProject") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q09: grouped aggregate has a map-side partial phase") {
+    val p = plan("q09_agg_group")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q20: scalar pipeline runs inside whole-stage codegen") {
+    // In the executed plan's compact tree format, codegen stages print as
+    // `*(n)` prefixes on their root operator.
+    val p = plan("q20_math_case")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"expected codegen span:\n$p")
+  }
+}
