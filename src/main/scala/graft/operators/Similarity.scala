@@ -217,13 +217,80 @@ object Similarity extends QueryModule {
               |) WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin),
       (s, d) => bruteForceTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
 
-    // Q27b LSH-bucketed ANN top-3 (rows-only; recall vs q27_knn_brute is
-    // asserted in ScalaTest).
-    Q("q27b_knn_lsh", None,
+    // Q27b LSH-bucketed ANN top-3, fully hash-checked: the hyperplanes are
+    // integer-hash-generated (exact in both engines), signature dots use
+    // the same index-order double fold as the brute-force cosines (whose
+    // oracle parity is already proven by q27), and the banding / one-bit
+    // multi-probe / candidate ranking are replayed in plain SQL. The
+    // engine's bucket-local top-k equals a global rank over the candidate
+    // union (lossless pruning), which is what the oracle computes.
+    // Recall vs q27_knn_brute is additionally asserted in ScalaTest.
+    Q("q27b_knn_lsh",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+              |  FROM embeddings),
+              |planes AS (
+              |  SELECT p, list_transform(generate_series(0, ${Dim - 1}), i ->
+              |    CAST(((p * 7919 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS pl
+              |  FROM range(0, $Planes) t(p)),
+              |sig AS (
+              |  SELECT e.vec_id,
+              |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.pl) >= 0
+              |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+              |banded AS (
+              |  SELECT vec_id, c, (sig >> (c * $BandBits)) & ${(1 << BandBits) - 1} AS bv
+              |  FROM sig, range(0, $SigBands) t(c)),
+              |probes AS (
+              |  SELECT vec_id, c,
+              |    CASE WHEN j = 0 THEN bv ELSE xor(bv, (CAST(1 AS BIGINT) << (j - 1))) END AS bv
+              |  FROM banded, range(0, ${BandBits + 1}) s(j)),
+              |cand AS (
+              |  SELECT DISTINCT p.vec_id AS vec_id, m.vec_id AS nbr_id
+              |  FROM probes p JOIN banded m ON p.c = m.c AND p.bv = m.bv
+              |  WHERE p.vec_id <> m.vec_id),
+              |scored AS (
+              |  SELECT c.vec_id, c.nbr_id,
+              |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+              |  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id)
+              |SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
+              |  SELECT vec_id, nbr_id, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+              |  FROM scored) WHERE rnk <= 3
+              |ORDER BY vec_id, rnk""".stripMargin),
       (s, d) => lshTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
 
-    // Q27d IVF ANN top-3 (rows-only; recall asserted in ScalaTest).
-    Q("q27d_knn_ivf", None,
+    // Q27d IVF ANN top-3, fully hash-checked: the coarse assignment
+    // (rank against the 16 deterministic centroids), the nprobe=4 probe
+    // set, and the cluster-local ranking are replayed in SQL — the
+    // engine's cluster-local bounded heaps equal a global rank over the
+    // candidate union. Recall additionally asserted in ScalaTest.
+    Q("q27d_knn_ivf",
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+             |ranked AS (
+             |  SELECT e.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid) AS crn
+             |  FROM e CROSS JOIN cents c),
+             |members AS (SELECT cid, vec_id AS nbr_id FROM ranked WHERE crn = 1),
+             |probes AS (SELECT vec_id, cid FROM ranked WHERE crn <= 4),
+             |cand AS (
+             |  SELECT DISTINCT p.vec_id, m.nbr_id
+             |  FROM probes p JOIN members m USING (cid) WHERE p.vec_id <> m.nbr_id),
+             |scored AS (
+             |  SELECT c.vec_id, c.nbr_id,
+             |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+             |  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id)
+             |SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
+             |  SELECT vec_id, nbr_id, cos,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+             |  FROM scored) WHERE rnk <= 3
+             |ORDER BY vec_id, rnk""".stripMargin),
       (s, d) => ivfTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
 
     // Q27c embedding near-duplicate pairs: cosine >= 0.45, brute on both
