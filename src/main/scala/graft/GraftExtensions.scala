@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions=graft.GraftExtensions plan KnnTopKNode without
     // touching the experimental-methods API.
     e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+    // Opt-in accelerator rule: count(DISTINCT x) → HLL sketch when
+    // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite).
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -52,6 +52,31 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("ApproxDistinctRewrite: off by default, HLL under the flag, within rsd of exact") {
+    import graft.plans.ApproxDistinctRewrite
+    val df = Tables.table(spark, sf, "orders")
+    def runPlan(): (Long, String) = {
+      val out = df.selectExpr("count(DISTINCT o_custkey) AS n")
+      val optimized = {
+        // apply the rule exactly as the injected optimizer would
+        ApproxDistinctRewrite(out.queryExecution.analyzed)
+      }
+      val res = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, optimized)
+      (res.collect()(0).getLong(0), optimized.toString)
+    }
+    val (exact, planOff) = runPlan()
+    assert(!planOff.contains("hyperloglog") && !planOff.contains("approx_count_distinct"),
+      s"rule must be inert without the flag:\n$planOff")
+    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      val (approx, planOn) = runPlan()
+      assert(planOn.contains("approx_count_distinct") || planOn.contains("hyperloglog"),
+        s"expected the HLL rewrite under the flag:\n$planOn")
+      assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+        s"approx $approx too far from exact $exact")
+    } finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+  }
+
   test("full outer join emits both null sides") {
     val rows = SparkEntry.queries("q50_full_outer_join")(spark, sf).collect()
     assert(rows.exists(_.getInt(4) == 1), "expected at least one dim-missing row")
