@@ -267,6 +267,46 @@ object EcommercePipeline extends QueryModule {
           col("o_orderkey"))
         .orderBy("seq")),
 
+    // Q61 SCD-type-1 upsert (MERGE semantics as a batch op): the current
+    // dim state is half the products at yesterday's prices; the incoming
+    // snapshot updates matched keys in place and inserts the rest. A
+    // full-outer-join + coalesce expresses MERGE WHEN MATCHED UPDATE /
+    // WHEN NOT MATCHED INSERT without a transactional table format — the
+    // standard formulation for parquet warehouses; the key-partitioned
+    // shuffle join is the only data movement. The updated flag proves the
+    // matched branch executed.
+    Q("q61_scd1_upsert",
+      Some(s"""WITH current AS (
+              |  SELECT ${sqlDigitId("prod-", "p_partkey", 6)} AS product_id,
+              |         CAST(1.00 AS DOUBLE) AS price, 'v1' AS src
+              |  FROM part WHERE p_partkey % 2 = 0),
+              |incoming AS (
+              |  SELECT ${sqlDigitId("prod-", "p_partkey", 6)} AS product_id,
+              |         ${sqlMoney("p_partkey")} AS price, 'v2' AS src
+              |  FROM part)
+              |SELECT coalesce(i.product_id, c.product_id) AS product_id,
+              |  coalesce(i.price, c.price) AS price,
+              |  coalesce(i.src, c.src) AS src,
+              |  CAST(i.product_id IS NOT NULL AND c.product_id IS NOT NULL AS INT) AS updated
+              |FROM current c FULL OUTER JOIN incoming i ON c.product_id = i.product_id
+              |ORDER BY product_id""".stripMargin),
+      (s, d) => {
+        val current = dimProducts(s, d)
+          .filter(col("product_id").substr(6, 6).cast("long") % 2 === 0)
+          .select(col("product_id"), lit(1.00).as("price"), lit("v1").as("src"))
+        val incoming = dimProducts(s, d)
+          .select(col("product_id").as("i_product_id"),
+            col("price").as("i_price"), lit("v2").as("i_src"))
+        current.join(incoming, col("product_id") === col("i_product_id"), "full_outer")
+          .select(
+            coalesce(col("i_product_id"), col("product_id")).as("product_id"),
+            coalesce(col("i_price"), col("price")).as("price"),
+            coalesce(col("i_src"), col("src")).as("src"),
+            (col("i_product_id").isNotNull && col("product_id").isNotNull)
+              .cast("int").as("updated"))
+          .orderBy("product_id")
+      }),
+
     // Full E2E replay: generate facts → partitioned header-CSV → read back
     // with explicit schema → enrich via two broadcast joins → ordered
     // enriched fact table. The oracle recomputes the same derivation
