@@ -86,6 +86,28 @@ object ScaleOps extends QueryModule {
 
   val qs: Seq[Q] = Seq(
 
+    // Q63 skew profile: the heavy-hitter diagnostic that decides WHETHER a
+    // key needs salting (q37) or AQE skew splitting before a join — top
+    // fact keys by row count with their share of the table. One partial-
+    // aggregated groupBy + a broadcast scalar; the share is an exact
+    // integer ratio (bit-stable double).
+    Q("q63_skew_profile",
+      Some("""WITH tot AS (SELECT count(*) AS n_tot FROM events)
+             |SELECT user_id, count(*) AS n,
+             |  CAST(count(*) AS DOUBLE) / (SELECT n_tot FROM tot) AS share
+             |FROM events GROUP BY user_id
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val tot = ev.agg(count(lit(1)).as("n_tot"))
+        ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n"),
+            (col("n").cast("double") / col("n_tot")).as("share"))
+          .orderBy(desc("n"), asc("user_id"))
+          .limit(20)
+      }),
+
     // Q36 bucketed co-located join — same answer as the shuffle join (the
     // oracle is the plain SQL join); ScaleOpsSpec asserts the plan contains
     // no Exchange.

@@ -307,6 +307,78 @@ object EcommercePipeline extends QueryModule {
           .orderBy("product_id")
       }),
 
+    // Q62 SCD-type-2 history: keep full validity-interval history instead
+    // of updating in place. A changed key closes its current row at the
+    // snapshot date and opens a new one; unchanged keys keep their open
+    // row; brand-new keys open at the snapshot. Incoming prices are
+    // unchanged for every third key so all three branches execute. Pure
+    // joins + unions on the key partitioning — no windows needed.
+    Q("q62_scd2_history",
+      Some(s"""WITH current AS (
+              |  SELECT ${sqlDigitId("prod-", "p_partkey", 6)} AS product_id,
+              |         CAST(1.00 AS DOUBLE) AS price,
+              |         DATE '2020-01-01' AS valid_from, p_partkey % 3 = 0 AS keep_price
+              |  FROM part WHERE p_partkey % 2 = 0),
+              |incoming AS (
+              |  SELECT ${sqlDigitId("prod-", "p_partkey", 6)} AS product_id,
+              |         CASE WHEN p_partkey % 3 = 0 THEN CAST(1.00 AS DOUBLE)
+              |              ELSE ${sqlMoney("p_partkey")} END AS price
+              |  FROM part),
+              |unchanged AS (
+              |  SELECT c.product_id, c.price, c.valid_from,
+              |         DATE '9999-12-31' AS valid_to, 1 AS is_current
+              |  FROM current c JOIN incoming i ON c.product_id = i.product_id
+              |  WHERE c.price = i.price),
+              |closed AS (
+              |  SELECT c.product_id, c.price, c.valid_from,
+              |         DATE '2024-06-01' AS valid_to, 0 AS is_current
+              |  FROM current c JOIN incoming i ON c.product_id = i.product_id
+              |  WHERE c.price <> i.price),
+              |reopened AS (
+              |  SELECT i.product_id, i.price, DATE '2024-06-01' AS valid_from,
+              |         DATE '9999-12-31' AS valid_to, 1 AS is_current
+              |  FROM current c JOIN incoming i ON c.product_id = i.product_id
+              |  WHERE c.price <> i.price),
+              |fresh AS (
+              |  SELECT i.product_id, i.price, DATE '2024-06-01' AS valid_from,
+              |         DATE '9999-12-31' AS valid_to, 1 AS is_current
+              |  FROM incoming i
+              |  WHERE NOT EXISTS (SELECT 1 FROM current c WHERE c.product_id = i.product_id))
+              |SELECT product_id, price, valid_from, valid_to, is_current
+              |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+              |      UNION ALL SELECT * FROM reopened UNION ALL SELECT * FROM fresh)
+              |ORDER BY product_id, valid_from""".stripMargin),
+      (s, d) => {
+        val snapshot = to_date(lit("2024-06-01"))
+        val forever = to_date(lit("9999-12-31"))
+        val keyNum = col("product_id").substr(6, 6).cast("long")
+        val current = dimProducts(s, d)
+          .filter(keyNum % 2 === 0)
+          .select(col("product_id"), lit(1.00).as("price"),
+            to_date(lit("2020-01-01")).as("valid_from"))
+        val incoming = dimProducts(s, d)
+          .select(col("product_id").as("i_product_id"),
+            when(keyNum % 3 === 0, lit(1.00)).otherwise(col("price")).as("i_price"))
+        val matched = current.join(incoming,
+          col("product_id") === col("i_product_id"))
+        val unchanged = matched.filter(col("price") === col("i_price"))
+          .select(col("product_id"), col("price"), col("valid_from"),
+            forever.as("valid_to"), lit(1).as("is_current"))
+        val closed = matched.filter(col("price") =!= col("i_price"))
+          .select(col("product_id"), col("price"), col("valid_from"),
+            snapshot.as("valid_to"), lit(0).as("is_current"))
+        val reopened = matched.filter(col("price") =!= col("i_price"))
+          .select(col("product_id"), col("i_price").as("price"),
+            snapshot.as("valid_from"), forever.as("valid_to"), lit(1).as("is_current"))
+        val fresh = incoming.join(current,
+            col("i_product_id") === col("product_id"), "left_anti")
+          .select(col("i_product_id").as("product_id"),
+            col("i_price").as("price"), snapshot.as("valid_from"),
+            forever.as("valid_to"), lit(1).as("is_current"))
+        unchanged.union(closed).union(reopened).union(fresh)
+          .orderBy("product_id", "valid_from")
+      }),
+
     // Full E2E replay: generate facts → partitioned header-CSV → read back
     // with explicit schema → enrich via two broadcast joins → ordered
     // enriched fact table. The oracle recomputes the same derivation

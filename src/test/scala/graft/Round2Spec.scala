@@ -77,6 +77,22 @@ class Round2Spec extends SparkSpec {
     } finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
   }
 
+  test("TopKAggregator: any partitioning merges to the global top-k") {
+    val agg = new graft.functions.TopKAggregator(3)
+    val rng = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val xs = Seq.fill(rng.nextInt(30))(
+        (rng.nextInt(10).toDouble, (rng.nextLong() % 100)))
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(3)
+      val nParts = 1 + rng.nextInt(4)
+      val parts = xs.grouped(math.max(1, (xs.length + nParts - 1) / nParts)).toSeq
+      val merged = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected,
+        s"partitioned merge diverged from global sort for $xs")
+    }
+  }
+
   test("full outer join emits both null sides") {
     val rows = SparkEntry.queries("q50_full_outer_join")(spark, sf).collect()
     assert(rows.exists(_.getInt(4) == 1), "expected at least one dim-missing row")
