@@ -152,6 +152,24 @@ object AnalyticsExt extends QueryModule {
           .orderBy("l_returnflag")
       }),
 
+    // Q09c approx percentile (the quantile sketch next to q25's HLL):
+    // GK/KLL-style bounded-memory sketch vs the exact percentile, with the
+    // relative error emitted as a column. Rows-only for the driver (the
+    // sketch layout is engine-private); Round2Spec asserts rel_err ≤ 1%.
+    // At 100 TB the sketch is the only option — exact percentiles need the
+    // full sorted column per group, the sketch is O(1/ε) mergeable state.
+    Q("q09c_approx_percentile", None,
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select(col("l_returnflag"), col("p50_approx"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"))
+            .as("rel_err"))
+        .orderBy("l_returnflag")),
+
     // Q45 window navigation: first/last/nth value, ntile, percent_rank,
     // cume_dist. Frames spelled explicitly — last/nth need UNBOUNDED
     // FOLLOWING (the default frame stops at CURRENT ROW). percent_rank and

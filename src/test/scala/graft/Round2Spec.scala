@@ -77,6 +77,15 @@ class Round2Spec extends SparkSpec {
     } finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
   }
 
+  test("q09c: approx percentile within 1% of exact per group") {
+    val rows = SparkEntry.queries("q09c_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 0.01,
+        s"approx p50 ${r.getDouble(1)} vs exact ${r.getDouble(2)} off by ${r.getDouble(3)}")
+    }
+  }
+
   test("TopKAggregator: any partitioning merges to the global top-k") {
     val agg = new graft.functions.TopKAggregator(3)
     val rng = new scala.util.Random(42)
