@@ -38,7 +38,7 @@ object AsOfJoin extends QueryModule {
     val r = right.select(col(key), col(rightTs).cast("timestamp").as("__ts"),
         lit(1).as("__isRight"), col(value).as("__val"))
     val lCols = l.columns
-    val unioned = r.select(lCols.map {
+    val unioned = r.select(lCols.toIndexedSeq.map {
       case c if l.columns.contains(c) && r.columns.contains(c) => col(c)
       case c => lit(null).cast(l.schema(c).dataType).as(c)
     }: _*).unionByName(l, allowMissingColumns = true)

@@ -117,7 +117,7 @@ object Similarity extends QueryModule {
   /** 16-bit sign signature of an embedding column under the fixed planes. */
   def signature(emb: Column): Column = {
     val bits = (0 until Planes).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
       when(dot(emb, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

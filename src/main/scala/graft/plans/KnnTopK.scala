@@ -176,7 +176,7 @@ object KnnTopK {
     }
     // Alias-freshen the doc side so a self-join (queries eq docs) presents
     // distinct output exprIds on the two children.
-    val docsFresh = docs.select(docs.columns.map(c => col(c).as(c)): _*)
+    val docsFresh = docs.select(docs.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     PlanBridge.ofRows(spark,
       KnnTopKNode(k, queries.queryExecution.analyzed, docsFresh.queryExecution.analyzed))
   }
