@@ -307,6 +307,49 @@ object EcommercePipeline extends QueryModule {
           .orderBy("product_id")
       }),
 
+    // Q64 CDC snapshot diff: the change feed between two table versions —
+    // added / removed / changed rows by key, unchanged rows suppressed.
+    // The old snapshot lacks every 5th order (those emit 'added'), the new
+    // one lacks every 7th ('removed') and re-prices every 3rd ('changed').
+    // One key-partitioned full outer join; this is the incremental-sync
+    // primitive that turns full-table refreshes into delta loads.
+    Q("q64_cdc_diff",
+      Some("""WITH olds AS (
+             |  SELECT o_orderkey, o_totalprice AS total FROM orders WHERE o_orderkey % 5 <> 0),
+             |news AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS total
+             |  FROM orders WHERE o_orderkey % 7 <> 0)
+             |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |       WHEN n.o_orderkey IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS change,
+             |  coalesce(o.total, -1.0) AS old_total,
+             |  coalesce(n.total, -1.0) AS new_total
+             |FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey
+             |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.total <> n.total
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val olds = orders.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("total"))
+        val news = orders.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("n_orderkey"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")).as("n_total"))
+        olds.join(news, col("o_orderkey") === col("n_orderkey"), "full_outer")
+          .filter(col("o_orderkey").isNull || col("n_orderkey").isNull
+            || col("total") =!= col("n_total"))
+          .select(
+            coalesce(col("o_orderkey"), col("n_orderkey")).as("o_orderkey"),
+            when(col("o_orderkey").isNull, "added")
+              .when(col("n_orderkey").isNull, "removed")
+              .otherwise("changed").as("change"),
+            coalesce(col("total"), lit(-1.0)).as("old_total"),
+            coalesce(col("n_total"), lit(-1.0)).as("new_total"))
+          .orderBy("o_orderkey")
+      }),
+
     // Q62 SCD-type-2 history: keep full validity-interval history instead
     // of updating in place. A changed key closes its current row at the
     // snapshot date and opens a new one; unchanged keys keep their open
