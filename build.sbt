@@ -15,6 +15,10 @@ run / fork := true
 // every line with "[info] ", which breaks harnesses that json.loads the
 // bench's single JSON output line (round-1 BENCH parsed=null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time: ..." epilogue so the
+// bench's JSON line is the LAST line of stdout (round-2 BENCH parsed=null:
+// the JSON line printed intact but a trailing "[success]" line followed it).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Print the JSON line LAST, after Spark has fully shut down: stdout and
+    // stderr of the forked JVM reach the harness as one raw stream, so any
+    // executor/shutdown logging emitted after the print could otherwise trail
+    // (or interleave with) the one line the harness json-parses.
     spark.stop()
+    System.err.flush()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

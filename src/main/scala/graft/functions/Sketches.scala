@@ -48,9 +48,13 @@ case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    // Empty input short-circuits to the all-zero sentinel: without it the
+    // minima stay Long.MaxValue here while a SQL oracle's list_min over an
+    // empty list is NULL — the two engines would diverge on empty docs.
+    if (n == 0) return new GenericArrayData(new Array[Long](64))
     val sig = Array.fill(64)(Long.MaxValue)
     var j = 0
-    val n = hs.numElements()
     while (j < n) {
       val v = hs.getLong(j)
       var i = 0
@@ -78,15 +82,17 @@ case class MinHashSignature(child: Expression) extends SketchOverHashedArray {
       val b = ctx.freshName("b")
       s"""
          |long[] $sig = new long[64];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $n = $c.numElements();
-         |for (int $j = 0; $j < $n; $j++) {
-         |  long $v = $c.getLong($j);
-         |  for (int $i = 0; $i < 64; $i++) {
-         |    long $a = (2654435761L * ($i + 1)) % 2147483647L;
-         |    long $b = (2246822519L * ($i + 3)) % 2147483647L;
-         |    long $h = ($a * $v + $b) % 2147483647L;
-         |    if ($h < $sig[$i]) $sig[$i] = $h;
+         |if ($n > 0) {
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $v = $c.getLong($j);
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      long $a = (2654435761L * ($i + 1)) % 2147483647L;
+         |      long $b = (2246822519L * ($i + 3)) % 2147483647L;
+         |      long $h = ($a * $v + $b) % 2147483647L;
+         |      if ($h < $sig[$i]) $sig[$i] = $h;
+         |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
@@ -103,9 +109,12 @@ case class SimHash64(child: Expression) extends SketchOverHashedArray {
 
   override def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    // Empty input → sig 0 (not all-64-bits-set from the 0 >= 0 votes):
+    // matches a SQL oracle where the vote sum over an empty list is NULL.
+    if (n == 0) return java.lang.Long.valueOf(0L)
     val votes = new Array[Int](64)
     var j = 0
-    val n = th.numElements()
     while (j < n) {
       val v = th.getLong(j)
       var i = 0
@@ -142,8 +151,10 @@ case class SimHash64(child: Expression) extends SketchOverHashedArray {
          |  }
          |}
          |long $sig = 0L;
-         |for (int $i = 0; $i < 64; $i++) {
-         |  if ($votes[$i] >= 0) $sig |= (1L << $i);
+         |if ($n > 0) {
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ($votes[$i] >= 0) $sig |= (1L << $i);
+         |  }
          |}
          |${ev.value} = $sig;
        """.stripMargin

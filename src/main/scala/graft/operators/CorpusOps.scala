@@ -24,7 +24,13 @@ object CorpusOps extends QueryModule {
   /** Per-lang percent quota: downsample the dominant language, keep the
     * tail — the classic mix-rebalancing shape. */
   private val quotaExpr = "CASE WHEN lang = 'en' THEN 50 ELSE 20 END"
-  private val keepExpr = s"(doc_id * 2654435761) % 100 < ($quotaExpr)"
+  // Pre-reduce the key mod 2^31-1 before the Knuth multiplier: the product
+  // then tops out at (2^31-2)*2654435761 ≈ 5.7e18 < 2^63-1 in BOTH engines.
+  // Bare doc_id*2654435761 overflows signed 64-bit for doc_id ≳ 3.5e9 —
+  // Spark would silently wrap (negative remainder ⇒ keep-all) while DuckDB
+  // raises, exactly at the 100 TB scale this sampling serves.
+  private val keepExpr =
+    s"((doc_id % 2147483647) * 2654435761) % 100 < ($quotaExpr)"
 
   /** q28b's quality score, as shared SQL fragments (Spark + DuckDB agree
     * on every function used). */

@@ -155,14 +155,24 @@ object Dedup extends QueryModule {
       .cache()
     var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val prop = und.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(prop)
+      val merged = labels.union(prop)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .cache()
+      // localCheckpoint every few rounds truncates the round-nested plan
+      // (planning time and lineage depth otherwise grow with component
+      // diameter); plain cache in between.
+      val next =
+        if (round % 3 == 0) merged.localCheckpoint() else merged.cache()
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") =!= col("prev")).count()
+      // The count above materialized `next`; the previous round's label set
+      // is fully consumed — release its storage instead of accumulating one
+      // cached DataFrame per round (no-op on the uncached round-0 input).
+      labels.unpersist()
       labels = next
     }
     und.unpersist()
@@ -197,9 +207,12 @@ object Dedup extends QueryModule {
           |  FROM docs),
           |sig AS (
           |  SELECT doc_id,
-          |         list_transform(generate_series(0, 63), i ->
-          |           list_min(list_transform(hs, h ->
-          |             ((2654435761 * (i + 1)) % 2147483647 * h + (2246822519 * (i + 3)) % 2147483647) % 2147483647))) AS sig
+          |         CASE WHEN len(hs) = 0
+          |           THEN list_transform(generate_series(0, 63), i -> CAST(0 AS BIGINT))
+          |           ELSE list_transform(generate_series(0, 63), i ->
+          |             list_min(list_transform(hs, h ->
+          |               ((2654435761 * (i + 1)) % 2147483647 * h + (2246822519 * (i + 3)) % 2147483647) % 2147483647)))
+          |         END AS sig
           |  FROM hs),
           |bands AS (
           |  SELECT doc_id, b AS band,
@@ -230,9 +243,11 @@ object Dedup extends QueryModule {
              |  FROM toks),
              |sig AS (
              |  SELECT doc_id,
-             |         CAST(list_sum(list_transform(generate_series(0, 63), b ->
-             |           CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) >= 0
-             |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+             |         CASE WHEN len(th) = 0 THEN CAST(0 AS BIGINT)
+             |           ELSE CAST(list_sum(list_transform(generate_series(0, 63), b ->
+             |             CASE WHEN list_sum(list_transform(th, h -> ((h >> b) & 1) * 2 - 1)) >= 0
+             |                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)
+             |         END AS sig
              |  FROM th),
              |chunks AS (
              |  SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS v

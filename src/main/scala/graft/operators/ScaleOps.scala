@@ -29,7 +29,18 @@ object ScaleOps extends QueryModule {
     def ensure(name: String, df: DataFrame, key: String): DataFrame = {
       val tbl = s"graft_${name}_$tag"
       if (!s.catalog.tableExists(tbl)) {
-        if (new java.io.File(s"$base/$name/_SUCCESS").exists()) {
+        // The layout manifest pins (bucket count, key, schema) of the files
+        // actually on disk. Re-registering is only safe when it matches the
+        // CURRENT constants — a stale directory from an older build would
+        // otherwise be declared CLUSTERED BY with the wrong metadata, Spark
+        // would elide the exchanges, and the bucketed join would silently
+        // return wrong rows.
+        val manifest = s"$Buckets|$key|${df.schema.toDDL}"
+        val mPath = java.nio.file.Paths.get(s"$base/$name/_graft_layout")
+        val onDiskOk = new java.io.File(s"$base/$name/_SUCCESS").exists() &&
+          java.nio.file.Files.exists(mPath) &&
+          new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+        if (onDiskOk) {
           // Bucketed files already on disk from an earlier session (the
           // in-memory catalog dies with each JVM): re-register the layout
           // as an external bucketed table instead of rewriting the data —
@@ -42,6 +53,7 @@ object ScaleOps extends QueryModule {
             .bucketBy(Buckets, key).sortBy(key)
             .option("path", s"$base/$name")
             .saveAsTable(tbl)
+          java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
         }
       }
       s.table(tbl)
@@ -58,11 +70,17 @@ object ScaleOps extends QueryModule {
   def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val path = s"/tmp/graft_part_orders$tag"
-    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-      t(s, dir, "orders")
-        .withColumn("o_year", year(col("o_orderdate")))
+    val src = t(s, dir, "orders")
+    val manifest = s"o_year|${src.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
+    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      src.withColumn("o_year", year(col("o_orderdate")))
         .repartition(col("o_year"))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
     }
     s.read.parquet(path)
   }

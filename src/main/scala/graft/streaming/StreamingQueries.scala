@@ -43,6 +43,11 @@ object StreamingQueries extends QueryModule {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // Single file ⇒ AvailableNow runs exactly one micro-batch. q30c's
+    // greedy funnel gate RELIES on this (batches must arrive in global
+    // event-time order for the gate to equal the min-cascade oracle).
+    assert(streamDir.toFile.list().length == 1,
+      s"eventsStream expects exactly one source file in $streamDir")
     s.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -217,15 +222,17 @@ object StreamingQueries extends QueryModule {
       }),
 
     // Q30c custom streaming state machine via flatMapGroupsWithState: the
-    // view → click → purchase funnel per user. The transition demands a
-    // strictly increasing event time at each step, which makes the result
-    // independent of intra-timestamp arrival order, and events are folded
-    // in (ts, event_id) order within each micro-batch, so state is
-    // deterministic across batch slicings. Greedy-earliest is exact here:
-    // if any strictly increasing view<click<purchase chain exists, the
-    // chain through the earliest view and earliest subsequent click finds
-    // it. State is O(1) per user (4 longs) — the shape that holds at 100 TB
-    // where per-user event lists would not. Oracle = the closed-form
+    // view → click → purchase funnel per user. Events are folded in
+    // (ts, event_id) order within each micro-batch, so the result is
+    // independent of arrival order INSIDE a batch; across batches the
+    // greedy gate is exact only when batches arrive in global event-time
+    // order (an out-of-order earlier view/click in a later batch is ignored
+    // by the stage gate while the min-cascade oracle counts it). That
+    // precondition holds by construction here: eventsStream exposes ONE
+    // file, so AvailableNow runs ONE batch (asserted below). An exact
+    // any-slicing variant needs watermark-horizon event buffering — O(late
+    // window × rate) state vs these 4 longs; StreamingSpec covers the
+    // event-time-ordered multi-batch case. Oracle = the closed-form
     // min-timestamp cascade.
     Q("q30c_funnel_state",
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
