@@ -16,6 +16,7 @@ object SparkEntry {
     operators.RelationalExt,
     operators.TextAnalysis,
     operators.CorpusOps,
+    operators.CurationExt,
     operators.Dedup,
     operators.Similarity,
     operators.ScaleOps,

@@ -53,15 +53,28 @@ object StreamingQueries extends QueryModule {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the
-    * materialized result. */
+    * materialized result.
+    *
+    * Stateful operators shard their state store by the shuffle-partition
+    * count in effect when the query STARTS, and every shard pays per-batch
+    * checkpoint I/O whether or not it holds rows — a stream-stream join
+    * carries 4 stores per shard, so inheriting the batch-side 32 costs
+    * 128 checkpointed stores per micro-batch. State-shard count is a
+    * throughput-sizing knob (raise it for hot streams at scale); size it
+    * to the micro-batch volume here and restore the batch setting after. */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   val qs: Seq[Q] = Seq(

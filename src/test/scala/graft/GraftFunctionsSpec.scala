@@ -18,6 +18,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sqlRes.toSeq == dfRes.toSeq)
   }
 
+  test("WordNgrams equals the declarative shingle formulation, both fallbacks") {
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("toks", expr(operators.TextAnalysis.tokensExpr))
+    // Near-dup convention (short docs → distinct tokens) vs Dedup.shinglesExpr.
+    val fused = docs.select(col("doc_id"),
+      graft.functions.TextShingles.wordNgrams(col("toks"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    val declarative = docs.select(col("doc_id"),
+      expr(operators.Dedup.shinglesExpr).as("sh")).orderBy("doc_id").collect()
+    assert(fused.toSeq == declarative.toSeq)
+    // Strict convention (short docs → empty) including the boundary sizes.
+    import spark.implicits._
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("a", "b", "c", "d"),
+      Seq("a", "b", "c", "d", "e"), Seq("a", "b", "c", "d", "e", "f"))
+      .toDF("toks")
+    val strict = edge.select(
+      graft.functions.TextShingles.wordNgramsStrict(col("toks"), 5).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(strict == List(Nil, Nil, Nil,
+      List("a b c d e"), List("a b c d e", "b c d e f")))
+  }
+
   test("graft_simhash64 and graft_minhash64 run from SQL") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sf)
