@@ -100,6 +100,75 @@ object WordNgrams {
   val Space: UTF8String = UTF8String.fromString(" ")
 }
 
+/** Fused md5-derived 60-bit hash of every string in an array —
+  * element-for-element equal to
+  * `transform(arr, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) [% mod])`,
+  * the portable hash family the dedup sketches replay in the DuckDB oracle
+  * (the first 15 hex chars of md5 are the digest's first 60 bits,
+  * big-endian). The declarative form pays interpreted-HOF dispatch plus a
+  * hex round-trip (bytes → hex string → substring → parse) per element;
+  * this is one digest + shift per element inside codegen. */
+case class Md5HashArray(child: Expression, mod: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Md5HashArray.hash60(arr.getUTF8String(i), mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.functions.Md5HashArray.hash60(
+         |    $c.getUTF8String($i), ${mod}L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Md5HashArray = copy(child = c)
+}
+
+object Md5HashArray {
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) (== first 15 hex chars parsed base-16),
+    * optionally reduced mod `mod` (pass 0 for the raw 60-bit value). */
+  def hash60(s: UTF8String, mod: Long): Long = {
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // First 8 bytes big-endian, then drop the low nibble: 64 → 60 bits.
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    val h = v >>> 4
+    if (mod > 0) h % mod else h
+  }
+}
+
 object TextShingles {
   /** Distinct word n-grams; short inputs fall back to distinct tokens. */
   def wordNgrams(tokens: Column, n: Int): Column =
@@ -108,4 +177,12 @@ object TextShingles {
   /** Distinct word n-grams; short inputs yield an empty array. */
   def wordNgramsStrict(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n, shortFallback = false))
+
+  /** md5-60-bit hashes of each element, reduced mod 2^31-1 (MinHash base). */
+  def md5Hash31Array(arr: Column): Column =
+    ColumnBridge.column(Md5HashArray(ColumnBridge.expression(arr), 2147483647L))
+
+  /** Raw md5-60-bit hashes of each element (SimHash token hashes). */
+  def md5Hash60Array(arr: Column): Column =
+    ColumnBridge.column(Md5HashArray(ColumnBridge.expression(arr), 0L))
 }

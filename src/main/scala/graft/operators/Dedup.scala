@@ -73,7 +73,7 @@ object Dedup extends QueryModule {
     docs
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("sh", graft.functions.TextShingles.wordNgrams(col("toks"), 3))
-      .withColumn("hs", expr(s"transform(sh, s -> ${baseHash31("s")})"))
+      .withColumn("hs", graft.functions.TextShingles.md5Hash31Array(col("sh")))
       .withColumn("sig", graft.functions.Sketches.minhashSignature(col("hs")))
       .withColumn("band", explode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> named_struct('b', b, 'h', $bandHashSpark))")))
@@ -106,7 +106,9 @@ object Dedup extends QueryModule {
     * graft.functions.Sketches — one pass, fixed-size vote counters).
     * md5-derived 60-bit hashes (not xxhash64) so the per-bit votes are
     * replayable in the DuckDB oracle; bits 60-63 are always 0 on both
-    * sides, which the banding and hamming distance tolerate. */
+    * sides, which the banding and hamming distance tolerate.
+    * Declarative REFERENCE form of `TextShingles.md5Hash60Array` (the
+    * production call site; equivalence asserted in GraftFunctionsSpec). */
   val hashedTokensExpr: String =
     "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
 
@@ -263,7 +265,7 @@ object Dedup extends QueryModule {
       (s, d) => {
         val sigs = t(s, d, "documents")
           .withColumn("toks", expr(TextAnalysis.tokensExpr))
-          .withColumn("th", expr(hashedTokensExpr))
+          .withColumn("th", graft.functions.TextShingles.md5Hash60Array(col("toks")))
           .select(col("doc_id"),
             graft.functions.Sketches.simhash64(col("th")).as("sig"))
         val chunks = sigs.withColumn("chunk", explode(expr(

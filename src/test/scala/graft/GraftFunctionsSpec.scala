@@ -40,6 +40,20 @@ class GraftFunctionsSpec extends SparkSpec {
       List("a b c d e"), List("a b c d e", "b c d e f")))
   }
 
+  test("Md5HashArray equals the declarative md5/conv formulation") {
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("toks", expr(operators.TextAnalysis.tokensExpr))
+    val fused = docs.select(col("doc_id"),
+      graft.functions.TextShingles.md5Hash60Array(col("toks")).as("h"),
+      graft.functions.TextShingles.md5Hash31Array(col("toks")).as("h31"))
+      .orderBy("doc_id").collect()
+    val declarative = docs.select(col("doc_id"),
+      expr(operators.Dedup.hashedTokensExpr).as("h"),
+      expr(s"transform(toks, t -> ${operators.Dedup.baseHash31("t")})").as("h31"))
+      .orderBy("doc_id").collect()
+    assert(fused.toSeq == declarative.toSeq)
+  }
+
   test("graft_simhash64 and graft_minhash64 run from SQL") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sf)
