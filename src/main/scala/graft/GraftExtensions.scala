@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{DotProductDouble, MinHashSignature, SimHash64}
+import graft.functions.{DotProductDouble, Md5HashArray, MinHashSignature, SimHash64, WordNgrams}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -9,9 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * get the same fused operators the DataFrame API exposes through
   * graft.functions:
   *
-  *   graft_dot(a, b)      double dot product over float/double arrays
-  *   graft_minhash64(hs)  64-minima MinHash signature of hashed shingles
-  *   graft_simhash64(th)  64-bit SimHash of hashed tokens
+  *   graft_dot(a, b)          double dot product over float/double arrays
+  *   graft_minhash64(hs)      64-minima MinHash signature of hashed shingles
+  *   graft_simhash64(th)      64-bit SimHash of hashed tokens
+  *   graft_word_ngrams(t, n)  distinct word n-grams (short → distinct tokens)
+  *   graft_md5hash60(arr)     md5-derived 60-bit hash per element
   *
   * Two registration paths: `GraftFunctions.register(spark)` on a live
   * session, or `spark.sql.extensions=graft.GraftExtensions` at session
@@ -24,7 +27,14 @@ object GraftFunctions {
     ("graft_minhash64", es => MinHashSignature(es.head),
       "graft_minhash64(hashed_shingles) - 64-long MinHash signature"),
     ("graft_simhash64", es => SimHash64(es.head),
-      "graft_simhash64(hashed_tokens) - 64-bit SimHash"))
+      "graft_simhash64(hashed_tokens) - 64-bit SimHash"),
+    ("graft_word_ngrams", es => WordNgrams(es(0),
+      es(1) match { case Literal(n: Int, _) => n
+                    case e => sys.error(s"n must be an int literal, got $e") },
+      shortFallback = true),
+      "graft_word_ngrams(tokens, n) - distinct word n-grams"),
+    ("graft_md5hash60", es => Md5HashArray(es.head, 0L),
+      "graft_md5hash60(arr) - md5-derived 60-bit hash of each element"))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder, _) =>

@@ -158,7 +158,13 @@ object Dedup extends QueryModule {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+    // Only nodes that touch an edge can ever change label — iterate over
+    // that (typically tiny) subgraph and union the untouched singletons
+    // back at the end. Near-dup edge sets are sparse by construction, so
+    // at corpus scale this keeps every propagation round proportional to
+    // the duplicate population, not the corpus.
+    val edgeNodes = und.select(col("src").as("node")).distinct().cache()
+    var labels = edgeNodes.withColumn("lbl", col("node"))
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -181,7 +187,13 @@ object Dedup extends QueryModule {
       labels = next
     }
     und.unpersist()
-    labels
+    // edgeNodes stays cached: the returned plan is lazy and its anti-join
+    // must read the (tiny, already materialized) node set — unpersisting
+    // here would force the whole edge derivation to recompute at eval time.
+    val singletons = nodes.select(col("doc_id").as("node"))
+      .join(edgeNodes, Seq("node"), "left_anti")
+      .withColumn("lbl", col("node"))
+    labels.union(singletons)
   }
 
   val qs: Seq[Q] = Seq(
