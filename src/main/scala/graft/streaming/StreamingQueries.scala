@@ -13,6 +13,18 @@ final case class FunnelState(stage: Int, vUs: Long, cUs: Long, pUs: Long)
 final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
 final case class FunnelOut(user_id: Long, stage: Long,
     first_view_us: Long, first_click_us: Long, first_purchase_us: Long)
+/** State of the watermark-buffered EXACT funnel (`StreamingQueries
+  * .exactFunnel`): events not yet finalized by the watermark, plus the
+  * machine state folded over everything already finalized. */
+final case class FunnelBuffer(pending: Seq[FunnelEvent], st: FunnelState)
+/** exactFunnel's typed input: keeps the WATERMARKED timestamp column
+  * itself (projecting it to a bigint upstream would strip the watermark
+  * metadata the event-time timeout requires). */
+final case class FunnelEventT(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, event_id: Long) {
+  def toMicros: FunnelEvent = FunnelEvent(user_id, event_type,
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, event_id)
+}
 
 /** Structured Streaming over the `events` table — SURVEY §2.B Q29–Q32,
   * replacing the reference's sleep-and-RPC micro-batch orchestration
@@ -50,6 +62,63 @@ object StreamingQueries extends QueryModule {
       s"eventsStream expects exactly one source file in $streamDir")
     s.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The greedy funnel fold shared by q30c and the exact variant: strict
+    * event-time ordering at each stage transition. */
+  private[streaming] def foldFunnel(st0: FunnelState,
+      events: Seq[FunnelEvent]): FunnelState = {
+    var st = st0
+    events.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      e.event_type match {
+        case "view" if st.stage == 0 => st = st.copy(stage = 1, vUs = e.ts_us)
+        case "click" if st.stage == 1 && e.ts_us > st.vUs =>
+          st = st.copy(stage = 2, cUs = e.ts_us)
+        case "purchase" if st.stage == 2 && e.ts_us > st.cUs =>
+          st = st.copy(stage = 3, pUs = e.ts_us)
+        case _ => ()
+      }
+    }
+    st
+  }
+
+  /** EXACT streaming funnel under ANY batch slicing — the watermark-
+    * buffered counterpart to q30c's O(1) greedy gate. Events buffer in
+    * per-user state until the watermark passes them, then fold into the
+    * state machine in (event-time, event_id) order. The watermark filter
+    * has already dropped anything older than every folded event, so the
+    * fold never has to reorder finalized history — late arrivals within
+    * the allowed lateness land in the pending buffer and sort into place.
+    * State is O(events inside the watermark horizon) per user (lateness ×
+    * rate), the price of exactness the q30c comment describes; input must
+    * carry `withWatermark` on `ts` for the event-time timeout to fire.
+    * Exercised in StreamingSpec with out-of-order cross-batch arrivals. */
+  def exactFunnel(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEventT]
+    // The caller's withWatermark("ts", ...) flows through this projection
+    // untouched, so the event-time timeout sees it.
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption
+            .getOrElse(FunnelBuffer(Nil, FunnelState(0, -1L, -1L, -1L)))
+          val all = prev.pending ++ rows.map(_.toMicros)
+          val (ready, pending) = all.partition(_.ts_us <= wmUs)
+          val st = foldFunnel(prev.st, ready)
+          state.update(FunnelBuffer(pending, st))
+          if (pending.nonEmpty) {
+            // Wake this user when the watermark reaches its oldest
+            // buffered event, even if no new rows arrive for it.
+            state.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
+          }
+          Iterator(FunnelOut(user, st.stage.toLong, st.vUs, st.cUs, st.pUs))
+      }.toDF()
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the
@@ -256,11 +325,11 @@ object StreamingQueries extends QueryModule {
     // order (an out-of-order earlier view/click in a later batch is ignored
     // by the stage gate while the min-cascade oracle counts it). That
     // precondition holds by construction here: eventsStream exposes ONE
-    // file, so AvailableNow runs ONE batch (asserted below). An exact
-    // any-slicing variant needs watermark-horizon event buffering — O(late
-    // window × rate) state vs these 4 longs; StreamingSpec covers the
-    // event-time-ordered multi-batch case. Oracle = the closed-form
-    // min-timestamp cascade.
+    // file, so AvailableNow runs ONE batch (asserted below). The exact
+    // any-slicing variant is `exactFunnel` above — watermark-horizon event
+    // buffering, O(lateness × rate) state vs these 4 longs — tested in
+    // StreamingSpec with out-of-order cross-batch arrivals. Oracle = the
+    // closed-form min-timestamp cascade.
     Q("q30c_funnel_state",
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
              |v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
@@ -293,18 +362,9 @@ object StreamingQueries extends QueryModule {
           .flatMapGroupsWithState[FunnelState, FunnelOut](
             OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
             case (user, rows, state) =>
-              var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
-              rows.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-                e.event_type match {
-                  case "view" if st.stage == 0 =>
-                    st = st.copy(stage = 1, vUs = e.ts_us)
-                  case "click" if st.stage == 1 && e.ts_us > st.vUs =>
-                    st = st.copy(stage = 2, cUs = e.ts_us)
-                  case "purchase" if st.stage == 2 && e.ts_us > st.cUs =>
-                    st = st.copy(stage = 3, pUs = e.ts_us)
-                  case _ => ()
-                }
-              }
+              val st = foldFunnel(
+                state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L)),
+                rows.toSeq)
               state.update(st)
               Iterator(FunnelOut(user, st.stage.toLong, st.vUs, st.cUs, st.pUs))
           }

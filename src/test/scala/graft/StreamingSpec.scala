@@ -140,6 +140,43 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L)._1 == 1L, s"user 8 must stall at view, got ${last(8L)}")
   }
 
+  test("exactFunnel converges to the min-cascade oracle under out-of-order batches") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // (ts, user_id, event_type, event_id)
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("ts", "user_id", "event_type", "event_id")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.streaming.StreamingQueries.exactFunnel(events)
+    val q = out.writeStream.format("memory").queryName("exact_funnel_test")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: the CLICK arrives first (event time 200 s).
+    input.addData((ts(200), 7L, "click", 1L))
+    q.processAllAvailable()
+    // batch 2: the VIEW arrives late but within the 10-min lateness
+    // (event time 100 s) — the greedy gate of q30c would have discarded
+    // the click; the buffered fold must re-order and count it.
+    input.addData((ts(100), 7L, "view", 2L))
+    q.processAllAvailable()
+    // batch 3: a sentinel far in the future pushes the watermark past both
+    // events so the buffer finalizes.
+    input.addData((ts(5000), 99L, "view", 3L))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("exact_funnel_test")
+      .groupBy("user_id")
+      .agg(max("stage").as("stage"),
+        max("first_view_us").as("v"), max("first_click_us").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(last(7L) == (2L, 100000000L, 200000000L),
+      s"late view must retroactively admit the click, got ${last(7L)}")
+  }
+
   test("Q32b: stream-stream join buffers across batches and respects the interval") {
     val views = MemoryStream[(Timestamp, Long, Long)]
     val purchases = MemoryStream[(Timestamp, Long, Long)]
