@@ -485,13 +485,17 @@ object RelationalQueries extends QueryModule {
     // Q24 seeded sampling. Hash-systematic variant is exactly reproducible in
     // any engine (pure integer arithmetic on the key — scale-safe, no
     // partition-dependent RNG streams); native df.sample is rows-only.
+    // (Keys pre-reduced mod 2^31-1 before the multiplier, same as
+    // CorpusOps: bare key*2654435761 passes 2^63 for keys ≳ 3.5e9 — ANSI
+    // Spark errors and DuckDB raises exactly at warehouse-scale ids.)
     Q("q24_sample_hash",
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
              |FROM lineitem
-             |WHERE (l_orderkey * 2654435761 + l_linenumber * 97 + l_partkey * 7919 + l_suppkey) % 1000 < 100
+             |WHERE ((l_orderkey % 2147483647) * 2654435761 + l_linenumber * 97 + l_partkey * 7919 + l_suppkey) % 1000 < 100
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin),
       (s, d) => t(s, d, "lineitem")
-        .filter((col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * 97
+        .filter(((col("l_orderkey") % 2147483647L) * lit(2654435761L)
+          + col("l_linenumber") * 97
           + col("l_partkey") * 7919 + col("l_suppkey")) % 1000 < 100)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
@@ -500,6 +504,33 @@ object RelationalQueries extends QueryModule {
       (s, d) => t(s, d, "lineitem")
         .sample(withReplacement = false, fraction = 0.1, seed = 42)
         .select("l_orderkey", "l_linenumber")),
+
+    // Q24c with-replacement (bootstrap) sampling — O4's other half. The
+    // per-row multiplicity is key-derived (0/1/2 copies, E ≈ 0.5), so the
+    // resampled MULTISET is deterministic, partition-stable, and exactly
+    // replayable in the oracle — the property engine-private Poisson
+    // streams cannot give; at corpus scale the same construction drives
+    // deterministic bootstrap resampling for uncertainty estimates.
+    Q("q24c_sample_bootstrap",
+      Some("""WITH m AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN ((o_orderkey % 2147483647) * 2654435761) % 100 < 60 THEN 0
+             |         WHEN ((o_orderkey % 2147483647) * 2654435761) % 100 < 90 THEN 1
+             |         ELSE 2 END AS copies
+             |  FROM orders)
+             |SELECT o_orderkey, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_id
+             |FROM m WHERE copies > 0
+             |ORDER BY o_orderkey, copy_id""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .withColumn("copies", expr(
+          """case when ((o_orderkey % 2147483647) * 2654435761) % 100 < 60 then 0
+            |     when ((o_orderkey % 2147483647) * 2654435761) % 100 < 90 then 1
+            |     else 2 end""".stripMargin))
+        .filter(col("copies") > 0)
+        .select(col("o_orderkey"),
+          explode(expr("sequence(cast(1 as bigint), cast(copies as bigint))"))
+            .as("copy_id"))
+        .orderBy("o_orderkey", "copy_id")),
 
     // Q25 approx_count_distinct (HLL++) — property-checked in ScalaTest
     // (relative error ≤ 5% vs exact), not hash-compared. rsd=0.02 sizes the
