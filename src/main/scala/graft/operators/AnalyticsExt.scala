@@ -273,6 +273,86 @@ object AnalyticsExt extends QueryModule {
           date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
           date_trunc("week", col("o_orderdate")).cast("date").as("wk"),
           last_day(col("o_orderdate").cast("date")).as("mon_end"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // Q14b distribution windows: ntile / percent_rank / cume_dist — the
+    // quantile-bucketing trio Q14's ranking row left out. percent_rank =
+    // (rank-1)/(n-1) and cume_dist = peers/n are single BIGINT/BIGINT IEEE
+    // divisions, bit-identical across engines; ntile is cast to BIGINT
+    // (Spark emits INT, DuckDB BIGINT). Same shuffle shape as any window:
+    // one exchange on the partition key, then sorted in-partition scans.
+    Q("q14b_window_pct",
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(ntile(7) OVER w AS BIGINT) AS tile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(7).over(w).cast("long").as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_custkey")
+      }),
+
+    // Q71 calendar gap-fill + forward fill: resample daily order activity
+    // onto a dense per-priority calendar — missing days appear with n=0 and
+    // carry the last observed revenue forward (the time-series prep every
+    // forecasting/feature pipeline runs). The calendar is tiny (days ×
+    // priorities) and broadcast against the aggregated facts, so the only
+    // shuffle over fact-scale data is the partial-agg groupBy; the fill is
+    // a per-priority window (one exchange on a 5-key column — at warehouse
+    // scale, partition the calendar join by (priority, month) instead).
+    // Revenue sums go through DECIMAL (exact) then DOUBLE; the forward fill
+    // copies already-rounded doubles, so both engines fill bit-identically.
+    Q("q71_gap_fill",
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders GROUP BY 1, 2),
+             |bounds AS (
+             |  SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+             |         max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+             |cal AS (
+             |  SELECT p.o_orderpriority, CAST(unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS DATE) AS d
+             |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p, bounds b)
+             |SELECT c.o_orderpriority, c.d,
+             |  coalesce(dy.n, 0) AS n,
+             |  coalesce(dy.revenue, 0.0) AS revenue,
+             |  coalesce(last_value(dy.revenue IGNORE NULLS) OVER (
+             |    PARTITION BY c.o_orderpriority ORDER BY c.d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS revenue_ffill
+             |FROM cal c LEFT JOIN daily dy
+             |  ON c.o_orderpriority = dy.o_orderpriority AND c.d = dy.d
+             |ORDER BY c.o_orderpriority, c.d""".stripMargin),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val daily = orders
+          .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        val bounds = orders.agg(
+          min(col("o_orderdate").cast("date")).as("dmin"),
+          max(col("o_orderdate").cast("date")).as("dmax"))
+        val cal = orders.select("o_orderpriority").distinct()
+          .crossJoin(bounds)
+          .select(col("o_orderpriority"),
+            explode(expr("sequence(dmin, dmax, interval 1 day)")).as("d"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("o_orderpriority", "d"), "left")
+          .select(col("o_orderpriority"), col("d"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"),
+            coalesce(last(col("revenue"), ignoreNulls = true).over(w), lit(0.0))
+              .as("revenue_ffill"))
+          .orderBy("o_orderpriority", "d")
+      })
   )
 }
