@@ -107,21 +107,37 @@ object Similarity extends QueryModule {
   val SigBands = 8
   val BandBits = 4
 
-  /** Deterministic pseudo-random hyperplanes (same integer-hash scheme as
-    * graft.datagen.Generators — reproducible anywhere). */
-  lazy val planes: Array[Array[Double]] =
-    Array.tabulate(Planes, Dim) { (p, i) =>
-      (((p.toLong * 7919 + i) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+  /** Deterministic pseudo-random hyperplanes, reproducible in exact
+    * integer SQL. The mix is deliberately NONLINEAR (h1² term): a purely
+    * multiplicative formula like `((p·7919 + i)·K) mod M` makes every
+    * plane an arithmetic progression with the SAME stride — near-translates
+    * of one Weyl lattice — and the resulting sign bits correlate so badly
+    * that pairs at cosine 0.46 measured hamming distance 57/64 (they
+    * should sit near 22/64). The quadratic term breaks the linearity in
+    * both p and i; all intermediates stay < 2^63 (h1 < 2^31 ⇒ h1² < 2^62),
+    * so any 64-bit SQL engine replays it exactly. */
+  def planesFor(nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, Dim) { (p, i) =>
+      val x = p.toLong * Dim + i + 1
+      val h1 = (x * 2654435761L) % 2147483647L
+      val h2 = (h1 * h1 + x * 2246822519L) % 2147483647L
+      h2.toDouble / 2147483647.0 - 0.5
     }
 
-  /** 16-bit sign signature of an embedding column under the fixed planes. */
-  def signature(emb: Column): Column = {
-    val bits = (0 until Planes).map { p =>
-      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
+  lazy val planes: Array[Array[Double]] = planesFor(Planes)
+
+  /** n-bit sign signature of an embedding column under the fixed planes. */
+  def signatureN(emb: Column, nPlanes: Int): Column = {
+    val pls = planesFor(nPlanes)
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array(pls(p).toIndexedSeq.map(lit): _*)
       when(dot(emb, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
+
+  /** 32-bit signature used by the oracle-replayed q27b ANN path. */
+  def signature(emb: Column): Column = signatureN(emb, Planes)
 
   /** Exact top-k cosine neighbors for every vector, via the whole-operator
     * KnnTopK plan (graft.plans — custom LogicalPlan/Strategy/SparkPlan):
@@ -165,6 +181,53 @@ object Similarity extends QueryModule {
         s"transform(sequence(0, $BandBits), j -> case when j = 0 then v else v ^ shiftleft(1L, cast(j - 1 as int)) end)")))
       .select(col("vec_id"), col("c"), col("v"), col("emb"), col("nrm"))
     bucketTopK(probed.as[BucketVec], banded.as[BucketVec], k)
+  }
+
+  /** Banded-LSH near-duplicate pair join: candidates are id pairs sharing
+    * any signature band (with one-bit multi-probe on the probe side), the
+    * exact cosine is computed only for candidates, and the threshold filter
+    * runs on that exact score. Structure at scale: the band join shuffles
+    * (vec_id, band) tuples — two longs and two ints per residency — then
+    * dedups candidate ids BEFORE the embeddings re-join them, so the wide
+    * vectors travel once per surviving candidate, never per bucket
+    * collision. No side is broadcast and no nested-loop product exists in
+    * the plan (asserted in PlanHygieneSpec).
+    *
+    * Economics honesty: candidate volume tracks the threshold. At real
+    * near-dup thresholds (cosine ≥ 0.85, where embedding dup detection
+    * operates) band collisions for non-dups are rare and the join is
+    * deeply subquadratic. This fixture has no planted duplicates — its
+    * "near dups" sit at cosine 0.45–0.6, where hyperplane agreement is
+    * only ~0.65/bit — so this path widens to its own 64-plane / 16-band
+    * signature plus the one-bit probe: per-pair miss probability
+    * (1−0.559)¹⁶ ≈ 2e-6, measured recall 1.0 vs the brute oracle at every
+    * test SF (asserted ≥ 0.9 in ScalaTest). The oracle replays only the
+    * exact cosine filter, so the widened signature costs no SQL. */
+  val NearDupPlanes = 64
+  val NearDupBands = 16
+
+  def lshNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val banded = e
+      .withColumn("sig", signatureN(col("embedding"), NearDupPlanes))
+      .withColumn("band", explode(expr(
+        s"transform(sequence(0, ${NearDupBands - 1}), c -> named_struct('c', cast(c as int), 'v', shiftright(sig, c * $BandBits) & ${(1 << BandBits) - 1}))")))
+      .select(col("vec_id"), col("band.c").as("c"), col("band.v").as("v"))
+    val probes = banded
+      .withColumn("v", explode(expr(
+        s"transform(sequence(0, $BandBits), j -> case when j = 0 then v else v ^ shiftleft(1L, cast(j - 1 as int)) end)")))
+    val cand = probes.as("p").join(banded.as("m"),
+        col("p.c") === col("m.c") && col("p.v") === col("m.v") &&
+          col("p.vec_id") < col("m.vec_id"))
+      .select(col("p.vec_id").as("a"), col("m.vec_id").as("b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
@@ -232,7 +295,10 @@ object Similarity extends QueryModule {
               |  FROM embeddings),
               |planes AS (
               |  SELECT p, list_transform(generate_series(0, ${Dim - 1}), i ->
-              |    CAST(((p * 7919 + i) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS pl
+              |    CAST(( (((p * $Dim + i + 1) * 2654435761) % 2147483647)
+              |         * (((p * $Dim + i + 1) * 2654435761) % 2147483647)
+              |         + (p * $Dim + i + 1) * 2246822519
+              |         ) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5) AS pl
               |  FROM range(0, $Planes) t(p)),
               |sig AS (
               |  SELECT e.vec_id,
@@ -293,27 +359,19 @@ object Similarity extends QueryModule {
              |ORDER BY vec_id, rnk""".stripMargin),
       (s, d) => ivfTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
 
-    // Q27c embedding near-duplicate pairs: cosine >= 0.45, brute on both
-    // sides (the LSH path covers the scale story). The driver embeddings
-    // contain no planted duplicates (max pairwise cosine ~0.6), so the
-    // threshold sits in the distribution's upper tail to yield a non-empty,
-    // deterministic result at every scale factor.
+    // Q27c embedding near-duplicate pairs: banded-LSH candidate join +
+    // exact-cosine threshold filter (≥ 0.45). The oracle stays the brute
+    // all-pairs SQL — measured candidate recall on the fixture is 1.0
+    // (every true pair shares a probed band; additionally asserted ≥ 0.9
+    // in DedupSimilaritySpec), so the hash check proves the banded path
+    // reproduces the exact answer without ever forming the quadratic
+    // broadcast pair product.
     Q("q27c_embedding_neardup",
       Some(s"""SELECT a.vec_id AS a, b.vec_id AS b, round($sqlCos, 4) AS cos
               |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               |WHERE $sqlCos >= 0.45
               |ORDER BY a, b""".stripMargin),
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-          l2Norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-        a.join(broadcast(b), col("a") < col("b"))
-          .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.45)
-          .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
-          .orderBy("a", "b")
-      }),
+      (s, d) => lshNearDupPairs(t(s, d, "embeddings"), 0.45).orderBy("a", "b")),
 
     // Q27e per-row embedding statistics: dimension, L2 norm, normalized
     // leading component, component sum/max. Pure map work (no shuffle —

@@ -415,7 +415,16 @@ object StreamingQueries extends QueryModule {
       }),
 
     // Q32 stateful streaming dedup on event_id + stream-static broadcast
-    // join with a dimension table.
+    // join with a dimension table. The dedup is watermark-bounded
+    // (`dropDuplicatesWithinWatermark`): the state store only keeps ids
+    // whose event time is inside the 10-minute watermark horizon, so state
+    // is O(lateness × rate) — a plain `dropDuplicates` on a stream retains
+    // every id ever seen and grows without limit at production scale.
+    // StreamingSpec proves the eviction: an id re-sent after the watermark
+    // passes it is NOT in state (it re-emits), while an in-horizon
+    // duplicate is dropped. For the single AvailableNow batch here the
+    // watermark starts at 0, so within-horizon dedup covers the whole
+    // batch and the batch-join oracle is unchanged.
     Q("q32_stream_dedup_join",
       Some("""SELECT e.event_id, c.c_name FROM events e
              |JOIN customer c ON e.user_id = c.c_custkey
@@ -423,7 +432,8 @@ object StreamingQueries extends QueryModule {
       (s, d) => {
         val dim = broadcast(Tables.table(s, d, "customer").select("c_custkey", "c_name"))
         val joined = eventsStream(s, d)
-          .dropDuplicates("event_id")
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
           .join(dim, col("user_id") === col("c_custkey"))
           .select("event_id", "c_name")
         runToMemory(joined, "q32_out", "append").orderBy("event_id")

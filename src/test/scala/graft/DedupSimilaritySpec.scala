@@ -66,4 +66,29 @@ class DedupSimilaritySpec extends SparkSpec {
     val hit = brute.join(ann, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
     assert(hit / total >= 0.8, s"recall ${hit / total}")
   }
+
+  test("banded near-dup pairs recall vs brute threshold join >= 0.9") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    // Ground truth: exact all-pairs threshold join (test-only — this is
+    // precisely the shape q27c must NOT use in its plan).
+    val e = Tables.table(spark, sf, "embeddings").select(col("vec_id"),
+      col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.45).select("a", "b")
+    val banded = Similarity.lshNearDupPairs(
+      Tables.table(spark, sf, "embeddings"), 0.45).select("a", "b")
+    val total = brute.count().toDouble
+    val hit = brute.join(banded, Seq("a", "b"), "left_semi").count().toDouble
+    assert(total > 0, "fixture lost its near-dup pairs")
+    // Measured 1.0 at sf0.001/0.01/0.1 with the 64-plane/16-band signature;
+    // the contract floor is 0.9.
+    assert(hit / total >= 0.9, s"recall ${hit / total}")
+    // Precision is exact by construction (candidates are post-filtered on
+    // the exact cosine), so banded ⊆ brute.
+    assert(banded.join(brute, Seq("a", "b"), "left_anti").count() == 0)
+  }
 }

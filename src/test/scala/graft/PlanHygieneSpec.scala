@@ -60,6 +60,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
+  test("q27c: near-dup pair join has no nested-loop product") {
+    // The banded-LSH rewrite's whole point: the quadratic broadcast pair
+    // join (BroadcastNestedLoopJoin) must be gone — candidates come from
+    // an equi-join on (band, value) and only they reach the cosine.
+    val p = plan("q27c_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic pair product resurfaced in q27c:\n$p")
+  }
+
   test("q59: redaction is a pure map — no exchange in the plan") {
     val p = plan("q59_pii_redact")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),

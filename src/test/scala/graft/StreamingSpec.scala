@@ -93,6 +93,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(100L, 101L, 102L), s"got ${ids.toSeq}")
   }
 
+  test("Q32: dedup state is EVICTED once the watermark passes an id") {
+    // The scale property behind dropDuplicatesWithinWatermark: ids older
+    // than the watermark leave the state store, so state is bounded by the
+    // lateness horizon instead of growing with every id ever seen. An id
+    // re-delivered AFTER the watermark passed its first arrival is no
+    // longer in state and therefore re-emits — which is exactly what a
+    // bounded dedup promises (and an unbounded dropDuplicates would hide).
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_evict_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: id 100 at 00:01; 00:30 drives the watermark to 00:20,
+    // which is past 00:01 + 10 min → id 100's state entry is evicted.
+    input.addData((ts(1), 100L), (ts(30), 200L))
+    q.processAllAvailable()
+    // batch 2: id 100 re-sent inside the current horizon → EMITS AGAIN
+    // (state proven gone); id 200 re-sent in-horizon → still suppressed.
+    input.addData((ts(25), 100L), (ts(31), 200L))
+    q.processAllAvailable()
+    q.stop()
+
+    val counts = spark.table("dedup_evict_test").select("event_id")
+      .collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts(100L) == 2,
+      s"id 100 should re-emit after eviction (state bounded), got $counts")
+    assert(counts(200L) == 1,
+      s"in-horizon duplicate of id 200 must stay suppressed, got $counts")
+  }
+
   test("Q30c: funnel state survives batch boundaries and keeps strict ordering") {
     import graft.streaming.{FunnelEvent, FunnelOut, FunnelState}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
