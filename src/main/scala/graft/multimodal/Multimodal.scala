@@ -7,19 +7,26 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing — opaque binary payloads + typed metadata,
   * decoded/feature-extracted per partition (north-star extension).
   *
-  * The image/audio codec libraries are not available in this environment, so
-  * `decodeStub` is a clearly-marked deterministic fake: it derives "decoded"
-  * dimensions from the payload bytes. Everything around it is the real
-  * Spark plumbing a production decoder would use:
-  *  - payloads travel as `BinaryType` columns (columnar, dictionary-free);
-  *  - decode runs via typed `mapPartitions`, so a real codec would be
-  *    initialized once per partition (per JVM task), not per row — the
-  *    Scala analog of `mapInPandas` batch iteration;
-  *  - output schema is a flat typed struct, joinable/filterable downstream.
+  * Two decode paths:
+  *  - q35d runs a REAL image codec: PNG payloads encoded and decoded with
+  *    `javax.imageio` (in the JDK — no external dependency). The decoded
+  *    width/height/band-count and probed pixel values come out of the
+  *    actual raster, and the oracle checks them against the generator's
+  *    arithmetic — so a decode that parsed headers but mangled pixels
+  *    would fail the hash.
+  *  - `decodeStub` remains for the video-shaped variants (q35/q35b/q35c):
+  *    it stands in for ffmpeg-class codecs the JDK doesn't ship, deriving
+  *    fake dimensions from byte length. The plumbing around it is real.
   *
-  * Scale posture: decode is map-only (no shuffle); partition sizing is
-  * controlled by the upstream source's `maxPartitionBytes`, which bounds
-  * per-task decoder memory.
+  * Shared Spark posture for both paths:
+  *  - payloads travel as `BinaryType` columns (columnar, dictionary-free);
+  *  - decode runs via typed `mapPartitions`, so the codec is initialized
+  *    once per partition (per JVM task), not per row — the Scala analog
+  *    of `mapInPandas` batch iteration;
+  *  - output schema is a flat typed struct, joinable/filterable downstream;
+  *  - decode is map-only (no shuffle); partition sizing is controlled by
+  *    the upstream source's `maxPartitionBytes`, which bounds per-task
+  *    decoder memory.
   */
 object Multimodal extends QueryModule {
 
@@ -62,7 +69,85 @@ object Multimodal extends QueryModule {
       .as[MediaRow]
   }
 
+  /** Real decoded-image features: everything below comes out of
+    * `javax.imageio`'s raster, not from arithmetic on the payload. */
+  final case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      n_bands: Int, px00: Long, px_last: Long)
+
+  /** Deterministic PNG: `w × h` gray gradient with pixel(x,y) =
+    * `(x·31 + y·17 + doc_id) mod 256` replicated across RGB. Dimensions
+    * and pixels are pure functions of doc_id, so an oracle can state the
+    * expected DECODED values without ever seeing the bytes. PNG is
+    * lossless, so decode must reproduce them exactly. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = (docId % 48 + 8).toInt
+    val h = ((docId * 7) % 40 + 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x * 31 + y * 17 + docId) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG payload table: the binary column a production pipeline would read
+    * from its object store; here synthesized per partition from doc_id
+    * (the container ships no real image corpus). */
+  def pngTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodePng(id))))
+  }
+
+  /** REAL decode via javax.imageio, iterator-in/iterator-out so the codec
+    * machinery initializes once per partition. Returns dimensions, band
+    * count, and two probed pixels (corners) from the decoded raster —
+    * values only a correct pixel decode can produce. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // ImageIO plugin lookup is JVM-global; disk caching off once per task.
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        ImageFeatures(r.doc_id, w, h, img.getRaster.getNumBands,
+          (img.getRGB(0, 0) & 0xffffff).toLong,
+          (img.getRGB(w - 1, h - 1) & 0xffffff).toLong)
+      }
+    }
+  }
+
   val qs: Seq[Q] = Seq(
+    // Q35d REAL image decode: PNG payloads (deterministic gray gradients
+    // keyed on doc_id) decoded with javax.imageio per partition. The
+    // oracle states what a CORRECT decode must see — dimensions, 3 RGB
+    // bands, and the two corner pixels of the gradient — from doc_id
+    // arithmetic alone; only a real, lossless pixel decode of the actual
+    // PNG bytes reproduces all five columns.
+    Q("q35d_image_decode",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 48 + 8 AS w, (doc_id * 7) % 40 + 8 AS h
+             |  FROM documents)
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(3 AS INT) AS n_bands,
+             |  CAST((doc_id % 256) * 65793 AS BIGINT) AS px00,
+             |  CAST((((w - 1) * 31 + (h - 1) * 17 + doc_id) % 256) * 65793 AS BIGINT) AS px_last
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, d) => decodeImages(pngTable(s, d)).toDF().orderBy("doc_id")),
+
     // Binary column + mapPartitions feature extraction; the oracle
     // reproduces the stub's arithmetic from octet_length, plus an md5 over
     // the payload to pin the bytes themselves.

@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Real-codec path (q35d): the PNG encode/decode round trip must reproduce
+  * the generator's arithmetic exactly — PNG is lossless, so any drift means
+  * the decode (not the fixture) is broken. */
+class MultimodalSpec extends SparkSpec {
+
+  test("encodePng produces a real PNG that ImageIO decodes to the exact gradient") {
+    for (id <- Seq(0L, 1L, 123L, 499L, 100003L)) {
+      val bytes = Multimodal.encodePng(id)
+      // PNG magic — this is a genuine image container, not a fake payload
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = ((id % 48 + 8).toInt, ((id * 7) % 40 + 8).toInt)
+      assert(img.getWidth == w && img.getHeight == h, s"dims for doc $id")
+      // every pixel, not just corners: lossless decode reproduces the gradient
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((x * 31 + y * 17 + id) % 256).toInt
+        assert((img.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+          s"pixel ($x,$y) of doc $id")
+      }
+    }
+  }
+
+  test("decodeImages extracts decoded features distributively at sf0.001") {
+    val out = Multimodal.decodeImages(Multimodal.pngTable(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { f =>
+      assert(f.width == (f.doc_id % 48 + 8).toInt, s"doc ${f.doc_id} width")
+      assert(f.height == ((f.doc_id * 7) % 40 + 8).toInt, s"doc ${f.doc_id} height")
+      assert(f.n_bands == 3)
+      assert(f.px00 == (f.doc_id % 256) * 65793L)
+    }
+  }
+}

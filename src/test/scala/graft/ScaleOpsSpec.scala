@@ -117,12 +117,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
-  test("IVF ANN recall@3 vs brute force >= 0.3 with bounded candidate volume") {
+  test("IVF ANN recall@3 vs brute force >= 0.9 with bounded candidate volume") {
+    // Floor raised from 0.3 after the centroid fit moved from
+    // "first 16 vectors" to two deterministic Lloyd iterations
+    // (Similarity.kmeansCentroids) — better-placed centroids put true
+    // neighbors inside the nprobe probe set far more often.
     val emb = Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 3).select("vec_id", "nbr_id")
     val ivf = Similarity.ivfTopK(emb, 3).select("vec_id", "nbr_id")
     val total = brute.count().toDouble
     val hit = brute.join(ivf, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
-    assert(hit / total >= 0.3, s"IVF recall ${hit / total}")
+    assert(hit / total >= 0.9, s"IVF recall ${hit / total}")
   }
 }
