@@ -12,10 +12,10 @@ import org.apache.spark.sql.types._
   * every plane projection and packs the sign bits into per-band bucket
   * keys.
   *
-  * The declarative formulation (`signatureN` in operators/Similarity —
-  * one `dot(emb, array(lit...))` expression per plane) re-scans the
+  * The declarative formulation this replaced (`signatureN`, one
+  * `dot(emb, array(lit...))` expression per plane) re-scanned the
   * embedding once per plane: 64 planes ⇒ 64 passes per row, and the 64
-  * independent expression trees blow up the generated code. This
+  * independent expression trees blew up the generated code. This
   * expression is the sketch-style fusion (model: Sketches.minhashSignature)
   * — a single loop with fixed-size local state, inside whole-stage codegen.
   *
@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   * p ≈ 0.9 and 16-bit bands keep recall with a handful of bands — the
   * subquadratic regime (q27f). At this fixture's cosine-0.45 pairs
   * p ≈ 0.65 and 16-bit bands would need thousands of bands for recall —
-  * there narrow bands (q27c: 4-bit × 32) are the only complete choice and
+  * there narrow bands (q27c: 4-bit × 16) are the only complete choice and
   * candidates necessarily approach all pairs. The band width is chosen
   * from the threshold; the machinery is identical.
   *
@@ -40,6 +40,12 @@ import org.apache.spark.sql.types._
   */
 case class HyperplaneBandKeys(child: Expression, nBands: Int, bandBits: Int)
     extends UnaryExpression {
+
+  // A band key packs `bandBits` sign bits into one long: more than 64
+  // would silently alias (Java shifts are mod 64) — reject at build time.
+  require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+  require(bandBits >= 1 && bandBits <= 64,
+    s"bandBits must be in [1, 64], got $bandBits")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -80,8 +86,12 @@ case class HyperplaneBandKeys(child: Expression, nBands: Int, bandBits: Int)
         val base = p * Hyperplanes.Dim
         var i = 0
         while (i < dim) {
-          val x = if (f) emb.getFloat(i).toDouble else emb.getDouble(i)
-          s += x * planesFlat(base + i)
+          // Null elements contribute 0 — mirrored exactly in doGenCode so
+          // interpreted and codegen paths agree on containsNull inputs.
+          if (!emb.isNullAt(i)) {
+            val x = if (f) emb.getFloat(i).toDouble else emb.getDouble(i)
+            s += x * planesFlat(base + i)
+          }
           i += 1
         }
         if (s >= 0) k |= (1L << j)
@@ -117,7 +127,9 @@ case class HyperplaneBandKeys(child: Expression, nBands: Int, bandBits: Int)
          |    double $s = 0.0;
          |    int $base = $p * ${Hyperplanes.Dim};
          |    for (int $i = 0; $i < $dim; $i++) {
-         |      $s += ((double) $c.$get($i)) * $planesRef[$base + $i];
+         |      if (!$c.isNullAt($i)) {
+         |        $s += ((double) $c.$get($i)) * $planesRef[$base + $i];
+         |      }
          |    }
          |    if ($s >= 0) $k |= (1L << $j);
          |  }
@@ -136,9 +148,16 @@ object Hyperplanes {
   /** Embedding dimensionality of the fixture (and the plane width). */
   val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes, reproducible in exact integer
-    * SQL — the same family as operators/Similarity.planesFor (kept there
-    * for the oracle-facing documentation; this is the canonical impl). */
+  /** Deterministic pseudo-random hyperplanes, reproducible in exact
+    * integer SQL (operators/Similarity.planesFor delegates here). The mix
+    * is deliberately NONLINEAR (h1² term): a purely multiplicative formula
+    * like `((p·7919 + i)·K) mod M` makes every plane an arithmetic
+    * progression with the SAME stride — near-translates of one Weyl
+    * lattice — and the resulting sign bits correlate so badly that pairs
+    * at cosine 0.46 measured hamming distance 57/64 (they should sit near
+    * 22/64). The quadratic term breaks the linearity in both p and i; all
+    * intermediates stay < 2^63 (h1 < 2^31 ⇒ h1² < 2^62), so any 64-bit
+    * SQL engine replays it exactly. */
   def planesFor(nPlanes: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, Dim) { (p, i) =>
       val x = p.toLong * Dim + i + 1

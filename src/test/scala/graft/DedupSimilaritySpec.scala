@@ -91,4 +91,26 @@ class DedupSimilaritySpec extends SparkSpec {
     // the exact cosine), so banded ⊆ brute.
     assert(banded.join(brute, Seq("a", "b"), "left_anti").count() == 0)
   }
+
+  test("wide-band near-dup (q27f) finds every planted duplicate: recall = 1.0") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    val planted = Similarity.plantedEmbeddings(spark, sf)
+    val e = planted.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    // Ground truth: exact all-pairs threshold join (test-only shape).
+    val brute = a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.95).select("a", "b")
+    val wide = Similarity.wideBandNearDupPairs(planted, 0.95).select("a", "b")
+    val total = brute.count()
+    val base = Tables.table(spark, sf, "embeddings").count()
+    // Every original↔copy pair is planted at cosine ≈ 0.996.
+    assert(total >= base, s"expected >= $base planted pairs, got $total")
+    val hit = brute.join(wide, Seq("a", "b"), "left_semi").count()
+    assert(hit == total, s"wide-band recall ${hit.toDouble / total} < 1.0")
+    assert(wide.join(brute, Seq("a", "b"), "left_anti").count() == 0)
+  }
 }

@@ -54,6 +54,58 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(fused.toSeq == declarative.toSeq)
   }
 
+  test("HyperplaneBandKeys: codegen equals interpreted equals per-plane reference") {
+    import graft.functions.Hyperplanes
+    val nBands = 8
+    val bandBits = 4
+    val emb = Tables.table(spark, sf, "embeddings").limit(50)
+    // Codegen path (whole-stage codegen over the parquet scan).
+    val fused = emb.select(col("vec_id"),
+      Hyperplanes.bandKeys(col("embedding"), nBands, bandBits).as("keys"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // Per-plane reference from the same plane family, computed in plain
+    // Scala: bit j of band c = sign of plane c*bandBits+j.
+    val planes = Hyperplanes.planesFor(nBands * bandBits)
+    val ref = emb.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val keys = (0 until nBands).map { c =>
+          (0 until bandBits).foldLeft(0L) { (k, j) =>
+            val p = planes(c * bandBits + j)
+            var s = 0.0
+            var i = 0
+            while (i < v.length) { s += v(i).toDouble * p(i); i += 1 }
+            if (s >= 0) k | (1L << j) else k
+          }
+        }.toList
+        r.getLong(0) -> keys
+      }.toMap
+    assert(fused == ref)
+    // Interpreted path (eval) must agree with codegen, including on null
+    // elements (both treat them as 0).
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val e = graft.functions.HyperplaneBandKeys(
+      BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = false),
+      nBands, bandBits)
+    val withNull: Array[Any] = Array.tabulate(64)(i => if (i == 3) null else (i - 30).toDouble / 7.0)
+    val row = org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(withNull))
+    val interp = e.eval(row).asInstanceOf[GenericArrayData].toLongArray().toList
+    val zeroed: Array[Any] = withNull.map(x => if (x == null) 0.0 else x)
+    val rowZ = org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(zeroed))
+    val interpZ = e.eval(rowZ).asInstanceOf[GenericArrayData].toLongArray().toList
+    assert(interp == interpZ, "null element must contribute 0, as in codegen")
+    // Construction-time bounds (ADVICE: bandBits > 64 would alias shifts).
+    intercept[IllegalArgumentException] {
+      graft.functions.HyperplaneBandKeys(Literal(null, ArrayType(FloatType)), 4, 65)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.HyperplaneBandKeys(Literal(null, ArrayType(FloatType)), 0, 4)
+    }
+  }
+
   test("graft_simhash64 and graft_minhash64 run from SQL") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sf)
