@@ -44,6 +44,13 @@ final case class FunnelEventT(user_id: Long, event_type: String,
   */
 object StreamingQueries extends QueryModule {
 
+  /** One cached symlink dir per source dir per JVM: every verify/bench run
+    * used to create (and leak) a fresh temp dir PER QUERY INVOCATION; now
+    * the first invocation creates it, later ones reuse it, and a shutdown
+    * hook removes it. */
+  private val streamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Streaming read of the events parquet (handles the TIMESTAMP(NANOS)
     * column the same way Tables.table does: nanos-as-long → micros). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -51,10 +58,16 @@ object StreamingQueries extends QueryModule {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource requires a directory; expose the single events file
     // through a temp dir symlink (read-only testdata stays untouched).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = streamDirCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_events_stream_")
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("events.parquet"), java.nio.file.Paths.get(s"$d/events.parquet"))
+      sys.addShutdownHook {
+        java.nio.file.Files.deleteIfExists(p.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      p
+    })
     // Single file ⇒ AvailableNow runs exactly one micro-batch. q30c's
     // greedy funnel gate RELIES on this (batches must arrive in global
     // event-time order for the gate to equal the min-cascade oracle).
