@@ -267,6 +267,28 @@ object EcommercePipeline extends QueryModule {
           col("o_orderkey"))
         .orderBy("seq")),
 
+    // O15 sequence ids, the form a 100 TB user actually runs: row_number
+    // windowed over a (year, month) batch key, so every partition sorts
+    // its own slice in parallel — no Exchange SinglePartition anywhere in
+    // the plan (asserted in PlanHygieneSpec). Ids are dense within each
+    // batch, which is the reference's `{i:04}` counter semantic applied
+    // per ingest batch rather than globally.
+    Q("q33e2_seq_id_part",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(month(o_orderdate) AS INT) AS o_month,
+             |  row_number() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
+             |                     ORDER BY o_orderkey) AS seq,
+             |  o_orderkey
+             |FROM orders ORDER BY o_year, o_month, seq""".stripMargin),
+      (s, d) => t(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"), col("o_orderkey"))
+        .withColumn("seq", row_number()
+          .over(Window.partitionBy("o_year", "o_month").orderBy("o_orderkey"))
+          .cast("long"))
+        .select("o_year", "o_month", "seq", "o_orderkey")
+        .orderBy("o_year", "o_month", "seq")),
+
     // Q61 SCD-type-1 upsert (MERGE semantics as a batch op): the current
     // dim state is half the products at yesterday's prices; the incoming
     // snapshot updates matched keys in place and inserts the rest. A

@@ -69,6 +69,15 @@ class PlanHygieneSpec extends SparkSpec {
       s"quadratic pair product resurfaced in q27c:\n$p")
   }
 
+  test("q33e2: partitioned sequence id has no single-partition exchange") {
+    // q33e keeps the reference's global-counter semantic (documented
+    // single-task sort); q33e2 is the form that scales — every (year,
+    // month) batch numbers its own slice behind hash partitioning.
+    val p = plan("q33e2_seq_id_part")
+    assert(!p.contains("SinglePartition"),
+      s"global sort leaked into the partitioned sequence id:\n$p")
+  }
+
   test("q59: redaction is a pure map — no exchange in the plan") {
     val p = plan("q59_pii_redact")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),

@@ -117,6 +117,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("AQE splits the skewed join partition (skew=true in the final plan)") {
+    // Complements the MANUAL salting demonstration (q37): the same skew
+    // profile handled by the runtime — AQE detects the oversized reduce
+    // partition and splits it across tasks, marking the join skew=true.
+    // Thresholds are shrunk to make test-scale bytes look skewed; the
+    // mechanism is byte-for-byte the one a 100 TB shuffle relies on.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ~90 % of fact rows share one key — the q63-profiled shape. The
+      // pre-join repartition gives the skewed reduce partition several map
+      // chunks, the unit AQE splits by.
+      val fact = Tables.table(spark, sf, "lineitem")
+        .repartition(8, col("l_orderkey"))
+        .select(
+          when(col("l_orderkey") % 10 < 9, 0L)
+            .otherwise(col("l_orderkey") % 50 + 1).as("k"),
+          col("l_quantity"))
+      val dim = spark.range(0, 51).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      joined.collect() // drive THIS QueryExecution so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF ANN recall@3 vs brute force >= 0.9 with bounded candidate volume") {
     // Floor raised from 0.3 after the centroid fit moved from
     // "first 16 vectors" to two deterministic Lloyd iterations
