@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   *    actual raster, and the oracle checks them against the generator's
   *    arithmetic — so a decode that parsed headers but mangled pixels
   *    would fail the hash.
-  *  - `decodeStub` remains for the video-shaped variants (q35/q35b/q35c):
-  *    it stands in for ffmpeg-class codecs the JDK doesn't ship, deriving
-  *    fake dimensions from byte length. The plumbing around it is real.
+  *  - q35b2 runs a REAL multi-frame codec: animated GIFs (the one
+  *    multi-frame format the JDK ships) encoded losslessly with an
+  *    explicit gray palette, every stored frame decoded and sampled via
+  *    `ImageReader` — the frame-extraction path with an actual codec in
+  *    the loop.
+  *  - `decodeStub` remains for the remaining video-shaped variants
+  *    (q35/q35b/q35c): it stands in for ffmpeg-class codecs the JDK
+  *    doesn't ship, deriving fake dimensions from byte length. The
+  *    plumbing around it is real.
   *
   * Shared Spark posture for both paths:
   *  - payloads travel as `BinaryType` columns (columnar, dictionary-free);
@@ -130,7 +136,115 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** One decoded (and sampled) video/animation frame. */
+  final case class FrameFeatures(doc_id: Long, frame_id: Int, width: Int,
+      height: Int, px00: Long)
+
+  /** 256-gray IndexColorModel shared by encode and the oracle: writing
+    * TYPE_BYTE_INDEXED frames with an explicit palette makes the GIF
+    * encoding exactly lossless (no writer-side quantization), so decode
+    * must reproduce every pixel bit-for-bit. */
+  private lazy val grayIcm: java.awt.image.IndexColorModel = {
+    val cmap = Array.tabulate(256)(g => (255 << 24) | (g << 16) | (g << 8) | g)
+    new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+  }
+
+  /** Deterministic multi-frame GIF: `doc_id % 5 + 2` frames of the same
+    * w×h gradient family as encodePng, with pixel(x,y) of frame f =
+    * `(x·31 + y·17 + doc_id + f·11) mod 256` as a gray palette index.
+    * Dimensions, frame count, and pixels are pure functions of doc_id, so
+    * the oracle can state the expected DECODED values without seeing the
+    * bytes. */
+  def encodeGif(docId: Long): Array[Byte] = {
+    val w = (docId % 48 + 8).toInt
+    val h = ((docId * 7) % 40 + 8).toInt
+    val nf = (docId % 5 + 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayIcm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((x * 31 + y * 17 + docId + f * 11) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Multi-frame GIF payload table (the animation/video stand-in whose
+    * codec actually ships in the JDK). */
+  def gifTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeGif(id))))
+  }
+
+  /** REAL multi-frame decode + frame sampling: an ImageReader (initialized
+    * once per partition) walks every stored frame, and every `stride`-th
+    * frame is decoded and probed. This replaces decodeStub's byte-length
+    * arithmetic for the animation-shaped path — frame count, dimensions,
+    * and the probed pixel all come out of the actual codec. */
+  def decodeGifFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by stride).map { f =>
+          val img = reader.read(f)
+          FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
+            (img.getRGB(0, 0) & 0xffffff).toLong)
+        }
+        iis.close()
+        out
+      }
+    }
+  }
+
   val qs: Seq[Q] = Seq(
+    // Q35b2 REAL multi-frame decode: GIF payloads (deterministic per-frame
+    // gradients keyed on doc_id, lossless via an explicit 256-gray
+    // palette) decoded frame-by-frame with javax.imageio, sampling every
+    // 2nd frame. The oracle states what a correct decode of the sampled
+    // frames must see — frame count via which frame_ids appear,
+    // dimensions, and the per-frame corner pixel — from doc_id arithmetic
+    // alone.
+    Q("q35b2_gif_frames",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 48 + 8 AS w, (doc_id * 7) % 40 + 8 AS h,
+             |         doc_id % 5 + 2 AS nf
+             |  FROM documents),
+             |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fid
+             |      FROM d)
+             |SELECT doc_id, CAST(fid AS INT) AS frame_id, CAST(w AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(((doc_id + fid * 11) % 256) * 65793 AS BIGINT) AS px00
+             |FROM f WHERE fid % 2 = 0 ORDER BY doc_id, frame_id""".stripMargin),
+      (s, d) => decodeGifFrames(gifTable(s, d), 2).toDF()
+        .orderBy("doc_id", "frame_id")),
+
     // Q35d REAL image decode: PNG payloads (deterministic gray gradients
     // keyed on doc_id) decoded with javax.imageio per partition. The
     // oracle states what a CORRECT decode must see — dimensions, 3 RGB

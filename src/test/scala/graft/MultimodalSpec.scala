@@ -24,6 +24,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeGif stores every frame losslessly; decodeGifFrames reads them all") {
+    for (id <- Seq(0L, 3L, 123L, 499L)) {
+      val bytes = Multimodal.encodeGif(id)
+      // GIF magic — a genuine animation container
+      assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      val (w, h, nf) = ((id % 48 + 8).toInt, ((id * 7) % 40 + 8).toInt, (id % 5 + 2).toInt)
+      assert(reader.getNumImages(true) == nf, s"frame count for doc $id")
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h, s"dims for doc $id frame $f")
+        // every pixel of every frame: the palette encode is lossless
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = ((x * 31 + y * 17 + id + f * 11) % 256).toInt
+          assert((img.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+            s"pixel ($x,$y) of doc $id frame $f")
+        }
+      }
+      iis.close()
+    }
+  }
+
+  test("decodeGifFrames samples every 2nd frame distributively at sf0.001") {
+    val out = Multimodal.decodeGifFrames(Multimodal.gifTable(spark, sf), 2).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.doc_id)
+    byDoc.foreach { case (id, frames) =>
+      val nf = (id % 5 + 2).toInt
+      assert(frames.map(_.frame_id).sorted.toSeq == (0 until nf by 2).toSeq,
+        s"sampled frame ids for doc $id")
+      frames.foreach { fr =>
+        assert(fr.width == (id % 48 + 8).toInt && fr.height == ((id * 7) % 40 + 8).toInt)
+        assert(fr.px00 == ((id + fr.frame_id * 11) % 256) * 65793L, s"doc $id frame ${fr.frame_id}")
+      }
+    }
+  }
+
   test("decodeImages extracts decoded features distributively at sf0.001") {
     val out = Multimodal.decodeImages(Multimodal.pngTable(spark, sf)).collect()
     assert(out.nonEmpty)
