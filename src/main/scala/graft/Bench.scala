@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement discipline (round-6 verdict: single samples made 20 s+
   * swings on untouched code unattributable): every query is timed
-  * SPARK_GRAFT_BENCH_RUNS times (default 2) after the untimed warmup
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) after the untimed warmup
   * pass, and the reported number is the MIN of those runs — host
   * contention and GC only ever add time, so min-of-n is the estimator
   * that converges on the code's actual cost. All timed runs are warm by
@@ -21,7 +21,7 @@ object Bench {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

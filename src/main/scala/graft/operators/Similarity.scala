@@ -105,7 +105,12 @@ object Similarity extends QueryModule {
     * of each (vector × residency) — the classic LSH layout that scales by
     * bucket partitioning. Scores use the same index-order double
     * accumulation as DotProductDouble, so results are identical to the
-    * pair-join formulation. */
+    * pair-join formulation.
+    *
+    * Memory: one task holds one bucket's rows (≈ rows·(1+probes)/2^bandBits
+    * per band) — the band width is what bounds it, and is chosen with the
+    * threshold: wide keys (q27f) keep buckets near-singleton at any scale;
+    * narrow keys are a deliberate borderline-threshold configuration. */
   def bucketTopK(rows: Dataset[BucketVec], k: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
