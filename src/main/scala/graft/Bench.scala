@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   * contention and GC only ever add time, so min-of-n is the estimator
   * that converges on the code's actual cost. All timed runs are warm by
   * construction (plans compiled, codegen cached, layout builds done), and
-  * the JSON says so (`state: warm, agg: min, runs: n`). */
+  * the JSON says so (`state: warm, agg: min, runs: n`). The detail line
+  * additionally carries per-query spread (max−min across the successful
+  * runs) so anomalies self-diagnose (tight spread = real change, wide =
+  * contention), and failed runs surface in an `errors` field instead of
+  * polluting the min. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -42,13 +46,28 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // Per-run success is tracked (not folded into the timing): a query
+    // that fails fast must surface in `errors`, not masquerade as a small
+    // plausible min. Per-query spread (max−min over successful runs) rides
+    // along in the detail line so a regression self-diagnoses: tight
+    // spread = real cost change, wide spread = host contention.
+    val sampled = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      (name, samples.filter(_._2).map(_._1), samples.count(!_._2))
+    }
+    val results = sampled.map { case (name, okTimes, _) =>
+      name -> (if (okTimes.nonEmpty) okTimes.min else -1.0)
+    }
+    val spreads = sampled.map { case (name, okTimes, _) =>
+      name -> (if (okTimes.size >= 2) okTimes.max - okTimes.min else 0.0)
+    }
+    val errors = sampled.collect { case (name, _, nFail) if nFail > 0 =>
+      name -> nFail
     }
     // The harness captures only the LAST ~2000 characters of output and
     // json-parses the final line. With 100+ queries the full-name map is
@@ -64,14 +83,18 @@ object Bench {
       val s = shortKeys(name)
       if (collide.contains(s)) name else s
     }
-    def render(f: String => String): String =
-      results.map { case (k, v) => "\"" + f(k) + "\":" + f"$v%.3f" }
+    def renderMap(rows: Seq[(String, Double)], f: String => String): String =
+      rows.map { case (k, v) => "\"" + f(k) + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, n) => "\"" + k + "\":" + n }
+        .mkString(""","errors":{""", ",", "}")
     val detail =
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${render(identity)},"sf":"$sfDir"}"""
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, identity)},"spread":${renderMap(spreads, identity)}$errField,"sf":"$sfDir"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${render(key)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, key)}$errField,"sf":"$sfDir"}"""
     // Print the JSON line LAST, after Spark has fully shut down: stdout and
     // stderr of the forked JVM reach the harness as one raw stream, so any
     // executor/shutdown logging emitted after the print could otherwise trail

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    explicit gray palette, every stored frame decoded and sampled via
   *    `ImageReader` — the frame-extraction path with an actual codec in
   *    the loop.
-  *  - `decodeStub` remains for the remaining video-shaped variants
-  *    (q35/q35b/q35c): it stands in for ffmpeg-class codecs the JDK
-  *    doesn't ship, deriving fake dimensions from byte length. The
-  *    plumbing around it is real.
+  *  - q35b samples every 3rd frame through the same real GIF codec path
+  *    (the coarser stride a video pipeline would use).
+  *  - `decodeStub` remains ONLY for q35/q35c: it stands in for
+  *    ffmpeg-class codecs the JDK doesn't ship, deriving fake dimensions
+  *    from byte length. The plumbing around it is real.
   *
   * Shared Spark posture for both paths:
   *  - payloads travel as `BinaryType` columns (columnar, dictionary-free);
@@ -210,15 +211,21 @@ object Multimodal extends QueryModule {
       rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        val out = (0 until n by stride).map { f =>
-          val img = reader.read(f)
-          FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
-            (img.getRGB(0, 0) & 0xffffff).toLong)
-        }
-        iis.close()
-        out
+        // A failed read must not leak this row's input stream.
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            FrameFeatures(r.doc_id, f, img.getWidth, img.getHeight,
+              (img.getRGB(0, 0) & 0xffffff).toLong)
+          }
+        } finally iis.close()
+      } ++ {
+        // Reached when the partition iterator is exhausted: release the
+        // reader's native/cached decode state once per partition.
+        reader.dispose()
+        Iterator.empty
       }
     }
   }
@@ -312,30 +319,25 @@ object Multimodal extends QueryModule {
           .orderBy("doc_id")
       }),
 
-    // Frame sampling over the "video" payloads: one row per sampled frame
-    // (every 3rd frame), with a deterministic byte offset per frame —
-    // the explode-then-process layout a real frame extractor would feed.
+    // Frame sampling with a REAL codec in the loop (stub retired round 8 —
+    // verdict r7 #5): every 3rd stored frame of the multi-frame GIF
+    // payloads is decoded and probed via ImageReader, exactly like q35b2
+    // but at the coarser stride a video pipeline would use. The oracle
+    // states what a correct decode of the sampled frames must see from
+    // doc_id arithmetic alone. decodeStub now serves only q35/q35c, where
+    // no JDK codec exists for the format class.
     Q("q35b_frame_sample",
-      Some("""WITH frames AS (
-             |  SELECT doc_id,
-             |    octet_length(encode(text)) AS nb,
-             |    octet_length(encode(text)) % 30 + 1 AS nf,
-             |    unnest(generate_series(0, octet_length(encode(text)) % 30)) AS f
-             |  FROM documents)
-             |SELECT doc_id, CAST(f AS INT) AS frame_id,
-             |  CAST(f * (nb // nf) AS BIGINT) AS byte_offset
-             |FROM frames WHERE f % 3 = 0
-             |ORDER BY doc_id, frame_id""".stripMargin),
-      (s, d) => {
-        Tables.table(s, d, "documents")
-          .withColumn("n_bytes", length(col("text").cast("binary")))
-          .withColumn("n_frames", col("n_bytes") % 30 + 1)
-          .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
-          .filter(col("frame_id") % 3 === 0)
-          .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
-            (col("frame_id").cast("long")
-              * expr("n_bytes div n_frames")).as("byte_offset"))
-          .orderBy("doc_id", "frame_id")
-      })
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 48 + 8 AS w, (doc_id * 7) % 40 + 8 AS h,
+             |         doc_id % 5 + 2 AS nf
+             |  FROM documents),
+             |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fid
+             |      FROM d)
+             |SELECT doc_id, CAST(fid AS INT) AS frame_id, CAST(w AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(((doc_id + fid * 11) % 256) * 65793 AS BIGINT) AS px00
+             |FROM f WHERE fid % 3 = 0 ORDER BY doc_id, frame_id""".stripMargin),
+      (s, d) => decodeGifFrames(gifTable(s, d), 3).toDF()
+        .orderBy("doc_id", "frame_id"))
   )
 }

@@ -116,22 +116,33 @@ object RelationalQueries extends QueryModule {
         .select("p_partkey")
         .orderBy("p_partkey")),
 
-    // Q08 theta/range join (equi on custkey + range residual)
+    // Q08 theta/range join, COUNT-pairs form. The oracle keeps the naive
+    // self-join SQL (equi on custkey + date residual) — the semantics being
+    // implemented — but the engine never forms a pair: for a COUNT over
+    // strictly-date-ordered pairs within a key, per-key combinatorics give
+    // the same number from group sizes alone. With g orders for a custkey
+    // and c_d of them sharing orderdate d, ordered pairs (earlier, later) =
+    // (g² − Σc_d²)/2 = (g·(g−1) − Σc_d·(c_d−1))/2. Two cheap partial-agg
+    // shuffles (custkey×date, then custkey) replace a self-join whose pair
+    // expansion is quadratic in per-key group size — the form that survives
+    // skewed repeat-customer distributions at 100 TB. (The r5–r7 bench
+    // regression lived in that expansion; the join is gone entirely —
+    // asserted in PlanHygieneSpec.)
     Q("q08_range_join",
       Some("""SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
              |FROM orders o1 JOIN orders o2
              |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderdate < o2.o_orderdate
              |GROUP BY o1.o_custkey ORDER BY custkey, n_pairs""".stripMargin),
-      (s, d) => {
-        val o1 = t(s, d, "orders").alias("o1")
-        val o2 = t(s, d, "orders").alias("o2")
-        o1.join(o2,
-            col("o1.o_custkey") === col("o2.o_custkey")
-              && col("o1.o_orderdate") < col("o2.o_orderdate"))
-          .groupBy(col("o1.o_custkey").as("custkey"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("custkey", "n_pairs")
-      }),
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(col("c")).as("g"),
+          sum(col("c") * (col("c") - 1)).as("ties2"))
+        .withColumn("n_pairs", expr("(g * (g - 1) - ties2) div 2"))
+        .filter(col("n_pairs") > 0)
+        .select("custkey", "n_pairs")
+        .orderBy("custkey", "n_pairs")),
 
     // Q09 grouped hash aggregate (TPC-H Q1 shape). Exact decimal sums,
     // surfaced as DOUBLE: the one exact→IEEE conversion at the end is

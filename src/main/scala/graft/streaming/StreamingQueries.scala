@@ -79,7 +79,7 @@ object StreamingQueries extends QueryModule {
 
   /** The greedy funnel fold shared by q30c and the exact variant: strict
     * event-time ordering at each stage transition. */
-  private[streaming] def foldFunnel(st0: FunnelState,
+  private[graft] def foldFunnel(st0: FunnelState,
       events: Seq[FunnelEvent]): FunnelState = {
     var st = st0
     events.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>

@@ -92,6 +92,84 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(banded.join(brute, Seq("a", "b"), "left_anti").count() == 0)
   }
 
+  test("bucket kernels cap resident blocks on a degenerate all-identical corpus") {
+    // The adversarial case the cap exists for: 256 copies of ONE embedding
+    // (distinct ids) hash into the SAME bucket in every band — a deduped
+    // corpus's giant near-identical family. Without sub-bucketing one task
+    // would buffer all 256 wide rows; with cap 64 the resident blocks
+    // must stay small while the answer stays exact.
+    val one = Tables.table(spark, sf, "embeddings").orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val n = 256
+    val degen = spark.range(n).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(one))
+    Similarity.maxResidentBlock.reset()
+    val pairs = Similarity.lshNearDupPairs(degen, 0.9, cap = 64)
+    // Identical vectors: every pair has cosine exactly 1.0 → all pairs out.
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    assert(pairs.filter(col("cos") =!= 1.0).count() == 0)
+    val biggest = Similarity.maxResidentBlock.value
+    // ceil(256/64) = 4 hash-balanced blocks: deterministic murmur3 spread
+    // lands near 64; 2×cap is the generous hard line that still proves the
+    // 256-row bucket was actually split.
+    assert(biggest > 0 && biggest <= 128, s"resident block of $biggest escaped the cap")
+
+    // Same degeneracy through the top-k kernel: ties broken by nbr_id, so
+    // vector 10's top-3 under blocking must still be the 3 smallest ids.
+    Similarity.maxResidentBlock.reset()
+    val top = Similarity.lshTopK(degen, 3, cap = 64)
+    assert(top.count() == n.toLong * 3)
+    val v10 = top.filter(col("vec_id") === 10L).orderBy("rnk")
+      .select("nbr_id").collect().map(_.getLong(0)).toSeq
+    assert(v10 == Seq(0L, 1L, 2L), s"blocked top-k lost the global tie order: $v10")
+    assert(Similarity.maxResidentBlock.value <= 128)
+  }
+
+  test("sub-bucketing is semantics-invariant: cap=16 equals default cap on the real fixture") {
+    // The q27c configuration (narrow bands, borderline threshold) is where
+    // buckets are largest; forcing heavy blocking must reproduce the exact
+    // same pair set and cosines as the effectively-unblocked default.
+    val emb = Tables.table(spark, sf, "embeddings")
+    val base = Similarity.lshNearDupPairs(emb, 0.45).orderBy("a", "b").collect()
+    val blocked = Similarity.lshNearDupPairs(emb, 0.45, cap = 16)
+      .orderBy("a", "b").collect()
+    assert(blocked.toSeq == base.toSeq,
+      s"blocking changed the answer: ${blocked.length} vs ${base.length} pairs")
+  }
+
+  test("q27g: clustered-corpus IVF reaches recall ≥ 0.9 at nprobe 2/32 with ≤ 10% of brute candidates") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    // The regime q27d's isotropic fixture can't show: on a corpus with
+    // real cluster structure, probing 2 of 32 centroids must preserve
+    // recall while scoring a small fraction of the quadratic product.
+    val clustered = Similarity.clusteredEmbeddings(spark, sf)
+    val n = clustered.count()
+    Similarity.candidateIters.reset()
+    val ivf = SparkEntry.queries("q27g_knn_ivf_clustered")(spark, sf)
+      .select("vec_id", "nbr_id")
+    ivf.cache().count()
+    // Measured candidate volume: (query × resident) iterations inside the
+    // cluster-local kernels, vs the n·(n−1) brute-force product.
+    val vol = Similarity.candidateIters.value.toDouble
+    assert(vol > 0 && vol <= 0.10 * n * (n - 1),
+      s"IVF scored ${vol / (n.toDouble * (n - 1)) * 100}%% of the brute product")
+    // Ground truth: exact all-pairs top-3 (test-only shape).
+    val e = clustered.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr_id"))
+    val brute = a.join(broadcast(b), col("qid") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("qid").as("vec_id"), col("nbr_id"))
+    val total = brute.count().toDouble
+    val hit = brute.join(ivf, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
+    ivf.unpersist()
+    assert(hit / total >= 0.9, s"clustered IVF recall ${hit / total}")
+  }
+
   test("wide-band near-dup (q27f) finds every planted duplicate: recall = 1.0") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.functions._

@@ -60,6 +60,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
+  test("q08: count-pairs runs as pure aggregation — no self-join expansion") {
+    // The r5–r7 bench regression lived in the self-join's per-key pair
+    // expansion; the combinatoric form must keep every Join out of the
+    // plan and keep map-side partial aggregation.
+    val p = plan("q08_range_join")
+    assert(!p.contains("Join"), s"pair-expansion join resurfaced in q08:\n$p")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
   test("q27c: near-dup pair join has no nested-loop product") {
     // The banded-LSH rewrite's whole point: the quadratic broadcast pair
     // join (BroadcastNestedLoopJoin) must be gone — candidates come from

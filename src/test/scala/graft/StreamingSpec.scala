@@ -241,6 +241,69 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the in-window cross-batch match, got $pairs")
   }
 
+  test("stateful operators are state-store independent: RocksDB provider, same results") {
+    // At 100 TB the default HDFS-backed in-memory state store is the first
+    // casualty (state must fit the executor heap); RocksDB spills to local
+    // disk. The engine's stateful operators must not depend on provider
+    // behavior: run the q32-family dedup AND the q30c-family custom state
+    // (flatMapGroupsWithState) under RocksDB and require identical results
+    // — plus proof (rocksdb custom metrics) that the provider was live.
+    import graft.streaming.{FunnelEvent, FunnelOut, FunnelState}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import scala.jdk.CollectionConverters._
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      val dedup = input.toDF().toDF("ts", "event_id")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = dedup.writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode(OutputMode.Append()).start()
+      input.addData((ts(1), 100L), (ts(2), 101L))
+      q.processAllAvailable()
+      input.addData((ts(3), 100L), (ts(4), 101L), (ts(5), 102L))
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      q.stop()
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not live — state metrics: ${metrics.keySet}")
+      val ids = spark.table("rocksdb_dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(100L, 101L, 102L), s"dedup changed under RocksDB: $ids")
+
+      val fin = MemoryStream[FunnelEvent]
+      val out = fin.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelState, FunnelOut](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (user, rows, state: GroupState[FunnelState]) =>
+            val st = graft.streaming.StreamingQueries.foldFunnel(
+              state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L)),
+              rows.toSeq)
+            state.update(st)
+            Iterator(FunnelOut(user, st.stage.toLong, st.vUs, st.cUs, st.pUs))
+        }
+      val fq = out.toDF().writeStream.format("memory").queryName("rocksdb_funnel")
+        .outputMode(OutputMode.Update()).start()
+      fin.addData(FunnelEvent(7L, "view", 100L, 1L), FunnelEvent(7L, "click", 100L, 2L))
+      fq.processAllAvailable()
+      fin.addData(FunnelEvent(7L, "click", 200L, 3L), FunnelEvent(7L, "purchase", 300L, 4L))
+      fq.processAllAvailable()
+      fq.stop()
+      val last = spark.table("rocksdb_funnel").groupBy("user_id")
+        .agg(max("stage").as("stage"), max("first_click_us").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(last == Seq((7L, 3L, 200L)),
+        s"custom funnel state changed under RocksDB: $last")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
