@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *    the loop.
   *  - q35b samples every 3rd frame through the same real GIF codec path
   *    (the coarser stride a video pipeline would use).
+  *  - q35e runs a REAL audio codec: 16-bit PCM WAV payloads encoded and
+  *    decoded with `javax.sound.sampled` (also in the JDK), the decoded
+  *    stream verified sample-for-sample by the oracle.
   *  - `decodeStub` remains ONLY for q35/q35c: it stands in for
   *    ffmpeg-class codecs the JDK doesn't ship, deriving fake dimensions
   *    from byte length. The plumbing around it is real.
@@ -230,7 +233,102 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Real decoded-audio features: everything comes out of
+    * `javax.sound.sampled`'s decoded PCM stream, not payload arithmetic. */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      sample_rate: Int, channels: Int, s_first: Long, s_last: Long,
+      s_sum: Long)
+
+  /** Deterministic 16-bit mono PCM WAV at 8 kHz: `doc_id % 500 + 100`
+    * samples with sample(n) = `(doc_id·131 + n·97) mod 65536 − 32768`.
+    * Count and every sample value are pure functions of doc_id, so the
+    * oracle can state the expected DECODED stream without the bytes; PCM
+    * in a WAV container is lossless, so decode must reproduce them
+    * exactly. Encoded through the real `AudioSystem` writer — header
+    * layout, chunk sizes, and byte order all come from the JDK codec. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 500 + 100).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((docId * 131 + i.toLong * 97) % 65536 - 32768).toInt
+      pcm(i * 2) = (s & 0xff).toByte            // little-endian 16-bit
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    ais.close()
+    bos.toByteArray
+  }
+
+  /** WAV payload table (the audio-modality binary column). */
+  def wavTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeWav(id))))
+  }
+
+  /** REAL audio decode via javax.sound.sampled, iterator-in/iterator-out.
+    * Format metadata (rate, channels), the decoded sample count, the first
+    * and last samples, and the full-stream sample sum all come from the
+    * decoded PCM — values only a correct, lossless decode can produce. */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"unexpected PCM layout for doc ${r.doc_id}")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum += ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          def sample(j: Int): Long =
+            ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toLong
+          AudioFeatures(r.doc_id, n.toLong, fmt.getSampleRate.toInt,
+            fmt.getChannels, sample(0), sample(n - 1), sum)
+        } finally ais.close()
+      }
+    }
+  }
+
   val qs: Seq[Q] = Seq(
+    // Q35e REAL audio decode: WAV payloads (deterministic 16-bit PCM keyed
+    // on doc_id, encoded by the JDK's own AudioSystem writer) decoded with
+    // javax.sound.sampled. The oracle derives the decoded stream — sample
+    // count, format metadata, first/last samples, and the sum over EVERY
+    // sample — from doc_id arithmetic alone; only a correct lossless
+    // decode of the actual WAV bytes reproduces all of it. Map-only
+    // (decode parallelism = partition count), like the image paths.
+    Q("q35e_audio_decode",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+             |s AS (
+             |  SELECT doc_id, n,
+             |    sum((doc_id * 131 + j * 97) % 65536 - 32768) AS ssum
+             |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS j
+             |        FROM d)
+             |  GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+             |  CAST((doc_id * 131) % 65536 - 32768 AS BIGINT) AS s_first,
+             |  CAST((doc_id * 131 + (n - 1) * 97) % 65536 - 32768 AS BIGINT) AS s_last,
+             |  CAST(ssum AS BIGINT) AS s_sum
+             |FROM s ORDER BY doc_id""".stripMargin),
+      (s, d) => decodeWav(wavTable(s, d)).toDF().orderBy("doc_id")),
+
     // Q35b2 REAL multi-frame decode: GIF payloads (deterministic per-frame
     // gradients keyed on doc_id, lossless via an explicit 256-gray
     // palette) decoded frame-by-frame with javax.imageio, sampling every

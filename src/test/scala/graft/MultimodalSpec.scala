@@ -24,6 +24,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeWav produces a real WAV that AudioSystem decodes to the exact PCM stream") {
+    for (id <- Seq(0L, 1L, 123L, 499L)) {
+      val bytes = Multimodal.encodeWav(id)
+      // RIFF/WAVE magic — a genuine audio container from the JDK writer
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      assert(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = (id % 500 + 100).toInt
+      assert(ais.getFrameLength == n, s"frame count for doc $id")
+      assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1)
+      val pcm = ais.readAllBytes()
+      // every sample: PCM is lossless, decode must reproduce the generator
+      for (j <- 0 until n) {
+        val got = ((pcm(2 * j) & 0xff) | (pcm(2 * j + 1) << 8)).toShort.toLong
+        assert(got == (id * 131 + j.toLong * 97) % 65536 - 32768,
+          s"sample $j of doc $id")
+      }
+      ais.close()
+    }
+  }
+
   test("encodeGif stores every frame losslessly; decodeGifFrames reads them all") {
     for (id <- Seq(0L, 3L, 123L, 499L)) {
       val bytes = Multimodal.encodeGif(id)
