@@ -170,9 +170,11 @@ object Similarity extends QueryModule {
       .as[BucketVec]
   }
 
-  /** Buffer the (sorted-first) residents of a group — at most `cap`, by
-    * capBuckets construction, recorded in the accumulator — and return
-    * them plus the stream of remaining query rows. Only residents are ever
+  /** Buffer the (sorted-first) residents of a group — ≈ `cap` at most by
+    * capBuckets construction (hash-balanced blocks concentrate at
+    * nres/nblk ≤ cap; the accumulator records the realized maximum, and
+    * the degenerate-corpus test holds it under 2·cap) — and return them
+    * plus the stream of remaining query rows. Only residents are ever
     * task-local state; probes flow through one at a time. */
   private def splitResidents(it: Iterator[BucketVec], acc: MaxAccumulator)
       : (Array[BucketVec], Iterator[BucketVec]) = {
