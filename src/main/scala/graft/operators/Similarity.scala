@@ -499,7 +499,8 @@ object Similarity extends QueryModule {
     * Lloyd iterations over a 1-in-3 hash sample (kmeansCentroids above),
     * replayed term-for-term by the DuckDB oracle. */
   def ivfTopK(emb: DataFrame, k: Int, nCentroidsOpt: Option[Int] = None,
-      nprobeOpt: Option[Int] = None): DataFrame = {
+      nprobeOpt: Option[Int] = None,
+      cap: Int = MaxResidentsPerTask): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // Fitted params need a table count (a full Spark job) — only pay for
@@ -521,7 +522,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), lit(0).as("c"), col("cid").cast("long").as("v"),
         col("embedding").cast("array<double>").as("emb"), col("nrm"),
         (col("crn") === 1).as("res"))
-    bucketTopK(rows.as[BucketVec], k)
+    bucketTopK(rows.as[BucketVec], k, cap)
   }
 
   /** The shared nonlinear integer mix → uniform double in [−0.5, 0.5],

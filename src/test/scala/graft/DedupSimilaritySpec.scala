@@ -137,6 +137,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"blocking changed the answer: ${blocked.length} vs ${base.length} pairs")
   }
 
+  test("IVF survives a degenerate hot cluster: identical vectors stay under the resident cap") {
+    // All-identical input collapses every vector into ONE Voronoi cell —
+    // the cluster-local analog of the LSH hot bucket. The shared cap must
+    // keep the kernel's resident blocks bounded while the top-k answer
+    // (ties broken by nbr_id) stays exact.
+    val one = Tables.table(spark, sf, "embeddings").orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val n = 256
+    val degen = spark.range(n).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(one))
+    Similarity.maxResidentBlock.reset()
+    val top = Similarity.ivfTopK(degen, 3, Some(8), Some(2), cap = 64)
+    assert(top.count() == n.toLong * 3)
+    val v5 = top.filter(col("vec_id") === 5L).orderBy("rnk")
+      .select("nbr_id").collect().map(_.getLong(0)).toSeq
+    assert(v5 == Seq(0L, 1L, 2L), s"hot-cluster top-k lost the tie order: $v5")
+    val biggest = Similarity.maxResidentBlock.value
+    assert(biggest > 0 && biggest <= 128, s"resident block of $biggest escaped the cap")
+  }
+
   test("q27g: clustered-corpus IVF reaches recall ≥ 0.9 at nprobe 2/32 with ≤ 10% of brute candidates") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
