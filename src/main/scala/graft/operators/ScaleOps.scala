@@ -113,6 +113,44 @@ object ScaleOps extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** 16-bit Morton (z-order) interleave of two keys — the multi-dimensional
+    * clustering key behind q70b. Pure integer bit arithmetic (exact in both
+    * engines): bit i of x lands at position 2i, bit i of y at 2i+1, so
+    * sorting by z keeps rows close in BOTH dimensions at once — a range
+    * box on (x, y) maps to a few z runs, i.e. a few files/row groups,
+    * where a single-column sort (q70) can only prune on its one column. */
+  def zorderExpr(xCol: String, yCol: String): String =
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+       |  acc + shiftleft(shiftright(cast($xCol as bigint) % 65536, i) & 1, 2 * i)
+       |      + shiftleft(shiftright(cast($yCol as bigint) % 65536, i) & 1, 2 * i + 1))""".stripMargin
+
+  /** Lineitem laid out in z-order on (l_partkey, l_suppkey): the layout for
+    * workloads that filter on two independent dimensions. Same bounded-file
+    * write discipline (and manifest guard) as rangeClusteredLineitem; the
+    * locality property — a 2-D box touches a small fraction of the files —
+    * is asserted in ScaleOpsSpec. */
+  def zorderedLineitem(s: SparkSession, dir: String,
+      maxRecordsPerFile: Int = 50000): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_zorder_lineitem$tag"
+    val src = t(s, dir, "lineitem")
+    val manifest = s"z(l_partkey,l_suppkey)|$maxRecordsPerFile|${src.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
+    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      src.withColumn("zval", expr(zorderExpr("l_partkey", "l_suppkey")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(path)
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    s.read.parquet(path)
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -203,6 +241,26 @@ object ScaleOps extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
         .orderBy("l_returnflag")),
+
+    // Q70b z-ordered layout: a 2-D box filter over the Morton-clustered
+    // copy must return exactly what the plain table returns — including
+    // the z keys themselves (z_sum hash-verifies the interleave arithmetic
+    // row-for-row against the oracle's bit-identical SQL). The physical
+    // payoff (the box lives in a small fraction of the files) is asserted
+    // in ScaleOpsSpec.
+    Q("q70b_zorder_layout",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             |  CAST(sum((SELECT sum((((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+             |                  + (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+             |            FROM range(0, 16) t(i))) AS BIGINT) AS z_sum
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 3""".stripMargin),
+      (s, d) => zorderedLineitem(s, d)
+        .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("zval")).as("z_sum"))),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.
     Q("q37_salted_skew_join",

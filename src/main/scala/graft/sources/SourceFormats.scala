@@ -7,16 +7,39 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Source/sink format coverage beyond the parquet the driver tables use
   * and the partitioned header-CSV of the pipeline replay (O16–O18):
-  * JSON-lines and ORC, chained write→read→write→read so both the writer
-  * and the schema'd reader of each format execute. The oracle aggregates
-  * the original parquet — the round trip must be value-preserving
-  * (doubles survive JSON via shortest-round-trip rendering; ORC is
-  * binary-exact).
+  * JSON-lines + ORC (q57) and Spark 4's built-in XML source (q57b),
+  * chained write→read so both the writer and the schema'd reader of each
+  * format execute. The oracles aggregate the original parquet — the round
+  * trips must be value-preserving (doubles survive the text formats via
+  * shortest-round-trip rendering; ORC is binary-exact).
+  *
+  * Work dirs are cached per (query, source dir) and removed by a shutdown
+  * hook — a verify/bench run invokes each query several times and must
+  * not leak a temp dir per invocation (same discipline as the streaming
+  * source's symlink dir).
   */
 object SourceFormats extends QueryModule {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
+
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def workDir(key: String): String =
+    dirCache.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_src_")
+      sys.addShutdownHook(deleteRecursively(p))
+      p.toString
+    })
 
   val qs: Seq[Q] = Seq(
 
@@ -26,7 +49,7 @@ object SourceFormats extends QueryModule {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin),
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_src_").toString
+        val dir = workDir(s"q57:$d")
         val orders = t(s, d, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         orders.write.mode("overwrite").json(s"$dir/json")
@@ -37,6 +60,30 @@ object SourceFormats extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
           .orderBy("o_orderstatus")
+      }),
+
+    // Q57b XML round trip — the remaining text format Spark 4 ships a
+    // built-in source for (the spark-xml donation). Row-tagged elements,
+    // explicit schema on read (inference would widen types), aggregate
+    // checked against the original parquet.
+    Q("q57b_xml_roundtrip",
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q57b:$d")
+        val cust = t(s, d, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        cust.write.mode("overwrite")
+          .option("rootTag", "customers").option("rowTag", "customer")
+          .format("xml").save(s"$dir/xml")
+        s.read.schema(cust.schema).option("rowTag", "customer")
+          .format("xml").load(s"$dir/xml")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total"))
+          .orderBy("c_mktsegment")
       })
   )
 }

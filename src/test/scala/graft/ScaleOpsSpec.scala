@@ -117,6 +117,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("z-ordered layout confines a 2-D box filter to a fraction of the files") {
+    import org.apache.spark.sql.functions._
+    // Morton clustering means a box on BOTH dimensions maps to few z runs
+    // → few files; a single-column sort could only localize one dimension.
+    val df = operators.ScaleOps.zorderedLineitem(spark, sf)
+    val total = df.select(input_file_name()).distinct().count()
+    val touched = df
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
+      .select(input_file_name()).distinct().count()
+    assert(total >= 4, s"layout produced only $total files")
+    assert(touched > 0 && touched * 2 <= total,
+      s"2-D box touched $touched of $total files — no locality")
+  }
+
   test("AQE splits the skewed join partition (skew=true in the final plan)") {
     // Complements the MANUAL salting demonstration (q37): the same skew
     // profile handled by the runtime — AQE detects the oversized reduce
