@@ -29,8 +29,10 @@ object SourceFormats extends QueryModule {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 
