@@ -64,6 +64,61 @@ object SourceFormats extends QueryModule {
           .orderBy("o_orderstatus")
       }),
 
+    // Q57c schema evolution: two parquet generations of the same table —
+    // the second with an added column — read back through mergeSchema into
+    // one unified frame (old rows surface NULL for the new column). The
+    // standard warehouse situation when a pipeline adds a field mid-life;
+    // the oracle replays which half of the rows carries the column.
+    Q("q57c_schema_evolution",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS with_priority,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q57c:$d")
+        val orders = t(s, d, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/evo/gen1")
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$dir/evo/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/evo/gen1", s"$dir/evo/gen2")
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderpriority")).as("with_priority"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      }),
+
+    // Q57d corrupt-record-tolerant ingestion: a JSON-lines landing file
+    // where every 7th record is deliberately truncated mid-object, read in
+    // PERMISSIVE mode with an explicit corrupt-record column — malformed
+    // input becomes quarantinable rows instead of a failed job (the
+    // resilience any at-scale landing zone needs). The oracle replays the
+    // malformation schedule.
+    Q("q57d_corrupt_records",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             |  CAST(sum(CASE WHEN doc_id % 7 <> 0 AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
+             |FROM documents""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q57d:$d")
+        t(s, d, "documents")
+          .select(when(col("doc_id") % 7 === 0,
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+            .as("value"))
+          .write.mode("overwrite").text(s"$dir/raw")
+        s.read
+          .schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$dir/raw")
+          .agg(count(lit(1)).as("n"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            count(col("lang")).as("n_parsed"))
+      }),
+
     // Q57b XML round trip — the remaining text format Spark 4 ships a
     // built-in source for (the spark-xml donation). Row-tagged elements,
     // explicit schema on read (inference would widen types), aggregate
