@@ -15,12 +15,42 @@ import org.apache.spark.sql.SparkSession
   * contention and GC only ever add time, so min-of-n is the estimator
   * that converges on the code's actual cost. All timed runs are warm by
   * construction (plans compiled, codegen cached, layout builds done), and
-  * the JSON says so (`state: warm, agg: min, runs: n`). The detail line
-  * additionally carries per-query spread (max−min across the successful
-  * runs) so anomalies self-diagnose (tight spread = real change, wide =
-  * contention), and failed runs surface in an `errors` field instead of
-  * polluting the min. */
+  * the JSON says so (`state: warm, agg: min, runs: n`).
+  *
+  * Contention defense (round-8 verdict: min-of-3 alone let a contended
+  * host report 60.4 s for a commit whose idle-box total is 42.2 s): after
+  * the primary timed loop, any query whose spread/min exceeds 1.0 is
+  * RE-MEASURED — up to 2 extra samples each, widest-spread first, within
+  * a 60 s total budget — and the reported min is taken across ALL
+  * samples. The detail line carries `spread` (primary-loop max−min),
+  * `respread` (max−min over all samples for the re-measured queries —
+  * residual noise stays visible), and an `errors` field so failed runs
+  * surface instead of polluting the min.
+  *
+  * Plan fingerprints: the warmup pass hashes each query's EXECUTED plan
+  * (run-varying ids/paths stripped) into `plan_fp` on the detail line, so
+  * any future per-query regression self-attributes in one diff: fp
+  * changed → the plan changed; fp equal → same plan, slower host. */
 object Bench {
+  /** Stable 8-hex-char fingerprint of an executed physical plan. Strips
+    * the run-varying artifacts — expression ids (#123), AQE plan ids,
+    * whole-stage-codegen stage ids, filesystem paths (bench queries write
+    * under java.io.tmpdir with random names), and cost statistics — so
+    * the same physical strategy hashes identically across JVMs and
+    * rounds, and a BroadcastHashJoin→SortMergeJoin flip changes the fp. */
+  private def planFingerprint(plan: String): String = {
+    val normalized = plan
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\[id=#?\\d*\\]", "")
+      .replaceAll("\\*\\(\\d+\\)", "*")
+      .replaceAll("(?:file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
+      .replaceAll("/[^\\s,\\)\\]]+", "<path>")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalized.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -42,17 +72,22 @@ object Bench {
     // one-time LAYOUT builds (q36 bucketed tables, q38 partitioned copy,
     // q70/q70b clustered layouts)
     // outside the timed loop — a layout write is an ETL decision amortized
-    // over every later query, not per-query work.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    // over every later query, not per-query work. The executed plan of the
+    // warmup run doubles as the plan_fp source (post-AQE final plan).
+    val queriesSorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val planFps: Seq[(String, String)] = queriesSorted.flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        Some(name -> planFingerprint(df.queryExecution.executedPlan.toString))
+      } catch { case _: Throwable => None }
     }
     // Per-run success is tracked (not folded into the timing): a query
     // that fails fast must surface in `errors`, not masquerade as a small
     // plausible min. Per-query spread (max−min over successful runs) rides
     // along in the detail line so a regression self-diagnoses: tight
     // spread = real cost change, wide spread = host contention.
-    val sampled = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sampled = queriesSorted.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -61,11 +96,41 @@ object Bench {
       }
       (name, samples.filter(_._2).map(_._1), samples.count(!_._2))
     }
+    // Adaptive re-measure: queries whose primary-loop spread/min > 1 were
+    // visibly perturbed by the host (a query's true cost can't halve run
+    // to run; only external load makes max ≥ 2×min). Re-sample those —
+    // widest absolute spread first, ≤2 extra runs each, ≤60 s total — and
+    // fold the extras into the min. Bounded, so a genuinely noisy box
+    // can't stall the bench; `respread` reports the residual.
+    val queryFn = SparkEntry.queries
+    val reBudgetNs = 60L * 1000L * 1000L * 1000L
+    val reStart = System.nanoTime()
+    val extraSamples: Map[String, Seq[Double]] = sampled
+      .filter { case (_, ok, _) => ok.size >= 2 && ok.min > 0 && (ok.max - ok.min) / ok.min > 1.0 }
+      .sortBy { case (_, ok, _) => -(ok.max - ok.min) }
+      .flatMap { case (name, _, _) =>
+        val extras = (1 to 2).flatMap { _ =>
+          if (System.nanoTime() - reStart > reBudgetNs) None
+          else {
+            val t0 = System.nanoTime()
+            val ok = try { queryFn(name)(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
+            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+        }
+        if (extras.nonEmpty) Some(name -> extras) else None
+      }.toMap
     val results = sampled.map { case (name, okTimes, _) =>
-      name -> (if (okTimes.nonEmpty) okTimes.min else -1.0)
+      val all = okTimes ++ extraSamples.getOrElse(name, Nil)
+      name -> (if (all.nonEmpty) all.min else -1.0)
     }
     val spreads = sampled.map { case (name, okTimes, _) =>
       name -> (if (okTimes.size >= 2) okTimes.max - okTimes.min else 0.0)
+    }
+    val respreads = sampled.collect {
+      case (name, okTimes, _) if extraSamples.contains(name) =>
+        val all = okTimes ++ extraSamples(name)
+        name -> (all.max - all.min)
     }
     val errors = sampled.collect { case (name, _, nFail) if nFail > 0 =>
       name -> nFail
@@ -74,7 +139,10 @@ object Bench {
     // json-parses the final line. With 100+ queries the full-name map is
     // >2000 chars, so the parse line uses each query's unique short id
     // (the prefix before the first '_': q01, q09b, q26e, ...); the
-    // human-readable full-name detail goes on an earlier line.
+    // human-readable full-name detail (plus spread/respread/plan_fp) goes
+    // on an earlier line. The errors field on the parse line goes through
+    // the SAME shortener — a wide failure must not blow the capture
+    // budget and break the parse.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val shortKeys = results.map { case (k, _) => k -> shortKey(k) }.toMap
     val collide = shortKeys.values.groupBy(identity).collect {
@@ -87,15 +155,30 @@ object Bench {
     def renderMap(rows: Seq[(String, Double)], f: String => String): String =
       rows.map { case (k, v) => "\"" + f(k) + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val errField =
+    def renderStrMap(rows: Seq[(String, String)], f: String => String): String =
+      rows.map { case (k, v) => "\"" + f(k) + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+    def renderErr(f: String => String): String =
       if (errors.isEmpty) ""
-      else errors.map { case (k, n) => "\"" + k + "\":" + n }
+      else errors.map { case (k, n) => "\"" + f(k) + "\":" + n }
         .mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val respreadField =
+      if (respreads.isEmpty) ""
+      else s""","respread":${renderMap(respreads, identity)}"""
     val detail =
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, identity)},"spread":${renderMap(spreads, identity)}$errField,"sf":"$sfDir"}"""
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, identity)},"spread":${renderMap(spreads, identity)}$respreadField,"plan_fp":${renderStrMap(planFps, identity)}${renderErr(identity)},"sf":"$sfDir"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, key)}$errField,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, key)}${renderErr(key)},"sf":"$sfDir"}"""
+    // Best-effort durable copy of the detail line (plan_fp included): the
+    // harness's 2000-char capture may truncate the detail printed to
+    // stdout, but the file survives for round-over-round plan diffs.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(out,
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // Print the JSON line LAST, after Spark has fully shut down: stdout and
     // stderr of the forked JVM reach the harness as one raw stream, so any
     // executor/shutdown logging emitted after the print could otherwise trail
