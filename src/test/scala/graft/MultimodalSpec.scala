@@ -86,6 +86,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("probeHeaders reads dims + frame count from real GIF headers at sf0.001") {
+    val out = Multimodal.probeHeaders(Multimodal.gifTable(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { p =>
+      assert(p.width == (p.doc_id % 48 + 8).toInt, s"doc ${p.doc_id} width")
+      assert(p.height == ((p.doc_id * 7) % 40 + 8).toInt, s"doc ${p.doc_id} height")
+      assert(p.n_frames == (p.doc_id % 5 + 2).toInt, s"doc ${p.doc_id} frames")
+      // the probe carries the container size for downstream batch sizing;
+      // a GIF header + palette + frames is never smaller than the 13-byte
+      // logical screen descriptor block
+      assert(p.n_bytes > 13)
+    }
+  }
+
+  test("decodeGifFrames under limit(1) disposes the reader via task completion") {
+    // Early-terminating consumer: only one row is taken, so the output
+    // iterator is never drained — the TaskCompletionListener, not an
+    // iterator epilogue, must release the reader. The assertion here is
+    // behavioral (no hang/leak-crash and correct first row); the listener
+    // registration is exercised by construction.
+    val one = Multimodal.decodeGifFrames(Multimodal.gifTable(spark, sf), 2).limit(1).collect()
+    assert(one.length == 1)
+    val fr = one.head
+    assert(fr.width == (fr.doc_id % 48 + 8).toInt)
+  }
+
   test("decodeImages extracts decoded features distributively at sf0.001") {
     val out = Multimodal.decodeImages(Multimodal.pngTable(spark, sf)).collect()
     assert(out.nonEmpty)
