@@ -62,24 +62,35 @@ object Similarity extends QueryModule {
   /** Largest resident block any bucket kernel task buffered since the last
     * `reset()` — lets tests (and operators) PROVE the cap held instead of
     * trusting the parameterization. */
-  val maxResidentBlock = new MaxAccumulator
+  def maxResidentBlock: MaxAccumulator = synchronized { _maxResidentBlock }
 
   /** Total (query × resident) scoring iterations across the bucket kernels
     * since the last `reset()` — the measured candidate volume, letting
     * tests state the ANN economics ("≤ x % of the brute-force product") as
     * an assertion instead of a claim. */
-  val candidateIters = new org.apache.spark.util.LongAccumulator
+  def candidateIters: org.apache.spark.util.LongAccumulator =
+    synchronized { _candidateIters }
 
-  @volatile private var accRegistered = false
-  private def residentAcc(s: SparkSession): MaxAccumulator = {
-    if (!accRegistered) synchronized {
-      if (!accRegistered) {
-        s.sparkContext.register(maxResidentBlock, "graft.similarity.maxResidentBlock")
-        s.sparkContext.register(candidateIters, "graft.similarity.candidateIters")
-        accRegistered = true
+  // Registration is keyed on the applicationId, not a JVM-global boolean:
+  // an AccumulatorV2 instance can only ever register once, so if the
+  // SparkContext is recreated (test-harness restarts), FRESH instances are
+  // built and registered against the new context — a stale registration
+  // would silently report zeros to the cap/volume assertions.
+  private var registeredApp: String = null
+  private var _maxResidentBlock = new MaxAccumulator
+  private var _candidateIters = new org.apache.spark.util.LongAccumulator
+  private def residentAcc(s: SparkSession): MaxAccumulator = synchronized {
+    val app = s.sparkContext.applicationId
+    if (registeredApp != app) {
+      if (registeredApp != null) {
+        _maxResidentBlock = new MaxAccumulator
+        _candidateIters = new org.apache.spark.util.LongAccumulator
       }
+      s.sparkContext.register(_maxResidentBlock, "graft.similarity.maxResidentBlock")
+      s.sparkContext.register(_candidateIters, "graft.similarity.candidateIters")
+      registeredApp = app
     }
-    maxResidentBlock
+    _maxResidentBlock
   }
 
   /** Embedding dimensionality of the fixture (= Hyperplanes.Dim). */
@@ -144,19 +155,27 @@ object Similarity extends QueryModule {
     * — but the largest array any task buffers is `cap` residents, so a
     * hot bucket (skewed embeddings, duplicate-heavy corpora, adversarial
     * keys) degrades into more tasks instead of a dead executor. The
-    * resident counts come from a partial-agg groupBy whose shuffle is one
-    * narrow row per bucket; buckets with no residents are dropped here
-    * (the kernels emitted nothing for them anyway). Block ids pack into
-    * the high bits of the band value (band keys and IVF centroid ids both
-    * fit 32 bits), so the kernels' (c, v) grouping is untouched. */
+    * sizing pass materializes ONLY the oversized buckets (nres > cap —
+    * typically an EMPTY set for a well-parameterized band width) from a
+    * partial-agg groupBy whose shuffle is one narrow row per bucket, and
+    * BROADCASTS them into a left join with nblk defaulting to 1 on miss —
+    * so the wide embedding rows never pay a sizing shuffle in the common
+    * case (round 8 joined every bucket's count back through the full
+    * data; verdict r8 #4). Probe rows whose bucket has no residents now
+    * flow through with nblk=1; the kernels emit nothing for them, exactly
+    * as when the inner join dropped them. Block ids pack into the high
+    * bits of the band value (band keys and IVF centroid ids both fit
+    * 32 bits), so the kernels' (c, v) grouping is untouched. */
   private def capBuckets(rows: Dataset[BucketVec], cap: Int): Dataset[BucketVec] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val sizes = rows.filter(col("res"))
+    val hot = broadcast(rows.filter(col("res"))
       .groupBy("c", "v").agg(count(lit(1)).as("nres"))
+      .filter(col("nres") > cap)
       .select(col("c"), col("v"),
-        greatest(lit(1L), ceil(col("nres").cast("double") / cap)).cast("int").as("nblk"))
-    rows.join(sizes, Seq("c", "v"))
+        ceil(col("nres").cast("double") / cap).cast("int").as("nblk")))
+    rows.join(hot, Seq("c", "v"), "left")
+      .withColumn("nblk", coalesce(col("nblk"), lit(1)))
       .withColumn("bs", explode(expr(
         """CASE WHEN nblk <= 1 THEN array(named_struct('blk', 0, 'r', res))
           |WHEN res THEN transform(sequence(0, nblk - 1), b ->
@@ -394,10 +413,11 @@ object Similarity extends QueryModule {
     * cos(original, copy) ≈ 0.996, so original↔copy pairs are the planted
     * near-duplicates q27f must find; unrelated pairs stay below 0.7. */
   private def perturbedSql(idExpr: String, embExpr: String): String = {
-    val x = s"($idExpr * $Dim + i)"
-    s"""(1.0D + 0.3D * (cast(((($x * 2654435761) % 2147483647)
-       |  * (($x * 2654435761) % 2147483647)
-       |  + $x * 2246822519) % 2147483647 as double)
+    // pre-reduced mod 2^31−1 like hashUnitSql — identity at fixture scale,
+    // int64-safe for the full planted id range (vec_id·64+i < 2^47)
+    val xm = s"((($idExpr * $Dim + i)) % 2147483647)"
+    val t = s"(($xm * 2654435761) % 2147483647)"
+    s"""(1.0D + 0.3D * (cast(($t * $t + $xm * 2246822519) % 2147483647 as double)
        |  / 2147483647.0D - 0.5D))
        |  * cast(element_at($embExpr, i) as double)""".stripMargin
   }
@@ -527,13 +547,20 @@ object Similarity extends QueryModule {
 
   /** The shared nonlinear integer mix → uniform double in [−0.5, 0.5],
     * exact in 64-bit arithmetic in both engines (same family as
-    * Hyperplanes.planesFor and perturbedSql). `xExpr` must stay well under
-    * 2^33 so the products fit an int64. */
-  private def hashUnitSql(xExpr: String): String =
-    s"""(cast((((($xExpr) * 2654435761) % 2147483647)
-       |  * ((($xExpr) * 2654435761) % 2147483647)
-       |  + ($xExpr) * 2246822519) % 2147483647 as double)
-       |  / 2147483647.0D - 0.5D)""".stripMargin
+    * Hyperplanes.planesFor and perturbedSql). `xExpr` is pre-reduced mod
+    * 2^31−1 before EVERY product, so the construction holds for any
+    * nonnegative int64 input: each factor is < 2^31 and the largest
+    * multiplier is 2654435761 < 2^31.4, keeping every product under
+    * ~2^62.4. (Without the pre-mod, x·2654435761 overflows int64 once x
+    * exceeds 2^63/2654435761 ≈ 3.47e9 — clusteredVecSql's vec_id·64+i
+    * mapping would hit that at vec_id ≈ 5.4e7, far below the id range the
+    * 100 TB posture claims.) The reduction is the identity for
+    * x < 2^31−1, so every fixture-scale value is unchanged. */
+  private def hashUnitSql(xExpr: String): String = {
+    val xm = s"(($xExpr) % 2147483647)"
+    val t = s"(($xm * 2654435761) % 2147483647)"
+    s"(cast(($t * $t + $xm * 2246822519) % 2147483647 as double) / 2147483647.0D - 0.5D)"
+  }
 
   /** q27g's planted CLUSTERED corpus — the regime where IVF's economics
     * actually pay (q27d's isotropic fixture is the honest worst case).
@@ -558,11 +585,13 @@ object Similarity extends QueryModule {
   /** The clustered corpus replayed in DuckDB (plain double literals — both
     * engines implicitly widen against the double cast, proven bit-exact by
     * the q27f perturbation pattern; 1-based i in both). */
-  private def hashUnitDuck(xExpr: String): String =
-    s"""(CAST((((($xExpr) * 2654435761) % 2147483647)
-       |  * ((($xExpr) * 2654435761) % 2147483647)
-       |  + ($xExpr) * 2246822519) % 2147483647 AS DOUBLE)
-       |  / 2147483647.0 - 0.5)""".stripMargin
+  private def hashUnitDuck(xExpr: String): String = {
+    // term-for-term the hashUnitSql construction (incl. the mod-2^31−1
+    // pre-reduction that keeps every product inside int64 for any vec_id)
+    val xm = s"(($xExpr) % 2147483647)"
+    val t = s"(($xm * 2654435761) % 2147483647)"
+    s"(CAST(($t * $t + $xm * 2246822519) % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5)"
+  }
 
   private val clusteredVecDuck: String =
     s"""list_transform(generate_series(1, $Dim), i ->
@@ -601,11 +630,11 @@ object Similarity extends QueryModule {
   /** The q27f perturbation replayed in DuckDB (1-based i, exact 64-bit
     * integer arithmetic, double ops in the same order as the Spark side). */
   private val sqlPerturb = {
-    val x = s"(vec_id * $Dim + i)"
+    // term-for-term perturbedSql, incl. its mod-2^31−1 pre-reduction
+    val xm = s"(((vec_id * $Dim + i)) % 2147483647)"
+    val t = s"(($xm * 2654435761) % 2147483647)"
     s"""list_transform(generate_series(1, $Dim), i ->
-       |    (1.0 + 0.3 * (CAST(((($x * 2654435761) % 2147483647)
-       |      * (($x * 2654435761) % 2147483647)
-       |      + $x * 2246822519) % 2147483647 AS DOUBLE)
+       |    (1.0 + 0.3 * (CAST(($t * $t + $xm * 2246822519) % 2147483647 AS DOUBLE)
        |      / 2147483647.0 - 0.5))
        |    * CAST(embedding[i] AS DOUBLE))""".stripMargin
   }

@@ -78,6 +78,19 @@ class PlanHygieneSpec extends SparkSpec {
       s"quadratic pair product resurfaced in q27c:\n$p")
   }
 
+  test("q27c: capBuckets sizing join broadcasts the hot-bucket set") {
+    // The skew cap's sizing pass must never reshuffle the wide embedding
+    // rows: the oversized-bucket frame (typically empty) broadcasts into
+    // a left join, so the only exchanges on the wide data are the kernel's
+    // own groupByKey. A SortMergeJoin here means the insurance itself
+    // re-introduced the full-data shuffle it exists to avoid.
+    val p = plan("q27c_embedding_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-bucket sizing join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"capBuckets sizing join fell back to a wide-row shuffle join:\n$p")
+  }
+
   test("q33e2: partitioned sequence id has no single-partition exchange") {
     // q33e keeps the reference's global-counter semantic (documented
     // single-task sort); q33e2 is the form that scales — every (year,
