@@ -131,6 +131,72 @@ object EcommercePipeline extends QueryModule {
   def antiJoinDedup(candidates: DataFrame, existing: DataFrame, key: String): DataFrame =
     candidates.join(broadcast(existing.select(key)), Seq(key), "left_anti")
 
+  // ---- JDBC warehouse boundary (q72) -----------------------------------
+
+  // One embedded-Derby database per (query, source dir), removed by a
+  // shutdown hook — verify/bench invoke each query several times and must
+  // not leak a db dir per invocation (same discipline as SourceFormats).
+  private val jdbcDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def derbyDb(key: String): String =
+    jdbcDirCache.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_jdbc_")
+      // Derby writes its engine log relative to derby.system.home; point it
+      // at the first db's work dir instead of polluting the process CWD.
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home", p.toString)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+      }
+      p.toString + "/wh"
+    })
+
+  /** JDBC warehouse round trip through embedded Derby — the reference's
+    * one remaining boundary with no executed counterpart (the Redshift
+    * load, `transactions_mock_data.py:18-20,115-117`). The dim_products
+    * frame is loaded with `df.write.jdbc` (batched INSERTs; string columns
+    * pinned to VARCHAR via createTableColumnTypes — Derby's CLOB default
+    * can be neither compared nor grouped), then read back as a PARALLEL
+    * JDBC scan: `partitionColumn`/`numPartitions` split the table into
+    * stride predicates so each executor opens its own connection — the
+    * posture that ingests a warehouse table at cluster scale. The price
+    * predicate pushes into the JDBC source (plan-asserted: the scan, not
+    * Spark, filters), and the aggregate is checked against the parquet
+    * original. Bounds are stride hints, not filters — rows outside them
+    * still land in the edge partitions. */
+  def jdbcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${derbyDb(s"q72:$dir")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    dimProducts(s, dir)
+      // numeric stride column for the partitioned read-back (Derby-side
+      // PK); product ids are 'prod-NNNNNN', so the digits are the key
+      .withColumn("pk", col("product_id").substr(6, 6).cast("long"))
+      .write.mode("overwrite")
+      .option("createTableColumnTypes",
+        "product_id VARCHAR(16), product_name VARCHAR(32), " +
+          "category VARCHAR(16), supplier_id VARCHAR(8)")
+      .jdbc(url, "dim_products", props)
+    s.read
+      .option("partitionColumn", "pk")
+      .option("lowerBound", "0")
+      .option("upperBound", "1000000")
+      .option("numPartitions", "8")
+      .jdbc(url, "dim_products", props)
+      .filter(col("price") >= 100.0)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("category")
+  }
+
   /** Partitioned header-CSV sink + schema'd source (O16–O18). Returns the
     * round-tripped DataFrame. Partition columns (year, month) are derived
     * from the transaction date so time-ranged reads prune directories —
@@ -482,6 +548,24 @@ object EcommercePipeline extends QueryModule {
             "month", "product_name", "category", "supplier_id", "first_name",
             "last_name", "email", "membership_level")
           .orderBy("transaction_id")
-      })
+      }),
+
+    // Q72 JDBC warehouse round trip (embedded Derby — the reference's
+    // Redshift-load boundary executed for real): write dim_products through
+    // df.write.jdbc, read it back as an 8-way partitioned JDBC scan with
+    // the price predicate pushed into the source, aggregate per category.
+    // The oracle replays the generator arithmetic over `part` — any loss in
+    // the INSERT/SELECT round trip (type mapping, double fidelity, dropped
+    // rows) breaks the hash.
+    Q("q72_jdbc_roundtrip",
+      Some(s"""WITH dimp AS (
+              |  SELECT ${sqlChoice("p_partkey", 7919L, Categories)} AS category,
+              |         ${sqlMoney("p_partkey")} AS price
+              |  FROM part)
+              |SELECT category, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM dimp WHERE price >= 100.0
+              |GROUP BY category ORDER BY category""".stripMargin),
+      (s, d) => jdbcRoundTrip(s, d))
   )
 }

@@ -100,6 +100,17 @@ class PlanHygieneSpec extends SparkSpec {
       s"global sort leaked into the partitioned sequence id:\n$p")
   }
 
+  test("q72: JDBC read-back pushes the predicate and partitions the scan") {
+    // The warehouse ingest posture: the price filter must reach the JDBC
+    // source (the database filters, not Spark), and the scan must be the
+    // 8-way stride-partitioned parallel read, not a single connection.
+    val p = plan("q72_jdbc_roundtrip")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"price predicate did not push into the JDBC scan:\n$p")
+    assert(p.contains("numPartitions=8"),
+      s"JDBC scan is not the partitioned parallel read:\n$p")
+  }
+
   test("q59: redaction is a pure map — no exchange in the plan") {
     val p = plan("q59_pii_redact")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
