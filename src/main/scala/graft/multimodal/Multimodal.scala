@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing — opaque binary payloads + typed metadata,
@@ -431,6 +432,70 @@ object Multimodal extends QueryModule {
              |  CAST(((doc_id + fid * 11) % 256) * 65793 AS BIGINT) AS px00
              |FROM f WHERE fid % 3 = 0 ORDER BY doc_id, frame_id""".stripMargin),
       (s, d) => decodeGifFrames(gifTable(s, d), 3).toDF()
-        .orderBy("doc_id", "frame_id"))
+        .orderBy("doc_id", "frame_id")),
+
+    // Q73 cross-modal curation pass — the workload shape of a real
+    // training-data sweep, composed purely from operators this engine
+    // already proves individually: embedding near-dup pairs (q27c's
+    // subquadratic banded-LSH kernel, recall 1.0 vs brute) → connected
+    // components (q26e's min-label propagation) → join each cluster back
+    // to the documents text metadata AND a real GIF header probe (q35's
+    // codec path), producing one multimodal curation record per duplicate
+    // cluster: size, language diversity, total stored frames, total text
+    // volume, and a deterministic representative (longest text, ties to
+    // the smallest doc_id — the "keep best copy" rule). Scale posture:
+    // edges are LSH-bounded (never quadratic), CC rounds cost ∝ |edges|,
+    // the probe is map-only, and both joins key on doc_id with partial
+    // aggregation on top. The oracle replays the exact cosine pair set,
+    // a recursive-CTE reachability, and the probe arithmetic.
+    Q("q73_crossmodal_clusters",
+      Some("""WITH RECURSIVE pairs AS (
+             |  SELECT a.vec_id AS a, b.vec_id AS b
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.45),
+             |edges AS (SELECT a AS src, b AS dst FROM pairs
+             |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+             |clusters AS (
+             |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+             |meta AS (
+             |  SELECT c.cluster_id, d.doc_id, d.lang, d.n_chars,
+             |         d.doc_id % 5 + 2 AS nf,
+             |         row_number() OVER (PARTITION BY c.cluster_id
+             |           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+             |SELECT cluster_id, count(*) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(nf) AS BIGINT) AS total_frames,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc
+             |FROM meta GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      (s, d) => {
+        val docs = Tables.table(s, d, "documents")
+        val edges = graft.operators.Similarity
+          .lshNearDupPairs(Tables.table(s, d, "embeddings"), 0.45)
+        val labels = graft.operators.Dedup.connectedComponents(docs, edges)
+        val probes = probeHeaders(gifTable(s, d)).toDF()
+          .select(col("doc_id"), col("n_frames"))
+        val meta = labels
+          .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+          .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+          .join(probes, Seq("doc_id"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(desc("n_chars"), asc("doc_id"))
+        meta.withColumn("rn", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).cast("long").as("n_langs"),
+            sum(col("n_frames")).cast("long").as("total_frames"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            max(when(col("rn") === 1, col("doc_id"))).as("rep_doc"))
+          .orderBy("cluster_id")
+      })
   )
 }
