@@ -216,6 +216,34 @@ object RelationalQueries extends QueryModule {
           countDistinct(col("o_orderpriority")).as("n_prio"),
           countDistinct(col("o_orderstatus")).as("n_status"))),
 
+    // Q11b the q11 shape executed UNDER the opt-in ApproxDistinctRewrite
+    // rule (plans/ApproxDistinctRewrite): every count(DISTINCT x) becomes
+    // a HyperLogLog++ sketch — the rewrite that turns the one
+    // partial-agg-proof shuffle (every distinct value crosses the wire)
+    // into constant bytes per group. The rule is applied here exactly as
+    // the injected optimizer would (flag set, rule run on the analyzed
+    // plan, flag restored), so the flag never leaks into the shared
+    // verify/bench session and the returned plan is the rewritten one
+    // end-to-end. Property-checked like q25 (sketch within rsd of q11's
+    // exact answer, plan asserted to carry the HLL — Round2Spec); the
+    // driver records the rows-only check for it.
+    Q("q11b_approx_distinct_rewrite", None,
+      (s, d) => {
+        import graft.plans.ApproxDistinctRewrite
+        val analyzed = t(s, d, "orders")
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            countDistinct(col("o_orderstatus")).as("n_status"))
+          .queryExecution.analyzed
+        val rewritten =
+          try {
+            s.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+            ApproxDistinctRewrite(analyzed)
+          } finally s.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+        org.apache.spark.sql.graft.PlanBridge.ofRows(s, rewritten)
+      }),
+
     // Q12 ROLLUP (nation × priority) — NULLS FIRST spelled on both sides:
     // Spark ASC defaults nulls-first, DuckDB defaults nulls-last.
     Q("q12_rollup",

@@ -77,6 +77,25 @@ class Round2Spec extends SparkSpec {
     } finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
   }
 
+  test("q11b: declared query runs the q11 shape under the HLL rewrite") {
+    // The declared-query route for the rule (q11b): the plan must carry
+    // the sketch (not an exact distinct), the result must sit within 10%
+    // of q11's exact answers per column, and the shared session's flag
+    // must come back unset (no leak into the other declared queries).
+    val df = SparkEntry.queries("q11b_approx_distinct_rewrite")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("approx_count_distinct") || p.contains("hyperloglog"),
+      s"q11b plan lost the HLL rewrite:\n$p")
+    val approx = df.collect()(0)
+    val exact = SparkEntry.queries("q11_count_distinct")(spark, sf).collect()(0)
+    (0 until 3).foreach { i =>
+      val (a, e) = (approx.getLong(i), exact.getLong(i))
+      assert(math.abs(a - e).toDouble / e <= 0.1, s"col $i: approx $a vs exact $e")
+    }
+    assert(spark.conf.get(graft.plans.ApproxDistinctRewrite.ConfKey, "false") == "false",
+      "q11b leaked the rewrite flag into the shared session")
+  }
+
   test("q09c: approx percentile within 1% of exact per group") {
     val rows = SparkEntry.queries("q09c_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
