@@ -131,21 +131,19 @@ object EcommercePipeline extends QueryModule {
   def antiJoinDedup(candidates: DataFrame, existing: DataFrame, key: String): DataFrame =
     candidates.join(broadcast(existing.select(key)), Seq(key), "left_anti")
 
-  // ---- JDBC warehouse boundary (q72) -----------------------------------
+  // ---- cached work dirs ------------------------------------------------
 
-  // One embedded-Derby database per (query, source dir), removed by a
-  // shutdown hook — verify/bench invoke each query several times and must
-  // not leak a db dir per invocation (same discipline as SourceFormats).
-  private val jdbcDirCache =
+  // One work dir per (query, source dir), removed by a shutdown hook —
+  // verify/bench invoke each query several times and must not leak a temp
+  // dir (or, for q33f, a catalog table) per invocation (same discipline as
+  // SourceFormats). Re-invocations write mode("overwrite") into the same
+  // path, so disk use is bounded by one copy per (query, sf).
+  private val dirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def derbyDb(key: String): String =
-    jdbcDirCache.computeIfAbsent(key, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_jdbc_")
-      // Derby writes its engine log relative to derby.system.home; point it
-      // at the first db's work dir instead of polluting the process CWD.
-      if (System.getProperty("derby.system.home") == null)
-        System.setProperty("derby.system.home", p.toString)
+  private def workDir(key: String): String =
+    dirCache.computeIfAbsent(key, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_pipe_")
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
         if (java.nio.file.Files.exists(p)) {
@@ -155,8 +153,23 @@ object EcommercePipeline extends QueryModule {
           finally walk.close()
         }
       }
-      p.toString + "/wh"
+      p.toString
     })
+
+  /** Stable per-(query, sf) identifier suffix for catalog object names. */
+  private def stableSuffix(key: String): String =
+    java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
+
+  // ---- JDBC warehouse boundary (q72) -----------------------------------
+
+  private def derbyDb(key: String): String = {
+    val dir = workDir(key)
+    // Derby writes its engine log relative to derby.system.home; point it
+    // at the first db's work dir instead of polluting the process CWD.
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", dir)
+    dir + "/wh"
+  }
 
   /** JDBC warehouse round trip through embedded Derby — the reference's
     * one remaining boundary with no executed counterpart (the Redshift
@@ -245,8 +258,11 @@ object EcommercePipeline extends QueryModule {
     * append adds zero rows (idempotence; asserted in-line and in
     * GeneratorsSpec). */
   def warehouseAppendReplay(s: SparkSession, dir: String): DataFrame = {
-    val tbl = "graft_dimp_wh_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val path = java.nio.file.Files.createTempDirectory("graft_wh_").toString
+    // Stable per-(query, sf) table + path: the overwrite seed below resets
+    // state, so re-invocations are deterministic and the catalog holds ONE
+    // table per sf instead of one per invocation.
+    val tbl = "graft_dimp_wh_" + stableSuffix(s"q33f:$dir")
+    val path = workDir(s"q33f:$dir") + "/tbl"
     val all = dimProducts(s, dir)
     val existing = all.filter(col("product_id").substr(6, 6).cast("long") % 2 === 0)
     existing.write.mode("overwrite").option("path", path).saveAsTable(tbl)
@@ -539,8 +555,7 @@ object EcommercePipeline extends QueryModule {
               |JOIN dimc c ON t.customer_id = c.customer_id
               |ORDER BY transaction_id""".stripMargin),
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_txn_csv_").toString
+        val tmp = workDir(s"q33:$d") + "/csv"
         val landed = csvRoundTrip(transactions(s, d), tmp)
         enrich(landed, dimProducts(s, d), dimCustomers(s, d))
           .select("transaction_id", "customer_id", "product_id", "quantity",
