@@ -224,6 +224,47 @@ object TextAnalysis extends QueryModule {
             (col("df").cast("double") / col("n_docs")).as("doc_ratio"))
           .orderBy(desc("df"), asc("token"))
           .limit(20)
+      }),
+
+    // Q74 sequence packing — the concat-and-chunk preprocessing every LLM
+    // training pipeline runs between curation and tokenization: documents
+    // are laid end-to-end per stream in a deterministic order and cut into
+    // fixed token-budget chunks; a document belongs to the chunk its first
+    // token lands in. Formulated as a running windowed sum (one shuffle on
+    // the stream key, then pure map arithmetic + partial-agg rollup) — no
+    // sequential driver loop. The stream key here is `lang` (the fixture's
+    // natural partition); at corpus scale the same operator runs per
+    // hash-bucket key so every stream packs in parallel and no window
+    // partition exceeds one task's slice (the q33e2 batch-key pattern).
+    // Token counts reuse the q28-proven whitespace tokenizer parity.
+    Q("q74_sequence_pack",
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT lang, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .withColumn("n_tokens", size(expr(tokensExpr)))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("chunk_id",
+            floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
+          .groupBy("lang", "chunk_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("chunk_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("lang", "chunk_id")
       })
   )
 }

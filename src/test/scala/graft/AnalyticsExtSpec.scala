@@ -71,6 +71,30 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(labels.filter(col("lbl") > col("node")).count() == 0)
   }
 
+  test("q74 packing: chunks partition each stream — totals conserved, ranges disjoint") {
+    // Packing invariants no hash check expresses: per lang, every doc's
+    // tokens land in exactly one chunk (sum over chunks = corpus total),
+    // and chunk doc-ranges are disjoint and ordered (a doc never appears
+    // before the previous chunk closed).
+    val chunks = SparkEntry.queries("q74_sequence_pack")(spark, sf).collect()
+    assert(chunks.nonEmpty)
+    val totalByLang = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "size(filter(split(lower(text), ' +'), t -> t != '')) AS n")
+      .groupBy("lang").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getString(0)).foreach { case (lang, cs) =>
+      assert(cs.map(_.getLong(3)).sum == totalByLang(lang),
+        s"token mass not conserved for $lang")
+      val ordered = cs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(p.getLong(5) < n.getLong(4),
+            s"chunk ranges overlap for $lang: ${p.getLong(1)} vs ${n.getLong(1)}")
+        case _ => ()
+      }
+    }
+  }
+
   test("rolling hash: permuting token order changes the fingerprint") {
     import spark.implicits._
     val two = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
