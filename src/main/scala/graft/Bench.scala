@@ -44,6 +44,10 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\[id=#?\\d*\\]", "")
       .replaceAll("\\*\\(\\d+\\)", "*")
+      // typed-operator closures print as Foo$$Lambda$<jvm-counter>/0x<addr>@<hash>;
+      // every token after "Lambda" is JVM-run-specific
+      .replaceAll("Lambda\\$\\d+", "Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "")
       .replaceAll("(?:file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
       .replaceAll("/[^\\s,\\)\\]]+", "<path>")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")

@@ -19,9 +19,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_EXECUTED=1: drive each query and print the
+    // EXECUTED plan's raw tree (what Bench's plan_fp normalizes+hashes) —
+    // for diffing fingerprint stability across JVMs.
+    val executed = sys.env.get("SPARK_GRAFT_EXPLAIN_EXECUTED").contains("1")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (executed) { df.count(); println(df.queryExecution.executedPlan.toString) }
+      else df.explain("formatted")
     }
     spark.stop()
   }
