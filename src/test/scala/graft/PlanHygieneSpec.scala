@@ -111,6 +111,16 @@ class PlanHygieneSpec extends SparkSpec {
       s"JDBC scan is not the partitioned parallel read:\n$p")
   }
 
+  test("q74: packing windows shard by stream key — no single-partition exchange") {
+    // Sequence packing must stay a per-stream windowed sum: hash exchange
+    // on the stream key, never a global sort through one task (the q33e2
+    // discipline). The output ORDER BY may range-partition; what must not
+    // appear is a SinglePartition exchange under the running sum.
+    val p = plan("q74_sequence_pack")
+    assert(!p.contains("SinglePartition"),
+      s"packing collapsed to a single-task window:\n$p")
+  }
+
   test("q59: redaction is a pure map — no exchange in the plan") {
     val p = plan("q59_pii_redact")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
