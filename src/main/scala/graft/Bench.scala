@@ -86,6 +86,10 @@ object Bench {
         Some(name -> planFingerprint(df.queryExecution.executedPlan.toString))
       } catch { case _: Throwable => None }
     }
+    // Drop warmup-accumulated block storage before the timed loop starts
+    // (disk layouts and catalog tables survive — they're the warm state
+    // the timed loop should see).
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
     // Per-run success is tracked (not folded into the timing): a query
     // that fails fast must surface in `errors`, not masquerade as a small
     // plausible min. Per-query spread (max−min over successful runs) rides
@@ -98,6 +102,15 @@ object Bench {
           catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // Per-query isolation: queries that cache intermediate frames (the
+      // connected-components edge sets, layout probes) would otherwise
+      // accumulate storage across the 100+-query suite and perturb
+      // LATER queries' numbers through memory pressure and GC — measured
+      // as a consistent ~1 s inflation of cheap tail-suite joins. Disk
+      // layouts and catalog tables (q36/q38/q70) survive; only block
+      // storage is dropped, and each query's own timed runs still include
+      // whatever caching its plan performs.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       (name, samples.filter(_._2).map(_._1), samples.count(!_._2))
     }
     // Adaptive re-measure: queries whose primary-loop spread/min > 1 were
@@ -122,6 +135,7 @@ object Bench {
             if (ok) Some((System.nanoTime() - t0) / 1e9) else None
           }
         }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
         if (extras.nonEmpty) Some(name -> extras) else None
       }.toMap
     val results = sampled.map { case (name, okTimes, _) =>
