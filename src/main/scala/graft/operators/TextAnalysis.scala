@@ -226,6 +226,47 @@ object TextAnalysis extends QueryModule {
           .limit(20)
       }),
 
+    // Q28h repetition flags (the Gopher-rules shape): a document whose
+    // most frequent token dominates, or whose token stream is mostly
+    // repeats, is boilerplate/spam for training purposes. All counts are
+    // exact integers computed with ARRAY functions inside the row — no
+    // explode, no shuffle, embarrassingly parallel (the per-doc top-count
+    // is O(distinct·tokens) local work on ~60-token docs). The one double
+    // (top-token share) is a single integer division, bit-stable in both
+    // engines.
+    Q("q28h_repetition",
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             |  CAST(list_max(list_transform(list_distinct(toks),
+             |    d -> len(list_filter(toks, x -> x = d)))) AS INT) AS top_count,
+             |  CAST(list_max(list_transform(list_distinct(toks),
+             |    d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+             |    / len(toks) AS frac_top,
+             |  (list_max(list_transform(list_distinct(toks),
+             |     d -> len(list_filter(toks, x -> x = d)))) * 5 > len(toks))
+             |   OR (len(list_distinct(toks)) * 2 < len(toks)) AS is_repetitive
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val base = t(s, d, "documents").withColumn("toks", expr(tokensExpr))
+          .withColumn("top_count", expr(
+            """array_max(transform(array_distinct(toks),
+              |  d -> size(filter(toks, x -> x = d))))""".stripMargin))
+        base.select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(expr("array_distinct(toks)")).as("n_distinct"),
+            col("top_count"),
+            (col("top_count").cast("double") / size(col("toks"))).as("frac_top"),
+            (col("top_count") * 5 > size(col("toks"))
+              || size(expr("array_distinct(toks)")) * 2 < size(col("toks")))
+              .as("is_repetitive"))
+          .orderBy("doc_id")
+      }),
+
     // Q74 sequence packing — the concat-and-chunk preprocessing every LLM
     // training pipeline runs between curation and tokenization: documents
     // are laid end-to-end per stream in a deterministic order and cut into
