@@ -351,6 +351,67 @@ object Dedup extends QueryModule {
           .withColumn("cluster_size", count(lit(1)).over(w))
           .withColumn("keep", col("doc_id") === col("cluster_id"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // Q75 stride-span exact dedup — the distributed form of substring-level
+    // training-data dedup (cf. reference data prep: whole-row dedup in
+    // transactions_mock_data.py:58-60 generalized below document granularity).
+    // Each document is cut into non-overlapping W=4-token spans; a span
+    // occurrence is a duplicate when the globally-first occurrence (smallest
+    // (doc_id, span_idx)) lives elsewhere. Per-doc output: span count,
+    // duplicated-span count, dup ratio — the signal curation uses to drop
+    // boilerplate-heavy documents.
+    //
+    // Scale posture: the only wide shuffle carries (xxhash64(span), ord) —
+    // 16 bytes per span, never the span text — and the first-occurrence
+    // resolution is a partition-local MIN window over that hash key (one
+    // shuffle, no join back). The per-doc rollup shuffles (doc_id, two
+    // counts). Grouping by the 64-bit span hash instead of the span string
+    // admits a ~n²/2⁶⁵ collision probability (≪1e-9 at 100 TB span counts
+    // per partition-key domain); the oracle groups by the span string
+    // itself, so a collision would surface as a hash mismatch, not hide.
+    // `ord = doc_id·2²¹ + idx` assumes ≤2M spans/doc (8M tokens) — beyond
+    // that the encoding widens, it does not silently collide, because ord
+    // feeds MIN only and doc_id occupies disjoint high bits up to 2⁴¹.
+    Q("q75_span_dedup",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id, unnest(range(0, len(ws) // 4)) AS i, ws FROM w),
+             |o AS (SELECT doc_id, array_to_string(ws[(i*4+1):(i*4+4)], ' ') AS span,
+             |             doc_id * 2097152 + i AS ord FROM c),
+             |m AS (SELECT doc_id, ord, min(ord) OVER (PARTITION BY span) AS first_ord FROM o),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |             CAST(sum(CASE WHEN ord != first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |      FROM m GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans, coalesce(a.n_dup, 0) AS n_dup,
+             |       CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
+             |            ELSE CAST(a.n_dup AS DOUBLE) / a.n_spans END AS dup_ratio
+             |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+      (s, d) => spanDedupStats(t(s, d, "documents"), 4).orderBy("doc_id"))
   )
+
+  /** Per-doc stride-span dup stats (see q75): cut each doc into
+    * non-overlapping w-token spans, mark every occurrence whose globally
+    * first (doc_id, idx) lives elsewhere, roll up per document. */
+  def spanDedupStats(docs: DataFrame, w: Int): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .withColumn("i",
+        explode(sequence(lit(0L), floor(size(col("ws")) / w).cast("long") - 1)))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ",
+          slice(col("ws"), (col("i") * w + 1).cast("int"), lit(w)))).as("h"),
+        (col("doc_id") * (1L << 21) + col("i")).as("ord"))
+    val marked = spans
+      .withColumn("first_ord", min(col("ord")).over(Window.partitionBy("h")))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("ord") =!= col("first_ord"), 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_spans")).as("dup_ratio"))
+  }
 }

@@ -211,4 +211,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit == total, s"wide-band recall ${hit.toDouble / total} < 1.0")
     assert(wide.join(brute, Seq("a", "b"), "left_anti").count() == 0)
   }
+
+  test("span dedup: planted repeated spans are attributed to the later doc only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // spans: [a b c d], [e f g h] — first occurrences
+      (2L, "a b c d x y z w"),          // first span duplicates doc 1's
+      (3L, "e f g h a b c d"),          // both spans duplicate doc 1's
+      (4L, "p q r"),                    // under one span width: 0 spans
+      (5L, "a b c x d e f g")           // shifted by one token: no stride-aligned dup
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.spanDedupStats(docs, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)), s"doc 1 is the origin: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 0.5)), s"doc 2 repeats one span: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 1.0)), s"doc 3 is all duplicates: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0)), s"doc 4 has no full span: ${out(4L)}")
+    assert(out(5L) == ((2L, 0L, 0.0)), s"stride-aligned only: ${out(5L)}")
+  }
 }
