@@ -223,6 +223,60 @@ object CurationExt extends QueryModule {
                  |  acc + (case when vmax > vmin
                  |              then cast(floor((x - vmin) * 255.0D / (vmax - vmin)) as bigint)
                  |              else 0L end))""".stripMargin).as("checksum"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Q76 temperature-scaled domain mixing — the multilingual-sampling
+    // pattern (weight ∝ n^α, α = 1/2) that upsamples small (lang, source)
+    // domains relative to their raw share before training. All arithmetic
+    // is exact-integer so the sampled SET is bit-reproducible: weights are
+    // integer isqrt(n) (floor∘sqrt is exact for n ≪ 2⁵²), quotas are
+    // integer division of a 200-doc budget, and each group keeps its
+    // quota-smallest docs by the shared key-derived mix hash — no RNG, no
+    // float accumulation order to diverge between engines.
+    //
+    // Scale posture: group stats are one row per (lang, source) — broadcast
+    // back to the corpus. The windowed rank is the exact top-quota form and
+    // shuffles one row per doc on the group key; the same plan degrades
+    // gracefully to the rank-free approximation (keep mix_hash below a
+    // quota/n-scaled threshold, pure map) when the corpus no longer wants
+    // a per-group sort — the quota frame and hash are shared by both forms.
+    Q("q76_mix_sample",
+      Some("""WITH g AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS grp_docs,
+             |         CAST(floor(sqrt(count(*))) AS BIGINT) AS sg
+             |  FROM documents GROUP BY lang, source),
+             |tot AS (SELECT CAST(sum(sg) AS BIGINT) AS stot FROM g),
+             |q AS (SELECT lang, source, grp_docs,
+             |             CAST((200 * sg) // stot AS BIGINT) AS grp_target
+             |      FROM g, tot),
+             |h AS (SELECT doc_id, lang, source,
+             |             ((doc_id % 2147483647) * 2654435761) % 1000000007 AS mix_hash
+             |      FROM documents),
+             |r AS (SELECT h.doc_id, h.lang, h.source, q.grp_docs, q.grp_target,
+             |             row_number() OVER (PARTITION BY h.lang, h.source
+             |                                ORDER BY h.mix_hash, h.doc_id) AS rk
+             |      FROM h JOIN q USING (lang, source))
+             |SELECT doc_id, lang, source, grp_docs, grp_target
+             |FROM r WHERE rk <= grp_target ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val grp = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("grp_docs"))
+          .withColumn("sg", floor(sqrt(col("grp_docs").cast("double"))).cast("long"))
+        val tot = grp.agg(sum("sg").as("stot"))
+        val quota = grp.crossJoin(broadcast(tot))
+          .withColumn("grp_target", expr("(200 * sg) div stot"))
+          .select("lang", "source", "grp_docs", "grp_target")
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("mix_hash"), col("doc_id"))
+        docs
+          .withColumn("mix_hash",
+            expr("((doc_id % 2147483647) * 2654435761) % 1000000007"))
+          .join(broadcast(quota), Seq("lang", "source"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("grp_target"))
+          .select("doc_id", "lang", "source", "grp_docs", "grp_target")
+          .orderBy("doc_id")
+      })
   )
 }
