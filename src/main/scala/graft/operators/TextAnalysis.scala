@@ -306,6 +306,85 @@ object TextAnalysis extends QueryModule {
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
           .orderBy("lang", "chunk_id")
+      }),
+
+    // Q77 curation filter funnel — the attrition report a training-data run
+    // publishes: each document passes a fixed gauntlet (min length →
+    // stopword floor → punctuation cap → span-dup cap), and the output is
+    // one row per stage with docs_in/docs_out/dropped, where stage k's
+    // docs_out is stage k+1's docs_in. The final stage composes q75's
+    // span-dedup stats, so the funnel exercises per-row flags AND a
+    // corpus-global dedup signal in one declared query.
+    //
+    // Scale posture: flags are map-only; the only shuffles are q75's
+    // (16 B/span) and the per-doc rollup; survival counts are ONE global
+    // partial-agg over int flag products (no per-stage passes over the
+    // corpus), then a constant 4-row stack — the whole funnel costs one
+    // pass regardless of stage count.
+    Q("q77_filter_funnel",
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, length(text) AS n_char,
+              |         list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS toks,
+              |         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+              |  FROM documents),
+              |fl AS (
+              |  SELECT doc_id,
+              |    CAST(len(toks) >= 20 AS INT) AS f1,
+              |    CAST(len(list_filter(toks, t -> list_contains(${sqlList(Stopwords)}, t))) * 10 >= len(toks) AS INT) AS f2,
+              |    CAST(n_punct * 5 <= n_char AS INT) AS f3
+              |  FROM tok),
+              |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |c AS (SELECT doc_id, unnest(range(0, len(ws) // 4)) AS i, ws FROM w),
+              |o AS (SELECT doc_id, array_to_string(ws[(i*4+1):(i*4+4)], ' ') AS span,
+              |             doc_id * 2097152 + i AS ord FROM c),
+              |m AS (SELECT doc_id, ord, min(ord) OVER (PARTITION BY span) AS first_ord FROM o),
+              |sd AS (SELECT doc_id, count(*) AS n_spans,
+              |              sum(CASE WHEN ord != first_ord THEN 1 ELSE 0 END) AS n_dup
+              |       FROM m GROUP BY doc_id),
+              |ff AS (SELECT fl.doc_id, f1, f2, f3,
+              |              CAST(coalesce(n_dup, 0) * 2 < coalesce(n_spans, 0) AS INT) AS f4
+              |       FROM fl LEFT JOIN sd USING (doc_id)),
+              |agg AS (SELECT CAST(count(*) AS BIGINT) AS s0, CAST(sum(f1) AS BIGINT) AS s1,
+              |               CAST(sum(f1*f2) AS BIGINT) AS s2, CAST(sum(f1*f2*f3) AS BIGINT) AS s3,
+              |               CAST(sum(f1*f2*f3*f4) AS BIGINT) AS s4
+              |        FROM ff)
+              |SELECT * FROM (
+              |  SELECT CAST(1 AS BIGINT) AS stage_id, 'min_tokens' AS stage,
+              |         s0 AS docs_in, s1 AS docs_out, s0 - s1 AS dropped FROM agg
+              |  UNION ALL SELECT 2, 'stopword_floor', s1, s2, s1 - s2 FROM agg
+              |  UNION ALL SELECT 3, 'punct_cap', s2, s3, s2 - s3 FROM agg
+              |  UNION ALL SELECT 4, 'span_dup_cap', s3, s4, s3 - s4 FROM agg)
+              |ORDER BY stage_id""".stripMargin),
+      (s, d) => {
+        val stop = sparkList(Stopwords)
+        val docs = t(s, d, "documents")
+        val flags = docs
+          .withColumn("toks", expr(tokensExpr))
+          .select(col("doc_id"),
+            (size(col("toks")) >= 20).cast("int").as("f1"),
+            (expr(s"size(filter(toks, t -> array_contains($stop, t)))") * 10
+              >= size(col("toks"))).cast("int").as("f2"),
+            ((length(col("text"))
+              - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))) * 5
+              <= length(col("text"))).cast("int").as("f3"))
+        val sd = Dedup.spanDedupStats(docs, 4).select("doc_id", "n_spans", "n_dup")
+        val ff = flags.join(sd, Seq("doc_id"), "left")
+          .withColumn("f4",
+            (coalesce(col("n_dup"), lit(0L)) * 2
+              < coalesce(col("n_spans"), lit(0L))).cast("int"))
+        ff.agg(
+            count(lit(1)).as("s0"),
+            sum(col("f1")).as("s1"),
+            sum(col("f1") * col("f2")).as("s2"),
+            sum(col("f1") * col("f2") * col("f3")).as("s3"),
+            sum(col("f1") * col("f2") * col("f3") * col("f4")).as("s4"))
+          .select(expr("""stack(4,
+                 |  1L, 'min_tokens',     s0, s1,
+                 |  2L, 'stopword_floor', s1, s2,
+                 |  3L, 'punct_cap',      s2, s3,
+                 |  4L, 'span_dup_cap',   s3, s4) AS (stage_id, stage, docs_in, docs_out)""".stripMargin))
+          .withColumn("dropped", col("docs_in") - col("docs_out"))
+          .orderBy("stage_id")
       })
   )
 }
