@@ -26,6 +26,48 @@ final case class FunnelEventT(user_id: Long, event_type: String,
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, event_id)
 }
 
+/** q30d typed input / output / state — per-user bounded top-3 values. */
+final case class TopKIn(user_id: Long, value: Double)
+final case class TopKState(tops: List[Double], n: Long)
+final case class TopKOut(user_id: Long, n_events: Long,
+    top1: Double, top2: Double, top3: Double)
+
+/** q30d's `StatefulProcessor` (the Spark 4 `transformWithState` API —
+  * arbitrary named state primitives instead of one opaque GroupState
+  * blob). State per key is HARD-BOUNDED: a 3-element sorted list plus a
+  * count, independent of stream length — the shape per-key "running
+  * leaderboard" serving state takes at scale. Emissions are monotone per
+  * slot (a running k-th-largest never decreases, nor does the count), so
+  * a max-fold over per-batch emissions reconstructs the final state no
+  * matter how the trigger sliced the input — the same reconstruction
+  * contract q30c's funnel uses. */
+final class TopKProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TopKIn, TopKOut] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+  @transient private var state: streaming.ValueState[TopKState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[TopKState](
+      "topk", Encoders.product[TopKState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TopKIn],
+      timers: TimerValues): Iterator[TopKOut] = {
+    val prev = if (state.exists()) state.get() else TopKState(Nil, 0L)
+    var tops = prev.tops
+    var n = prev.n
+    rows.foreach { r =>
+      n += 1L
+      // 4-element insert-then-trim: O(1) per row, never grows past k.
+      tops = (r.value :: tops).sorted(Ordering[Double].reverse).take(3)
+    }
+    state.update(TopKState(tops, n))
+    val p = tops.padTo(3, -1.0)
+    Iterator(TopKOut(key, n, p(0), p(1), p(2)))
+  }
+}
+
 /** Structured Streaming over the `events` table — SURVEY §2.B Q29–Q32,
   * replacing the reference's sleep-and-RPC micro-batch orchestration
   * (`transactions_mock_data.py:125-140`, the 10 s S3 wait at `:132`, and the
@@ -391,6 +433,52 @@ object StreamingQueries extends QueryModule {
             max(col("first_click_us")).as("first_click_us"),
             max(col("first_purchase_us")).as("first_purchase_us"))
           .orderBy("user_id")
+      }),
+
+    // Q30d per-key bounded top-k through `transformWithState` — the Spark 4
+    // arbitrary-state API (named, typed state primitives + timers) that
+    // replaces GroupState for new stateful operators. Keeps a per-user
+    // running top-3 of event values with a HARD O(k) state bound (see
+    // TopKProcessor above). transformWithState requires the RocksDB state
+    // store provider; the query pins it for its own run and restores the
+    // session conf in a finally, per the engine's no-conf-leak rule. The
+    // oracle is the equivalent batch ranking: the multiset of a user's
+    // values determines each rank's value regardless of tie order.
+    Q("q30d_stream_topk_state",
+      Some("""WITH r AS (
+             |  SELECT user_id, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rk,
+             |         count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events)
+             |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+             |       coalesce(max(CASE WHEN rk = 1 THEN value END), -1.0) AS top1,
+             |       coalesce(max(CASE WHEN rk = 2 THEN value END), -1.0) AS top2,
+             |       coalesce(max(CASE WHEN rk = 3 THEN value END), -1.0) AS top3
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val conf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(conf)
+        s.conf.set(conf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val in = eventsStream(s, d)
+            .select(col("user_id"), col("value")).as[TopKIn]
+          val out = in.groupByKey(_.user_id)
+            .transformWithState(new TopKProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+          runToMemory(out.toDF(), "q30d_out", "update")
+            .groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+              max(col("top1")).as("top1"),
+              max(col("top2")).as("top2"),
+              max(col("top3")).as("top3"))
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(p) => s.conf.set(conf, p)
+          case None    => s.conf.unset(conf)
+        }
       }),
 
     // Q32b stream-stream interval join: views ⋈ purchases of the same user

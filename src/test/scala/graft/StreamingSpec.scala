@@ -304,6 +304,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState top-k: multi-batch emissions max-fold to the batch ranking") {
+    import graft.streaming.{TopKIn, TopKProcessor}
+    import org.apache.spark.sql.streaming.TimeMode
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TopKIn]
+      val out = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new TopKProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_topk")
+        .outputMode("update").start()
+      // Batch 1 holds user 1's eventual 2nd-best; batch 2 its best — the
+      // running slots must cross batches through state, not within-batch sort.
+      input.addData(TopKIn(1L, 5.0), TopKIn(1L, 7.0), TopKIn(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(TopKIn(1L, 9.0), TopKIn(1L, 2.0), TopKIn(2L, 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("tws_topk").groupBy("user_id")
+        .agg(max("n_events").as("n"), max("top1").as("t1"),
+          max("top2").as("t2"), max("top3").as("t3"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(fin(1L) == ((4L, 9.0, 7.0, 5.0)), s"user 1: ${fin(1L)}")
+      assert(fin(2L) == ((2L, 3.0, 1.0, -1.0)), s"user 2 pads rank 3: ${fin(2L)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
