@@ -126,4 +126,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
       s"per-row redaction should not shuffle (except the output sort):\n$p")
   }
+
+  test("q76: quota frames broadcast — no shuffle join against the corpus") {
+    // The per-(lang, source) stats and the scalar total are tiny; both must
+    // reach the corpus as broadcasts. A SortMergeJoin here would mean the
+    // full document set shuffles on the group key twice (once for the join,
+    // once for the rank window) instead of once.
+    val p = plan("q76_mix_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast quota join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"quota join degraded to a shuffle join:\n$p")
+  }
+
+  test("q75: span first-occurrence window partitions by the 64-bit hash") {
+    // The wide shuffle must key on xxhash64(span), never the span string:
+    // the window's partition spec is the hash column, and no sort-merge
+    // join touches the span text (the only SMJ-able join is the per-doc
+    // rollup on doc_id).
+    val p = plan("q75_span_dedup")
+    assert(p.contains("hashpartitioning(h#") || p.contains("hashpartitioning(h "),
+      s"span window should shard on the hash column:\n$p")
+    assert(!p.toLowerCase.contains("span#"),
+      s"span text leaked into the physical plan's shuffled attributes:\n$p")
+  }
 }
