@@ -845,6 +845,41 @@ object Similarity extends QueryModule {
               .as("comp_sum"),
             array_max(col("embedding")).cast("double").as("comp_max"))
           .orderBy("vec_id")
-      })
+      }),
+
+    // Q78 contrastive hard-negative mining: for every vector, the top-3
+    // most-similar vectors with a DIFFERENT label — the batch that
+    // contrastive/metric training pairs against each anchor. Runs on the
+    // same custom KnnTopK Catalyst operator as q27 with its group-exclusion
+    // mode: the streamed inner loop skips same-label candidates BEFORE heap
+    // admission, so no same-label pair is ever materialized and the per-
+    // partition candidate bound (|Q|·k) is unchanged. A compose-built-ins
+    // formulation would broadcast-NLJ the full |Q|·|D| product and filter —
+    // exactly what the custom plan exists to avoid.
+    Q("q78_hard_negatives",
+      Some(s"""SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
+              |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+              |         $sqlCos AS cos,
+              |         row_number() OVER (PARTITION BY a.vec_id
+              |           ORDER BY $sqlCos DESC, b.vec_id) AS rnk
+              |  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+              |) WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin),
+      (s, d) => hardNegativesTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk"))
   )
+
+  /** Exact cross-group (label ≠ label) cosine top-k — see q78. Same
+    * broadcast-queries / streamed-docs physical shape as [[bruteForceTopK]];
+    * the exclusion happens inside the operator's inner loop. */
+  def hardNegativesTopK(emb: DataFrame, k: Int): DataFrame = {
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"), col("label").cast("long").as("grp"))
+    val cand = graft.plans.KnnTopK.candidates(prep(emb), prep(emb), k,
+      excludeSameGroup = true)
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -37,6 +37,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 case class KnnTopKNode(
     k: Int,
+    excludeSameGroup: Boolean,
     output: Seq[Attribute],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
@@ -50,10 +51,15 @@ case class KnnTopKNode(
 
 object KnnTopKNode {
   /** Children contract (both sides): (id BIGINT, vec ARRAY<FLOAT>, nrm
-    * DOUBLE) in that column order. Output attrs are minted once here so
-    * plan-tree copies keep stable exprIds. */
-  def apply(k: Int, left: LogicalPlan, right: LogicalPlan): KnnTopKNode =
-    KnnTopKNode(k, Seq(
+    * DOUBLE) in that column order — plus (grp BIGINT) as column 4 when
+    * `excludeSameGroup` is set (contrastive hard-negative mining: a
+    * candidate sharing the query's group is skipped in the streamed inner
+    * loop, so the heap fills with the best CROSS-group neighbors without
+    * ever materializing and post-filtering same-group pairs). Output attrs
+    * are minted once here so plan-tree copies keep stable exprIds. */
+  def apply(k: Int, excludeSameGroup: Boolean,
+      left: LogicalPlan, right: LogicalPlan): KnnTopKNode =
+    KnnTopKNode(k, excludeSameGroup, Seq(
       AttributeReference("vec_id", LongType, nullable = false)(),
       AttributeReference("nbr_id", LongType, nullable = false)(),
       AttributeReference("cos", DoubleType, nullable = false)()),
@@ -62,8 +68,8 @@ object KnnTopKNode {
 
 object KnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case KnnTopKNode(k, out, l, r) =>
-      KnnTopKPartialExec(k, out, planLater(l), planLater(r)) :: Nil
+    case KnnTopKNode(k, ex, out, l, r) =>
+      KnnTopKPartialExec(k, ex, out, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,6 +78,7 @@ object KnnStrategy extends SparkStrategy {
   * ≤ |Q|·k candidate rows per partition. */
 case class KnnTopKPartialExec(
     k: Int,
+    excludeSameGroup: Boolean,
     output: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
@@ -87,6 +94,7 @@ case class KnnTopKPartialExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val kk = k
+    val exGrp = excludeSameGroup
     val bcast = left.executeBroadcast[Array[InternalRow]]()
     right.execute().mapPartitions { docIter =>
       val qRows = bcast.value
@@ -94,12 +102,14 @@ case class KnnTopKPartialExec(
       val qId = new Array[Long](nQ)
       val qVec = new Array[Array[Float]](nQ)
       val qNrm = new Array[Double](nQ)
+      val qGrp = if (exGrp) new Array[Long](nQ) else null
       var qi = 0
       while (qi < nQ) {
         val r = qRows(qi)
         qId(qi) = r.getLong(0)
         qVec(qi) = r.getArray(1).toFloatArray()
         qNrm(qi) = r.getDouble(2)
+        if (exGrp) qGrp(qi) = r.getLong(3)
         qi += 1
       }
       // Per-query bounded heaps as parallel arrays sorted best-first by
@@ -111,10 +121,11 @@ case class KnnTopKPartialExec(
         val dId = row.getLong(0)
         val dVec = row.getArray(1).toFloatArray()
         val dNrm = row.getDouble(2)
+        val dGrp = if (exGrp) row.getLong(3) else 0L
         val dim = dVec.length
         var q = 0
         while (q < nQ) {
-          if (qId(q) != dId) {
+          if (qId(q) != dId && (!exGrp || qGrp(q) != dGrp)) {
             val qv = qVec(q)
             var s = 0.0
             var i = 0
@@ -168,7 +179,8 @@ object KnnTopK {
     * expose (id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE) in column
     * order. Returns ≤ |Q|·k·partitions candidates (vec_id, nbr_id, cos);
     * the caller finishes with an exact window rank over this tiny set. */
-  def candidates(queries: DataFrame, docs: DataFrame, k: Int): DataFrame = {
+  def candidates(queries: DataFrame, docs: DataFrame, k: Int,
+      excludeSameGroup: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     if (!spark.experimental.extraStrategies.contains(KnnStrategy)) {
       spark.experimental.extraStrategies =
@@ -178,6 +190,7 @@ object KnnTopK {
     // distinct output exprIds on the two children.
     val docsFresh = docs.select(docs.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     PlanBridge.ofRows(spark,
-      KnnTopKNode(k, queries.queryExecution.analyzed, docsFresh.queryExecution.analyzed))
+      KnnTopKNode(k, excludeSameGroup,
+        queries.queryExecution.analyzed, docsFresh.queryExecution.analyzed))
   }
 }

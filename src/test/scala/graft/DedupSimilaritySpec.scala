@@ -212,6 +212,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide.join(brute, Seq("a", "b"), "left_anti").count() == 0)
   }
 
+  test("hard negatives: every mined pair crosses labels and is dominated by unrestricted kNN") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val hn = Similarity.hardNegativesTopK(emb, 3)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val crossed = hn
+      .join(lbl.withColumnRenamed("label", "ql"), Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("nbr_id"), col("label").as("nl")), Seq("nbr_id"))
+    assert(crossed.filter(col("ql") === col("nl")).count() == 0,
+      "a same-label pair leaked through the group exclusion")
+    // The best cross-label neighbor can never beat the best unrestricted one.
+    val brute1 = Similarity.bruteForceTopK(emb, 1)
+      .select(col("vec_id"), col("cos").as("bc"))
+    val hn1 = hn.filter(col("rnk") === 1).select(col("vec_id"), col("cos").as("hc"))
+    assert(hn1.join(brute1, Seq("vec_id")).filter(col("hc") > col("bc")).count() == 0,
+      "cross-label top-1 exceeded the unrestricted top-1")
+  }
+
   test("span dedup: planted repeated spans are attributed to the later doc only") {
     val docs = Seq(
       (1L, "a b c d e f g h"),          // spans: [a b c d], [e f g h] — first occurrences
