@@ -40,6 +40,19 @@ object CurationExt extends QueryModule {
   private val EmailRe = "[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+"
   private val PhoneRe = "555-[0-9]{4}"
 
+  // Word-bigram expressions shared by q68 (LM statistics) and q79 (LM
+  // familiarity scoring) — term-for-term equivalent in the two dialects.
+  private val duckBigrams =
+    s"""CASE WHEN len(toks) >= 2
+       |    THEN list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE list_slice(toks, 1, 0) END""".stripMargin
+  private val sparkBigrams =
+    """case when size(toks) >= 2
+      |  then transform(sequence(1, size(toks) - 1),
+      |         i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+      |  else slice(toks, 1, 0) end""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Q59 PII redaction: scrub emails and phone numbers from free text and
@@ -165,10 +178,7 @@ object CurationExt extends QueryModule {
     Q("q68_bigram_lm",
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
               |bg AS (
-              |  SELECT unnest(CASE WHEN len(toks) >= 2
-              |    THEN list_transform(generate_series(1, len(toks) - 1),
-              |           i -> toks[i] || ' ' || toks[i+1])
-              |    ELSE list_slice(toks, 1, 0) END) AS bigram
+              |  SELECT unnest($duckBigrams) AS bigram
               |  FROM toks),
               |counts AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
               |SELECT bigram, CAST(n AS BIGINT) AS n,
@@ -178,11 +188,7 @@ object CurationExt extends QueryModule {
       (s, d) => {
         val bigrams = t(s, d, "documents")
           .withColumn("toks", expr(TextAnalysis.tokensExpr))
-          .select(explode(expr(
-            """case when size(toks) >= 2
-              |  then transform(sequence(1, size(toks) - 1),
-              |         i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
-              |  else slice(toks, 1, 0) end""".stripMargin)).as("bigram"))
+          .select(explode(expr(sparkBigrams)).as("bigram"))
         val counts = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(split(col("bigram"), " ").getItem(0))
         counts
@@ -276,6 +282,68 @@ object CurationExt extends QueryModule {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("grp_target"))
           .select("doc_id", "lang", "source", "grp_docs", "grp_target")
+          .orderBy("doc_id")
+      }),
+
+    // Q79 LM familiarity scoring — the perplexity-filter shape (CCNet:
+    // score every candidate against an LM trained on a trusted slice, keep
+    // what the LM finds unsurprising) with exact integer semantics so it
+    // hash-checks: the "LM" is the set of word bigrams whose English-slice
+    // count clears a RELATIVE floor (≥ 1/800 of all English bigram
+    // occurrences — scale-invariant, so the score keeps its spread at any
+    // SF instead of saturating as absolute counts grow), and a document's
+    // familiarity is the fraction of its bigram OCCURRENCES the LM knows.
+    // One float division at the end; everything upstream is integer counts.
+    //
+    // Scale posture: the LM index is count-pruned and carries one short
+    // string per surviving bigram — broadcast to the probe side (the same
+    // economics as q65's decontamination index); at a vocabulary where the
+    // pruned index outgrows the broadcast budget the SAME plan runs as a
+    // hash join by dropping the broadcast hint, nothing else changes. Probe
+    // bigrams never shuffle: the LM join is map-side, and only (doc_id,
+    // two counts) reach the rollup exchange.
+    Q("q79_lm_familiarity",
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+              |bg AS (
+              |  SELECT doc_id, lang, unnest($duckBigrams) AS bigram FROM toks),
+              |lm AS (
+              |  SELECT bigram FROM bg WHERE lang = 'en'
+              |  GROUP BY bigram
+              |  HAVING count(*) >= (SELECT count(*) FROM bg WHERE lang = 'en') // 800),
+              |sc AS (
+              |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |         CAST(sum(CASE WHEN lm.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+              |  FROM bg b LEFT JOIN lm ON b.bigram = lm.bigram
+              |  GROUP BY b.doc_id)
+              |SELECT d.doc_id, d.lang,
+              |       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+              |       coalesce(sc.n_known, 0) AS n_known,
+              |       CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+              |            ELSE CAST(sc.n_known AS DOUBLE) / sc.n_bigrams END AS familiarity
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bg = docs
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id"), col("lang"),
+            explode(expr(sparkBigrams)).as("bigram"))
+        val en = bg.filter(col("lang") === "en")
+        val tot = en.agg(count(lit(1)).as("etot"))
+        val lm = en.groupBy("bigram").agg(count(lit(1)).as("lmn"))
+          .crossJoin(broadcast(tot))
+          .filter(col("lmn") >= expr("etot div 800"))
+          .select(col("bigram"), lit(1).as("known"))
+        val sc = bg.join(broadcast(lm), Seq("bigram"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("known"), lit(0))).cast("long").as("n_known"))
+        docs.select("doc_id", "lang").join(sc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("n_known").cast("double") / col("n_bigrams")).as("familiarity"))
           .orderBy("doc_id")
       })
   )
