@@ -386,7 +386,57 @@ object Dedup extends QueryModule {
              |       CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
              |            ELSE CAST(a.n_dup AS DOUBLE) / a.n_spans END AS dup_ratio
              |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin),
-      (s, d) => spanDedupStats(t(s, d, "documents"), 4).orderBy("doc_id"))
+      (s, d) => spanDedupStats(t(s, d, "documents"), 4).orderBy("doc_id")),
+
+    // Q80 incremental ingestion dedup — the admission gate a continuously
+    // fed corpus runs on every landing batch: drop rows that duplicate the
+    // batch itself (keep-first), then drop rows whose content already
+    // exists in the corpus (anti-join). The batch is constructed
+    // deterministically from the fixture (50 genuinely new docs + a
+    // replayed corpus slice + a second copy of half that slice), so the
+    // oracle replays the exact construction and the admitted set is
+    // hash-checked.
+    //
+    // Scale posture: the corpus side reduces to DISTINCT 8-byte content
+    // hashes before the anti-join (shuffle carries hashes, never text);
+    // batch-internal keep-first windows over the same hash. Text leaves
+    // the map side only as the final md5 projection. The corpus hash set
+    // is the thing a real pipeline would persist between batches — the
+    // anti-join then prunes to one partition-local probe per landing row.
+    Q("q80_incremental_dedup",
+      Some("""WITH corpus AS (
+             |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 7),
+             |batch AS (
+             |  SELECT doc_id + 1000000 AS batch_id, text FROM documents WHERE doc_id % 10 = 7
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 3
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 3),
+             |intra AS (
+             |  SELECT batch_id, text FROM (
+             |    SELECT batch_id, text,
+             |           row_number() OVER (PARTITION BY text ORDER BY batch_id) AS rn
+             |    FROM batch) WHERE rn = 1)
+             |SELECT i.batch_id, md5(i.text) AS fp
+             |FROM intra i LEFT JOIN corpus c ON i.text = c.text
+             |WHERE c.text IS NULL
+             |ORDER BY i.batch_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpusHashes = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(xxhash64(col("text")).as("h")).distinct()
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 1000000L).as("batch_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 2000000L).as("batch_id"), col("text")))
+          .unionAll(docs.filter(col("doc_id") % 20 === 3)
+            .select((col("doc_id") + 3000000L).as("batch_id"), col("text")))
+        val intra = dedupKeepFirst(
+          batch.withColumn("h", xxhash64(col("text"))), Seq("h"), "batch_id")
+        intra.join(corpusHashes, Seq("h"), "left_anti")
+          .select(col("batch_id"), md5(col("text")).as("fp"))
+          .orderBy("batch_id")
+      })
   )
 
   /** Per-doc stride-span dup stats (see q75): cut each doc into
