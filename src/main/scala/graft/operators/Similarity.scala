@@ -864,7 +864,75 @@ object Similarity extends QueryModule {
               |           ORDER BY $sqlCos DESC, b.vec_id) AS rnk
               |  FROM embeddings a JOIN embeddings b ON a.label <> b.label
               |) WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin),
-      (s, d) => hardNegativesTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk"))
+      (s, d) => hardNegativesTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
+
+    // Q81 label-separation report — the embedding-space health check a
+    // labeled corpus gets before metric training: pairwise cosine between
+    // per-label centroids. Cross-row float summation is engine-order-
+    // dependent, so the centroids are QUANTIZED: each component maps to
+    // floor(x·2²⁰) (exact, map-side), per-label component sums are exact
+    // integer aggregation (associative — any shuffle order), and the
+    // quantized mean uses an offset-then-truncate division that both
+    // engines agree on for the non-negative shifted operand. Centroid dots
+    // are integer-valued (≤ 2⁵⁰ ≪ 2⁵³, exact in IEEE double at ANY n —
+    // the mean, not the sum, is dotted, so per-label row counts never grow
+    // the operand) and the final cosine is bit-identical.
+    //
+    // Scale posture: posexplode → (label, pos) partial-agg is the only
+    // corpus-wide shuffle (64 rows per vector, combiner-reduced to
+    // labels×64); the pairwise join runs on one tiny row per label.
+    Q("q81_label_separation",
+      Some("""WITH q AS (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |         unnest(range(0, len(embedding))) AS pos, embedding
+             |  FROM embeddings),
+             |qx AS (
+             |  SELECT label, pos,
+             |         CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+             |  FROM q),
+             |sums AS (
+             |  SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM qx GROUP BY label, pos),
+             |cent AS (
+             |  SELECT label, max(n) AS n,
+             |         list((s + 4194304 * n) // n - 4194304 ORDER BY pos) AS v
+             |  FROM sums GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+             |  CASE WHEN list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) *
+             |            list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) = 0 THEN 0.0
+             |       ELSE round(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[]))
+             |              / (sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])))
+             |                 * sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))), 6)
+             |  END AS cos
+             |FROM cent a JOIN cent b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin),
+      (s, d) => {
+        val qx = t(s, d, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), col("pos"),
+            floor(col("x").cast("double") * 1048576).cast("long").as("qv"))
+        val sums = qx.groupBy("label", "pos").agg(
+          sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        val cent = sums.groupBy("label").agg(
+          max(col("n")).as("n"),
+          expr("transform(array_sort(collect_list(struct(pos, (s + 4194304L * n) div n - 4194304L))), e -> e.col2)")
+            .as("v"))
+        val a = cent.select(col("label").as("label_a"), col("n").as("n_a"), col("v").as("va"))
+        val b = cent.select(col("label").as("label_b"), col("n").as("n_b"), col("v").as("vb"))
+        def dot(x: String, y: String) =
+          s"cast(aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, z) -> acc + z) as double)"
+        a.join(b, col("label_a") < col("label_b"))
+          .withColumn("daa", expr(dot("va", "va")))
+          .withColumn("dbb", expr(dot("vb", "vb")))
+          .withColumn("dab", expr(dot("va", "vb")))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            when(col("daa") * col("dbb") === 0, lit(0.0))
+              .otherwise(round(col("dab") / (sqrt(col("daa")) * sqrt(col("dbb"))), 6))
+              .as("cos"))
+          .orderBy("label_a", "label_b")
+      })
   )
 
   /** Exact cross-group (label ≠ label) cosine top-k — see q78. Same
