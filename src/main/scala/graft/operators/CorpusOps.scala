@@ -97,6 +97,63 @@ object CorpusOps extends QueryModule {
             sum(col("n_tokens")).as("n_tokens"),
             sum(col("score")).cast("long").as("score_sum"))
           .orderBy("lang")
+      }),
+
+    // Q82 domain-divergence report: per-source L1 distance between the
+    // source's token distribution and the whole-corpus distribution — the
+    // outlier scan that flags a crawl domain whose content drifted (spam,
+    // boilerplate, wrong language) before it pollutes a training mix.
+    //
+    // Exactness: the distance is computed over a COMMON integer
+    // denominator — Σ|c_st·T − C_t·T_s| for tokens present in the source,
+    // plus (T − Σ_present C_t)·T_s for the absent mass (so no source ×
+    // vocabulary cross join materializes) — and divided once at the end:
+    // one IEEE division per source, everything upstream exact BIGINT.
+    // Bound: products stay under 2⁶³ while T·T_s < 9.2e18 (corpus tokens
+    // T ≲ 3e9); past that the identical plan runs with DECIMAL(38,0)
+    // casts on the two products.
+    //
+    // Scale posture: the global token frame (vocabulary-sized) broadcasts
+    // onto the per-(source, token) partial aggregate; only (source, token,
+    // count) rows shuffle, and the final report is one row per source.
+    Q("q82_domain_divergence",
+      Some(s"""WITH toks AS (
+              |  SELECT source, unnest($duckToks) AS token FROM documents),
+              |g AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY token),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+              |s AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cst
+              |      FROM toks GROUP BY source, token),
+              |st AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ts FROM s GROUP BY source),
+              |pres AS (
+              |  SELECT s.source,
+              |         CAST(sum(abs(s.cst * tot.t - g.ct * st.ts)) AS BIGINT) AS num_present,
+              |         CAST(sum(g.ct) AS BIGINT) AS cov
+              |  FROM s JOIN g USING (token) JOIN st ON s.source = st.source CROSS JOIN tot
+              |  GROUP BY s.source)
+              |SELECT st.source, st.ts AS n_tokens,
+              |  round(CAST(pres.num_present + (tot.t - pres.cov) * st.ts AS DOUBLE)
+              |        / (st.ts * tot.t), 6) AS l1
+              |FROM st JOIN pres USING (source) CROSS JOIN tot
+              |ORDER BY source""".stripMargin),
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(expr(TextAnalysis.tokensExpr)).as("token"))
+        val g = toks.groupBy("token").agg(count(lit(1)).as("ct"))
+        val tot = toks.agg(count(lit(1)).as("t"))
+        val perSrcTok = toks.groupBy("source", "token").agg(count(lit(1)).as("cst"))
+        val st = perSrcTok.groupBy("source").agg(sum(col("cst")).as("ts"))
+        val pres = perSrcTok
+          .join(broadcast(g), Seq("token"))
+          .join(broadcast(st), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .groupBy("source")
+          .agg(sum(abs(col("cst") * col("t") - col("ct") * col("ts"))).as("num_present"),
+            sum(col("ct")).as("cov"))
+        st.join(pres, Seq("source")).crossJoin(broadcast(tot))
+          .select(col("source"), col("ts").as("n_tokens"),
+            round((col("num_present") + (col("t") - col("cov")) * col("ts")).cast("double")
+              / (col("ts") * col("t")), 6).as("l1"))
+          .orderBy("source")
       })
   )
 }
