@@ -26,6 +26,80 @@ final case class FunnelEventT(user_id: Long, event_type: String,
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000, event_id)
 }
 
+/** q30e typed input / output / state — event-time sessions with timers. */
+final case class SessIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+final case class SessState(start_us: Long, end_us: Long, n: Long)
+final case class SessOut(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, closed: Boolean)
+
+/** q30e's `StatefulProcessor`: per-user event-time sessionization (30-min
+  * gap) through the Spark 4 arbitrary-state API WITH TIMERS — the state is
+  * the single open session, a gap-exceeding event closes it (emitted final)
+  * and opens the next, and an EVENT-TIME timer at end+gap closes an idle
+  * session when the watermark passes it (`handleExpiredTimer`), so state
+  * never outlives the gap horizon. Emissions are per-(user, session_start)
+  * monotone — end/n only grow, closed only flips false→true — so a
+  * max-fold reconstructs final sessions across any batch slicing (the
+  * q30c/q30d contract). Requires batches in event-time order (the single-
+  * file AvailableNow guarantee) and a watermark on ts for the timer mode.
+  * Per-batch rows are sorted per key before folding; memory is bounded by
+  * a key's per-batch volume (the exactFunnel pending-buffer economics). */
+final class SessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessIn, SessOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+  private val GapUs = 1800000000L
+  @transient private var state: streaming.ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[SessState](
+      "sess", Encoders.product[SessState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SessIn],
+      timers: TimerValues): Iterator[SessOut] = {
+    val evs = rows.map(r =>
+        (r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000, r.event_id))
+      .toArray.sortInPlace()
+    var out = List.empty[SessOut]
+    var cur = if (state.exists()) Option(state.get()) else None
+    evs.foreach { case (us, _) =>
+      cur match {
+        case Some(s0) if us - s0.end_us > GapUs =>
+          out ::= SessOut(key, s0.start_us, s0.end_us, s0.n, closed = true)
+          cur = Some(SessState(us, us, 1L))
+        case Some(s0) =>
+          cur = Some(SessState(s0.start_us, math.max(s0.end_us, us), s0.n + 1L))
+        case None =>
+          cur = Some(SessState(us, us, 1L))
+      }
+    }
+    cur.foreach { s0 =>
+      state.update(s0)
+      // Event-time timer: close this session when the watermark passes its
+      // idle horizon. Re-registered per batch; stale earlier timers are
+      // guarded against in handleExpiredTimer instead of deleted.
+      getHandle.registerTimer(s0.end_us / 1000L + GapUs / 1000L)
+      out ::= SessOut(key, s0.start_us, s0.end_us, s0.n, closed = false)
+    }
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessOut] = {
+    if (state.exists()) {
+      val s0 = state.get()
+      // Only the timer for the CURRENT idle horizon closes the session; a
+      // stale timer from an extended session fires earlier and is ignored.
+      if (info.getExpiryTimeInMs() >= s0.end_us / 1000L + GapUs / 1000L) {
+        state.clear()
+        return Iterator(SessOut(key, s0.start_us, s0.end_us, s0.n, closed = true))
+      }
+    }
+    Iterator.empty
+  }
+}
+
 /** q30d typed input / output / state — per-user bounded top-3 values. */
 final case class TopKIn(user_id: Long, value: Double)
 final case class TopKState(tops: List[Double], n: Long)
@@ -475,6 +549,67 @@ object StreamingQueries extends QueryModule {
               max(col("top2")).as("top2"),
               max(col("top3")).as("top3"))
             .orderBy("user_id")
+        } finally prev match {
+          case Some(p) => s.conf.set(conf, p)
+          case None    => s.conf.unset(conf)
+        }
+      }),
+
+    // Q30e event-time sessionization through transformWithState WITH
+    // TIMERS (TimeMode.EventTime — see SessionProcessor above): the same
+    // 30-minute-gap session semantics as q30b, computed by per-key state +
+    // expiry timers instead of a window cumsum. `closed` marks sessions
+    // sealed by a gap-exceeding successor (or, across batches, by the
+    // watermark timer — proven in StreamingSpec). Relationally a session
+    // is closed iff it is not its user's last, OR its idle horizon fell
+    // behind the run's final watermark: AvailableNow ends with a no-data
+    // batch that fires expired timers, and the final watermark is
+    // max(event ts in ms) − 10 min, so the oracle replays
+    // `end_ms + gap_ms < wm_ms` in exact integer arithmetic (boundary
+    // verified empirically against the executed timer emissions).
+    Q("q30e_stream_session_timers",
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts, event_id,
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged),
+             |s AS (
+             |  SELECT user_id, session_id,
+             |    CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+             |    CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+             |    count(*) AS n_events
+             |  FROM sessions GROUP BY user_id, session_id)
+             |SELECT user_id, session_start_us, session_end_us, n_events,
+             |       session_id < max(session_id) OVER (PARTITION BY user_id)
+             |       OR session_end_us // 1000 + 1800000 <
+             |          (SELECT max(epoch_us(ts)) // 1000 - 600000 FROM events) AS closed
+             |FROM s ORDER BY user_id, session_start_us""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val conf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(conf)
+        s.conf.set(conf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val in = eventsStream(s, d)
+            .withWatermark("ts", "10 minutes")
+            .select(col("user_id"), col("ts"), col("event_id")).as[SessIn]
+          val out = in.groupByKey(_.user_id)
+            .transformWithState(new SessionProcessor,
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Update())
+          runToMemory(out.toDF(), "q30e_out", "update")
+            .groupBy("user_id", "session_start_us")
+            .agg(max(col("session_end_us")).as("session_end_us"),
+              max(col("n_events")).as("n_events"),
+              max(col("closed")).as("closed"))
+            .orderBy("user_id", "session_start_us")
         } finally prev match {
           case Some(p) => s.conf.set(conf, p)
           case None    => s.conf.unset(conf)

@@ -338,6 +338,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessions: event-time timer closes an idle session") {
+    import graft.streaming.{SessIn, SessionProcessor}
+    import org.apache.spark.sql.streaming.TimeMode
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessIn]
+      val out = input.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_sess")
+        .outputMode("update").start()
+      // User 1's only session idles; user 2's far-future events push the
+      // watermark past user 1's horizon WITHOUT sending user 1 any more
+      // rows — only the registered timer can close that session.
+      def tm(min: Int): Timestamp = new Timestamp(ts(0).getTime + min * 60000L)
+      input.addData(SessIn(1L, tm(0), 10L), SessIn(1L, tm(10), 11L))
+      q.processAllAvailable()
+      input.addData(SessIn(2L, tm(120), 20L))
+      q.processAllAvailable()
+      input.addData(SessIn(2L, tm(125), 21L))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("tws_sess")
+        .groupBy("user_id", "session_start_us")
+        .agg(max("session_end_us").as("e"), max("n_events").as("n"), max("closed").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      val u1 = fin((1L, tm(0).getTime * 1000L))
+      assert(u1 == ((tm(10).getTime * 1000L, 2L, true)),
+        s"user 1's idle session should be timer-closed: $u1")
+      val u2 = fin((2L, tm(120).getTime * 1000L))
+      assert(!u2._3, s"user 2's live session must stay open: $u2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
