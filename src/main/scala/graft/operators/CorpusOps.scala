@@ -154,6 +154,50 @@ object CorpusOps extends QueryModule {
             round((col("num_present") + (col("t") - col("cov")) * col("ts")).cast("double")
               / (col("ts") * col("t")), 6).as("l1"))
           .orderBy("source")
+      }),
+
+    // Q83 overlapping token-window chunking — the retrieval/embedding-prep
+    // chunker: W=32-token windows at stride 24 (25 % overlap) so no span
+    // near a boundary is ever split away from all its context; a doc at or
+    // under W tokens is one whole chunk, and the final window always
+    // reaches the document's end. Emits (chunk ordinal, start offset,
+    // width, content fingerprint) — the manifest an embedding job maps
+    // over. Pure per-row map + explode: no shuffle except the output sort,
+    // chunk count per doc is ⌈(n−W)/stride⌉+1 (never a data-dependent
+    // driver loop).
+    Q("q83_chunk_overlap",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $duckToks AS toks FROM documents),
+              |n AS (
+              |  SELECT doc_id, toks, len(toks) AS nt,
+              |    CASE WHEN len(toks) <= 32 THEN 1
+              |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nchunks
+              |  FROM toks),
+              |c AS (
+              |  SELECT doc_id, toks, nt, unnest(range(0, nchunks)) AS chunk_id FROM n)
+              |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+              |  CAST(least(32, nt - chunk_id * 24) AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
+              |        chunk_id * 24 + least(32, nt - chunk_id * 24)), ' ')) AS fp
+              |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) => {
+        val W = 32
+        val S = 24
+        t(s, d, "documents")
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .withColumn("nt", size(col("toks")))
+          .withColumn("nchunks",
+            when(col("nt") <= W, 1L)
+              .otherwise(expr(s"(nt - $W + ${S - 1}) div $S") + 1L))
+          .withColumn("chunk_id", explode(sequence(lit(0L), col("nchunks") - 1)))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * S).as("start_tok"),
+            least(lit(W), col("nt") - col("chunk_id") * S).cast("long").as("n_tokens"),
+            md5(concat_ws(" ",
+              slice(col("toks"), (col("chunk_id") * S + 1).cast("int"),
+                least(lit(W), col("nt") - col("chunk_id") * S).cast("int")))).as("fp"))
+          .orderBy("doc_id", "chunk_id")
       })
   )
 }
