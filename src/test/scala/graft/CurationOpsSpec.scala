@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the round-9 curation operators (q76/q77/q80/
+  * q83) that the value-level DuckDB hash check can't express: funnel
+  * chaining, quota feasibility, admission disjointness, chunk coverage. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("q77 funnel: stages chain (out_k = in_{k+1}), attrition is non-negative") {
+    val rows = SparkEntry.queries("q77_filter_funnel")(spark, sf)
+      .orderBy("stage_id").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (in, out, dropped) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(out <= in, s"stage ${r.getString(1)} grew the corpus: $out > $in")
+      assert(dropped == in - out, s"stage ${r.getString(1)} attrition mismatch")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) == b.getLong(2),
+        s"stage ${b.getString(1)} docs_in != previous docs_out")
+    }
+  }
+
+  test("q76 mixing: every group fills exactly min(quota, size), and the sample is stable") {
+    val sel = SparkEntry.queries("q76_mix_sample")(spark, sf)
+    val perGroup = sel.groupBy("lang", "source")
+      .agg(count(lit(1)).as("got"),
+        first("grp_target").as("tgt"), first("grp_docs").as("n"))
+    val short = perGroup.filter(col("got") =!= least(col("tgt"), col("n"))).count()
+    assert(short == 0, "a group missed its feasible quota")
+    val again = SparkEntry.queries("q76_mix_sample")(spark, sf)
+    assert(sel.select("doc_id").except(again.select("doc_id")).count() == 0 &&
+      again.select("doc_id").except(sel.select("doc_id")).count() == 0,
+      "the sampled set is not reproducible")
+  }
+
+  test("q80 admission: admitted content is disjoint from the corpus and internally unique") {
+    val admitted = SparkEntry.queries("q80_incremental_dedup")(spark, sf)
+    val n = admitted.count()
+    assert(admitted.select("fp").distinct().count() == n,
+      "admitted batch still contains duplicates")
+    val corpusFps = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 10 =!= 7).select(md5(col("text")).as("fp")).distinct()
+    assert(admitted.join(corpusFps, Seq("fp"), "left_semi").count() == 0,
+      "an admitted row duplicates corpus content")
+  }
+
+  test("q83 chunking: windows start at 0, step by the stride, and cover every token") {
+    val chunks = SparkEntry.queries("q83_chunk_overlap")(spark, sf)
+    val nt = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(expr(operators.TextAnalysis.tokensExpr)).cast("long").as("nt"))
+    val perDoc = chunks.groupBy("doc_id").agg(
+      min("start_tok").as("first_start"),
+      max(col("start_tok") + col("n_tokens")).as("covered"),
+      max("n_tokens").as("widest"),
+      count(lit(1)).as("nchunks"),
+      max("start_tok").as("last_start"))
+      .join(nt, Seq("doc_id"))
+    assert(perDoc.filter(col("first_start") =!= 0).count() == 0)
+    assert(perDoc.filter(col("covered") =!= col("nt")).count() == 0,
+      "a document's tail tokens fell outside every chunk")
+    assert(perDoc.filter(col("widest") > 32).count() == 0)
+    assert(perDoc.filter(col("last_start") =!= (col("nchunks") - 1) * 24).count() == 0,
+      "chunk starts are not a stride-24 progression")
+  }
+}
