@@ -139,6 +139,27 @@ class PlanHygieneSpec extends SparkSpec {
       s"quota join degraded to a shuffle join:\n$p")
   }
 
+  test("q78: hard negatives run on the custom exec — no nested-loop product") {
+    val p = plan("q78_hard_negatives")
+    assert(p.contains("KnnTopKPartial"), s"expected the custom kNN exec:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cross-label mining degraded to a materialized product:\n$p")
+  }
+
+  test("q79/q82: the small index side broadcasts onto the probe stream") {
+    for (q <- Seq("q79_lm_familiarity", "q82_domain_divergence")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected the index/vocabulary frame to broadcast:\n$p")
+    }
+  }
+
+  test("q83: chunking is a pure map — no exchange except the output sort") {
+    val p = plan("q83_chunk_overlap")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"chunk manifest should not shuffle (except the output sort):\n$p")
+  }
+
   test("q75: span first-occurrence window partitions by the 64-bit hash") {
     // The wide shuffle must key on xxhash64(span), never the span string:
     // the window's partition spec is the hash column, and no sort-merge
