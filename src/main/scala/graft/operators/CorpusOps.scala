@@ -198,6 +198,44 @@ object CorpusOps extends QueryModule {
               slice(col("toks"), (col("chunk_id") * S + 1).cast("int"),
                 least(lit(W), col("nt") - col("chunk_id") * S).cast("int")))).as("fp"))
           .orderBy("doc_id", "chunk_id")
+      }),
+
+    // Q84 deterministic train/val/test split — the assignment every corpus
+    // gets before training: 80/10/10 by the engine's key-derived hash, so
+    // membership is a pure function of doc_id (partition-stable,
+    // replayable, and STABLE under corpus growth: adding documents never
+    // moves an old one between splits — the property random shuffles
+    // lack, and the reason eval contamination audits are possible at all).
+    // Disjoint + exhaustive by construction (one CASE over one hash).
+    // Pure map + final sort; the per-split counts are the 3-row summary a
+    // manifest records.
+    Q("q84_train_val_split",
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |         ((doc_id % 2147483647) * 2654435761) % 100 AS bucket
+             |  FROM documents),
+             |a AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM h)
+             |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin),
+      (s, d) => {
+        val a = t(s, d, "documents")
+          .withColumn("bucket",
+            expr("((doc_id % 2147483647) * 2654435761) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+        a.groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("split", "lang")
       })
   )
 }
