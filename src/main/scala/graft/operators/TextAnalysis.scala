@@ -385,6 +385,104 @@ object TextAnalysis extends QueryModule {
                  |  4L, 'span_dup_cap',   s3, s4) AS (stage_id, stage, docs_in, docs_out)""".stripMargin))
           .withColumn("dropped", col("docs_in") - col("docs_out"))
           .orderBy("stage_id")
+      }),
+
+    // Q85 BPE merge learning — the tokenizer-training primitive: learn the
+    // top-K byte-pair merges from the corpus. Classic dictionary-based BPE:
+    // ONE corpus pass builds the (word, freq) dictionary (map-side partial
+    // agg; vocabulary ≪ corpus at any scale), then every merge round runs
+    // over the cached dictionary only — pair statistics are a partial-agg
+    // shuffle of (pair, cnt), the argmax is TakeOrderedAndProject (no global
+    // sort materialization), and applying a merge is a 1-row broadcast +
+    // codegen'd left fold over each word's symbol string. At 100 TB the
+    // corpus is touched exactly once; rounds cost vocabulary-sized work.
+    //
+    // The fold is canonically greedy left-to-right ([a,a,a,a,a] with merge
+    // (a,a) → [aa,aa,a]): a freshly merged symbol p1p2 can never re-match
+    // p1 as the fold's last symbol, and Spark's `aggregate` HOF and
+    // DuckDB's `list_reduce` are the same left fold seeded with the first
+    // element, so both engines produce byte-identical symbolizations.
+    // Each round's argmax is lineage-cut with a 1-row localCheckpoint
+    // (the q26e round pattern); all dictionary caches are dropped before
+    // returning — the output plan reads only the K checkpointed rows.
+    Q("q85_bpe_merges",
+      Some {
+        def round(r: Int) = s"""
+          |pairs$r AS (
+          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          |    SELECT freq, unnest(CASE WHEN len(string_split(s, ' ')) < 2 THEN []
+          |      ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+          |             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]) END) AS pair
+          |    FROM dict${r - 1})
+          |  GROUP BY pair),
+          |top$r AS (
+          |  SELECT pair, cnt, string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2
+          |  FROM pairs$r ORDER BY cnt DESC, pair LIMIT 1),
+          |dict$r AS (
+          |  SELECT word, freq,
+          |    list_reduce(string_split(s, ' '), (acc, x) ->
+          |      CASE WHEN (acc = p1 OR ends_with(acc, ' ' || p1)) AND x = p2
+          |           THEN substring(acc, 1, length(acc) - length(p1)) || p1 || p2
+          |           ELSE acc || ' ' || x END) AS s
+          |  FROM dict${r - 1}, top$r)""".stripMargin
+        s"""WITH dict0 AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           |         array_to_string(regexp_extract_all(word, '.'), ' ') AS s
+           |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+           |  GROUP BY word),${Seq(1, 2, 3).map(round).mkString(",")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS merge_rank, pair, p1 || p2 AS merged, cnt FROM top1
+           |  UNION ALL SELECT 2, pair, p1 || p2, cnt FROM top2
+           |  UNION ALL SELECT 3, pair, p1 || p2, cnt FROM top3)
+           |ORDER BY merge_rank""".stripMargin
+      },
+      (s, d) => {
+        val rounds = 3
+        // Symbol sequences ride as a space-joined string; pair extraction
+        // and the greedy merge fold are pure higher-order-function work.
+        val pairsExpr =
+          """CASE WHEN size(split(s, ' ')) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(split(s, ' ')) - 1),
+            |            i -> concat(element_at(split(s, ' '), i), ' ',
+            |                        element_at(split(s, ' '), i + 1))) END""".stripMargin
+        val mergeExpr =
+          """aggregate(
+            |  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+            |  element_at(split(s, ' '), 1),
+            |  (acc, x) -> CASE WHEN (acc = p1 OR endswith(acc, concat(' ', p1))) AND x = p2
+            |                   THEN concat(substring(acc, 1, length(acc) - length(p1)), p1, p2)
+            |                   ELSE concat(acc, ' ', x) END)""".stripMargin
+        val dict0 = t(s, d, "documents")
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("s", expr("array_join(regexp_extract_all(word, '.', 0), ' ')"))
+          .cache()
+        var dict = dict0
+        val dicts = scala.collection.mutable.Buffer(dict0)
+        val tops = (1 to rounds).map { r =>
+          val top = dict
+            .select(col("freq"), explode(expr(pairsExpr)).as("pair"))
+            .groupBy("pair").agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+            .select(col("pair"), col("cnt"),
+              expr("split(pair, ' ')[0]").as("p1"),
+              expr("split(pair, ' ')[1]").as("p2"))
+            .localCheckpoint() // 1 row; forces this round's dict, cuts lineage
+          if (r < rounds) {
+            val next = dict.crossJoin(broadcast(top.select("p1", "p2")))
+              .withColumn("s", expr(mergeExpr))
+              .select("word", "freq", "s")
+              .cache()
+            dicts += next
+            dict = next
+          }
+          top
+        }
+        dicts.foreach(_.unpersist()) // output below reads only the checkpoints
+        tops.zipWithIndex.map { case (tp, i) =>
+          tp.select(lit((i + 1).toLong).as("merge_rank"), col("pair"),
+            concat(col("p1"), col("p2")).as("merged"), col("cnt"))
+        }.reduce(_.union(_)).orderBy("merge_rank")
       })
   )
 }

@@ -65,4 +65,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(perDoc.filter(col("last_start") =!= (col("nchunks") - 1) * 24).count() == 0,
       "chunk starts are not a stride-24 progression")
   }
+
+  test("q85 BPE: ranks complete, merges distinct, counts non-increasing") {
+    val rows = SparkEntry.queries("q85_bpe_merges")(spark, sf)
+      .orderBy("merge_rank").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).distinct.length == 3, "a pair was re-learned")
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1).replace(" ", ""),
+        "merged symbol is not the pair concatenation")
+    }
+    // A merge can only consume adjacencies (old pairs shrink) and any pair
+    // it creates occurs at most once per merged occurrence, so the learned
+    // counts are non-increasing in rank — the classic BPE invariant.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) >= b.getLong(3),
+        s"merge ${b.getString(1)} outgrew its predecessor")
+    }
+  }
+
+  test("q85 BPE: the merge fold is canonically greedy and delimiter-safe") {
+    import spark.implicits._
+    val fold =
+      """aggregate(
+        |  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+        |  element_at(split(s, ' '), 1),
+        |  (acc, x) -> CASE WHEN (acc = p1 OR endswith(acc, concat(' ', p1))) AND x = p2
+        |                   THEN concat(substring(acc, 1, length(acc) - length(p1)), p1, p2)
+        |                   ELSE concat(acc, ' ', x) END)""".stripMargin
+    val cases = Seq(
+      // greedy left-to-right: a run of five merges pairwise, leftover last
+      ("a a a a a", "a", "a", "aa aa a"),
+      // a multi-char last symbol must not false-match on its suffix
+      ("xa b", "a", "b", "xa b"),
+      // the freshly merged symbol never re-matches p1
+      ("a b b", "a", "b", "ab b"),
+      ("a b a b", "a", "b", "ab ab"),
+      // single-symbol words fold to themselves (init, no lambda calls)
+      ("q", "a", "b", "q"))
+    cases.foreach { case (s, p1, p2, want) =>
+      val got = Seq((s, p1, p2)).toDF("s", "p1", "p2")
+        .selectExpr(s"$fold AS out").head().getString(0)
+      assert(got == want, s"fold('$s', $p1+$p2) = '$got', want '$want'")
+    }
+  }
 }

@@ -171,4 +171,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("span#"),
       s"span text leaked into the physical plan's shuffled attributes:\n$p")
   }
+
+  test("q85: merge rounds are materialized — the output plan reads no files") {
+    // Each round's argmax is lineage-cut with a 1-row localCheckpoint, so
+    // the returned union must read only those checkpointed rows: a file
+    // scan here would mean the corpus is re-read K more times at output.
+    val p = plan("q85_bpe_merges")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed round outputs:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("parquet"),
+      s"corpus scan leaked into the post-round output plan:\n$p")
+  }
 }
