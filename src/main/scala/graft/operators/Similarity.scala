@@ -124,7 +124,7 @@ object Similarity extends QueryModule {
     * so the source is read once and the expensive projections run once
     * per row. */
   private def bandedRows(emb: DataFrame, nBands: Int, bandBits: Int,
-      oneBitProbe: Boolean): Dataset[BucketVec] = {
+      oneBitProbe: Boolean, resident: Boolean = true): Dataset[BucketVec] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val probeExpr =
@@ -135,7 +135,7 @@ object Similarity extends QueryModule {
            |    named_struct('c', c, 'v', kv ^ shiftleft(1L, cast(j - 1 as int)),
            |                 'res', false)))))""".stripMargin
       else
-        "transform(keys, (kv, c) -> named_struct('c', c, 'v', kv, 'res', true))"
+        s"transform(keys, (kv, c) -> named_struct('c', c, 'v', kv, 'res', $resident))"
     emb
       .select(col("vec_id"),
         Hyperplanes.bandKeys(col("embedding"), nBands, bandBits).as("keys"),
@@ -331,6 +331,65 @@ object Similarity extends QueryModule {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Cross-corpus bucket kernel: probes (res=false — one corpus) score
+    * against resident blocks (res=true — the OTHER corpus) and emit pairs
+    * clearing the exact-cosine threshold. Unlike bucketThresholdPairs,
+    * residents are never scored as queries (no intra-corpus pairs) and no
+    * id-order dedup applies — the corpora are disjoint, and a (probe,
+    * resident) pair meets exactly once per colliding band (capBuckets
+    * keeps each resident in one block while probes visit all blocks), so
+    * the cross-band groupBy is the only dedup needed. Memory posture is
+    * bucketTopK's: residents are the only task-local state, probes
+    * stream. */
+  def bucketCrossPairs(rows: Dataset[BucketVec], threshold: Double,
+      cap: Int = MaxResidentsPerTask): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val acc = residentAcc(spark)
+    val iters = candidateIters
+    val cand = capBuckets(rows, cap).groupByKey(b => (b.c, b.v))
+        .flatMapSortedGroups(desc("res")) { (_: (Int, Long), it: Iterator[BucketVec]) =>
+      val (ds, queries) = splitResidents(it, acc)
+      if (ds.isEmpty) Iterator.empty
+      else queries.filter(!_.res).flatMap { q =>
+        iters.add(ds.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+        val qv = q.emb
+        var di = 0
+        while (di < ds.length) {
+          val d = ds(di)
+          val dv = d.emb
+          var s = 0.0
+          var i = 0
+          val n = qv.length
+          while (i < n) { s += qv(i) * dv(i); i += 1 }
+          val cos = s / (q.nrm * d.nrm)
+          if (cos >= threshold) out += CandPair(q.vec_id, d.vec_id, cos)
+          di += 1
+        }
+        out.iterator
+      }
+    }
+    cand.toDF()
+      .groupBy("vec_id", "nbr_id").agg(max(col("cos")).as("cos"))
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Wide-band cross-corpus near-dup join — the decontamination
+    * configuration: `right` rows reside in their wide band buckets,
+    * `left` rows probe them (res=false, same keys, no flips). Shuffle is
+    * one row per (vector × band) with no side broadcast or pair
+    * materialization; q27f's collision economics apply verbatim (miss
+    * ≈ 1e-7 per true pair at cosine ≥ 0.95, random collisions ≈ 2e-4). */
+  def crossCorpusNearDup(left: DataFrame, right: DataFrame,
+      threshold: Double): DataFrame =
+    bucketCrossPairs(
+      bandedRows(right, WideBands, WideBandBits, oneBitProbe = false)
+        .unionByName(bandedRows(left, WideBands, WideBandBits,
+          oneBitProbe = false, resident = false)),
+      threshold)
+
   /** Exact top-k cosine neighbors for every vector, via the whole-operator
     * KnnTopK plan (graft.plans — custom LogicalPlan/Strategy/SparkPlan):
     * the query side is broadcast and each document partition streams once
@@ -439,6 +498,33 @@ object Similarity extends QueryModule {
           .as("vec_id"),
         col("embedding"))
     base.unionByName(pert)
+  }
+
+  /** The q86 corpora: q84's hash rule splits the embedding table into a
+    * training slice (buckets < 80) and an eval slice (buckets ≥ 90), then
+    * perturbed copies of the EVEN-id eval vectors are leaked into the
+    * training side under PlantOffset ids (same guard discipline as
+    * plantedEmbeddings — an id at the offset fails loudly). Both frames
+    * carry exact-double embeddings so the oracle replays them term for
+    * term. */
+  def contamCorpora(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", expr("((vec_id % 2147483647) * 2654435761) % 100"))
+    val eval = e.filter(col("bucket") >= 90)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val leaked = e.filter(col("bucket") >= 90 && col("vec_id") % 2 === 0)
+      .select(col("vec_id"), expr(
+        s"transform(sequence(1, $Dim), i -> ${perturbedSql("vec_id", "embedding")})")
+        .as("embedding"))
+      .select(when(col("vec_id") < PlantOffset, col("vec_id") + lit(PlantOffset))
+          .otherwise(raise_error(concat(lit(s"vec_id >= $PlantOffset collides "),
+            lit("with leaked-copy ids"))))
+          .as("vec_id"),
+        col("embedding"))
+    val train = e.filter(col("bucket") < 80)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(leaked)
+    (train, eval)
   }
 
   /** Deterministic Lloyd k-means over a hash-sampled subset — the centroid
@@ -817,6 +903,46 @@ object Similarity extends QueryModule {
               |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
               |ORDER BY a, b""".stripMargin),
       (s, d) => wideBandNearDupPairs(plantedEmbeddings(s, d), 0.95).orderBy("a", "b")),
+
+    // Q86 semantic decontamination — the embedding-space counterpart of
+    // q65's n-gram decontamination, and the audit q84's growth-stable
+    // split exists to enable: find every TRAINING vector that is a
+    // near-copy (cosine ≥ 0.95) of an EVAL vector. The corpora come from
+    // q84's key-derived 80/10/10 hash rule (train = buckets <80, eval =
+    // buckets ≥90); contamination is planted by leaking perturbed copies
+    // (cos ≈ 0.996, the q27f construction) of the even-id eval vectors
+    // into the training side. The engine runs the wide-band cross-corpus
+    // kernel (no broadcast, no pair materialization); the oracle is the
+    // exact brute train×eval SQL over the same construction, so the hash
+    // check proves recall AND precision: the banded path must emit the
+    // planted leaks, all of them, and nothing else (organic cross pairs
+    // sit at cosine 0.4–0.5, far below the threshold).
+    Q("q86_semantic_decontam",
+      Some(s"""WITH h AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              |         ((vec_id % 2147483647) * 2654435761) % 100 AS bucket
+              |  FROM embeddings),
+              |ev AS (SELECT vec_id, v FROM h WHERE bucket >= 90),
+              |lk AS (
+              |  SELECT vec_id + ${PlantOffset} AS vec_id, $sqlPerturb AS v
+              |  FROM embeddings
+              |  WHERE ((vec_id % 2147483647) * 2654435761) % 100 >= 90
+              |    AND vec_id % 2 = 0),
+              |tr AS (SELECT vec_id, v FROM h WHERE bucket < 80
+              |       UNION ALL SELECT * FROM lk),
+              |na AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM tr),
+              |nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev)
+              |SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+              |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+              |FROM na a JOIN nb b
+              |  ON list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
+              |ORDER BY train_id, eval_id""".stripMargin),
+      (s, d) => {
+        val (train, eval) = contamCorpora(s, d)
+        crossCorpusNearDup(train, eval, 0.95)
+          .select(col("a").as("train_id"), col("b").as("eval_id"), col("cos"))
+          .orderBy("train_id", "eval_id")
+      }),
 
     // Q27e per-row embedding statistics: dimension, L2 norm, normalized
     // leading component, component sum/max. Pure map work (no shuffle —

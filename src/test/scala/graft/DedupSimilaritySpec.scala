@@ -245,4 +245,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0.0)), s"doc 4 has no full span: ${out(4L)}")
     assert(out(5L) == ((2L, 0L, 0.0)), s"stride-aligned only: ${out(5L)}")
   }
+
+  test("q86 cross-corpus decontam: exactly the planted leaks, no intra-corpus pairs") {
+    val out = SparkEntry.queries("q86_semantic_decontam")(spark, sf).collect()
+    val (train, eval) = operators.Similarity.contamCorpora(spark, sf)
+    val planted = eval.filter(org.apache.spark.sql.functions.expr("vec_id % 2 = 0"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty, "no contamination found")
+    // recall AND precision: each even-id eval vector is leaked once, and
+    // nothing else clears the threshold (organic cross cosines ≈ 0.4–0.5)
+    assert(out.map(_.getLong(1)).toSet == planted, "leak set mismatch")
+    assert(out.length == planted.size, "duplicate or spurious pairs")
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) + operators.Similarity.PlantOffset,
+        s"pair ${r.getLong(0)}→${r.getLong(1)} is not a planted leak")
+      assert(r.getDouble(2) >= 0.95)
+    }
+    // the corpora really are disjoint id spaces (no self-pair can exist)
+    assert(train.join(eval, "vec_id").count() == 0)
+  }
 }

@@ -172,6 +172,16 @@ class PlanHygieneSpec extends SparkSpec {
       s"span text leaked into the physical plan's shuffled attributes:\n$p")
   }
 
+  test("q86: cross-corpus decontam joins only band buckets — no pair product") {
+    // The train×eval candidate set must exist only as bucket-local loop
+    // iterations: no nested-loop/cartesian product, and no broadcast of
+    // either corpus (the sizing pass's narrow broadcast is allowed).
+    val p = plan("q86_semantic_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair product leaked into the cross-corpus plan:\n$p")
+    assert(p.contains("MapGroups"), s"expected the sorted-group kernel:\n$p")
+  }
+
   test("q85: merge rounds are materialized — the output plan reads no files") {
     // Each round's argmax is lineage-cut with a 1-row localCheckpoint, so
     // the returned union must read only those checkpointed rows: a file
