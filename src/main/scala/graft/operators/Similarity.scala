@@ -166,7 +166,8 @@ object Similarity extends QueryModule {
     * as when the inner join dropped them. Block ids pack into the high
     * bits of the band value (band keys and IVF centroid ids both fit
     * 32 bits), so the kernels' (c, v) grouping is untouched. */
-  private def capBuckets(rows: Dataset[BucketVec], cap: Int): Dataset[BucketVec] = {
+  private def capBuckets(rows: Dataset[BucketVec], cap: Int,
+      residentsQuery: Boolean = true): Dataset[BucketVec] = {
     val spark = rows.sparkSession
     import spark.implicits._
     val hot = broadcast(rows.filter(col("res"))
@@ -174,15 +175,25 @@ object Similarity extends QueryModule {
       .filter(col("nres") > cap)
       .select(col("c"), col("v"),
         ceil(col("nres").cast("double") / cap).cast("int").as("nblk")))
+    // Self-join kernels (residentsQuery): a split resident must still QUERY
+    // the sibling blocks, so it fans out to every block with r=true only at
+    // home. Cross-corpus kernels: residents are never queries, so a split
+    // resident lands ONLY in its home block — no replicas, less shuffle,
+    // and every res=false row downstream is a genuine probe.
+    val residentBranch =
+      if (residentsQuery)
+        """transform(sequence(0, nblk - 1), b ->
+          |  named_struct('blk', cast(b AS int),
+          |               'r', cast(b AS int) = pmod(hash(vec_id), nblk)))""".stripMargin
+      else
+        "array(named_struct('blk', cast(pmod(hash(vec_id), nblk) AS int), 'r', true))"
     rows.join(hot, Seq("c", "v"), "left")
       .withColumn("nblk", coalesce(col("nblk"), lit(1)))
       .withColumn("bs", explode(expr(
-        """CASE WHEN nblk <= 1 THEN array(named_struct('blk', 0, 'r', res))
-          |WHEN res THEN transform(sequence(0, nblk - 1), b ->
-          |  named_struct('blk', cast(b AS int),
-          |               'r', cast(b AS int) = pmod(hash(vec_id), nblk)))
-          |ELSE transform(sequence(0, nblk - 1), b ->
-          |  named_struct('blk', cast(b AS int), 'r', false)) END""".stripMargin)))
+        s"""CASE WHEN nblk <= 1 THEN array(named_struct('blk', 0, 'r', res))
+           |WHEN res THEN $residentBranch
+           |ELSE transform(sequence(0, nblk - 1), b ->
+           |  named_struct('blk', cast(b AS int), 'r', false)) END""".stripMargin)))
       .select(col("vec_id"), col("c"),
         (shiftleft(col("v"), 32) + col("bs.blk").cast("long")).as("v"),
         col("emb"), col("nrm"), col("bs.r").as("res"))
@@ -338,7 +349,10 @@ object Similarity extends QueryModule {
     * id-order dedup applies — the corpora are disjoint, and a (probe,
     * resident) pair meets exactly once per colliding band (capBuckets
     * keeps each resident in one block while probes visit all blocks), so
-    * the cross-band groupBy is the only dedup needed. Memory posture is
+    * the cross-band groupBy is the only dedup needed. capBuckets runs in
+    * cross mode (residentsQuery=false): a split resident lands only in its
+    * home block instead of fanning out as sibling-block query replicas —
+    * replicas would manufacture intra-corpus pairs here. Memory posture is
     * bucketTopK's: residents are the only task-local state, probes
     * stream. */
   def bucketCrossPairs(rows: Dataset[BucketVec], threshold: Double,
@@ -347,7 +361,8 @@ object Similarity extends QueryModule {
     import spark.implicits._
     val acc = residentAcc(spark)
     val iters = candidateIters
-    val cand = capBuckets(rows, cap).groupByKey(b => (b.c, b.v))
+    val cand = capBuckets(rows, cap, residentsQuery = false)
+        .groupByKey(b => (b.c, b.v))
         .flatMapSortedGroups(desc("res")) { (_: (Int, Long), it: Iterator[BucketVec]) =>
       val (ds, queries) = splitResidents(it, acc)
       if (ds.isEmpty) Iterator.empty
@@ -383,12 +398,12 @@ object Similarity extends QueryModule {
     * materialization; q27f's collision economics apply verbatim (miss
     * ≈ 1e-7 per true pair at cosine ≥ 0.95, random collisions ≈ 2e-4). */
   def crossCorpusNearDup(left: DataFrame, right: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, cap: Int = MaxResidentsPerTask): DataFrame =
     bucketCrossPairs(
       bandedRows(right, WideBands, WideBandBits, oneBitProbe = false)
         .unionByName(bandedRows(left, WideBands, WideBandBits,
           oneBitProbe = false, resident = false)),
-      threshold)
+      threshold, cap)
 
   /** Exact top-k cosine neighbors for every vector, via the whole-operator
     * KnnTopK plan (graft.plans — custom LogicalPlan/Strategy/SparkPlan):

@@ -125,6 +125,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.maxResidentBlock.value <= 128)
   }
 
+  test("cross-corpus kernel caps resident blocks and emits no intra-corpus pair") {
+    // Adversarial decontamination input: every eval vector identical (one
+    // giant resident family) and every train vector an exact copy of it.
+    // All 128×256 cross cosines are exactly 1.0; the cap must split the
+    // 256-row eval blocks while the answer stays the full cross set with
+    // nothing intra-corpus.
+    val one = Tables.table(spark, sf, "embeddings").orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>").as("embedding"))
+    val eval = spark.range(256).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(one))
+    val train = spark.range(128).select((col("id") + 1000L).as("vec_id"))
+      .crossJoin(broadcast(one))
+    Similarity.maxResidentBlock.reset()
+    val pairs = Similarity.crossCorpusNearDup(train, eval, 0.9, cap = 64)
+    assert(pairs.count() == 128L * 256)
+    assert(pairs.filter(col("cos") =!= 1.0).count() == 0)
+    assert(pairs.filter(col("a") < 1000L || col("b") >= 1000L).count() == 0,
+      "an intra-corpus or reversed pair escaped the cross kernel")
+    val biggest = Similarity.maxResidentBlock.value
+    assert(biggest > 0 && biggest <= 128, s"resident block of $biggest escaped the cap")
+  }
+
   test("sub-bucketing is semantics-invariant: cap=16 equals default cap on the real fixture") {
     // The q27c configuration (narrow bands, borderline threshold) is where
     // buckets are largest; forcing heavy blocking must reproduce the exact
