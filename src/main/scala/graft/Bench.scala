@@ -49,7 +49,11 @@ object Bench {
       .replaceAll("Lambda\\$\\d+", "Lambda")
       .replaceAll("@[0-9a-f]{6,}", "")
       .replaceAll("(?:file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
-      .replaceAll("/[^\\s,\\)\\]]+", "<path>")
+      // bare filesystem paths: require ≥2 segments so an unspaced token
+      // that merely CONTAINS a slash (a regex or format string printed in
+      // a Filter node) doesn't collapse — two genuinely different plans
+      // must not hash to the same fp (ADVICE r9)
+      .replaceAll("/[^\\s,\\)\\]/]+(?:/[^\\s,\\)\\]/]+)+", "<path>")
       .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(normalized.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -59,6 +59,10 @@ object Similarity extends QueryModule {
     * parameterized band width produces. */
   val MaxResidentsPerTask = 4096
 
+  /** Most oversized-bucket rows capBuckets will broadcast (≈24 MB of
+    * narrow (c, v, nblk) rows) before degrading to a shuffled left join. */
+  val MaxBroadcastHotBuckets = 1 << 20
+
   /** Largest resident block any bucket kernel task buffered since the last
     * `reset()` — lets tests (and operators) PROVE the cap held instead of
     * trusting the parameterization. */
@@ -170,11 +174,23 @@ object Similarity extends QueryModule {
       residentsQuery: Boolean = true): Dataset[BucketVec] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val hot = broadcast(rows.filter(col("res"))
+    val hotBase = rows.filter(col("res"))
       .groupBy("c", "v").agg(count(lit(1)).as("nres"))
       .filter(col("nres") > cap)
       .select(col("c"), col("v"),
-        ceil(col("nres").cast("double") / cap).cast("int").as("nblk")))
+        ceil(col("nres").cast("double") / cap).cast("int").as("nblk"))
+    // The hot set is bounded only by n_residents/cap: tiny (usually empty)
+    // for a well-parameterized band width, but a duplicate-heavy or
+    // adversarial corpus can push the skew-INSURANCE path itself past the
+    // driver's broadcast budget. Probe its cardinality first (one narrow
+    // partial-agg job over bucket keys; limit caps the driver transfer at
+    // the threshold) and broadcast only when it fits — otherwise degrade
+    // to the shuffled left join, which is exactly the graceful pre-r8
+    // behavior the unconditional hint removed.
+    val hot =
+      if (hotBase.limit(MaxBroadcastHotBuckets + 1).count() <= MaxBroadcastHotBuckets)
+        broadcast(hotBase)
+      else hotBase
     // Self-join kernels (residentsQuery): a split resident must still QUERY
     // the sibling blocks, so it fans out to every block with r=true only at
     // home. Cross-corpus kernels: residents are never queries, so a split
@@ -1056,9 +1072,20 @@ object Similarity extends QueryModule {
             floor(col("x").cast("double") * 1048576).cast("long").as("qv"))
         val sums = qx.groupBy("label", "pos").agg(
           sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        // Engine parity of the offset-then-truncate division (DuckDB `//`
+        // floors, Spark `div` truncates toward zero) holds only while the
+        // shifted operand s + 2²²·n is non-negative — i.e. every per-label
+        // mean component ≥ −4.0. The fixture satisfies it by construction;
+        // the guard makes a future larger-magnitude fixture fail LOUDLY
+        // instead of diverging by 1 ulp of the quantization (ADVICE r9,
+        // PlantOffset guard discipline: the check lives inside the used
+        // expression so Catalyst can't prune it).
         val cent = sums.groupBy("label").agg(
           max(col("n")).as("n"),
-          expr("transform(array_sort(collect_list(struct(pos, (s + 4194304L * n) div n - 4194304L))), e -> e.col2)")
+          expr("""transform(array_sort(collect_list(struct(pos,
+                 |  (CASE WHEN s + 4194304L * n < 0
+                 |        THEN raise_error('q81: mean quantized component below -2^22 breaks div/floor-division parity')
+                 |        ELSE s END + 4194304L * n) div n - 4194304L))), e -> e.col2)""".stripMargin)
             .as("v"))
         val a = cent.select(col("label").as("label_a"), col("n").as("n_a"), col("v").as("va"))
         val b = cent.select(col("label").as("label_b"), col("n").as("n_b"), col("v").as("vb"))

@@ -137,7 +137,11 @@ final class TopKProcessor
       tops = (r.value :: tops).sorted(Ordering[Double].reverse).take(3)
     }
     state.update(TopKState(tops, n))
-    val p = tops.padTo(3, -1.0)
+    // Pad empty slots with -Inf, not the presentation sentinel: the
+    // cross-batch max-fold reconstruction must never see a pad that could
+    // outrank a genuine (possibly very negative) event value. The final
+    // projection maps -Inf → -1.0 after the fold.
+    val p = tops.padTo(3, Double.NegativeInfinity)
     Iterator(TopKOut(key, n, p(0), p(1), p(2)))
   }
 }
@@ -542,12 +546,20 @@ object StreamingQueries extends QueryModule {
             .transformWithState(new TopKProcessor,
               org.apache.spark.sql.streaming.TimeMode.None(),
               OutputMode.Update())
+          // -Inf is the processor's internal pad (see TopKProcessor); it
+          // survives the max-fold only for genuinely absent ranks, where
+          // the oracle's coalesce(-1.0) applies.
+          def unpad(c: String) =
+            when(col(c) === lit(Double.NegativeInfinity), lit(-1.0))
+              .otherwise(col(c)).as(c)
           runToMemory(out.toDF(), "q30d_out", "update")
             .groupBy("user_id")
             .agg(max(col("n_events")).as("n_events"),
               max(col("top1")).as("top1"),
               max(col("top2")).as("top2"),
               max(col("top3")).as("top3"))
+            .select(col("user_id"), col("n_events"),
+              unpad("top1"), unpad("top2"), unpad("top3"))
             .orderBy("user_id")
         } finally prev match {
           case Some(p) => s.conf.set(conf, p)
