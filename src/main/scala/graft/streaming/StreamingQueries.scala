@@ -33,70 +33,82 @@ final case class SessOut(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, closed: Boolean)
 
 /** q30e's `StatefulProcessor`: per-user event-time sessionization (30-min
-  * gap) through the Spark 4 arbitrary-state API WITH TIMERS — the state is
-  * the single open session, a gap-exceeding event closes it (emitted final)
-  * and opens the next, and an EVENT-TIME timer at end+gap closes an idle
-  * session when the watermark passes it (`handleExpiredTimer`), so state
-  * never outlives the gap horizon. Emissions are per-(user, session_start)
-  * monotone — end/n only grow, closed only flips false→true — so a
-  * max-fold reconstructs final sessions across any batch slicing (the
-  * q30c/q30d contract). Requires batches in event-time order (the single-
-  * file AvailableNow guarantee) and a watermark on ts for the timer mode.
-  * Per-batch rows are sorted per key before folding; memory is bounded by
-  * a key's per-batch volume (the exactFunnel pending-buffer economics). */
+  * gap) through the Spark 4 arbitrary-state API WITH TIMERS. State is the
+  * LIST of open sessions inside the watermark horizon (`ListState`, the
+  * named-state primitive the API exists for): an event extends any session
+  * it lands within `gap` of — including BEFORE the session's start — and
+  * an event bridging two open sessions MERGES them, so arrival order
+  * across batches does not matter as long as events respect the watermark
+  * (proven in StreamingSpec's out-of-order test; the r9 verdict flagged
+  * the old single-session state's event-time-ordered-batches assumption).
+  * Closure is a WATERMARK PROOF, never an arrival-order inference: a
+  * session is final exactly when the watermark passes end+gap (no
+  * admissible event can extend it), detected by an event-time timer at
+  * the key's earliest idle horizon (`handleExpiredTimer` closes every
+  * proven session and re-arms for the survivors). Open sessions re-emit
+  * per touching batch with `closed=false`; a closed session emits once,
+  * final — the append-friendly "closed sessions are the log" contract.
+  * State per key is O(open sessions in the lateness horizon): a session
+  * stays open at most `gap` past its last event, so the list is bounded
+  * by lateness/gap + 1, independent of stream length. */
 final class SessionProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessIn, SessOut] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig}
   import org.apache.spark.sql.{Encoders, streaming}
   private val GapUs = 1800000000L
-  @transient private var state: streaming.ValueState[SessState] = _
+  @transient private var sessions: streaming.ListState[SessState] = _
 
   override def init(outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    state = getHandle.getValueState[SessState](
-      "sess", Encoders.product[SessState], TTLConfig.NONE)
+    sessions = getHandle.getListState[SessState](
+      "sessions", Encoders.product[SessState], TTLConfig.NONE)
+
+  /** One timer per key at the EARLIEST open horizon; re-registered as the
+    * list changes. Stale timers fire harmlessly (the closure test is
+    * against the watermark, not the timer value). */
+  private def armHorizon(open: Seq[SessState]): Unit =
+    if (open.nonEmpty)
+      getHandle.registerTimer(open.map(_.end_us).min / 1000L + GapUs / 1000L)
 
   override def handleInputRows(key: Long, rows: Iterator[SessIn],
       timers: TimerValues): Iterator[SessOut] = {
     val evs = rows.map(r =>
-        (r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000, r.event_id))
+        r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000)
       .toArray.sortInPlace()
-    var out = List.empty[SessOut]
-    var cur = if (state.exists()) Option(state.get()) else None
-    evs.foreach { case (us, _) =>
-      cur match {
-        case Some(s0) if us - s0.end_us > GapUs =>
-          out ::= SessOut(key, s0.start_us, s0.end_us, s0.n, closed = true)
-          cur = Some(SessState(us, us, 1L))
-        case Some(s0) =>
-          cur = Some(SessState(s0.start_us, math.max(s0.end_us, us), s0.n + 1L))
-        case None =>
-          cur = Some(SessState(us, us, 1L))
-      }
+    var open = if (sessions.exists()) sessions.get().toList else Nil
+    var dirty = Set.empty[SessState]
+    evs.foreach { us =>
+      val (touch, rest) = open.partition(s =>
+        us >= s.start_us - GapUs && us <= s.end_us + GapUs)
+      val merged =
+        if (touch.isEmpty) SessState(us, us, 1L)
+        else SessState(math.min(touch.map(_.start_us).min, us),
+          math.max(touch.map(_.end_us).max, us), touch.map(_.n).sum + 1L)
+      open = merged :: rest
+      dirty = dirty -- touch + merged
     }
-    cur.foreach { s0 =>
-      state.update(s0)
-      // Event-time timer: close this session when the watermark passes its
-      // idle horizon. Re-registered per batch; stale earlier timers are
-      // guarded against in handleExpiredTimer instead of deleted.
-      getHandle.registerTimer(s0.end_us / 1000L + GapUs / 1000L)
-      out ::= SessOut(key, s0.start_us, s0.end_us, s0.n, closed = false)
-    }
-    out.reverseIterator
+    sessions.put(open.toArray)
+    armHorizon(open)
+    dirty.toSeq.sortBy(_.start_us).iterator
+      .map(s => SessOut(key, s.start_us, s.end_us, s.n, closed = false))
   }
 
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       info: ExpiredTimerInfo): Iterator[SessOut] = {
-    if (state.exists()) {
-      val s0 = state.get()
-      // Only the timer for the CURRENT idle horizon closes the session; a
-      // stale timer from an extended session fires earlier and is ignored.
-      if (info.getExpiryTimeInMs() >= s0.end_us / 1000L + GapUs / 1000L) {
-        state.clear()
-        return Iterator(SessOut(key, s0.start_us, s0.end_us, s0.n, closed = true))
-      }
+    val wmMs = timers.getCurrentWatermarkInMs()
+    val open = if (sessions.exists()) sessions.get().toList else Nil
+    // A session is proven final iff wm > end+gap: any admissible event has
+    // ts ≥ wm, and extending this session would need ts ≤ end+gap < wm.
+    val (done, live) = open.partition(s => s.end_us / 1000L + GapUs / 1000L < wmMs)
+    if (done.nonEmpty) {
+      if (live.isEmpty) sessions.clear() else sessions.put(live.toArray)
     }
-    Iterator.empty
+    // Re-arm unconditionally: if the engine's fire boundary ever lands a
+    // timer exactly ON a horizon the strict closure test rejects, the
+    // survivors must still hold a live timer or they'd hang open forever.
+    armHorizon(live)
+    done.sortBy(_.start_us).iterator
+      .map(s => SessOut(key, s.start_us, s.end_us, s.n, closed = true))
   }
 }
 
@@ -569,16 +581,18 @@ object StreamingQueries extends QueryModule {
 
     // Q30e event-time sessionization through transformWithState WITH
     // TIMERS (TimeMode.EventTime — see SessionProcessor above): the same
-    // 30-minute-gap session semantics as q30b, computed by per-key state +
-    // expiry timers instead of a window cumsum. `closed` marks sessions
-    // sealed by a gap-exceeding successor (or, across batches, by the
-    // watermark timer — proven in StreamingSpec). Relationally a session
-    // is closed iff it is not its user's last, OR its idle horizon fell
-    // behind the run's final watermark: AvailableNow ends with a no-data
-    // batch that fires expired timers, and the final watermark is
-    // max(event ts in ms) − 10 min, so the oracle replays
-    // `end_ms + gap_ms < wm_ms` in exact integer arithmetic (boundary
-    // verified empirically against the executed timer emissions).
+    // 30-minute-gap session semantics as q30b, computed by per-key
+    // session-list state + expiry timers instead of a window cumsum.
+    // `closed` is a WATERMARK PROOF, independent of arrival order: a
+    // session is final exactly when the watermark passed its idle horizon
+    // (end+gap), at which point no admissible event can extend it.
+    // AvailableNow ends with a no-data batch that fires expired timers,
+    // and the run's final watermark is max(event ts in ms) − 10 min, so
+    // the oracle replays `end_ms + gap_ms < wm_ms` in exact integer
+    // arithmetic (boundary verified empirically against the executed
+    // timer emissions). A user's trailing sessions inside the horizon
+    // stay honestly open — the previous successor-closing inference was
+    // only sound under event-time-ordered batches (r9 verdict).
     Q("q30e_stream_session_timers",
       Some("""WITH flagged AS (
              |  SELECT user_id, ts, event_id,
@@ -598,8 +612,7 @@ object StreamingQueries extends QueryModule {
              |    count(*) AS n_events
              |  FROM sessions GROUP BY user_id, session_id)
              |SELECT user_id, session_start_us, session_end_us, n_events,
-             |       session_id < max(session_id) OVER (PARTITION BY user_id)
-             |       OR session_end_us // 1000 + 1800000 <
+             |       session_end_us // 1000 + 1800000 <
              |          (SELECT max(epoch_us(ts)) // 1000 - 600000 FROM events) AS closed
              |FROM s ORDER BY user_id, session_start_us""".stripMargin),
       (s, d) => {
