@@ -3,15 +3,20 @@ package graft.sources
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
+
+/** Typed read-side row of the q57e Avro round trip. */
+final case class AvroOrder(o_orderkey: Long, o_orderpriority: String,
+    o_totalprice: Double)
 
 /** Source/sink format coverage beyond the parquet the driver tables use
   * and the partitioned header-CSV of the pipeline replay (O16–O18):
   * JSON-lines + ORC (q57) and Spark 4's built-in XML source (q57b),
   * chained write→read so both the writer and the schema'd reader of each
-  * format execute. The oracles aggregate the original parquet — the round
+  * format execute, plus an Avro container round trip (q57e) built on the
+  * avro-core codec. The oracles aggregate the original parquet — the round
   * trips must be value-preserving (doubles survive the text formats via
-  * shortest-round-trip rendering; ORC is binary-exact).
+  * shortest-round-trip rendering; ORC and Avro are binary-exact).
   *
   * Work dirs are cached per (query, source dir) and removed by a shutdown
   * hook — a verify/bench run invokes each query several times and must
@@ -42,6 +47,24 @@ object SourceFormats extends QueryModule {
       sys.addShutdownHook(deleteRecursively(p))
       p.toString
     })
+
+  /** Avro record schema (JSON) for a flat Spark schema — the four
+    * primitive shapes the interchange tables need. Non-null by contract:
+    * the driver tables carry no NULLs in these columns, and a nullable
+    * union would weaken the reader-side schema check. */
+  private[sources] def avroSchemaJson(name: String, schema: StructType): String = {
+    def fieldType(dt: DataType): String = dt.typeName match {
+      case "long" => "long"
+      case "integer" => "int"
+      case "double" => "double"
+      case "string" => "string"
+      case "boolean" => "boolean"
+      case other => sys.error(s"avro mapping does not cover $other")
+    }
+    schema.fields
+      .map(f => s"""{"name":"${f.name}","type":"${fieldType(f.dataType)}"}""")
+      .mkString(s"""{"type":"record","name":"$name","fields":[""", ",", "]}")
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -141,6 +164,77 @@ object SourceFormats extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total"))
           .orderBy("c_mktsegment")
+      }),
+
+    // Q57e Avro container round trip — the warehouse interchange format
+    // after parquet (the reference's Glue-contract ingestion edge,
+    // transactions_mock_data.py:113-114, is exactly where users swap
+    // formats). This Spark distribution bundles avro-core but not the
+    // spark-avro CONNECTOR module, so the round trip drives the real Avro
+    // codec directly: the write side emits one .avro container per
+    // partition from foreachPartition (the executor-side shard write any
+    // DataSource sink performs — no driver funnel), and the read side
+    // distributes the shard list one-per-task and streams records through
+    // a GenericDatumReader against the DECLARED reader schema (Avro's
+    // writer→reader resolution, the schema'd-read contract of q57b).
+    // Container files are the parallelism unit, exactly like an input
+    // split; reader disposal is bound to task completion (the Multimodal
+    // discipline) so early-terminating consumers can't leak codec state.
+    // Values are long/string/double — binary-exact through Avro — so the
+    // oracle aggregates the original parquet.
+    Q("q57e_avro_roundtrip",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val dir = workDir(s"q57e:$d")
+        val avroDir = new java.io.File(s"$dir/avro")
+        avroDir.mkdirs()
+        avroDir.listFiles().filter(_.getName.endsWith(".avro"))
+          .foreach(_.delete())
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val schemaJson = avroSchemaJson("orders", orders.schema)
+        val fieldNames = orders.schema.fieldNames
+        val out = avroDir.getAbsolutePath
+        orders.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val sch = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](sch))
+            w.create(sch, new java.io.File(
+              s"$out/part-${org.apache.spark.TaskContext.getPartitionId()}.avro"))
+            try rows.foreach { row =>
+              val rec = new org.apache.avro.generic.GenericData.Record(sch)
+              fieldNames.indices.foreach(i => rec.put(fieldNames(i), row.get(i)))
+              w.append(rec)
+            } finally w.close()
+          }
+        }
+        val shards = avroDir.listFiles().filter(_.getName.endsWith(".avro"))
+          .map(_.getAbsolutePath).toSeq.sorted
+        s.createDataset(shards).repartition(shards.size)
+          .flatMap { path =>
+            import scala.jdk.CollectionConverters._
+            val sch = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val rdr = org.apache.avro.file.DataFileReader.openReader(
+              new java.io.File(path),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord](sch))
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => rdr.close()))
+            rdr.iterator().asScala.map(rec => AvroOrder(
+              rec.get("o_orderkey").asInstanceOf[Long],
+              rec.get("o_orderpriority").toString,
+              rec.get("o_totalprice").asInstanceOf[Double]))
+          }
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+          .orderBy("o_orderpriority")
       })
   )
 }
