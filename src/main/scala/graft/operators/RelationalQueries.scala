@@ -244,6 +244,30 @@ object RelationalQueries extends QueryModule {
         org.apache.spark.sql.graft.PlanBridge.ofRows(s, rewritten)
       }),
 
+    // Q11c the GROUPED shape under the same rewrite — the case the rule
+    // actually exists for at scale: per-group exact distincts shuffle
+    // every (group, value) pair through Expand, while the rewritten plan
+    // moves one constant-size HLL sketch per group and merges
+    // associatively. Same eager apply-and-restore flag discipline as
+    // q11b; property-checked per group in Round2Spec (≤10% of the exact
+    // per-group answer, plan asserted to carry the sketch), rows-only at
+    // the driver.
+    Q("q11c_approx_distinct_grouped", None,
+      (s, d) => {
+        import graft.plans.ApproxDistinctRewrite
+        val analyzed = t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderpriority")
+          .queryExecution.analyzed
+        val rewritten =
+          try {
+            s.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+            ApproxDistinctRewrite(analyzed)
+          } finally s.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+        org.apache.spark.sql.graft.PlanBridge.ofRows(s, rewritten)
+      }),
+
     // Q12 ROLLUP (nation × priority) — NULLS FIRST spelled on both sides:
     // Spark ASC defaults nulls-first, DuckDB defaults nulls-last.
     Q("q12_rollup",

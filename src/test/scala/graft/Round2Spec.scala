@@ -96,6 +96,31 @@ class Round2Spec extends SparkSpec {
       "q11b leaked the rewrite flag into the shared session")
   }
 
+  test("q11c: grouped HLL rewrite within 10% of exact per group") {
+    // The rule's actual scale case: one sketch per group instead of an
+    // Expand shuffle of every (group, value) pair. Every group must sit
+    // within rsd-tolerance of its exact answer, the plan must carry the
+    // sketch, and the shared session's flag must come back unset.
+    val df = SparkEntry.queries("q11c_approx_distinct_grouped")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("approx_count_distinct") || p.contains("hyperloglog"),
+      s"q11c plan lost the HLL rewrite:\n$p")
+    val approx = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactRows = graft.Tables.table(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("o_custkey")).as("n_cust"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exactRows.keySet, "q11c group keys diverged")
+    exactRows.foreach { case (g, e) =>
+      val a = approx(g)
+      assert(math.abs(a - e).toDouble / math.max(1L, e) <= 0.1,
+        s"group $g: approx $a vs exact $e")
+    }
+    assert(spark.conf.get(graft.plans.ApproxDistinctRewrite.ConfKey, "false") == "false",
+      "q11c leaked the rewrite flag into the shared session")
+  }
+
   test("q09c: approx percentile within 1% of exact per group") {
     val rows = SparkEntry.queries("q09c_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
