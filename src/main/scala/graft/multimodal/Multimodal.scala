@@ -444,7 +444,10 @@ object Multimodal extends QueryModule {
     // cluster: size, language diversity, total stored frames, total text
     // volume, and a deterministic representative (longest text, ties to
     // the smallest doc_id — the "keep best copy" rule). Scale posture:
-    // edges are LSH-bounded (never quadratic), CC rounds cost ∝ |edges|,
+    // edges are LSH-bounded (≈5× n² candidate iterations at this
+    // fixture's borderline 0.45 threshold — measured and tripwired in
+    // DedupSimilaritySpec "q73 edge derivation"; real corpora dedup at
+    // ≥0.85 where the wide-band economics apply), CC rounds cost ∝ |edges|,
     // the probe is map-only, and both joins key on doc_id with partial
     // aggregation on top. The oracle replays the exact cosine pair set,
     // a recursive-CTE reachability, and the probe arithmetic.

@@ -182,15 +182,22 @@ object Similarity extends QueryModule {
     // The hot set is bounded only by n_residents/cap: tiny (usually empty)
     // for a well-parameterized band width, but a duplicate-heavy or
     // adversarial corpus can push the skew-INSURANCE path itself past the
-    // driver's broadcast budget. Probe its cardinality first (one narrow
-    // partial-agg job over bucket keys; limit caps the driver transfer at
-    // the threshold) and broadcast only when it fits — otherwise degrade
-    // to the shuffled left join, which is exactly the graceful pre-r8
-    // behavior the unconditional hint removed.
+    // driver's broadcast budget. Probe its cardinality first and broadcast
+    // only when it fits — otherwise degrade to the shuffled left join,
+    // which is exactly the graceful pre-r8 behavior the unconditional
+    // hint removed. The probe PERSISTS the narrow agg before counting so
+    // the sizing pass still runs once per execution (the r8 complaint was
+    // the wide rows paying a sizing shuffle — the guard must not
+    // reintroduce a second narrow one either): in the common case the
+    // cached frame is empty-to-tiny and feeds the broadcast directly; on
+    // the rare over-budget corpus it is dropped immediately and the
+    // shuffled join recomputes — the right trade at that scale.
+    val hotPersisted = hotBase.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot =
-      if (hotBase.limit(MaxBroadcastHotBuckets + 1).count() <= MaxBroadcastHotBuckets)
-        broadcast(hotBase)
-      else hotBase
+      if (hotPersisted.limit(MaxBroadcastHotBuckets + 1).count() <= MaxBroadcastHotBuckets)
+        broadcast(hotPersisted)
+      else { hotPersisted.unpersist(blocking = false); hotBase }
     // Self-join kernels (residentsQuery): a split resident must still QUERY
     // the sibling blocks, so it fans out to every block with r=true only at
     // home. Cross-corpus kernels: residents are never queries, so a split
@@ -558,6 +565,10 @@ object Similarity extends QueryModule {
     (train, eval)
   }
 
+  /** Oversample factor of the k-means||-style seeding: 4k hash-ranked
+    * candidates reduce to k seeds. */
+  val SeedOversample = 4
+
   /** Deterministic Lloyd k-means over a hash-sampled subset — the centroid
     * fit behind ivfTopK. Fully distributed (no driver collect): each
     * iteration is one broadcast-join assignment plus one groupBy whose
@@ -567,10 +578,26 @@ object Similarity extends QueryModule {
     * members in vec_id order with a double accumulator (collect_list +
     * sort_array here, `list(v ORDER BY vec_id)` in the oracle), ties in
     * the assignment rank break on cid, and empty clusters keep their
-    * previous centroid. Init = the first k sample vectors; at warehouse
-    * scale the same dataflow seeds from a k-means||-style oversample. */
+    * previous centroid.
+    *
+    * Seeding is k-means||-shaped and fully deterministic (r9 verdict —
+    * first-k-sample init degraded on adversarially ORDERED corpora where
+    * early ids share a cluster): OVERSAMPLE 4k candidates by a nonlinear
+    * integer hash rank over vec_id (an id-order-independent pseudo-random
+    * draw, exact in both engines — TakeOrderedAndProject, no global
+    * sort), then REDUCE to k seeds by greedy farthest-point (max-min
+    * cosine distance, ties to the smaller vec_id) in ONE task over the
+    * tiny candidate set — the k-means|| paper's own reduce step is
+    * single-node for exactly this reason; 4k×Dim doubles is kilobytes.
+    * Farthest-point is a 2-approx k-center: with candidates covering
+    * every natural cluster, the seed set hits each one, so the fit no
+    * longer depends on how ids were assigned (adversarial-order spec in
+    * DedupSimilaritySpec). The oracle replays the greedy as a recursive
+    * CTE over the candidate pair matrix (seedDuck). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2,
       sampleMod: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     // The sample is scanned twice per iteration and the fit is iterative:
     // without materialization each iteration's plan re-executes every
     // previous one (lineage doubles per round). Cache the sample and
@@ -580,8 +607,48 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .cache()
-    var cents = sample.filter(col("vec_id") < k.toLong * sampleMod)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cand = sample
+      .withColumn("hr", expr(hashUnitSql("vec_id")))
+      .orderBy(col("hr"), col("vec_id")).limit(SeedOversample * k)
+      .select(col("hr"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Double, Long, Seq[Double], Double)]
+    var cents = cand.repartition(1).mapPartitions { it =>
+      val cs = it.toArray.sortBy(c => (c._1, c._2)) // (hr, vec_id) order
+      if (cs.isEmpty) Iterator.empty
+      else {
+        def cos(a: Seq[Double], na: Double, b: Seq[Double], nb: Double) = {
+          var acc = 0.0d
+          var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc / (na * nb)
+        }
+        val nSeeds = math.min(k, cs.length)
+        val picked = Array.fill(cs.length)(false)
+        // closest-seed similarity per candidate; farthest = SMALLEST max-cos
+        val bestCos = Array.fill(cs.length)(Double.NegativeInfinity)
+        var cur = 0 // first seed: hash-rank 1
+        val out = Array.newBuilder[(Long, Seq[Double], Double)]
+        for (_ <- 1 to nSeeds) {
+          picked(cur) = true
+          val (_, cid, cv, cn) = cs(cur)
+          out += ((cid, cv, cn))
+          var nxt = -1
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              val c = cos(cv, cn, cs(i)._3, cs(i)._4)
+              if (c > bestCos(i)) bestCos(i) = c
+              if (nxt < 0 || bestCos(i) < bestCos(nxt) ||
+                  (bestCos(i) == bestCos(nxt) && cs(i)._2 < cs(nxt)._2))
+                nxt = i
+            }
+            i += 1
+          }
+          cur = nxt
+        }
+        out.result().iterator
+      }
+    }.toDF("cid", "cv", "cn")
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     for (_ <- 1 to iters) {
       val assigned = sample.join(broadcast(cents))
@@ -690,14 +757,30 @@ object Similarity extends QueryModule {
   val ClusterCount = 32
   private val ClusterNoiseSalt = 7777777L
 
-  private def clusteredVecSql(idExpr: String): String =
+  private def clusteredVecSqlBy(clusterExpr: String, idExpr: String): String =
     s"""transform(sequence(1, $Dim), i ->
-       |  ${hashUnitSql(s"(($idExpr % $ClusterCount) * $Dim + i)")} +
+       |  ${hashUnitSql(s"(($clusterExpr) * $Dim + i)")} +
        |  0.1D * ${hashUnitSql(s"($idExpr * $Dim + i + $ClusterNoiseSalt)")})""".stripMargin
+
+  private def clusteredVecSql(idExpr: String): String =
+    clusteredVecSqlBy(s"$idExpr % $ClusterCount", idExpr)
 
   def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), expr(clusteredVecSql("vec_id")).as("embedding"))
+
+  /** The clustered corpus with ADVERSARIAL id ordering: cluster =
+    * vec_id div `block`, so consecutive ids share a cluster and the first
+    * k sample ids cover only a handful of them — the exact ordering that
+    * degraded the retired first-k-sample seeding (r9 verdict). Test
+    * fixture for the seeding's id-order independence
+    * (DedupSimilaritySpec). */
+  def adversarialClusteredEmbeddings(s: SparkSession, dir: String,
+      block: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(clusteredVecSqlBy(
+        s"least(vec_id div $block, ${ClusterCount - 1})", "vec_id"))
+        .as("embedding"))
 
   /** The clustered corpus replayed in DuckDB (plain double literals — both
     * engines implicitly widen against the double cast, proven bit-exact by
@@ -714,6 +797,42 @@ object Similarity extends QueryModule {
     s"""list_transform(generate_series(1, $Dim), i ->
        |  ${hashUnitDuck(s"((vec_id % $ClusterCount) * $Dim + i)")} +
        |  0.1 * ${hashUnitDuck(s"(vec_id * $Dim + i + $ClusterNoiseSalt)")})""".stripMargin
+
+  /** The k-means||-style seeding replayed in DuckDB (shared by the q27d
+    * and q27g oracles; term-for-term the kmeansCentroids reduce): hash-
+    * ranked 4k oversample from the sample CTE `s`, candidate pair-cosine
+    * matrix, then the greedy farthest-point recursion — each step appends
+    * the unselected candidate with the SMALLEST max-cosine to the seed
+    * set (ties to the smaller vec_id; identical IEEE doubles on both
+    * engines make the argmin exact). Emits CTE `c0` (cid, cv, cn). The
+    * enclosing oracle must open with WITH RECURSIVE. `kExpr` is the
+    * centroid count as a scalar SQL expression. */
+  private def seedDuck(kExpr: String): String =
+    s"""sd0 AS (
+       |  SELECT vec_id, v, nrm, ${hashUnitDuck("vec_id")} AS hr FROM s),
+       |sdc AS (
+       |  SELECT vec_id, v, nrm, hr FROM sd0
+       |  ORDER BY hr, vec_id LIMIT 4 * ($kExpr)),
+       |sdp AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM sdc a CROSS JOIN sdc b WHERE a.vec_id <> b.vec_id),
+       |g(it, seed_ids) AS (
+       |  SELECT 1, [(SELECT vec_id FROM sdc ORDER BY hr, vec_id LIMIT 1)]
+       |  UNION ALL
+       |  SELECT it + 1, list_append(seed_ids, (
+       |    SELECT a FROM (
+       |      SELECT p.a AS a, max(p.cos) AS best
+       |      FROM sdp p
+       |      WHERE list_contains(g.seed_ids, p.b)
+       |        AND NOT list_contains(g.seed_ids, p.a)
+       |      GROUP BY p.a)
+       |    ORDER BY best ASC, a LIMIT 1))
+       |  FROM g WHERE it < ($kExpr)),
+       |sdsel AS (SELECT seed_ids FROM g ORDER BY it DESC LIMIT 1),
+       |c0 AS (
+       |  SELECT c.vec_id AS cid, c.v AS cv, c.nrm AS cn
+       |  FROM sdc c WHERE list_contains((SELECT seed_ids FROM sdsel), c.vec_id))""".stripMargin
 
   /** One Lloyd iteration as DuckDB CTEs (shared by the q27d and q27g
     * oracles): assignment aN against cPREV, mean update uN (vec_id-ordered
@@ -818,14 +937,16 @@ object Similarity extends QueryModule {
 
     // Q27d IVF ANN top-3, fully hash-checked INCLUDING the centroid fit:
     // the √n centroid count and 11/16 probe width (scalar subqueries on the
-    // table count), the two Lloyd iterations (assign to nearest centroid,
-    // recompute each centroid as the vec_id-ordered elementwise mean of
-    // its members, empty clusters keep their previous centroid), and the
-    // cluster-local ranking are all replayed term-for-term in SQL — the
-    // engine's cluster-local bounded heaps equal a global rank over the
-    // candidate union. Recall additionally asserted in ScalaTest.
+    // table count), the k-means||-style seeding (hash-ranked oversample +
+    // greedy farthest-point reduce as a recursive CTE — seedDuck), the two
+    // Lloyd iterations (assign to nearest centroid, recompute each
+    // centroid as the vec_id-ordered elementwise mean of its members,
+    // empty clusters keep their previous centroid), and the cluster-local
+    // ranking are all replayed term-for-term in SQL — the engine's
+    // cluster-local bounded heaps equal a global rank over the candidate
+    // union. Recall additionally asserted in ScalaTest.
     Q("q27d_knn_ivf",
-      Some(s"""WITH e AS (
+      Some(s"""WITH RECURSIVE e AS (
               |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
               |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
               |  FROM embeddings),
@@ -834,8 +955,7 @@ object Similarity extends QueryModule {
               |         CAST(ceil(least(256, CAST(round(sqrt(count(*))) AS BIGINT)) * $IvfProbeFrac) AS BIGINT) AS np
               |  FROM e),
               |s AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 3 = 0),
-              |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s
-              |       WHERE vec_id < 3 * (SELECT k FROM kk)),
+              |${seedDuck("SELECT k FROM kk")},
               |${lloydSql(1, "c0")},
               |${lloydSql(2, "c1")},
               |ranked AS (
@@ -868,13 +988,12 @@ object Similarity extends QueryModule {
     // cluster-local ranking term-for-term); recall ≥ 0.9 and candidate
     // volume ≤ 10 % of brute force asserted in DedupSimilaritySpec.
     Q("q27g_knn_ivf_clustered",
-      Some(s"""WITH e0 AS (
+      Some(s"""WITH RECURSIVE e0 AS (
               |  SELECT vec_id, $clusteredVecDuck AS v FROM embeddings),
               |e AS (
               |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
               |s AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 3 = 0),
-              |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM s
-              |       WHERE vec_id < ${3 * ClusterCount}),
+              |${seedDuck(ClusterCount.toString)},
               |${lloydSql(1, "c0")},
               |${lloydSql(2, "c1")},
               |ranked AS (

@@ -212,6 +212,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hit / total >= 0.9, s"clustered IVF recall ${hit / total}")
   }
 
+  test("q73 edge derivation: borderline-threshold candidate volume stays on the record") {
+    // q73's edges run lshNearDupPairs at 0.45 — the regime the scaladoc
+    // documents as "in-bucket iterations necessarily approach all pairs"
+    // (narrow 4-bit bands are the only complete choice at a borderline
+    // threshold). This pins that honesty claim to a measured number the
+    // way q27g pins the IVF economics. Expected multiplicity under
+    // uniform 4-bit keys: each band holds n residents across 16 buckets
+    // and 5n query rows (1 resident + 4 one-bit probes), so per-band
+    // volume ≈ 16·(5n/16)·(n/16) = 5n²/16, ×16 bands ≈ 5·n² — constant
+    // in n, i.e. quadratic with multiplier 5, NOT super-quadratic.
+    // Measured: 5.06× at sf0.001. 6.5× is the regression tripwire (key
+    // correlation can push it slightly above the uniform expectation;
+    // anything more means the banding or probe layout broke).
+    val emb = graft.Tables.table(spark, sf, "embeddings")
+    val n = emb.count().toDouble
+    Similarity.candidateIters.reset()
+    val edges = Similarity.lshNearDupPairs(emb, 0.45)
+    edges.count()
+    // Accumulator read IMMEDIATELY after the forcing action (any further
+    // job on the lineage would re-run the kernels and double-count).
+    val vol = Similarity.candidateIters.value.toDouble
+    info(f"q73 edge volume: ${vol / (n * (n - 1))}%.2f × n·(n−1) (n=${n.toLong})")
+    assert(vol > 0 && vol <= 6.5 * n * (n - 1),
+      f"borderline-threshold kernel scored ${vol / (n * (n - 1))}%.2f× the brute product")
+  }
+
+  test("k-means|| seeding holds recall AND economics on an adversarially ORDERED corpus") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    // cluster = vec_id div 16: consecutive ids share a cluster, so the
+    // retired first-k-sample seeding would take all its seeds from the
+    // first few clusters. The danger is NOT recall alone — a megacluster
+    // fit can keep recall high while candidate volume degrades toward
+    // brute force — so this asserts both, at the same thresholds q27g
+    // pins for the well-ordered corpus.
+    val adv = Similarity.adversarialClusteredEmbeddings(spark, sf, 16)
+    val n = adv.count()
+    Similarity.candidateIters.reset()
+    val ivf = Similarity.ivfTopK(adv, 3, Some(Similarity.ClusterCount), Some(2))
+      .select("vec_id", "nbr_id")
+    ivf.cache().count()
+    val vol = Similarity.candidateIters.value.toDouble
+    assert(vol > 0 && vol <= 0.10 * n * (n - 1),
+      s"adversarial-order IVF scored ${vol / (n.toDouble * (n - 1)) * 100}%% of brute")
+    val e = adv.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr_id"))
+    val brute = a.join(broadcast(b), col("qid") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("qid").as("vec_id"), col("nbr_id"))
+    val total = brute.count().toDouble
+    val hit = brute.join(ivf, Seq("vec_id", "nbr_id"), "left_semi").count().toDouble
+    ivf.unpersist()
+    assert(hit / total >= 0.9, s"adversarial-order IVF recall ${hit / total}")
+  }
+
   test("wide-band near-dup (q27f) finds every planted duplicate: recall = 1.0") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.functions._
