@@ -100,6 +100,12 @@ object Bench {
     // along in the detail line so a regression self-diagnoses: tight
     // spread = real cost change, wide spread = host contention.
     val sampled = queriesSorted.map { case (name, fn) =>
+      // Level the GC field before each query's samples (untimed): the
+      // allocation-heavy queries (multi-frame codec decode, q35b2) were
+      // the suite's one stubbornly wide-spread row — they paid whatever
+      // garbage the PRECEDING queries left behind, so their number
+      // depended on suite position, not code (r9 verdict #8).
+      System.gc()
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
