@@ -291,6 +291,106 @@ object StreamingQueries extends QueryModule {
     s.table(name)
   }
 
+  /** q87's engine: restartable incremental ingestion with an EXACTLY-ONCE
+    * file sink — the production form of the reference's restart-prone
+    * Lambda cadence (`transactions_mock_data.py:125-140`), and the
+    * declared-query counterpart of StreamingSpec's checkpoint-restart
+    * proofs. Two separate streaming query instances run against ONE
+    * checkpoint: generation A of the landed header-CSVs is processed by
+    * the first run (enrich with the broadcast product dim, append to a
+    * parquet file sink); generation B lands only after the first run
+    * STOPPED, so the second, fresh query instance must resume from the
+    * checkpoint's offset log and process exactly the new files. The
+    * sink's `_spark_metadata` commit log makes the output exactly-once —
+    * re-reading it yields every transaction exactly once no matter how
+    * the two runs sliced the work. Returns the committed output plus the
+    * per-run input-row counts so the spec can assert run 2 ingested ONLY
+    * generation B (incremental, not a reprocess). Work dirs are fresh
+    * per invocation (the restart IS the operator; layout reuse would
+    * hide it) and cleaned by a shutdown hook. */
+  def restartableIngest(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
+    import graft.pipeline.EcommercePipeline
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(root.toFile)
+    }
+    val (land, out, ckpt) = (s"$root/land", s"$root/out", s"$root/ckpt")
+    // The two landed GENERATIONS are input that exists before the operator
+    // runs (the q34 landing-zone rule): stage them once per (sf, schema),
+    // manifest-validated, and hardlink the staged files into each
+    // invocation's fresh landing dir — the timed work is the restart, not
+    // re-writing the same CSVs. Generation split is hash-derived
+    // (id-stable): A = even transaction_id hash, B = the rest.
+    val txn = EcommercePipeline.transactions(s, d)
+      .select("transaction_id", "product_id", "quantity")
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_restart_stage$tag"
+    val manifest = s"v1|${txn.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$stage/_graft_layout")
+    val staged = new java.io.File(s"$stage/a/_SUCCESS").exists() &&
+      new java.io.File(s"$stage/b/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!staged) {
+      txn.filter(abs(hash(col("transaction_id"))) % 2 === 0)
+        .write.mode("overwrite").option("header", "true").csv(s"$stage/a")
+      txn.filter(abs(hash(col("transaction_id"))) % 2 === 1)
+        .write.mode("overwrite").option("header", "true").csv(s"$stage/b")
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    def landGen(gen: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(land))
+      new java.io.File(s"$stage/$gen").listFiles()
+        .filter(_.getName.endsWith(".csv")).foreach { f =>
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(s"$land/${f.getName}"), f.toPath)
+        }
+    }
+    landGen("a")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("transaction_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("quantity",
+        org.apache.spark.sql.types.IntegerType)))
+    val dims = broadcast(EcommercePipeline.dimProducts(s, d)
+      .select("product_id", "category"))
+    def runOnce(): Long = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema).option("header", "true").csv(land)
+          .join(dims, Seq("product_id"))
+          .select("transaction_id", "quantity", "category")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val n1 = runOnce() // query instance 1: generation A only
+    landGen("b")       // generation B lands only after the stop
+    val n2 = runOnce() // FRESH query instance, same checkpoint: only B
+    // The file sink's _spark_metadata log scopes this read to COMMITTED
+    // batches — the exactly-once contract under restart.
+    (s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("transaction_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("quantity",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("category",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(out)
+      .orderBy("transaction_id"),
+      Seq(n1, n2))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q29 tumbling-window aggregate (10-minute windows, per event_type).
@@ -461,6 +561,34 @@ object StreamingQueries extends QueryModule {
           .select("transaction_id", "quantity", "category")
         runToMemory(enriched, "q34_out", "append").orderBy("transaction_id")
       }),
+
+    // Q87 restartable incremental ingestion (see restartableIngest): two
+    // streaming query instances over one checkpoint, the second resuming
+    // after new files landed, output committed exactly-once through the
+    // parquet sink's metadata log. The oracle is the batch derivation
+    // over ALL landed generations — equality proves the restart lost
+    // nothing and the sink's log admitted nothing twice; the incremental
+    // property (run 2 ingested only generation B) is asserted in
+    // StreamingSpec from the per-run progress counters.
+    Q("q87_restartable_ingest",
+      Some("""WITH txn AS (
+             |  SELECT
+             |    'TXN' || strftime(l_shipdate, '%Y%m%d%H%M%S') ||
+             |      lpad(CAST(l_orderkey AS VARCHAR), 8, '0') ||
+             |      lpad(CAST(l_linenumber AS VARCHAR), 2, '0') ||
+             |      lpad(CAST(l_partkey % 1000000 AS VARCHAR), 6, '0') ||
+             |      lpad(CAST(l_suppkey AS VARCHAR), 4, '0') AS transaction_id,
+             |    'prod-' || lpad(CAST(l_partkey % 1000000 AS VARCHAR), 6, '0') AS product_id,
+             |    CAST(l_quantity AS INT) AS quantity
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |dimp AS (
+             |  SELECT 'prod-' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') AS product_id,
+             |         ['Electronics','Clothing','Home','Books','Toys'][CAST((p_partkey * 7919) % 5 + 1 AS INT)] AS category
+             |  FROM part)
+             |SELECT t.transaction_id, t.quantity, p.category
+             |FROM txn t JOIN dimp p ON t.product_id = p.product_id
+             |ORDER BY transaction_id""".stripMargin),
+      (s, d) => restartableIngest(s, d)._1),
 
     // Q30c custom streaming state machine via flatMapGroupsWithState: the
     // view → click → purchase funnel per user. Events are folded in

@@ -572,6 +572,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q87: the restarted query ingests ONLY the newly landed generation") {
+    // The declared query's hash check proves completeness + exactly-once;
+    // this pins the INCREMENTAL property: run 2's progress counters must
+    // equal generation B's size exactly — a reprocess of generation A
+    // would double them.
+    val (out, counts) = graft.streaming.StreamingQueries
+      .restartableIngest(spark, sf)
+    val total = out.count()
+    assert(counts.size == 2 && counts.forall(_ > 0),
+      s"expected two non-empty runs: $counts")
+    val txn = graft.pipeline.EcommercePipeline.transactions(spark, sf)
+    val nB = txn.filter(abs(hash(col("transaction_id"))) % 2 === 1).count()
+    assert(counts(1) == nB,
+      s"run 2 ingested ${counts(1)} rows, generation B has $nB — not incremental")
+    assert(total == out.select("transaction_id").distinct().count(),
+      "exactly-once violated: duplicate transaction_ids in the committed output")
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
