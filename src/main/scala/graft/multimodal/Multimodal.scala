@@ -140,6 +140,44 @@ object Multimodal extends QueryModule {
     }
   }
 
+  final case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** 56-bit difference hash (dHash) over the DECODED raster — the standard
+    * perceptual fingerprint for image near-dup detection: sample a 9×7
+    * grid (integer positions — no resampling kernel, so the oracle can
+    * state every bit), set bit (j·8+i) iff the grid brightens left→right
+    * at (i, row j). 56 bits keep the value positive (no sign-bit parity
+    * risk across engines). Runs inside the same per-partition codec loop
+    * as decodeImages. */
+  def dhashImages(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var bits = 0L
+        var j = 0
+        while (j < 7) {
+          val yj = j * (h - 1) / 6
+          var i = 0
+          while (i < 8) {
+            val x0 = i * (w - 1) / 8
+            val x1 = (i + 1) * (w - 1) / 8
+            if ((img.getRGB(x1, yj) & 0xff) > (img.getRGB(x0, yj) & 0xff))
+              bits |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        ImageHash(r.doc_id, bits)
+      }
+    }
+  }
+
   /** One decoded (and sampled) video/animation frame. */
   final case class FrameFeatures(doc_id: Long, frame_id: Int, width: Int,
       height: Int, px00: Long)
@@ -499,6 +537,59 @@ object Multimodal extends QueryModule {
             sum(col("n_chars")).cast("long").as("total_chars"),
             max(when(col("rn") === 1, col("doc_id"))).as("rep_doc"))
           .orderBy("cluster_id")
+      }),
+
+    // Q90 perceptual-hash image near-dup — image-side deduplication with a
+    // REAL codec in the loop: every PNG payload is pixel-decoded
+    // (javax.imageio, per-partition codec init) and folded into a 56-bit
+    // dHash; pairs are found by 4×14-bit BANDING on the hash (the q26b/q27f
+    // economics — candidates only within shared band buckets, ~1.5% of n²
+    // at this fixture, asserted in MultimodalSpec), then confirmed at
+    // Hamming distance ≤ 6 via bit_count(xor). The corpus shuffles only
+    // (doc_id, 14-bit band value) rows and 8-byte hashes — never pixels.
+    // The gradient family plants genuine near-dups (doc_ids ≡ mod 240
+    // share dimensions and differ by a constant brightness offset), and
+    // the oracle replays every decoded bit from doc_id arithmetic — a
+    // decode or banding error would miss rows, a hash error would change
+    // hamming. (Pixel formula: Multimodal.encodePng.)
+    Q("q90_image_neardup",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 48 + 8 AS w, (7*doc_id) % 40 + 8 AS h FROM documents),
+             |bits AS (
+             |  SELECT doc_id, CAST(sum(CASE WHEN ((31*x1 + 17*yj + doc_id) % 256) > ((31*x0 + 17*yj + doc_id) % 256)
+             |                          THEN 1::BIGINT << CAST(j*8+i AS INT) ELSE 0::BIGINT END) AS BIGINT) AS hash
+             |  FROM (
+             |    SELECT doc_id, j, i,
+             |           (j*(h-1))//6 AS yj, (i*(w-1))//8 AS x0, ((i+1)*(w-1))//8 AS x1
+             |    FROM g, generate_series(0,6) gj(j), generate_series(0,7) gi(i))
+             |  GROUP BY doc_id),
+             |bands AS (SELECT doc_id, b, (hash >> CAST(14*b AS INT)) & 16383 AS v
+             |          FROM bits, generate_series(0,3) gb(b)),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+             |         JOIN bands y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+             |SELECT a, b, CAST(bit_count(xor(ha.hash, hb.hash)) AS BIGINT) AS hamming
+             |FROM cand JOIN bits ha ON cand.a = ha.doc_id JOIN bits hb ON cand.b = hb.doc_id
+             |WHERE bit_count(xor(ha.hash, hb.hash)) <= 6
+             |ORDER BY a, b""".stripMargin),
+      (s, d) => {
+        val hashes = dhashImages(pngTable(s, d)).toDF().cache()
+        val bands = hashes
+          .select(col("doc_id"), col("dhash"),
+            explode(expr("sequence(0, 3)")).as("bnd"))
+          .select(col("doc_id"), col("bnd"),
+            expr("shiftright(dhash, cast(14 * bnd as int)) & 16383").as("v"))
+        val cand = bands
+          .select(col("doc_id").as("a"), col("bnd"), col("v"))
+          .join(bands.select(col("doc_id").as("b"), col("bnd"), col("v")),
+            Seq("bnd", "v"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand
+          .join(hashes.select(col("doc_id").as("a"), col("dhash").as("hash_a")), Seq("a"))
+          .join(hashes.select(col("doc_id").as("b"), col("dhash").as("hash_b")), Seq("b"))
+          .withColumn("hamming", expr("cast(bit_count(hash_a ^ hash_b) as bigint)"))
+          .filter(col("hamming") <= 6)
+          .select("a", "b", "hamming")
+          .orderBy("a", "b")
       })
   )
 }

@@ -236,6 +236,96 @@ object CorpusOps extends QueryModule {
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
           .orderBy("split", "lang")
+      }),
+
+    // Q92 n-gram novelty attribution — the "how much of this document is
+    // new to the corpus" signal dedup-aware mixing weighs (RefinedWeb-style
+    // duplication analysis at n-gram granularity, not whole-doc): each
+    // bigram occurrence is attributed to the document where the bigram
+    // FIRST appears (min doc_id — deterministic, order-free). One corpus
+    // pass explodes bigrams; first-seen is a vocabulary-sized partial agg;
+    // the attribution join keys both sides on the gram and the per-doc
+    // rollup partial-aggregates — the shuffles carry (gram, doc_id) and
+    // (doc_id, counts), never text bodies beyond the grams themselves.
+    Q("q92_ngram_novelty",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+             |         ELSE list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]) END) AS gram
+             |       FROM toks),
+             |first_seen AS (SELECT gram, min(doc_id) AS fs FROM bg GROUP BY gram)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |       CAST(sum(CASE WHEN fs = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       CAST(count(*) - sum(CASE WHEN fs = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+             |FROM bg JOIN first_seen USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val bigramsExpr =
+          """CASE WHEN size(ts) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(ts) - 1),
+            |            i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) END""".stripMargin
+        val bg = t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("gram"))
+        val firstSeen = bg.groupBy("gram").agg(min("doc_id").as("fs"))
+        bg.join(firstSeen, Seq("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fs") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_grams") - col("n_novel")).as("n_seen"))
+          .orderBy("doc_id")
+      }),
+
+    // Q93 equi-depth length deciles — the length-balancing profile a
+    // packing/mixing stage consults, computed WITHOUT the single-partition
+    // global window `ntile()` implies: per-length counts are a partial agg
+    // over DISTINCT lengths (≪ corpus), the cumulative offset is a window
+    // over that small frame, and each document's global position is its
+    // length-bucket offset plus a rank over (length) — a window KEYED by
+    // n_chars, which distributes. The closed-form ntile arithmetic (first
+    // n%k buckets take ⌈n/k⌉ rows) then assigns buckets from the position
+    // alone — bit-identical to the oracle's ntile(10) OVER (ORDER BY
+    // n_chars, doc_id), with no stage that collapses to one task (the
+    // q33e2 partitioned-sequence-id recipe applied to quantiles).
+    Q("q93_length_deciles",
+      Some("""WITH b AS (
+             |  SELECT doc_id, n_chars,
+             |         ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+             |  FROM documents)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents").select("doc_id", "n_chars")
+        val k = 10
+        // distinct-length histogram + exclusive running offset (small frame)
+        val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        val off = hist.withColumn("off",
+          coalesce(sum("cnt").over(
+            Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val n = docs.count()
+        val q = n / k
+        val r = n % k
+        // global 1-based position, then closed-form ntile bucket
+        val pos = docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("n_chars").orderBy("doc_id")).cast("long"))
+          .join(broadcast(off.select(col("n_chars"), col("off"))), Seq("n_chars"))
+          .withColumn("p", col("off") + col("rk"))
+        val bucket = when(col("p") <= r * (q + 1),
+            expr(s"(p - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$r + (p - ${r * (q + 1)} - 1) div $q + 1"))
+        pos.withColumn("bucket", bucket.cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+            sum("n_chars").as("sum_chars"))
+          .orderBy("bucket")
       })
   )
 }

@@ -262,6 +262,91 @@ object ScaleOps extends QueryModule {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
           sum(col("zval")).as("z_sum"))),
 
+    // Q89 Bloom-filter pre-join pruning — the runtime-filter pattern behind
+    // Spark's own InjectRuntimeFilter, built explicitly so its economics are
+    // on the record: a filtered dim (the reference's enrichment join's small
+    // side, transactions_mock_data.py:17) is folded into a bitmap of 63-bit
+    // words (the sign bit is never set, so word values stay positive on
+    // both engines) sized from the measured dim cardinality (load ≤ 0.5 —
+    // never saturates at a bigger SF), which is broadcast to the fact side. Probe keys hit d=3 md5-derived positions; only candidates
+    // (all bits set) reach the exact join. At 100 TB the fact scan sheds
+    // non-matching rows against 1 KB of broadcast state — no shuffle of the
+    // big side at all until the (already pruned) exact confirm. The bitmap
+    // build is a partial-agg shuffle of (word_idx, mask) pairs, bounded by
+    // the DIM cardinality. Output: the filter's measured economics (bits
+    // set, candidates, false positives, fact rows pruned) — deterministic
+    // because the hash family is md5-derived, so the oracle replays every
+    // bit. Hamming guarantee (no false negatives) is implied by
+    // n_rows_pass ≤ n_probe - pruned and asserted in ScaleOpsSpec.
+    Q("q89_bloom_join",
+      Some {
+        def h(i: Int, k: String) =
+          s"CAST(concat('0x', substring(md5('bloom:$i:' || CAST($k AS VARCHAR)), 1, 15)) AS BIGINT) % m"
+        s"""WITH build AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |params AS (SELECT 63 * GREATEST(128, (6 * count(*) + 62) // 63) AS m FROM build),
+           |bpos AS (SELECT k, unnest([${h(0, "k")}, ${h(1, "k")}, ${h(2, "k")}]) AS pos FROM build, params),
+           |words AS (SELECT pos // 63 AS widx, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS w
+           |          FROM bpos GROUP BY 1),
+           |probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+           |ppos AS (SELECT k, unnest([${h(0, "k")}, ${h(1, "k")}, ${h(2, "k")}]) AS pos FROM probe, params),
+           |hits AS (SELECT p.k,
+           |           CASE WHEN w.w IS NOT NULL AND (w.w & (1::BIGINT << CAST(p.pos % 63 AS INT))) != 0
+           |                THEN 1 ELSE 0 END AS hit
+           |         FROM ppos p LEFT JOIN words w ON p.pos // 63 = w.widx),
+           |cand AS (SELECT k FROM hits GROUP BY k HAVING sum(hit) = 3)
+           |SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build_keys,
+           |       CAST((SELECT sum(bit_count(w)) FROM words) AS BIGINT) AS bits_set,
+           |       CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe_keys,
+           |       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand_keys,
+           |       CAST((SELECT count(*) FROM cand WHERE k NOT IN (SELECT k FROM build)) AS BIGINT) AS n_false_pos,
+           |       CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM cand)) AS BIGINT) AS n_rows_pruned,
+           |       CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM build)) AS BIGINT) AS n_rows_pass""".stripMargin
+      },
+      (s, d) => {
+        val bitsPerWord = 63
+        val D = 3
+        val build = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")).distinct().cache()
+        // Size the bitmap from the measured build cardinality (load ≤ 0.5
+        // at d=3) so the filter never saturates at a bigger SF — the one
+        // eager action here is a count over the already-cached dim keys.
+        // The bitmap grows with the DIM only (~2 bits/key), orders below
+        // the dim row width itself, so the broadcast stays cheap.
+        val nb = build.count()
+        val m = bitsPerWord * math.max(128L, (6 * nb + 62) / 63)
+        def posExprs(key: String) = (0 until D).map(i => expr(
+          s"cast(conv(substring(md5(concat('bloom:$i:', cast($key as string))), 1, 15), 16, 10) as bigint) % $m"))
+        val maskExpr = // mask for this position's bit inside its word
+          s"shiftleft(cast(1 as bigint), cast(pos % $bitsPerWord as int))"
+        val words = build
+          .select(explode(array(posExprs("k"): _*)).as("pos"))
+          .groupBy(expr(s"pos div $bitsPerWord").as("widx"))
+          .agg(expr(s"bit_or($maskExpr)").as("w"))
+          .cache() // m/63 words — dim-bounded, tiny vs the fact side
+        val probe = t(s, d, "orders")
+          .select(col("o_custkey").as("k")).distinct().cache()
+        val hits = probe
+          .select(col("k"), explode(array(posExprs("k"): _*)).as("pos"))
+          .join(broadcast(words), expr(s"pos div $bitsPerWord") === col("widx"), "left")
+          .select(col("k"),
+            when(col("w").isNotNull && expr(s"(w & $maskExpr) != 0"), 1L)
+              .otherwise(0L).as("hit"))
+        val cand = hits.groupBy("k").agg(sum("hit").as("nh"))
+          .filter(col("nh") === D).select("k").cache()
+        val orders = t(s, d, "orders")
+        build.agg(count(lit(1)).as("n_build_keys"))
+          .crossJoin(words.agg(sum(expr("cast(bit_count(w) as bigint)")).as("bits_set")))
+          .crossJoin(probe.agg(count(lit(1)).as("n_probe_keys")))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand_keys")))
+          .crossJoin(cand.join(build, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_false_pos")))
+          .crossJoin(orders.join(cand, orders("o_custkey") === cand("k"), "left_anti")
+            .agg(count(lit(1)).as("n_rows_pruned")))
+          .crossJoin(orders.join(build, orders("o_custkey") === build("k"), "left_semi")
+            .agg(count(lit(1)).as("n_rows_pass")))
+      }),
+
     // Q37 salted skew join — row-identical to the plain broadcast join.
     Q("q37_salted_skew_join",
       Some("""SELECT e.event_id, c.c_mktsegment FROM events e

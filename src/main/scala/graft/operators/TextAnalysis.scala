@@ -40,6 +40,97 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "les", "et", "des"),
     "zh" -> Seq("的", "是", "不", "了", "在"))
 
+  /** BPE primitives shared by q85 (merge learning) and q88 (tokenizer
+    * apply). Symbol sequences ride as a space-joined string; pair
+    * extraction and the greedy merge fold are pure higher-order-function
+    * work. The fold is canonically greedy left-to-right and Spark's
+    * `aggregate` HOF and DuckDB's `list_reduce` are the same left fold
+    * seeded with the first element, so both engines produce byte-identical
+    * symbolizations (proven at all three SFs by q85). */
+  private val bpePairsExpr =
+    """CASE WHEN size(split(s, ' ')) < 2 THEN array()
+      |     ELSE transform(sequence(1, size(split(s, ' ')) - 1),
+      |            i -> concat(element_at(split(s, ' '), i), ' ',
+      |                        element_at(split(s, ' '), i + 1))) END""".stripMargin
+  private val bpeMergeExpr =
+    """aggregate(
+      |  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+      |  element_at(split(s, ' '), 1),
+      |  (acc, x) -> CASE WHEN (acc = p1 OR endswith(acc, concat(' ', p1))) AND x = p2
+      |                   THEN concat(substring(acc, 1, length(acc) - length(p1)), p1, p2)
+      |                   ELSE concat(acc, ' ', x) END)""".stripMargin
+
+  /** One DuckDB learning round: pair stats over dict(r-1), argmax, merged
+    * dict r. Chained as CTEs by both the q85 and q88 oracles. */
+  private def bpeOracleRound(r: Int): String = s"""
+    |pairs$r AS (
+    |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    |    SELECT freq, unnest(CASE WHEN len(string_split(s, ' ')) < 2 THEN []
+    |      ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+    |             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]) END) AS pair
+    |    FROM dict${r - 1})
+    |  GROUP BY pair),
+    |top$r AS (
+    |  SELECT pair, cnt, string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2
+    |  FROM pairs$r ORDER BY cnt DESC, pair LIMIT 1),
+    |dict$r AS (
+    |  SELECT word, freq,
+    |    list_reduce(string_split(s, ' '), (acc, x) ->
+    |      CASE WHEN (acc = p1 OR ends_with(acc, ' ' || p1)) AND x = p2
+    |           THEN substring(acc, 1, length(acc) - length(p1)) || p1 || p2
+    |           ELSE acc || ' ' || x END) AS s
+    |  FROM dict${r - 1}, top$r)""".stripMargin
+
+  /** The corpus word dictionary CTE both BPE oracles start from. */
+  private val bpeOracleDict0 =
+    """dict0 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |         array_to_string(regexp_extract_all(word, '.'), ' ') AS s
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  /** Learn `rounds` BPE merges over the corpus word dictionary (ONE corpus
+    * pass; every round is vocabulary-sized work — q85's scaladoc has the
+    * full economics). Returns the per-round 1-row argmax frames
+    * (localCheckpointed — lineage-free) and, when `encodeVocab` is set, the
+    * fully merged dictionary `(word, freq, s)` as an eager vocabulary-sized
+    * localCheckpoint so callers can join it without keeping round caches
+    * alive. */
+  private def bpeLearn(s: SparkSession, d: String, rounds: Int,
+      encodeVocab: Boolean): (Seq[DataFrame], Option[DataFrame]) = {
+    val dict0 = t(s, d, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", expr("array_join(regexp_extract_all(word, '.', 0), ' ')"))
+      .cache()
+    var dict = dict0
+    val dicts = scala.collection.mutable.Buffer(dict0)
+    val tops = (1 to rounds).map { r =>
+      val top = dict
+        .select(col("freq"), explode(expr(bpePairsExpr)).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), col("cnt"),
+          expr("split(pair, ' ')[0]").as("p1"),
+          expr("split(pair, ' ')[1]").as("p2"))
+        .localCheckpoint() // 1 row; forces this round's dict, cuts lineage
+      if (r < rounds || encodeVocab) {
+        val next = dict.crossJoin(broadcast(top.select("p1", "p2")))
+          .withColumn("s", expr(bpeMergeExpr))
+          .select("word", "freq", "s")
+          .cache()
+        dicts += next
+        dict = next
+      }
+      top
+    }
+    val encoded =
+      if (encodeVocab) Some(dict.localCheckpoint()) // vocab-sized, eager
+      else None
+    dicts.foreach(_.unpersist()) // callers read only checkpointed frames
+    (tops, encoded)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q28 token counting + top-n terms per language (split → explode →
@@ -407,29 +498,7 @@ object TextAnalysis extends QueryModule {
     // returning — the output plan reads only the K checkpointed rows.
     Q("q85_bpe_merges",
       Some {
-        def round(r: Int) = s"""
-          |pairs$r AS (
-          |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-          |    SELECT freq, unnest(CASE WHEN len(string_split(s, ' ')) < 2 THEN []
-          |      ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
-          |             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]) END) AS pair
-          |    FROM dict${r - 1})
-          |  GROUP BY pair),
-          |top$r AS (
-          |  SELECT pair, cnt, string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2
-          |  FROM pairs$r ORDER BY cnt DESC, pair LIMIT 1),
-          |dict$r AS (
-          |  SELECT word, freq,
-          |    list_reduce(string_split(s, ' '), (acc, x) ->
-          |      CASE WHEN (acc = p1 OR ends_with(acc, ' ' || p1)) AND x = p2
-          |           THEN substring(acc, 1, length(acc) - length(p1)) || p1 || p2
-          |           ELSE acc || ' ' || x END) AS s
-          |  FROM dict${r - 1}, top$r)""".stripMargin
-        s"""WITH dict0 AS (
-           |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-           |         array_to_string(regexp_extract_all(word, '.'), ' ') AS s
-           |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents)
-           |  GROUP BY word),${Seq(1, 2, 3).map(round).mkString(",")}
+        s"""WITH $bpeOracleDict0,${Seq(1, 2, 3).map(bpeOracleRound).mkString(",")}
            |SELECT * FROM (
            |  SELECT CAST(1 AS BIGINT) AS merge_rank, pair, p1 || p2 AS merged, cnt FROM top1
            |  UNION ALL SELECT 2, pair, p1 || p2, cnt FROM top2
@@ -437,52 +506,115 @@ object TextAnalysis extends QueryModule {
            |ORDER BY merge_rank""".stripMargin
       },
       (s, d) => {
-        val rounds = 3
-        // Symbol sequences ride as a space-joined string; pair extraction
-        // and the greedy merge fold are pure higher-order-function work.
-        val pairsExpr =
-          """CASE WHEN size(split(s, ' ')) < 2 THEN array()
-            |     ELSE transform(sequence(1, size(split(s, ' ')) - 1),
-            |            i -> concat(element_at(split(s, ' '), i), ' ',
-            |                        element_at(split(s, ' '), i + 1))) END""".stripMargin
-        val mergeExpr =
-          """aggregate(
-            |  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
-            |  element_at(split(s, ' '), 1),
-            |  (acc, x) -> CASE WHEN (acc = p1 OR endswith(acc, concat(' ', p1))) AND x = p2
-            |                   THEN concat(substring(acc, 1, length(acc) - length(p1)), p1, p2)
-            |                   ELSE concat(acc, ' ', x) END)""".stripMargin
-        val dict0 = t(s, d, "documents")
-          .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("s", expr("array_join(regexp_extract_all(word, '.', 0), ' ')"))
-          .cache()
-        var dict = dict0
-        val dicts = scala.collection.mutable.Buffer(dict0)
-        val tops = (1 to rounds).map { r =>
-          val top = dict
-            .select(col("freq"), explode(expr(pairsExpr)).as("pair"))
-            .groupBy("pair").agg(sum("freq").as("cnt"))
-            .orderBy(col("cnt").desc, col("pair")).limit(1)
-            .select(col("pair"), col("cnt"),
-              expr("split(pair, ' ')[0]").as("p1"),
-              expr("split(pair, ' ')[1]").as("p2"))
-            .localCheckpoint() // 1 row; forces this round's dict, cuts lineage
-          if (r < rounds) {
-            val next = dict.crossJoin(broadcast(top.select("p1", "p2")))
-              .withColumn("s", expr(mergeExpr))
-              .select("word", "freq", "s")
-              .cache()
-            dicts += next
-            dict = next
-          }
-          top
-        }
-        dicts.foreach(_.unpersist()) // output below reads only the checkpoints
+        val (tops, _) = bpeLearn(s, d, rounds = 3, encodeVocab = false)
         tops.zipWithIndex.map { case (tp, i) =>
           tp.select(lit((i + 1).toLong).as("merge_rank"), col("pair"),
             concat(col("p1"), col("p2")).as("merged"), col("cnt"))
         }.reduce(_.union(_)).orderBy("merge_rank")
+      }),
+
+    // Q88 BPE tokenizer APPLY — the other half of tokenizer training: encode
+    // the corpus with the merges q85 learned. Dictionary-based like the
+    // learning pass: the merged vocabulary (word → symbolization under
+    // merges 1..3) is computed ONCE on the distinct-word dictionary
+    // (vocabulary-sized work, localCheckpointed), then the corpus is touched
+    // exactly once — explode to (doc_id, word), join the encoded vocab on
+    // the word key (both sides shuffle-partition by word; the vocabulary is
+    // ≪ corpus but unbounded, so no broadcast), and partial-agg per-doc
+    // token statistics. Output: per-document token economics (words, BPE
+    // symbols, raw chars) — the sizing numbers a training-data pipeline
+    // needs before packing (q74) and mixing (q76).
+    Q("q88_bpe_tokenize",
+      Some {
+        s"""WITH $bpeOracleDict0,${Seq(1, 2, 3).map(bpeOracleRound).mkString(",")},
+           |words AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_words,
+           |       CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+           |       CAST(sum(length(word)) AS BIGINT) AS n_chars
+           |FROM words JOIN dict3 USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      (s, d) => {
+        val (_, Some(vocab)) = bpeLearn(s, d, rounds = 3, encodeVocab = true)
+        val words = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        words.join(vocab.select(col("word"), col("s")), Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(split(col("s"), " "))).as("n_tokens"),
+            sum(length(col("word"))).as("n_chars"))
+          .orderBy("doc_id")
+      }),
+
+    // Q91 count-min-sketch frequency estimation — bounded-memory n-gram
+    // counting, the sketch a pipeline consults when the exact (token, cnt)
+    // dictionary no longer fits (web-scale n-gram tables). d=4 rows × w=256
+    // buckets of md5-derived positions: the sketch is 1024 cells REGARDLESS
+    // of vocabulary size, built by one partial-agg pass (exact per-token
+    // partials first — vocabulary-sized — then folded into cells, so the
+    // corpus is touched once and the shuffle carries (i, pos, cnt) triples).
+    // Estimates (min over the 4 row cells) are broadcast-joined from the
+    // constant-size sketch; the CMS guarantee est ≥ exact is visible in the
+    // output (overcount ≥ 0, asserted in TextAnalysisSpec) and every bit is
+    // deterministic, so the oracle replays the whole sketch. Domain: word
+    // bigrams (916 distinct at sf0.01 — wide enough that buckets genuinely
+    // collide and the min-of-rows matters).
+    Q("q91_cms_freq",
+      Some {
+        def h(i: Int) =
+          s"CAST(concat('0x', substring(md5('cms:$i:' || token), 1, 15)) AS BIGINT) % 256"
+        s"""WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents),
+           |bg AS (SELECT unnest(CASE WHEN len(ts) < 2 THEN []
+           |         ELSE list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]) END) AS token
+           |       FROM toks),
+           |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM bg GROUP BY token),
+           |cells AS (SELECT i, pos, CAST(sum(exact_cnt) AS BIGINT) AS cell FROM (
+           |    SELECT exact_cnt, unnest([0, 1, 2, 3]) AS i,
+           |           unnest([${h(0)}, ${h(1)}, ${h(2)}, ${h(3)}]) AS pos FROM exact)
+           |  GROUP BY i, pos),
+           |top AS (SELECT token, exact_cnt,
+           |          CAST(row_number() OVER (ORDER BY exact_cnt DESC, token) AS BIGINT) AS rnk
+           |        FROM exact QUALIFY rnk <= 20),
+           |est AS (SELECT t.token, min(c.cell) AS est_cnt FROM (
+           |    SELECT token, unnest([0, 1, 2, 3]) AS i,
+           |           unnest([${h(0)}, ${h(1)}, ${h(2)}, ${h(3)}]) AS pos FROM top) t
+           |  JOIN cells c ON t.i = c.i AND t.pos = c.pos GROUP BY t.token)
+           |SELECT rnk, top.token AS token, exact_cnt, est_cnt,
+           |       est_cnt - exact_cnt AS overcount
+           |FROM top JOIN est ON top.token = est.token
+           |ORDER BY rnk""".stripMargin
+      },
+      (s, d) => {
+        def posArr = array((0 until 4).map(i => expr(
+          s"cast(conv(substring(md5(concat('cms:$i:', token)), 1, 15), 16, 10) as bigint) % 256")): _*)
+        val bigramsExpr =
+          """CASE WHEN size(ts) < 2 THEN array()
+            |     ELSE transform(sequence(1, size(ts) - 1),
+            |            i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) END""".stripMargin
+        val exact = t(s, d, "documents")
+          .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ts"))
+          .select(explode(expr(bigramsExpr)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .cache() // vocabulary-sized
+        val cells = exact
+          .select(col("exact_cnt"), posexplode(posArr).as(Seq("i", "pos")))
+          .groupBy("i", "pos").agg(sum("exact_cnt").as("cell")) // 1024 cells
+        // top-20 via TakeOrderedAndProject (no global-sort materialization);
+        // the rank window then runs over 20 rows only.
+        val top = exact.orderBy(col("exact_cnt").desc, col("token")).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("exact_cnt").desc, col("token"))).cast("long"))
+        val est = top.select(col("token"), posexplode(posArr).as(Seq("i", "pos")))
+          .join(broadcast(cells), Seq("i", "pos"))
+          .groupBy("token").agg(min("cell").as("est_cnt"))
+        top.join(est, Seq("token"))
+          .select(col("rnk"), col("token"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("exact_cnt")).as("overcount"))
+          .orderBy("rnk")
       })
   )
 }

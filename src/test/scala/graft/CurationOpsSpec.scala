@@ -85,6 +85,73 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q88 BPE tokenize: token mass conserved, merges only shrink") {
+    val out = SparkEntry.queries("q88_bpe_tokenize")(spark, sf).cache()
+    // Per-doc invariants: a word is at least one symbol, a symbol at least
+    // one char — so n_words ≤ n_tokens ≤ n_chars row by row.
+    assert(out.filter(col("n_tokens") > col("n_chars") ||
+      col("n_tokens") < col("n_words")).count() == 0)
+    // The three learned merges must actually fire somewhere: some document
+    // ends up with strictly fewer symbols than characters.
+    assert(out.filter(col("n_tokens") < col("n_chars")).count() > 0,
+      "no merge ever applied — encoder is a no-op")
+    // Corpus word mass matches an independent count (the vocab join
+    // dropped or duplicated nothing).
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .count()
+    val got = out.agg(sum("n_words")).head().getLong(0)
+    assert(got == words, s"word mass $got != $words")
+    out.unpersist()
+  }
+
+  test("q91 CMS: rank complete, estimates never undercount, collisions real") {
+    val rows = SparkEntry.queries("q91_cms_freq")(spark, sf)
+      .orderBy("rnk").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0,
+        s"CMS undercounted '${r.getString(1)}' — impossible by construction")
+      assert(r.getLong(3) == r.getLong(2) + r.getLong(4))
+    }
+    // The sketch is narrow enough that buckets genuinely collide — without
+    // this the hash check would pass even if the min-over-rows logic read
+    // the wrong cells.
+    assert(rows.exists(_.getLong(4) > 0), "no collisions — sketch too wide")
+  }
+
+  test("q92 novelty: attribution is exhaustive and first-doc-complete") {
+    val out = SparkEntry.queries("q92_ngram_novelty")(spark, sf).cache()
+    // every occurrence is either novel or seen; nothing lost
+    assert(out.filter(col("n_novel") + col("n_seen") =!= col("n_grams")).count() == 0)
+    // the smallest doc_id with grams can only be novel (nothing earlier)
+    val first = out.orderBy("doc_id").head()
+    assert(first.getLong(3) == 0, s"doc ${first.getLong(0)} has seen grams but nothing precedes it")
+    // some novelty must exist (the corpus introduces each distinct gram
+    // exactly once) and some repetition must exist at this fixture
+    assert(out.agg(sum("n_novel")).head().getLong(0) > 0)
+    assert(out.agg(sum("n_seen")).head().getLong(0) > 0)
+    out.unpersist()
+  }
+
+  test("q93 deciles: buckets partition the corpus with equi-depth sizes") {
+    val rows = SparkEntry.queries("q93_length_deciles")(spark, sf)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val n = Tables.table(spark, sf, "documents").count()
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum == n, "buckets do not partition the corpus")
+    // ntile semantics: sizes differ by at most one, larger buckets first
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sameElements(sizes.sortBy(-_)), "larger buckets must come first")
+    // equi-depth: bucket length ranges are non-decreasing across buckets
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2) || a.getLong(3) <= b.getLong(3),
+        "bucket length ranges out of order")
+    }
+  }
+
   test("q85 BPE: the merge fold is canonically greedy and delimiter-safe") {
     import spark.implicits._
     val fold =

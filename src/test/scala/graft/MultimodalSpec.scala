@@ -1,6 +1,7 @@
 package graft
 
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
 
 /** Real-codec path (q35d): the PNG encode/decode round trip must reproduce
   * the generator's arithmetic exactly — PNG is lossless, so any drift means
@@ -110,6 +111,47 @@ class MultimodalSpec extends SparkSpec {
     assert(one.length == 1)
     val fr = one.head
     assert(fr.width == (fr.doc_id % 48 + 8).toInt)
+  }
+
+  test("q90 dHash near-dup: pair validity, subquadratic volume, known plants") {
+    val out = SparkEntry.queries("q90_image_neardup")(spark, sf).collect()
+    val n = Tables.table(spark, sf, "documents").count()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getLong(2) <= 6, "pair beyond the hamming threshold")
+    }
+    // Banding admits ~1.5% of all pairs as candidates; hamming-confirmed
+    // pairs are far fewer still — the subquadratic economics that make the
+    // operator usable at corpus scale.
+    assert(out.length.toLong < n * (n - 1) / 100,
+      s"${out.length} pairs is not subquadratic for n=$n")
+    // doc_ids ≡ (mod 240) share dimensions and differ by a constant
+    // brightness offset — representatives of that planted family must be
+    // found (the dHash gradient signs survive the offset away from wraps).
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 240L)) && pairs.contains((1L, 241L)),
+      "planted same-dimension near-dups missing")
+  }
+
+  test("dhashImages matches the generator arithmetic on decoded pixels") {
+    // Independent of the oracle: recompute the 56-bit dHash from the
+    // encodePng formula for a few docs and compare against the
+    // decoded-raster hash — pins the exact grid geometry (9×7, integer
+    // division) that the q90 oracle states in SQL.
+    val got = Multimodal.dhashImages(Multimodal.pngTable(spark, sf))
+      .filter(col("doc_id") < 8).collect().map(h => h.doc_id -> h.dhash).toMap
+    (0L until 8L).foreach { id =>
+      val w = (id % 48 + 8).toInt; val h = ((id * 7) % 40 + 8).toInt
+      def p(x: Int, y: Int) = ((x * 31 + y * 17 + id) % 256).toInt
+      var want = 0L
+      for (j <- 0 until 7; i <- 0 until 8) {
+        val yj = j * (h - 1) / 6
+        if (p((i + 1) * (w - 1) / 8, yj) > p(i * (w - 1) / 8, yj))
+          want |= 1L << (j * 8 + i)
+      }
+      assert(got(id) == want, s"doc $id dhash ${got(id)} != $want")
+    }
   }
 
   test("decodeImages extracts decoded features distributively at sf0.001") {

@@ -182,6 +182,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("MapGroups"), s"expected the sorted-group kernel:\n$p")
   }
 
+  test("q89/q91: constant-size filter/sketch frames broadcast to the probe") {
+    // The bloom bitmap (≤128 words) and the CMS cell grid (1024 cells) are
+    // constant-size regardless of corpus scale — they must reach the probe
+    // side as broadcasts, never as a shuffle of the big side.
+    for (q <- Seq("q89_bloom_join", "q91_cms_freq")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected the constant-size frame to broadcast:\n$p")
+    }
+  }
+
+  test("q88: corpus is joined to the pre-encoded vocabulary, not re-folded") {
+    // The merge folds run once on the vocabulary (eager localCheckpoint);
+    // the output plan may scan the corpus for the per-doc word explode but
+    // must read the encoded vocab from the checkpointed RDD — a second
+    // fold/broadcast round here would mean per-row re-encoding.
+    val p = plan("q88_bpe_tokenize")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed encoded vocabulary:\n$p")
+  }
+
   test("q85: merge rounds are materialized — the output plan reads no files") {
     // Each round's argmax is lineage-cut with a 1-row localCheckpoint, so
     // the returned union must read only those checkpointed rows: a file

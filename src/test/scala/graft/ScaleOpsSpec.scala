@@ -168,6 +168,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q89 bloom pruning: no false negatives, bits bounded, rows accounted") {
+    val r = SparkEntry.queries("q89_bloom_join")(spark, sf).head()
+    val nBuild = r.getLong(0); val bitsSet = r.getLong(1)
+    val nCand = r.getLong(3); val nFp = r.getLong(4)
+    val nPruned = r.getLong(5); val nPass = r.getLong(6)
+    // The Bloom guarantee: NO false negatives — every build key present in
+    // the probe side must survive the filter, so true candidates
+    // (candidates minus false positives) equal |build ∩ probe| exactly.
+    val build = Tables.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).distinct()
+    val probe = Tables.table(spark, sf, "orders")
+      .select(col("o_custkey")).distinct()
+    val inter = build.join(probe, col("c_custkey") === col("o_custkey")).count()
+    assert(nCand - nFp == inter,
+      s"false negative: ${nCand - nFp} true candidates, expected $inter")
+    // d=3 probes per key; the bitmap is sized to load ≤ 0.5 from the build
+    // cardinality, so set bits are bounded by insertions AND capacity.
+    val capacity = 63L * math.max(128L, (6 * nBuild + 62) / 63)
+    assert(bitsSet <= 3 * nBuild && bitsSet <= capacity)
+    // Every fact row is either pruned by the bloom test or carries a
+    // candidate key; exact-confirmed rows are a subset of the candidates.
+    val factRows = Tables.table(spark, sf, "orders").count()
+    assert(nPass <= factRows - nPruned,
+      s"exact pass $nPass exceeds surviving rows ${factRows - nPruned}")
+  }
+
   test("IVF ANN recall@3 vs brute force >= 0.9 with bounded candidate volume") {
     // Floor raised from 0.3 after the centroid fit moved from
     // "first 16 vectors" to two deterministic Lloyd iterations
