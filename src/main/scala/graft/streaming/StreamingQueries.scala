@@ -158,6 +158,67 @@ final class TopKProcessor
   }
 }
 
+/** q94 streaming count-min sketch — typed input / state / emission. */
+final case class CmsIn(event_type: String, user_id: Long)
+final case class CmsState(n: Long, cells: Seq[Long])
+final case class CmsOut(event_type: String, n_events: Long, cells: Seq[Long])
+
+/** The d=4 × w=256 count-min geometry shared by the streaming processor
+  * (JVM md5) and the declared query's probe side (Spark md5 expression) —
+  * both reduce the first 15 hex digits of md5("cms:i:user") mod 256, the
+  * engine's standard md5-parity idiom, so the DuckDB oracle replays every
+  * cell. */
+object CmsSketch {
+  val D = 4
+  val W = 256
+  def pos(i: Int, user: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"cms:$i:$user".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % W).toInt
+  }
+}
+
+/** q94's `StatefulProcessor`: one count-min sketch per key (event_type),
+  * maintained incrementally across micro-batches. State per key is HARD-
+  * BOUNDED at d·w = 1024 cells no matter how many users or events flow
+  * through — the live "which ids are hot right now" monitor a pipeline
+  * keeps where the exact (key, user) count table would grow without
+  * bound. Cells are purely ADDITIVE: state is independent of batch
+  * slicing and arrival order, and every emission is element-wise
+  * monotone non-decreasing, so an element-wise max-fold over per-batch
+  * emissions reconstructs the final sketch under any trigger plan — the
+  * same reconstruction contract q30c/q30d use. */
+final class CmsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, CmsIn, CmsOut] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders, streaming}
+  @transient private var state: streaming.ValueState[CmsState] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[CmsState](
+      "cms", Encoders.product[CmsState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[CmsIn],
+      timers: TimerValues): Iterator[CmsOut] = {
+    val prev = if (state.exists()) state.get()
+      else CmsState(0L, Vector.fill(CmsSketch.D * CmsSketch.W)(0L))
+    val cells = prev.cells.toArray
+    var n = prev.n
+    rows.foreach { r =>
+      n += 1L
+      var i = 0
+      while (i < CmsSketch.D) {
+        cells(i * CmsSketch.W + CmsSketch.pos(i, r.user_id)) += 1L
+        i += 1
+      }
+    }
+    state.update(CmsState(n, cells.toVector))
+    Iterator(CmsOut(key, n, cells.toVector))
+  }
+}
+
 /** Structured Streaming over the `events` table — SURVEY §2.B Q29–Q32,
   * replacing the reference's sleep-and-RPC micro-batch orchestration
   * (`transactions_mock_data.py:125-140`, the 10 s S3 wait at `:132`, and the
@@ -701,6 +762,86 @@ object StreamingQueries extends QueryModule {
             .select(col("user_id"), col("n_events"),
               unpad("top1"), unpad("top2"), unpad("top3"))
             .orderBy("user_id")
+        } finally prev match {
+          case Some(p) => s.conf.set(conf, p)
+          case None    => s.conf.unset(conf)
+        }
+      }),
+
+    // Q94 streaming sketch maintenance: a count-min sketch per event_type
+    // kept incrementally in transformWithState state (CmsProcessor above —
+    // 1024 cells per key, HARD-BOUNDED regardless of user cardinality or
+    // stream length), then probed for the top-5 users per type. The
+    // stream side's only state is the sketch; the exact counts used to
+    // pick probes and measure overcount come from the equivalent batch
+    // aggregation — so the output simultaneously proves the sketch's
+    // cells (est reproduces the oracle's replay bit-for-bit) and shows
+    // its error (overcount ≥ 0, genuine collisions at w=256 vs ~1500
+    // users). Cells are additive ⇒ order/slicing-independent; emissions
+    // are element-wise monotone ⇒ the element-wise max-fold over batches
+    // reconstructs the final sketch under any trigger plan (multi-batch
+    // equality proven in StreamingSpec).
+    Q("q94_stream_cms",
+      Some {
+        def h(i: Int) =
+          s"CAST(concat('0x', substring(md5('cms:$i:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+        s"""WITH exact AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+           |              FROM events GROUP BY 1, 2),
+           |cells AS (SELECT event_type, i, pos, CAST(sum(exact_cnt) AS BIGINT) AS cell FROM (
+           |    SELECT event_type, exact_cnt, unnest([0, 1, 2, 3]) AS i,
+           |           unnest([${h(0)}, ${h(1)}, ${h(2)}, ${h(3)}]) AS pos FROM exact)
+           |  GROUP BY 1, 2, 3),
+           |top AS (SELECT event_type, user_id, exact_cnt,
+           |          CAST(row_number() OVER (PARTITION BY event_type
+           |            ORDER BY exact_cnt DESC, user_id) AS BIGINT) AS rnk
+           |        FROM exact QUALIFY rnk <= 5),
+           |est AS (SELECT t.event_type, t.user_id, min(c.cell) AS est_cnt FROM (
+           |    SELECT event_type, user_id, unnest([0, 1, 2, 3]) AS i,
+           |           unnest([${h(0)}, ${h(1)}, ${h(2)}, ${h(3)}]) AS pos FROM top) t
+           |  JOIN cells c ON t.event_type = c.event_type AND t.i = c.i AND t.pos = c.pos
+           |  GROUP BY 1, 2)
+           |SELECT top.event_type AS event_type, top.user_id AS user_id, rnk,
+           |       exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+           |FROM top JOIN est ON top.event_type = est.event_type AND top.user_id = est.user_id
+           |ORDER BY event_type, rnk""".stripMargin
+      },
+      (s, d) => {
+        import s.implicits._
+        val conf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(conf)
+        s.conf.set(conf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val in = eventsStream(s, d)
+            .select(col("event_type"), col("user_id")).as[CmsIn]
+          val out = in.groupByKey(_.event_type)
+            .transformWithState(new CmsProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+          // element-wise max-fold: cells only grow, so max per index is
+          // the final sketch no matter how batches sliced the stream
+          val folded = runToMemory(out.toDF(), "q94_out", "update")
+            .select(col("event_type"), posexplode(col("cells")).as(Seq("idx", "cell")))
+            .groupBy("event_type", "idx").agg(max("cell").as("cell"))
+          val exact = Tables.table(s, d, "events")
+            .groupBy(col("event_type"), col("user_id"))
+            .agg(count(lit(1)).as("exact_cnt"))
+          val top = exact.withColumn("rnk", row_number().over(
+              Window.partitionBy("event_type")
+                .orderBy(col("exact_cnt").desc, col("user_id"))).cast("long"))
+            .filter(col("rnk") <= 5)
+          val posArr = array((0 until CmsSketch.D).map(i => expr(
+            s"cast(conv(substring(md5(concat('cms:$i:', cast(user_id as string))), 1, 15), 16, 10) as bigint) % ${CmsSketch.W}")): _*)
+          top
+            .select(col("event_type"), col("user_id"), col("rnk"), col("exact_cnt"),
+              posexplode(posArr).as(Seq("i", "pos")))
+            .withColumn("idx", expr(s"i * ${CmsSketch.W} + pos"))
+            .join(broadcast(folded), Seq("event_type", "idx"))
+            .groupBy("event_type", "user_id", "rnk", "exact_cnt")
+            .agg(min("cell").as("est_cnt"))
+            .select(col("event_type"), col("user_id"), col("rnk"), col("exact_cnt"),
+              col("est_cnt"), (col("est_cnt") - col("exact_cnt")).as("overcount"))
+            .orderBy("event_type", "rnk")
         } finally prev match {
           case Some(p) => s.conf.set(conf, p)
           case None    => s.conf.unset(conf)

@@ -341,6 +341,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState CMS: sliced batches max-fold to the exact sketch") {
+    import graft.streaming.{CmsIn, CmsProcessor, CmsSketch}
+    import org.apache.spark.sql.streaming.TimeMode
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[CmsIn]
+      val out = input.toDS().groupByKey(_.event_type)
+        .transformWithState(new CmsProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_cms")
+        .outputMode("update").start()
+      // the same users recur across batches: cells must accumulate through
+      // state, not restart per batch
+      val batches = Seq(
+        Seq(CmsIn("view", 7L), CmsIn("view", 8L), CmsIn("click", 7L)),
+        Seq(CmsIn("view", 7L), CmsIn("click", 7L), CmsIn("click", 9L)),
+        Seq(CmsIn("view", 8L), CmsIn("view", 7L)))
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val folded = spark.table("tws_cms")
+        .select(col("event_type"), posexplode(col("cells")).as(Seq("idx", "cell")))
+        .groupBy("event_type", "idx").agg(max("cell").as("cell"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // expected sketch: replay the additive updates directly
+      val want = scala.collection.mutable.Map[(String, Int), Long]().withDefaultValue(0L)
+      batches.flatten.foreach { e =>
+        (0 until CmsSketch.D).foreach { i =>
+          want((e.event_type, i * CmsSketch.W + CmsSketch.pos(i, e.user_id))) += 1L
+        }
+      }
+      want.foreach { case (k, v) =>
+        assert(folded(k) == v, s"cell $k: ${folded(k)} != $v")
+      }
+      // state is hard-bounded: every emission carries exactly d·w cells
+      assert(folded.count(_._2 > 0L) == want.size)
+      val widths = spark.table("tws_cms").select(size(col("cells"))).distinct().collect()
+      assert(widths.map(_.getInt(0)).toSeq == Seq(CmsSketch.D * CmsSketch.W))
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("transformWithState sessions: event-time timer closes an idle session") {
     import graft.streaming.{SessIn, SessionProcessor}
     import org.apache.spark.sql.streaming.TimeMode
