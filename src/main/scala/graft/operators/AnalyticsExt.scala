@@ -353,6 +353,50 @@ object AnalyticsExt extends QueryModule {
             coalesce(last(col("revenue"), ignoreNulls = true).over(w), lit(0.0))
               .as("revenue_ffill"))
           .orderBy("o_orderpriority", "d")
+      }),
+
+    // Q95 OHLC time-series resample — downsample the event stream into
+    // 30-minute bars per event_type (open/high/low/close/volume, the
+    // standard telemetry/market downsampling shape). ONE shuffle: open
+    // and close ride as min/max over a (ts_us, event_id, value) struct —
+    // lexicographic struct ordering gives the earliest/latest row per
+    // bar with full partial aggregation (no per-bar row_number window,
+    // no second pass), so the map side reduces each partition to one
+    // struct per live bar before anything moves. The (event_id)
+    // tie-break makes equal-timestamp bars deterministic; O/H/L/C are
+    // SELECTED doubles (never arithmetic), so cross-engine equality is
+    // exact.
+    Q("q95_ohlc_resample",
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+             |         (epoch_us(ts) // 1800000000) * 1800 AS bkt_s
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, bkt_s, value, ts_us, event_id,
+             |         row_number() OVER (PARTITION BY event_type, bkt_s ORDER BY ts_us, event_id) AS ra,
+             |         row_number() OVER (PARTITION BY event_type, bkt_s ORDER BY ts_us DESC, event_id DESC) AS rd
+             |  FROM e)
+             |SELECT event_type, bkt_s AS bucket_start_s,
+             |       max(CASE WHEN ra = 1 THEN value END) AS open,
+             |       max(value) AS high, min(value) AS low,
+             |       max(CASE WHEN rd = 1 THEN value END) AS close,
+             |       CAST(count(*) AS BIGINT) AS volume
+             |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_start_s""".stripMargin),
+      (s, d) => {
+        val e = Tables.table(s, d, "events")
+          .select(col("event_type"), expr("unix_micros(ts)").as("ts_us"),
+            col("event_id"), col("value"))
+          .withColumn("bucket_start_s", expr("(ts_us div 1800000000) * 1800"))
+        e.groupBy("event_type", "bucket_start_s")
+          .agg(
+            min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+            max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+            max("value").as("high"), min("value").as("low"),
+            count(lit(1)).as("volume"))
+          .select(col("event_type"), col("bucket_start_s"),
+            col("o.value").as("open"), col("high"), col("low"),
+            col("c.value").as("close"), col("volume"))
+          .orderBy("event_type", "bucket_start_s")
       })
   )
 }

@@ -115,4 +115,22 @@ class AnalyticsExtSpec extends SparkSpec {
       .filter(col("l2") <= 0 || abs(col("u0")) > 1.0)
     assert(bad.count() == 0)
   }
+
+  test("q95 OHLC: bar invariants and total volume conservation") {
+    val out = q("q95_ohlc_resample").cache()
+    // open/close lie inside [low, high]; buckets align to the 30-min grid
+    val bad = out.filter(
+      col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low") ||
+      col("low") > col("high") || col("bucket_start_s") % 1800 =!= 0)
+    assert(bad.count() == 0)
+    // every event lands in exactly one bar
+    val total = out.agg(sum("volume")).head().getLong(0)
+    val events = Tables.table(spark, sf, "events").count()
+    assert(total == events, s"volume $total != $events events")
+    // single-event bars degenerate to open=high=low=close
+    assert(out.filter(col("volume") === 1 &&
+      (col("open") =!= col("close") || col("high") =!= col("low"))).count() == 0)
+    out.unpersist()
+  }
 }
