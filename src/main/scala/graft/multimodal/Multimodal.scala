@@ -341,6 +341,219 @@ object Multimodal extends QueryModule {
     }
   }
 
+  // ──────────────────── MP4 / ISO-BMFF video container ────────────────────
+
+  /** Box-probed video-container metadata — the ISO-BMFF analog of the GIF
+    * header probe (`probeHeaders`): movie brand, timescale/duration from
+    * `mvhd`, track count, the sample-description fourcc of the video and
+    * audio tracks from each `trak`'s `stsd`, and the video track's
+    * presentation dimensions from `tkhd`. This is exactly the metadata an
+    * `ffprobe -show_format -show_streams` pass extracts before any frame
+    * decode. The JDK ships no H.264/AV1 pixel codec (documented gap at the
+    * top of this file), but the CONTAINER layer is plain big-endian box
+    * structure — parsed here for real, largesize/version variants
+    * included. */
+  final case class Mp4Probe(doc_id: Long, brand: String, timescale: Int,
+      duration_ms: Long, n_tracks: Int, video_codec: String,
+      audio_codec: Option[String], width: Int, height: Int)
+
+  /** Serialize one ISO-BMFF box: 32-bit big-endian size + fourcc + payload. */
+  private def mp4Box(typ: String)(body: java.io.DataOutputStream => Unit): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    body(d)
+    d.flush()
+    val payload = bos.toByteArray
+    val out = new java.io.ByteArrayOutputStream(payload.length + 8)
+    val o = new java.io.DataOutputStream(out)
+    o.writeInt(payload.length + 8)
+    o.writeBytes(typ)
+    o.write(payload)
+    o.flush()
+    out.toByteArray
+  }
+
+  /** Deterministic MP4 container keyed on doc_id: `ftyp` (brand cycles
+    * isom/mp41/mp42), a top-level `free` pad, `moov` holding `mvhd`
+    * (version 0/1 alternating by doc_id — 32- vs 64-bit duration fields)
+    * plus 1–3 `trak`s (video `vide`/`avc1|hvc1|av01` with 16.16
+    * fixed-point dimensions in `tkhd`, audio `soun`/`mp4a|opus`, timed
+    * text `text`/`tx3g`) with `free` boxes interleaved, and a trailing
+    * `mdat` that uses the 64-bit largesize form on every 5th doc. Every
+    * probed field is a pure function of doc_id, so the oracle states what
+    * a correct box walk must read without seeing the bytes. */
+  def encodeMp4(docId: Long): Array[Byte] = {
+    val ver = (docId % 2).toInt
+    val ts = (600L * (docId % 4 + 1)).toInt
+    val dur = docId % 90000 + ts
+    val nTracks = (docId % 3 + 1).toInt
+    val w = (docId % 640 + 160).toInt
+    val h = ((docId * 7) % 480 + 120).toInt
+    val brand = (docId % 3) match { case 0 => "isom"; case 1 => "mp41"; case _ => "mp42" }
+    val vCodec = (docId % 3) match { case 0 => "avc1"; case 1 => "hvc1"; case _ => "av01" }
+    val aCodec = if (docId % 2 == 0) "mp4a" else "opus"
+
+    val unityMatrix: java.io.DataOutputStream => Unit = { d =>
+      d.writeInt(0x00010000); d.writeInt(0); d.writeInt(0)
+      d.writeInt(0); d.writeInt(0x00010000); d.writeInt(0)
+      d.writeInt(0); d.writeInt(0); d.writeInt(0x40000000)
+    }
+    val ftyp = mp4Box("ftyp") { d =>
+      d.writeBytes(brand); d.writeInt(512)
+      d.writeBytes("isom"); d.writeBytes("mp42")
+    }
+    val mvhd = mp4Box("mvhd") { d =>
+      d.writeInt(ver << 24) // version + 0 flags
+      if (ver == 1) { d.writeLong(0L); d.writeLong(0L); d.writeInt(ts); d.writeLong(dur) }
+      else { d.writeInt(0); d.writeInt(0); d.writeInt(ts); d.writeInt(dur.toInt) }
+      d.writeInt(0x00010000) // rate 1.0
+      d.writeShort(0x0100)   // volume 1.0
+      d.writeShort(0); d.writeLong(0L) // reserved
+      unityMatrix(d)
+      (0 until 6).foreach(_ => d.writeInt(0)) // pre_defined
+      d.writeInt(nTracks + 1) // next_track_id
+    }
+    def trak(trackId: Int, handler: String, codec: String,
+        tw: Int, th: Int): Array[Byte] = {
+      val tkhd = mp4Box("tkhd") { d =>
+        d.writeInt((ver << 24) | 3) // version + enabled/in-movie flags
+        if (ver == 1) { d.writeLong(0L); d.writeLong(0L); d.writeInt(trackId)
+          d.writeInt(0); d.writeLong(dur) }
+        else { d.writeInt(0); d.writeInt(0); d.writeInt(trackId)
+          d.writeInt(0); d.writeInt(dur.toInt) }
+        d.writeLong(0L) // reserved
+        d.writeShort(0); d.writeShort(0) // layer, alternate_group
+        d.writeShort(if (handler == "soun") 0x0100 else 0); d.writeShort(0)
+        unityMatrix(d)
+        d.writeInt(tw << 16); d.writeInt(th << 16) // 16.16 fixed point
+      }
+      val mdhd = mp4Box("mdhd") { d =>
+        d.writeInt(0); d.writeInt(0); d.writeInt(0)
+        d.writeInt(90000); d.writeInt((dur * 150).toInt)
+        d.writeShort(0x55c4); d.writeShort(0) // language 'und'
+      }
+      val hdlr = mp4Box("hdlr") { d =>
+        d.writeInt(0); d.writeInt(0); d.writeBytes(handler)
+        d.writeInt(0); d.writeInt(0); d.writeInt(0)
+        d.writeBytes("GraftHandler"); d.writeByte(0)
+      }
+      val stsd = mp4Box("stsd") { d =>
+        d.writeInt(0); d.writeInt(1) // version/flags, entry_count
+        d.writeInt(16); d.writeBytes(codec) // minimal sample entry
+        d.writeInt(0); d.writeShort(0); d.writeShort(1) // reserved + data_ref_index
+      }
+      val stbl = mp4Box("stbl")(_.write(stsd))
+      val minf = mp4Box("minf")(_.write(stbl))
+      val mdia = mp4Box("mdia") { d => d.write(mdhd); d.write(hdlr); d.write(minf) }
+      mp4Box("trak") { d => d.write(tkhd); d.write(mdia) }
+    }
+    val freePad = mp4Box("free")(d => (0 until (docId % 32).toInt).foreach(_ => d.writeByte(0)))
+    val moov = mp4Box("moov") { d =>
+      d.write(mvhd)
+      d.write(trak(1, "vide", vCodec, w, h))
+      if (nTracks >= 2) { d.write(mp4Box("free")(_.writeInt(0))); d.write(trak(2, "soun", aCodec, 0, 0)) }
+      if (nTracks >= 3) d.write(trak(3, "text", "tx3g", 0, 0))
+    }
+    val mdatPayload = new Array[Byte]((docId % 16 + 1).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.write(ftyp); d.write(freePad); d.write(moov)
+    if (docId % 5 == 0) { // 64-bit largesize form
+      d.writeInt(1); d.writeBytes("mdat")
+      d.writeLong(16L + mdatPayload.length); d.write(mdatPayload)
+    } else {
+      d.writeInt(8 + mdatPayload.length); d.writeBytes("mdat"); d.write(mdatPayload)
+    }
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** MP4 payload table (the video-modality binary column). */
+  def mp4Table(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeMp4(id))))
+  }
+
+  /** REAL ISO-BMFF box walk: recursive descent over (size, fourcc) box
+    * structure — 64-bit largesize and size-0 (to-end-of-file) forms,
+    * version-0/1 full-box layouts for `mvhd`/`tkhd`, unknown boxes
+    * skipped by size. Nothing is inferred from doc_id: every output field
+    * is read from the bytes. */
+  private[graft] def parseMp4(docId: Long, b: Array[Byte]): Mp4Probe = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // One nesting level: (type, payloadStart, end) for each box in a span.
+    def children(start: Int, end: Int): List[(String, Int, Int)] = {
+      val buf = List.newBuilder[(String, Int, Int)]
+      var o = start
+      while (o + 8 <= end) {
+        val sz0 = u32(o)
+        val typ = fourcc(o + 4)
+        val (hdr, sz) =
+          if (sz0 == 1L) (16, u64(o + 8))
+          else if (sz0 == 0L) (8, (end - o).toLong)
+          else (8, sz0)
+        require(sz >= hdr && o + sz <= end, s"corrupt box $typ at $o in doc $docId")
+        buf += ((typ, o + hdr, o + sz.toInt))
+        o += sz.toInt
+      }
+      buf.result()
+    }
+    def child(boxes: List[(String, Int, Int)], typ: String): (Int, Int) =
+      boxes.collectFirst { case (`typ`, s, e) => (s, e) }
+        .getOrElse(sys.error(s"missing $typ box in doc $docId"))
+
+    val top = children(0, b.length)
+    val brand = fourcc(child(top, "ftyp")._1)
+    val moov = { val (s, e) = child(top, "moov"); children(s, e) }
+    val (mvs, _) = child(moov, "mvhd")
+    val (timescale, duration) =
+      if ((b(mvs) & 0xff) == 1) (u32(mvs + 20), u64(mvs + 24))
+      else (u32(mvs + 12), u32(mvs + 16))
+    var nTracks = 0
+    var vCodec: String = null
+    var aCodec: Option[String] = None
+    var w = 0
+    var h = 0
+    moov.foreach {
+      case ("trak", trs, tre) =>
+        nTracks += 1
+        val trak = children(trs, tre)
+        val mdia = { val (s, e) = child(trak, "mdia"); children(s, e) }
+        val handler = { val (s, _) = child(mdia, "hdlr"); fourcc(s + 8) }
+        val stsdFourcc = {
+          val minf = { val (s, e) = child(mdia, "minf"); children(s, e) }
+          val stbl = { val (s, e) = child(minf, "stbl"); children(s, e) }
+          val (s, _) = child(stbl, "stsd")
+          fourcc(s + 12) // ver/flags(4) + entry_count(4) + entry size(4)
+        }
+        if (handler == "vide") {
+          vCodec = stsdFourcc
+          // presentation dims: last 8 bytes of tkhd, 16.16 fixed point
+          val (_, tke) = child(trak, "tkhd")
+          w = (u32(tke - 8) >> 16).toInt
+          h = (u32(tke - 4) >> 16).toInt
+        } else if (handler == "soun") aCodec = Some(stsdFourcc)
+      case _ => ()
+    }
+    require(vCodec != null, s"no video track in doc $docId")
+    Mp4Probe(docId, brand, timescale.toInt, duration * 1000L / timescale,
+      nTracks, vCodec, aCodec, w, h)
+  }
+
+  /** Map-only container probe over the binary column — same partition-wise
+    * posture as the codec paths (no shuffle; decoder state is plain local
+    * variables, nothing to dispose). */
+  def probeMp4(media: Dataset[MediaRow]): Dataset[Mp4Probe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseMp4(r.doc_id, r.payload)))
+  }
+
   val qs: Seq[Q] = Seq(
     // Q35e REAL audio decode: WAV payloads (deterministic 16-bit PCM keyed
     // on doc_id, encoded by the JDK's own AudioSystem writer) decoded with
@@ -590,6 +803,37 @@ object Multimodal extends QueryModule {
           .filter(col("hamming") <= 6)
           .select("a", "b", "hamming")
           .orderBy("a", "b")
-      })
+      }),
+
+    // Q96 REAL video-container probe: deterministic MP4/ISO-BMFF payloads
+    // (brand, box versions, largesize forms, and track layout all varying
+    // by doc_id) walked with a genuine recursive box parser — movie
+    // timescale/duration from mvhd (version 0 AND 1 layouts), track count,
+    // per-track codec fourcc from stsd behind the hdlr handler type, and
+    // the video track's 16.16 fixed-point presentation dimensions from
+    // tkhd. This is the `ffprobe -show_format -show_streams` stage of a
+    // video ingestion pipeline; the JDK ships no H.264/AV1 pixel codec
+    // (the documented gap), but the container layer IS the metadata layer,
+    // and it is parsed here for real. The oracle states every probed field
+    // from the generator's doc_id arithmetic alone — a walker that
+    // misread a box size, skipped a version-1 layout, or confused the
+    // audio/video stsd entries would miss rows wholesale. Map-only.
+    Q("q96_video_container_probe",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 3 AS m3, doc_id % 2 AS m2,
+             |         600 * (doc_id % 4 + 1) AS ts, doc_id % 3 + 1 AS ntr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE m3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41' ELSE 'mp42' END AS brand,
+             |  CAST(ts AS INT) AS timescale,
+             |  CAST(((doc_id % 90000 + ts) * 1000) // ts AS BIGINT) AS duration_ms,
+             |  CAST(ntr AS INT) AS n_tracks,
+             |  CASE m3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END AS video_codec,
+             |  CASE WHEN ntr >= 2 THEN
+             |    (CASE m2 WHEN 0 THEN 'mp4a' ELSE 'opus' END) END AS audio_codec,
+             |  CAST(doc_id % 640 + 160 AS INT) AS width,
+             |  CAST((doc_id * 7) % 480 + 120 AS INT) AS height
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, d) => probeMp4(mp4Table(s, d)).toDF().orderBy("doc_id"))
   )
 }

@@ -164,4 +164,60 @@ class MultimodalSpec extends SparkSpec {
       assert(f.px00 == (f.doc_id % 256) * 65793L)
     }
   }
+
+  test("encodeMp4 box layouts parse back exactly: versions, largesize, track mix") {
+    // id 10: mvhd/tkhd version 0, largesize mdat (10%5==0), 2 tracks, mp4a
+    // id 11: version 1 (64-bit duration fields), 3 tracks, opus audio
+    // id 12: version 0, 1 track (no audio → None), av01 video
+    for (id <- Seq(0L, 10L, 11L, 12L, 123L, 499L, 100003L)) {
+      val bytes = Multimodal.encodeMp4(id)
+      // a real ISO-BMFF file leads with an ftyp box
+      assert(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+      val p = Multimodal.parseMp4(id, bytes)
+      val ts = (600 * (id % 4 + 1)).toInt
+      assert(p.brand == Seq("isom", "mp41", "mp42")((id % 3).toInt))
+      assert(p.timescale == ts)
+      assert(p.duration_ms == (id % 90000 + ts) * 1000 / ts)
+      assert(p.n_tracks == (id % 3 + 1).toInt)
+      assert(p.video_codec == Seq("avc1", "hvc1", "av01")((id % 3).toInt))
+      val wantAudio =
+        if (id % 3 + 1 >= 2) Some(if (id % 2 == 0) "mp4a" else "opus") else None
+      assert(p.audio_codec == wantAudio, s"doc $id audio")
+      assert(p.width == (id % 640 + 160).toInt && p.height == ((id * 7) % 480 + 120).toInt)
+    }
+  }
+
+  test("parseMp4 rejects truncated and size-corrupted containers cleanly") {
+    val good = Multimodal.encodeMp4(7L)
+    // truncated mid-moov: the box walk must fail the bounds check, not
+    // wander off the end of the array
+    intercept[Exception] {
+      Multimodal.parseMp4(7L, java.util.Arrays.copyOf(good, good.length / 2))
+    }
+    // corrupt the top-level moov size field (byte after ftyp+free) to
+    // overrun the buffer
+    val bad = good.clone()
+    val moovOff = {
+      def u32(o: Int) = ((bad(o) & 0xff) << 24) | ((bad(o + 1) & 0xff) << 16) |
+        ((bad(o + 2) & 0xff) << 8) | (bad(o + 3) & 0xff)
+      var o = 0
+      while (!(bad(o + 4) == 'm' && bad(o + 5) == 'o' && bad(o + 6) == 'o' && bad(o + 7) == 'v'))
+        o += u32(o)
+      o
+    }
+    bad(moovOff) = 0x7f.toByte // absurd 2 GB box size
+    intercept[Exception] { Multimodal.parseMp4(7L, bad) }
+  }
+
+  test("probeMp4 probes the container distributively at sf0.001") {
+    val out = Multimodal.probeMp4(Multimodal.mp4Table(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { p =>
+      val ts = (600 * (p.doc_id % 4 + 1)).toInt
+      assert(p.timescale == ts, s"doc ${p.doc_id} timescale")
+      assert(p.duration_ms == (p.doc_id % 90000 + ts) * 1000 / ts)
+      assert(p.n_tracks == (p.doc_id % 3 + 1).toInt)
+      assert(p.width == (p.doc_id % 640 + 160).toInt)
+    }
+  }
 }
