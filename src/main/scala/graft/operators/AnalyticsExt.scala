@@ -397,6 +397,71 @@ object AnalyticsExt extends QueryModule {
             col("o.value").as("open"), col("high"), col("low"),
             col("c.value").as("close"), col("volume"))
           .orderBy("event_type", "bucket_start_s")
+      }),
+
+    // Q97 sequence-pattern detection — the MATCH_RECOGNIZE rising-run
+    // pattern (`PATTERN (STRT UP+)`, the canonical example in the SQL:2016
+    // row-pattern-matching spec) compiled to windows: per user, ordered by
+    // (ts, event_id), find MAXIMAL strictly-rising value runs of length
+    // ≥ 4 and report each run's first/last event and values. Shape: ONE
+    // data shuffle total — the hash exchange on user_id drives both
+    // window passes (lag → break flags → running-sum run ids share the
+    // partitioning and sort), and the per-run min/max-struct reduction
+    // groups on (user_id, run_id), whose clustered-distribution
+    // requirement the existing user_id partitioning already satisfies, so
+    // Catalyst inserts NO second exchange (plan-audited: Exchange → Sort →
+    // Window ×2 → SortAggregate pair). v_first/v_last are SELECTED
+    // doubles (never arithmetic) and the break test compares identical
+    // parquet doubles — exact cross-engine.
+    Q("q97_pattern_runs",
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+             |m AS (
+             |  SELECT user_id, ts_us, event_id, value,
+             |         CASE WHEN lag(value) OVER w IS NULL
+             |                OR value <= lag(value) OVER w
+             |              THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |r AS (
+             |  SELECT user_id, ts_us, event_id, value,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS run_id
+             |  FROM m),
+             |r2 AS (
+             |  SELECT user_id, run_id, event_id, value,
+             |         row_number() OVER (PARTITION BY user_id, run_id
+             |                            ORDER BY ts_us, event_id) AS ra,
+             |         row_number() OVER (PARTITION BY user_id, run_id
+             |                            ORDER BY ts_us DESC, event_id DESC) AS rd
+             |  FROM r)
+             |SELECT user_id,
+             |  CAST(max(CASE WHEN ra = 1 THEN event_id END) AS BIGINT) AS start_event,
+             |  CAST(max(CASE WHEN rd = 1 THEN event_id END) AS BIGINT) AS end_event,
+             |  CAST(count(*) AS BIGINT) AS run_len,
+             |  max(CASE WHEN ra = 1 THEN value END) AS v_first,
+             |  max(CASE WHEN rd = 1 THEN value END) AS v_last
+             |FROM r2 GROUP BY user_id, run_id HAVING count(*) >= 4
+             |ORDER BY user_id, start_event""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val e = Tables.table(s, d, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+            col("event_id"), col("value"))
+          .withColumn("brk",
+            when(lag(col("value"), 1).over(w).isNull ||
+              col("value") <= lag(col("value"), 1).over(w), 1).otherwise(0))
+          .withColumn("run_id",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        e.groupBy("user_id", "run_id")
+          .agg(
+            min(struct(col("ts_us"), col("event_id"), col("value"))).as("a"),
+            max(struct(col("ts_us"), col("event_id"), col("value"))).as("z"),
+            count(lit(1)).as("run_len"))
+          .filter(col("run_len") >= 4)
+          .select(col("user_id"), col("a.event_id").as("start_event"),
+            col("z.event_id").as("end_event"), col("run_len"),
+            col("a.value").as("v_first"), col("z.value").as("v_last"))
+          .orderBy("user_id", "start_event")
       })
   )
 }

@@ -133,4 +133,34 @@ class AnalyticsExtSpec extends SparkSpec {
       (col("open") =!= col("close") || col("high") =!= col("low"))).count() == 0)
     out.unpersist()
   }
+
+  test("q97 pattern runs: exact match against a sequential reference scan") {
+    // The distributed window/aggregate result must equal what a plain
+    // in-order scan of each user's events produces — maximality included
+    // (a run reported one event short would differ).
+    val got = q("q97_pattern_runs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSet
+    val events = Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = events.groupBy(_._1).iterator.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      // split into maximal strictly-rising runs
+      val runs = ordered.foldLeft(List.empty[List[(Long, Long, Long, Double)]]) {
+        case (acc, e) => acc match {
+          case (h @ last :: _) :: t if e._4 > last._4 => (e :: h) :: t
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse)
+      runs.filter(_.size >= 4).map { r =>
+        (uid, r.head._3, r.last._3, r.size.toLong, r.head._4, r.last._4)
+      }
+    }.toSet
+    assert(got == want, s"got ${got.size} runs, want ${want.size}")
+    assert(want.nonEmpty, "fixture produced no rising runs — test is vacuous")
+  }
 }
