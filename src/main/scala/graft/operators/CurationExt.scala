@@ -345,6 +345,44 @@ object CurationExt extends QueryModule {
             when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
               .otherwise(col("n_known").cast("double") / col("n_bigrams")).as("familiarity"))
           .orderBy("doc_id")
+      }),
+
+    // Q98 weighted sampling WITHOUT replacement per stratum — priority
+    // sampling (Duffield/Lund/Thorup, JACM '07): each doc draws a
+    // hash-derived 32-bit uniform u and gets priority key u/w (w = doc
+    // length); the k smallest keys per language stratum are the sample,
+    // and inclusion probability rises with weight exactly as the scheme
+    // prescribes. The key is INTEGER floor(u/w) with doc_id tie-break —
+    // no ln(), no float ordering, so both engines select identical rows
+    // (the A-ES exponential-key formulation needs log(); priority
+    // sampling is its integer-exact sibling). Scale posture: one narrow
+    // (lang, ids, key) shuffle; the rank ≤ k filter compiles to
+    // WindowGroupLimit, so every map task keeps only its local top-k per
+    // stratum before the exchange — the shuffle carries O(k · strata ·
+    // tasks) rows, not the corpus (plan-asserted in CurationOpsSpec).
+    Q("q98_priority_sample",
+      Some("""WITH u AS (
+             |  SELECT lang, doc_id, n_chars,
+             |         (concat('0x', substring(md5(concat('ps:', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+             |          % 4294967296) // greatest(n_chars, 1) AS pkey
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id, n_chars, pkey,
+             |             row_number() OVER (PARTITION BY lang
+             |                                ORDER BY pkey, doc_id) AS rk
+             |      FROM u)
+             |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |       CAST(pkey AS BIGINT) AS pkey, CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("pkey", "doc_id")
+        t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("pkey", expr(
+            """(cast(conv(substring(md5(concat('ps:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)
+              | % 4294967296) div greatest(n_chars, 1)""".stripMargin))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .orderBy("lang", "rk")
       })
   )
 }

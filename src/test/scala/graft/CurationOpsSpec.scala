@@ -177,4 +177,31 @@ class CurationOpsSpec extends SparkSpec {
       assert(got == want, s"fold('$s', $p1+$p2) = '$got', want '$want'")
     }
   }
+
+  test("q98 priority sampling: weight bias, exactly-k strata, WindowGroupLimit plan") {
+    val df = SparkEntry.queries("q98_priority_sample")(spark, sf)
+    val rows = df.collect()
+    // the executed plan must push the rank<=k filter into WindowGroupLimit
+    // so map tasks keep only local top-k per stratum before the exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not compile to WindowGroupLimit:\n$p")
+    // exactly min(k, stratum size) rows per language, ranks 1..k dense
+    val docs = Tables.table(spark, sf, "documents")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet == strata.keySet.filter(strata(_) > 0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(10L, strata(lang)), s"stratum $lang size")
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // priority sampling's defining bias: inclusion probability rises with
+    // weight, so the sampled mean doc length must exceed the corpus mean
+    // (deterministic fixture — this is a one-time draw, not a flaky stat)
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
 }
