@@ -18,6 +18,7 @@ object SparkEntry {
     operators.CorpusOps,
     operators.CurationExt,
     operators.Dedup,
+    operators.GraphOps,
     operators.Similarity,
     operators.ScaleOps,
     operators.AsOfJoin,

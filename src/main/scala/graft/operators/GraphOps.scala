@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over document-link graphs (north-star
+  * extension; the reference's star schema has no graph, but duplicate
+  * clusters, citation webs, and hyperlink graphs are standard corpus
+  * curation inputs — connectedComponents in Dedup.scala is the other half
+  * of this family).
+  *
+  * Determinism discipline: PageRank here is EXACT-INTEGER — ranks are
+  * scaled to 1e12 and every update is non-negative integer floor division,
+  * so 8 rounds of distributed joins hash-match a DuckDB recursive-CTE
+  * replay bit-for-bit (the float formulation would diverge in aggregation
+  * order). The deliberate mass leak of floor division (a few units per
+  * node per round) is part of the contract — both engines leak
+  * identically.
+  */
+object GraphOps extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Rank scale: 1e12 keeps 85·Σranks ≪ 2^63 at any plausible node count
+    * while giving ~9 significant digits per rank. */
+  private val Scale = 1000000000000L
+
+  private val Rounds = 8
+
+  /** Deterministic link graph on doc_ids 0..n−1: node `s` links to
+    * `(s·7 + j·13 + 1) mod n` for j ∈ 0..(s mod 3) — outdegree s%3+1 ≥ 1
+    * (no dangling nodes, so no teleport-mass redistribution term). */
+  def linkEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"))
+      .withColumn("j", explode(expr("sequence(0, cast(src % 3 as int))")))
+      .select(col("src"), expr(s"(src * 7 + j * 13 + 1) % $n").as("dst"),
+        expr("src % 3 + 1").as("outdeg"))
+
+  /** 8 rounds of r′(v) = (15·(S div n)) div 100 + (85·Σ_{u→v} (r(u) div
+    * outdeg(u))) div 100. Each round is ONE shuffle join (edges ⋈ ranks on
+    * src — edges carry outdeg, so no second join) plus a partial-aggregated
+    * groupBy(dst); rounds are lineage-cut every third iteration
+    * (localCheckpoint, the connectedComponents pattern in Dedup.scala:190)
+    * so plan depth stays bounded at any diameter. No driver-side data —
+    * only the node COUNT crosses to the driver, as a structural parameter
+    * (the q89 measured-cardinality pattern). */
+  def pageRank(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val nodes = docs.select(col("doc_id").as("node")).cache()
+    val n = nodes.count()
+    val e = linkEdges(docs, n).cache()
+    val base = (15L * (Scale / n)) / 100L
+    var ranks = nodes.withColumn("r", lit(Scale / n))
+    var backing: DataFrame = null
+    for (round <- 1 to Rounds) {
+      val contrib = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("msum"))
+      val merged = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(msum, 0L) div 100")).as("r"))
+      val next =
+        if (round % 3 == 0) merged.localCheckpoint() else merged.cache()
+      next.count() // materialize this round; the single action per round
+      if (backing != null) backing.unpersist()
+      backing = next
+      ranks = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
+  /** Per-node triangle counts on the undirected simple version of the
+    * link graph, by DEGREE-ORDERED edge orientation (the classic
+    * O(m^1.5) wedge bound; Latapy 2008 / Suri-Vassilvitskii 2011): every
+    * edge points from the endpoint that is smaller in the total order
+    * (degree, id) — encoded as one integer key dg·(n+1)+v so both
+    * engines compare a single BIGINT — then a triangle is counted exactly
+    * once as wedge (u→y, u→z, ord(y)<ord(z)) closed by oriented edge
+    * y→z. Oriented out-degree is O(√m) regardless of skew (a hub of
+    * degree d contributes wedges only via its ≤√(2m) higher-ordered
+    * neighbours), so the wedge join never explodes on a power-law graph —
+    * that is the 100 TB posture, and the spec asserts the bound. The
+    * orientation frame is localCheckpoint'ed: materialized once, read
+    * three times (both wedge legs + the closing probe), lineage cut. */
+  def triangleCounts(docs: DataFrame): DataFrame = {
+    val nodes = docs.select(col("doc_id").as("node"))
+    val n = docs.count()
+    val und = linkEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val ord = deg.select(col("v"), (col("dg") * (n + 1) + col("v")).as("ov"))
+    val orient = und
+      .join(ord.select(col("v").as("a"), col("ov").as("oa")), "a")
+      .join(ord.select(col("v").as("b"), col("ov").as("ob")), "b")
+      .select(
+        when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("u"),
+        when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("w"),
+        greatest(col("oa"), col("ob")).as("ow"))
+      .localCheckpoint()
+    val tri = orient.as("e1")
+      .join(orient.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.ow") < col("e2.ow"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+      .join(orient.as("e3"),
+        col("y") === col("e3.u") && col("z") === col("e3.w"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tcnt"))
+    nodes.join(perNode, col("node") === col("v"), "left")
+      .select(col("node"), coalesce(col("tcnt"), lit(0L)).as("n_tri"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Q99 PageRank — 8 exact-integer rounds over the deterministic link
+    // graph; the oracle replays the identical recursion in one DuckDB
+    // recursive CTE that carries the full rank vector as a LIST (the q85 /
+    // k-means|| seeding pattern: single-row recursion, list indexing
+    // instead of joins — fine for an oracle, while the Spark side stays
+    // fully distributed). Output: every node's scaled rank, hash-checked.
+    Q("q99_pagerank",
+      Some("""WITH RECURSIVE
+             |p AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |e AS (
+             |  SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % p.n AS dst,
+             |         d.doc_id % 3 + 1 AS outdeg
+             |  FROM documents d, p, generate_series(0, 2) AS j(j)
+             |  WHERE j.j <= d.doc_id % 3),
+             |inl AS (SELECT dst, list(src ORDER BY src) AS srcs FROM e GROUP BY dst),
+             |shape AS (
+             |  SELECT p.n, list(coalesce(i.srcs, []) ORDER BY d.doc_id) AS inlists
+             |  FROM documents d LEFT JOIN inl i ON i.dst = d.doc_id, p
+             |  GROUP BY p.n),
+             |pr(iter, ranks) AS (
+             |  SELECT 0, list_transform(generate_series(1, n), x -> 1000000000000 // n)
+             |  FROM p
+             |  UNION ALL
+             |  SELECT iter + 1,
+             |    list_transform(generate_series(1, s.n), v ->
+             |      (15 * (1000000000000 // s.n)) // 100 +
+             |      (85 * coalesce(list_sum(list_transform(s.inlists[v],
+             |             src -> ranks[src + 1] // (src % 3 + 1))), 0)) // 100)
+             |  FROM pr, shape s WHERE iter < 8)
+             |SELECT CAST(d.doc_id AS BIGINT) AS node,
+             |       CAST(f.ranks[d.doc_id + 1] AS BIGINT) AS pr_scaled
+             |FROM documents d, (SELECT ranks FROM pr WHERE iter = 8) f
+             |ORDER BY node""".stripMargin),
+      (s, d) => pageRank(t(s, d, "documents"))
+        .select(col("node"), col("r").as("pr_scaled"))
+        .orderBy("node")),
+
+    // Q100 triangle counting — degree-ordered orientation; the oracle
+    // replays the identical orientation and wedge-close joins in plain
+    // SQL (everything is BIGINT arithmetic, so the two engines agree
+    // bit-for-bit). Output: every node's triangle count, hash-checked.
+    Q("q100_triangles",
+      Some("""WITH
+             |p AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |e0 AS (
+             |  SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % p.n AS dst
+             |  FROM documents d, p, generate_series(0, 2) AS j(j)
+             |  WHERE j.j <= d.doc_id % 3),
+             |und AS (
+             |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e0 WHERE src <> dst),
+             |deg AS (
+             |  SELECT v, count(*)::BIGINT AS dg
+             |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) dv
+             |  GROUP BY v),
+             |ordk AS (SELECT v, dg * (p.n + 1) + v AS ov FROM deg, p),
+             |orient AS (
+             |  SELECT CASE WHEN oa.ov < ob.ov THEN u.a ELSE u.b END AS u,
+             |         CASE WHEN oa.ov < ob.ov THEN u.b ELSE u.a END AS w,
+             |         greatest(oa.ov, ob.ov) AS ow
+             |  FROM und u
+             |  JOIN ordk oa ON oa.v = u.a
+             |  JOIN ordk ob ON ob.v = u.b),
+             |tri AS (
+             |  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+             |  FROM orient e1
+             |  JOIN orient e2 ON e1.u = e2.u AND e1.ow < e2.ow
+             |  WHERE EXISTS (SELECT 1 FROM orient e3
+             |                WHERE e3.u = e1.w AND e3.w = e2.w)),
+             |pern AS (
+             |  SELECT v, count(*)::BIGINT AS tcnt
+             |  FROM (SELECT x AS v FROM tri UNION ALL
+             |        SELECT y FROM tri UNION ALL
+             |        SELECT z FROM tri) tv
+             |  GROUP BY v)
+             |SELECT CAST(d.doc_id AS BIGINT) AS node,
+             |       coalesce(t.tcnt, 0)::BIGINT AS n_tri
+             |FROM documents d LEFT JOIN pern t ON t.v = d.doc_id
+             |ORDER BY node""".stripMargin),
+      (s, d) => triangleCounts(t(s, d, "documents")).orderBy("node"))
+  )
+}
