@@ -17,6 +17,8 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.CorpusOps,
     operators.CurationExt,
+    operators.CommerceAnalytics,
+    operators.SearchQualityOps,
     operators.Dedup,
     operators.GraphOps,
     operators.Similarity,

@@ -18,14 +18,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) (pyarrow ns), which Spark's
-      // parquet reader rejects. Read it as raw nanos and floor-divide to
-      // microseconds — the same truncation DuckDB applies, so oracle outputs
-      // stay bit-identical. `div` is integer division (ns values exceed
-      // 2^53, so a double-typed `/` would lose precision).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations and TIMESTAMP(MICROS, tz-naive) in others — adapt by
+      // the schema actually read, normalizing to a session-TZ TIMESTAMP at
+      // microsecond precision either way (the same floor DuckDB applies to
+      // ns, so oracle outputs stay bit-identical across generations):
+      //  - NANOS: read as raw longs (legacy conf) and floor-divide; `div`
+      //    is integer division (ns values exceed 2^53, a double `/` would
+      //    lose precision).
+      //  - MICROS tz-naive: arrives as TIMESTAMP_NTZ; a plain cast
+      //    reinterprets the same wall-clock in the (UTC-pinned) session
+      //    zone — identical micros.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw // already a plain TIMESTAMP
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Commerce-analytics operators over the star schema — the query family the
+  * reference's warehouse exists to serve (reference
+  * `dimension_tables_mock.py:134-147` loads dims, `transactions_mock_data
+  * .py:125-150` loads facts; these are the reads on top): market-basket
+  * association rules, cohort retention, RFM segmentation, interval
+  * concurrency, and marketing attribution.
+  *
+  * Scale discipline shared by the family:
+  *   - per-key self-joins only on bounded keys (basket size is bounded by
+  *     the order line count; the pair generator is |basket|² per key, never
+  *     a global product);
+  *   - global scalars (corpus counts, global max date, monetary totals)
+  *     ride as 1-row broadcast frames, never driver-side collects;
+  *   - unpartitioned running windows run ONLY over aggregated bounded
+  *     domains (the ~2.4k-day date domain), the q93/q104 discipline —
+  *     per-row windows are always PARTITION BY a high-cardinality key;
+  *   - ratio outputs are CAST(exact_int AS DOUBLE)/CAST(exact_int AS
+  *     DOUBLE) or exact-DECIMAL sums cast to DOUBLE — bit-identical IEEE
+  *     on both engines (QueryModule determinism contract).
+  */
+object CommerceAnalytics extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Marketing touch types for last-touch attribution (q105). `purchase`
+    * converts; `error` is noise (never a touch). */
+  private val TouchTypes = Seq("view", "click", "signup")
+
+  val qs: Seq[Q] = Seq(
+
+    // ── Q101 market-basket association rules ─────────────────────────────
+    // Baskets are orders; items are part BRANDS (25 distinct — the rule
+    // vocabulary a merchandiser actually reads). Support/confidence/lift
+    // over pairs (a < b). The pair generator is a self-join on the basket
+    // key: per-key fan-out is bounded by the basket's distinct-brand count
+    // (≤ line count, ≤ dozens in any real order system), so the shuffle
+    // volume is Σ|basket|² — linear in baskets, never corpus-quadratic.
+    // The brand-support side is 25 rows — broadcast. min-support is
+    // RELATIVE (2% of baskets) so the query is scale-factor-stable.
+    // Counts are exact BIGINTs; conf/lift are single IEEE divisions of
+    // exact integers — bit-identical cross-engine.
+    Q("q101_basket_rules",
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS brand
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |nb AS (SELECT count(DISTINCT basket) AS nbk FROM items),
+             |supp AS (SELECT brand, count(*) AS n FROM items GROUP BY brand),
+             |pairs AS (
+             |  SELECT i1.brand AS a, i2.brand AS b, count(*) AS n_ab
+             |  FROM items i1 JOIN items i2
+             |    ON i1.basket = i2.basket AND i1.brand < i2.brand
+             |  GROUP BY 1, 2)
+             |SELECT pairs.a, pairs.b, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS conf,
+             |  CAST(n_ab * nb.nbk AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) AS lift
+             |FROM pairs
+             |JOIN supp sa ON sa.brand = pairs.a
+             |JOIN supp sb ON sb.brand = pairs.b, nb
+             |WHERE n_ab >= nb.nbk // 50
+             |ORDER BY a, b""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val part = t(s, d, "part")
+        val items = li
+          .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+          .distinct()
+        val nb = items.agg(countDistinct("basket").as("nbk"))
+        val supp = items.groupBy("brand").agg(count(lit(1)).as("n"))
+        val pairs = items.as("i1")
+          .join(items.as("i2"),
+            col("i1.basket") === col("i2.basket") &&
+              col("i1.brand") < col("i2.brand"))
+          .select(col("i1.brand").as("a"), col("i2.brand").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(supp.select(col("brand").as("a"), col("n").as("n_a"))), "a")
+          .join(broadcast(supp.select(col("brand").as("b"), col("n").as("n_b"))), "b")
+          .crossJoin(broadcast(nb))
+          .filter(expr("n_ab >= nbk div 50"))
+          .select(col("a"), col("b"), col("n_ab"),
+            (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf"),
+            ((col("n_ab") * col("nbk")).cast("double")
+              / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+          .orderBy("a", "b")
+      }),
+
+    // ── Q102 cohort retention ────────────────────────────────────────────
+    // Users cohorted by the ISO week of their first event; retention cell
+    // (cohort, offset) counts users active `offset` weeks after their
+    // cohort week, plus the retention ratio against cohort size. Three
+    // partial-aggregated shuffles on user_id / (cohort, offset); the
+    // cohort-size side is |weeks| rows — broadcast. Week truncation is
+    // engine-agreed (ISO Monday) and insensitive to the ns→µs floor the
+    // events reader applies (Tables.scala).
+    Q("q102_cohort_retention",
+      Some("""WITH wk AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |coh AS (SELECT user_id, min(wk) AS cw FROM wk GROUP BY user_id),
+             |siz AS (SELECT cw, count(*) AS cohort_n FROM coh GROUP BY cw),
+             |act AS (
+             |  SELECT c.cw, date_diff('day', c.cw, w.wk) // 7 AS week_offset,
+             |         count(*) AS n_active
+             |  FROM wk w JOIN coh c ON w.user_id = c.user_id
+             |  GROUP BY 1, 2)
+             |SELECT a.cw AS cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+             |  CAST(a.n_active AS BIGINT) AS n_active,
+             |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS retention
+             |FROM act a JOIN siz s ON a.cw = s.cw
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      (s, d) => {
+        val wk = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val coh = wk.groupBy("user_id").agg(min("wk").as("cw"))
+        val siz = coh.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+        wk.join(coh, "user_id")
+          .select(col("cw"), expr("datediff(wk, cw) div 7").as("week_offset"))
+          .groupBy("cw", "week_offset").agg(count(lit(1)).as("n_active"))
+          .join(broadcast(siz), "cw")
+          .select(col("cw").as("cohort_week"), col("week_offset"),
+            col("n_active"),
+            (col("n_active").cast("double") / col("cohort_n").cast("double"))
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      }),
+
+    // ── Q103 RFM segmentation ────────────────────────────────────────────
+    // Per-customer recency (days since last order vs the global max order
+    // date), frequency (order count), monetary (exact-DECIMAL cents). The
+    // segment rules are RELATIVE where a magnitude is involved — the
+    // big-spender line is `2·monetary·n_cust ≥ 3·total` (monetary ≥ 1.5×
+    // the mean), an exact integer cross-multiplication, never a
+    // pre-divided float threshold — so the query is SF-stable and
+    // engine-exact. Globals (max date, totals) ride as a 1-row broadcast.
+    // One shuffle on o_custkey; the rollup re-shuffles ~n_cust rows on the
+    // 5-value segment key with partial aggregation.
+    Q("q103_rfm_segments",
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |    max(o_orderdate) AS last_d,
+             |    count(*) AS freq,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mc
+             |  FROM orders GROUP BY o_custkey),
+             |gl AS (
+             |  SELECT max(last_d) AS now_d, CAST(sum(mc) AS BIGINT) AS tot,
+             |         count(*) AS nc
+             |  FROM per),
+             |scored AS (
+             |  SELECT date_diff('day', CAST(last_d AS DATE), CAST(now_d AS DATE)) AS rec,
+             |         freq, mc,
+             |    CASE
+             |      WHEN freq >= 15 AND date_diff('day', CAST(last_d AS DATE), CAST(now_d AS DATE)) <= 365 THEN 'champion'
+             |      WHEN freq >= 15 THEN 'loyal_lapsed'
+             |      WHEN 2 * mc * nc >= 3 * tot THEN 'big_spender'
+             |      WHEN date_diff('day', CAST(last_d AS DATE), CAST(now_d AS DATE)) > 730 THEN 'hibernating'
+             |      ELSE 'regular' END AS segment
+             |  FROM per, gl)
+             |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(sum(rec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_recency_days,
+             |  CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_frequency,
+             |  CAST(sum(mc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_monetary_cents
+             |FROM scored GROUP BY segment
+             |ORDER BY segment""".stripMargin),
+      (s, d) => {
+        val per = t(s, d, "orders").groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("mc"))
+        val glob = per.agg(max("last_d").as("now_d"),
+          sum("mc").cast("long").as("tot"), count(lit(1)).as("nc"))
+        per.crossJoin(broadcast(glob))
+          .select(
+            datediff(col("now_d").cast("date"), col("last_d").cast("date"))
+              .as("rec"),
+            col("freq"), col("mc"), col("nc"), col("tot"))
+          .withColumn("segment",
+            when(col("freq") >= 15 && col("rec") <= 365, "champion")
+              .when(col("freq") >= 15, "loyal_lapsed")
+              .when(lit(2) * col("mc") * col("nc") >= lit(3) * col("tot"),
+                "big_spender")
+              .when(col("rec") > 730, "hibernating")
+              .otherwise("regular"))
+          .groupBy("segment").agg(
+            count(lit(1)).as("n_customers"),
+            (sum("rec").cast("double") / count(lit(1)).cast("double"))
+              .as("avg_recency_days"),
+            (sum("freq").cast("double") / count(lit(1)).cast("double"))
+              .as("avg_frequency"),
+            (sum("mc").cast("double") / count(lit(1)).cast("double"))
+              .as("avg_monetary_cents"))
+          .orderBy("segment")
+      }),
+
+    // ── Q104 interval concurrency (sweep line) ───────────────────────────
+    // How many orders are "open" each day, where an order spans
+    // [orderdate, orderdate + (key%7 + 1) days)? The classic sweep line:
+    // explode each interval into a +1 at start and a −1 at (exclusive)
+    // end, partial-aggregate the per-day net change, then a running sum
+    // over the DAY frame. The unpartitioned window is safe at any SF
+    // because its input is the aggregated DATE DOMAIN (~2.4k rows for the
+    // 1995–2001 fixture — bounded by calendar, not corpus; the q93
+    // bounded-domain discipline). Output is the concurrency profile at
+    // change points.
+    Q("q104_concurrency_sweep",
+      Some("""WITH deltas AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS dlt FROM orders
+             |  UNION ALL
+             |  SELECT CAST(o_orderdate AS DATE) + CAST(o_orderkey % 7 + 1 AS INT), -1
+             |  FROM orders),
+             |net AS (SELECT day, CAST(sum(dlt) AS BIGINT) AS net FROM deltas GROUP BY day)
+             |SELECT day, net,
+             |  CAST(sum(net) OVER (ORDER BY day
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+             |FROM net ORDER BY day""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val deltas = o
+          .select(col("o_orderdate").cast("date").as("day"), lit(1L).as("dlt"))
+          .unionAll(o.select(
+            expr("date_add(cast(o_orderdate as date), cast(o_orderkey % 7 + 1 as int))")
+              .as("day"),
+            lit(-1L).as("dlt")))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.groupBy("day").agg(sum("dlt").as("net"))
+          .withColumn("n_open", sum("net").over(w))
+          .select(col("day"), col("net"), col("n_open"))
+          .orderBy("day")
+      }),
+
+    // ── Q105 last-touch attribution ──────────────────────────────────────
+    // Every purchase is attributed to the user's most recent marketing
+    // touch (view/click/signup) within a 7-day lookback, else 'direct'.
+    // One per-user window ordered by (µs, event_id) — a total order both
+    // engines agree on after the ns→µs floor (epoch_us ↔ unix_micros, the
+    // q95 convention) — carrying the last non-null touch forward
+    // (`last IGNORE NULLS`, the streaming-free as-of-join formulation).
+    // Windows are PARTITION BY user_id: fully parallel, no global sort.
+    // Revenue is an exact-DECIMAL sum cast to DOUBLE.
+    Q("q105_attribution",
+      Some(s"""WITH base AS (
+              |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+              |    last_value(CASE WHEN event_type IN ('view','click','signup')
+              |                    THEN epoch_us(ts) END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_us,
+              |    last_value(CASE WHEN event_type IN ('view','click','signup')
+              |                    THEN event_type END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_ch
+              |  FROM events)
+              |SELECT
+              |  CASE WHEN t_us IS NOT NULL AND t_us >= ts_us - 604800000000
+              |       THEN t_ch ELSE 'direct' END AS channel,
+              |  CAST(count(*) AS BIGINT) AS n_purchases,
+              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              |FROM base WHERE event_type = 'purchase'
+              |GROUP BY 1 ORDER BY channel""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isTouch = col("event_type").isin(TouchTypes: _*)
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"), col("value"))
+          .withColumn("t_us", last(when(isTouch, col("ts_us")), true).over(w))
+          .withColumn("t_ch", last(when(isTouch, col("event_type")), true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("t_us").isNotNull &&
+              col("t_us") >= col("ts_us") - lit(604800000000L), col("t_ch"))
+              .otherwise(lit("direct")).as("channel"),
+            col("value"))
+          .groupBy("channel").agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy("channel")
+      })
+  )
+}

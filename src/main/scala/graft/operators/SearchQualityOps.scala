@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search ranking, dominance queries, and warehouse data-quality audits —
+  * the read-side utilities a corpus/warehouse engine needs beyond plain
+  * relational queries (reference anchor: the mock warehouse loads at
+  * `transactions_mock_data.py:125-150` are exactly the tables an auditor
+  * would validate, and `documents` is the corpus a retrieval pipeline
+  * ranks).
+  *
+  * Determinism: BM25 here is EXACT-INTEGER (the q99 PageRank discipline) —
+  * the idf and the term saturation are rational surrogates evaluated in
+  * BIGINT floor division on both engines, so rankings hash-match
+  * bit-for-bit where a float formulation would diverge in the last ulp of
+  * `ln`. The skyline and audit queries only COMPARE doubles (never derive
+  * new ones except by exact-integer division), so they are engine-exact by
+  * construction.
+  */
+object SearchQualityOps extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Fixed retrieval query for q106 (terms from the corpus vocabulary). */
+  private val QueryTerms = Seq("data", "spark", "merge", "window")
+  private def sqlTerms: String = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // ── Q106 BM25 document ranking (exact-integer) ───────────────────────
+    // Okapi BM25 (k1=1.2, b=0.75) over the documents corpus for a fixed
+    // query, evaluated wholly in BIGINT arithmetic: the real-valued
+    // formula  idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl))  is multiplied
+    // through by 20·avgdl so every operand is integral —
+    //   term = idf_s · (tf·44·avgdl) div (20·avgdl·tf + 6·avgdl + 18·dl)
+    // with the rational idf surrogate idf_s = (10⁶·(N−df)) div (df+1),
+    // capped at 10⁹ so a df=O(1) term cannot overflow 2⁶³ at warehouse
+    // corpus counts (saturation guard; common-term df grows ∝ N so the
+    // cap never binds on them). Execution: one corpus tokenization pass,
+    // partial-aggregated tf/dl; df and corpus stats are tiny broadcast
+    // frames; the final top-50 is TakeOrderedAndProject (no global sort
+    // materialization). Only docs containing ≥1 query term are candidates
+    // — the inverted-index semantics of a real retrieval engine.
+    Q("q106_bm25_rank",
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+              |                        t -> t != '')) AS token
+              |  FROM documents),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+              |st AS (SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl,
+              |              count(*) AS nd FROM dl),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+              |       WHERE token IN ($sqlTerms) GROUP BY 1, 2),
+              |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |term AS (
+              |  SELECT tf.doc_id,
+              |    least((1000000 * (st.nd - dfq.df)) // (dfq.df + 1), 1000000000)
+              |      * (tf.tf * 44 * st.avgdl)
+              |      // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * dl.dl) AS term_s
+              |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), st)
+              |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              |       CAST(sum(term_s) AS BIGINT) AS score
+              |FROM term GROUP BY doc_id
+              |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(expr(TextAnalysis.tokensExpr)).as("token"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(expr("sum(dl) div count(*)").as("avgdl"),
+          count(lit(1)).as("nd"))
+        val tf = toks.filter(col("token").isin(QueryTerms: _*))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfq), "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("term_s", expr(
+            """least((1000000 * (nd - df)) div (df + 1), 1000000000L)
+              |  * (tf * 44 * avgdl)
+              |  div (20 * avgdl * tf + 6 * avgdl + 18 * dl)""".stripMargin))
+          .groupBy("doc_id").agg(sum("term_s").as("score"))
+          .orderBy(desc("score"), asc("doc_id")).limit(50)
+          .select(col("doc_id"), col("score"))
+      }),
+
+    // ── Q107 skyline (Pareto front) ──────────────────────────────────────
+    // Parts not dominated under (maximize p_size, minimize p_retailprice):
+    // q dominates p iff q.size ≥ p.size ∧ q.price ≤ p.price with one
+    // strict. The naive formulation is an O(n²) self-join; this one is the
+    // bounded-domain closed form: per-size minimum price (partial agg),
+    // a running min over STRICTLY larger sizes (window over the ≤50-row
+    // size domain — the q93/q104 bounded-domain discipline), then one
+    // broadcast join back to parts. A part survives iff it matches its
+    // size's min price and no larger size reaches that price. Prices are
+    // only COMPARED, never recomputed — engine-exact on raw doubles.
+    Q("q107_skyline",
+      Some("""WITH ps AS (
+             |  SELECT p_size, min(p_retailprice) AS minp
+             |  FROM part GROUP BY p_size),
+             |pref AS (
+             |  SELECT p_size, minp,
+             |    min(minp) OVER (ORDER BY p_size DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minp_gt
+             |  FROM ps)
+             |SELECT p.p_partkey, p.p_size, p.p_retailprice
+             |FROM part p JOIN pref r USING (p_size)
+             |WHERE p.p_retailprice = r.minp
+             |  AND (r.minp_gt IS NULL OR r.minp_gt > p.p_retailprice)
+             |ORDER BY p_partkey""".stripMargin),
+      (s, d) => {
+        val part = t(s, d, "part")
+        val ps = part.groupBy("p_size").agg(min("p_retailprice").as("minp"))
+        val w = Window.orderBy(desc("p_size"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pref = ps.withColumn("minp_gt", min("minp").over(w))
+        part.join(broadcast(pref), "p_size")
+          .filter(col("p_retailprice") === col("minp") &&
+            (col("minp_gt").isNull || col("minp_gt") > col("p_retailprice")))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+          .orderBy("p_partkey")
+      }),
+
+    // ── Q108 data-quality audit (constraint suite) ───────────────────────
+    // A Deequ-style declarative constraint run over the warehouse: each
+    // check is one partial-aggregated scan (uniqueness, referential
+    // integrity via null-counting left join, domain membership, range,
+    // time-span sanity) producing (check, metric, passed); the suite is a
+    // UNION of 1-row aggregates — embarrassingly parallel, no shuffle
+    // wider than each table's own aggregation. Metrics are exact-integer
+    // ratios cast to DOUBLE at the edge.
+    Q("q108_dq_audit",
+      Some("""WITH fk AS (
+             |  SELECT count(*) AS n,
+             |         count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS orphans
+             |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+             |SELECT 'events.event_type.domain' AS chk,
+             |  CAST(count(CASE WHEN event_type NOT IN
+             |       ('view','click','signup','purchase','error') THEN 1 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS metric,
+             |  count(CASE WHEN event_type NOT IN
+             |       ('view','click','signup','purchase','error') THEN 1 END) = 0 AS passed
+             |FROM events
+             |UNION ALL
+             |SELECT 'lineitem.l_discount.unit_interval',
+             |  CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE),
+             |  count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem.l_quantity.positive',
+             |  CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE),
+             |  count(CASE WHEN l_quantity <= 0 THEN 1 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders.o_custkey.fk_customer',
+             |  CAST(orphans AS DOUBLE) / CAST(n AS DOUBLE), orphans = 0 FROM fk
+             |UNION ALL
+             |SELECT 'orders.o_orderdate.span_days',
+             |  CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+             |                 CAST(max(o_orderdate) AS DATE)) AS DOUBLE),
+             |  date_diff('day', CAST(min(o_orderdate) AS DATE),
+             |            CAST(max(o_orderdate) AS DATE)) >= 365
+             |FROM orders
+             |UNION ALL
+             |SELECT 'orders.o_orderkey.unique',
+             |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+             |  count(DISTINCT o_orderkey) = count(*)
+             |FROM orders
+             |ORDER BY chk""".stripMargin),
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val badDomain = count(when(!col("event_type")
+          .isin("view", "click", "signup", "purchase", "error"), 1))
+        val evDomain = t(s, d, "events").agg(
+          lit("events.event_type.domain").as("chk"),
+          (badDomain.cast("double") / count(lit(1)).cast("double")).as("metric"),
+          (badDomain === 0).as("passed"))
+        val badDisc = count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        val liDisc = t(s, d, "lineitem").agg(
+          lit("lineitem.l_discount.unit_interval").as("chk"),
+          (badDisc.cast("double") / count(lit(1)).cast("double")).as("metric"),
+          (badDisc === 0).as("passed"))
+        val badQty = count(when(col("l_quantity") <= 0, 1))
+        val liQty = t(s, d, "lineitem").agg(
+          lit("lineitem.l_quantity.positive").as("chk"),
+          (badQty.cast("double") / count(lit(1)).cast("double")).as("metric"),
+          (badQty === 0).as("passed"))
+        val orphans = count(when(col("c_custkey").isNull, 1))
+        val fk = orders.join(t(s, d, "customer").select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left").agg(
+          lit("orders.o_custkey.fk_customer").as("chk"),
+          (orphans.cast("double") / count(lit(1)).cast("double")).as("metric"),
+          (orphans === 0).as("passed"))
+        val span = datediff(max(col("o_orderdate")).cast("date"),
+          min(col("o_orderdate")).cast("date"))
+        val fresh = orders.agg(
+          lit("orders.o_orderdate.span_days").as("chk"),
+          span.cast("double").as("metric"),
+          (span >= 365).as("passed"))
+        val uniq = orders.agg(
+          lit("orders.o_orderkey.unique").as("chk"),
+          (countDistinct("o_orderkey").cast("double")
+            / count(lit(1)).cast("double")).as("metric"),
+          (countDistinct("o_orderkey") === count(lit(1))).as("passed"))
+        evDomain.unionAll(liDisc).unionAll(liQty).unionAll(fk)
+          .unionAll(fresh).unionAll(uniq)
+          .orderBy("chk")
+      })
+  )
+}

@@ -266,8 +266,17 @@ object StreamingQueries extends QueryModule {
     // event-time order for the gate to equal the min-cascade oracle).
     assert(streamDir.toFile.list().length == 1,
       s"eventsStream expects exactly one source file in $streamDir")
-    s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    // Normalize ts to a session-TZ TIMESTAMP whichever way this testdata
+    // generation shipped it (raw nanos long vs µs TIMESTAMP_NTZ) — the
+    // same adaptation Tables.table applies on the batch side.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The greedy funnel fold shared by q30c and the exact variant: strict

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Semantic invariants for the commerce-analytics family (q101–q105) plus
+  * the events-reader generation adaptation they depend on. */
+class CommerceAnalyticsSpec extends SparkSpec {
+
+  test("events reader normalizes ts to TIMESTAMP across testdata generations") {
+    val ev = Tables.table(spark, sf, "events")
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"expected TimestampType, got ${ev.schema("ts").dataType}")
+    assert(ev.filter(col("ts").isNull).count() == 0)
+  }
+
+  test("q101 rules respect support/confidence/lift identities") {
+    val rules = SparkEntry.queries("q101_basket_rules")(spark, sf).collect()
+    assert(rules.nonEmpty, "expected at least one rule at sf0.001")
+    rules.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val nab = r.getLong(2)
+      val conf = r.getDouble(3)
+      val lift = r.getDouble(4)
+      assert(a < b, s"pair not canonical: $a !< $b")
+      assert(conf > 0.0 && conf <= 1.0, s"conf out of range: $conf")
+      assert(lift > 0.0, s"lift must be positive: $lift")
+      assert(nab > 0)
+    }
+  }
+
+  test("q101 pair count matches a direct recount for the top rule") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val part = Tables.table(spark, sf, "part")
+    val items = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      .distinct()
+    val rules = SparkEntry.queries("q101_basket_rules")(spark, sf)
+      .orderBy(desc("n_ab"), asc("a"), asc("b")).limit(1).collect()
+    val top = rules.head
+    val (a, b) = (top.getString(0), top.getString(1))
+    val recount = items.as("x").join(items.as("y"),
+        col("x.basket") === col("y.basket") &&
+          col("x.brand") === lit(a) && col("y.brand") === lit(b))
+      .count()
+    assert(recount == top.getLong(2),
+      s"rule ($a,$b) n_ab=${top.getLong(2)} but recount=$recount")
+  }
+
+  test("q102 cohorts retain 100% of themselves at offset zero") {
+    val ret = SparkEntry.queries("q102_cohort_retention")(spark, sf).collect()
+    assert(ret.nonEmpty)
+    val zero = ret.filter(_.getLong(1) == 0L)
+    assert(zero.nonEmpty, "every cohort must have an offset-0 row")
+    zero.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"offset-0 retention must be 1.0, got ${r.getDouble(3)}"))
+    ret.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("q103 segments partition the customer base") {
+    val seg = SparkEntry.queries("q103_rfm_segments")(spark, sf).collect()
+    val totalSeg = seg.map(_.getLong(1)).sum
+    val nCust = Tables.table(spark, sf, "orders")
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(totalSeg == nCust,
+      s"segment counts $totalSeg != distinct customers $nCust")
+    seg.foreach { r =>
+      assert(r.getDouble(3) >= 1.0, "avg frequency below 1 order")
+      assert(r.getDouble(2) >= 0.0, "negative recency")
+    }
+  }
+
+  test("q104 sweep line opens and closes every interval") {
+    val prof = SparkEntry.queries("q104_concurrency_sweep")(spark, sf).collect()
+    assert(prof.nonEmpty)
+    val netSum = prof.map(_.getLong(1)).sum
+    assert(netSum == 0L, s"interval deltas must cancel, net sum = $netSum")
+    assert(prof.last.getLong(2) == 0L,
+      s"final running concurrency must be 0, got ${prof.last.getLong(2)}")
+    assert(prof.map(_.getLong(2)).max > 0L, "peak concurrency must be positive")
+    prof.foreach(r => assert(r.getLong(2) >= 0L, "negative concurrency"))
+  }
+
+  test("q105 attribution covers every purchase exactly once") {
+    val att = SparkEntry.queries("q105_attribution")(spark, sf).collect()
+    val attributed = att.map(_.getLong(1)).sum
+    val purchases = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases,
+      s"attributed $attributed != purchase events $purchases")
+    val channels = att.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "signup", "direct")),
+      s"unexpected channels: $channels")
+  }
+}
