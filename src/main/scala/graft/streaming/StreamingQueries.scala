@@ -953,6 +953,62 @@ object StreamingQueries extends QueryModule {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // Q109 LEFT-OUTER stream-stream interval join — the conversion-or-not
+    // report q32b can't produce: every view emits, purchase_id is null for
+    // views that never converted. Outer semantics on a stream are
+    // watermark-gated: a null-extended row can only be emitted once the
+    // join state for that view is provably complete, i.e. when the GLOBAL
+    // watermark (min over both streams of max event time − 10 min delay)
+    // has passed the view's 30-minute join horizon. The oracle replays
+    // exactly that: matched pairs unconditionally, null rows only for
+    // unmatched views with v_ts + 30 min < watermark — views younger than
+    // that are still "pending" when the AvailableNow run ends and are
+    // correctly withheld (the q31 closed-window discipline). State is
+    // bounded by the watermark horizon on both sides at any scale.
+    Q("q109_stream_outer_join",
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+             |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+             |    - 600000000 AS wm_us),
+             |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+             |      FROM events WHERE event_type = 'view'),
+             |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+             |      FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT v.view_id, p.purchase_id
+             |  FROM v JOIN p ON v.user_id = p.user_id
+             |   AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 1800000000),
+             |unmatched AS (
+             |  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id
+             |  FROM v, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+             |    AND v.v_us + 1800000000 < wm.wm_us)
+             |SELECT view_id, purchase_id FROM m
+             |UNION ALL
+             |SELECT view_id, purchase_id FROM unmatched
+             |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin),
+      (s, d) => {
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select("view_id", "purchase_id")
+        runToMemory(joined, "q109_out", "append")
+          .orderBy("view_id", "purchase_id")
+      }),
+
     // Q32 stateful streaming dedup on event_id + stream-static broadcast
     // join with a dimension table. The dedup is watermark-bounded
     // (`dropDuplicatesWithinWatermark`): the state store only keeps ids
