@@ -45,39 +45,51 @@ object SearchQualityOps extends QueryModule {
     // frames; the final top-50 is TakeOrderedAndProject (no global sort
     // materialization). Only docs containing ≥1 query term are candidates
     // — the inverted-index semantics of a real retrieval engine.
+    // Execution is DELIBERATELY explode-free: per-doc dl and per-term tf
+    // are in-row array arithmetic (size/filter over the token array — the
+    // q28h no-shuffle discipline), so the corpus pass is map-only; the
+    // only shuffles are the 1-row corpus stats, the ≤|terms|-row df frame
+    // (both broadcast back), and the top-50 TakeOrderedAndProject.
     Q("q106_bm25_rank",
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
-              |                        t -> t != '')) AS token
+      Some(s"""WITH perdoc AS (
+              |  SELECT doc_id,
+              |    len(list_filter(string_split_regex(lower(text), ' +'),
+              |        t -> t != '')) AS dl,
+              |${QueryTerms.map(t =>
+                 s"    len(list_filter(string_split_regex(lower(text), ' +'), t -> t = '$t')) AS tf_$t")
+                 .mkString(",\n")}
               |  FROM documents),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
               |st AS (SELECT CAST(sum(dl) AS BIGINT) // count(*) AS avgdl,
-              |              count(*) AS nd FROM dl),
-              |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-              |       WHERE token IN ($sqlTerms) GROUP BY 1, 2),
-              |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |              count(*) AS nd FROM perdoc),
+              |tr AS (
+              |${QueryTerms.map(t =>
+                 s"  SELECT doc_id, dl, '$t' AS token, tf_$t AS tf FROM perdoc WHERE tf_$t > 0")
+                 .mkString("\n  UNION ALL\n")}),
+              |dfq AS (SELECT token, count(*) AS df FROM tr GROUP BY token),
               |term AS (
-              |  SELECT tf.doc_id,
+              |  SELECT tr.doc_id,
               |    least((1000000 * (st.nd - dfq.df)) // (dfq.df + 1), 1000000000)
-              |      * (tf.tf * 44 * st.avgdl)
-              |      // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * dl.dl) AS term_s
-              |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), st)
+              |      * (tr.tf * 44 * st.avgdl)
+              |      // (20 * st.avgdl * tr.tf + 6 * st.avgdl + 18 * tr.dl) AS term_s
+              |  FROM tr JOIN dfq USING (token), st)
               |SELECT CAST(doc_id AS BIGINT) AS doc_id,
               |       CAST(sum(term_s) AS BIGINT) AS score
               |FROM term GROUP BY doc_id
               |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(expr(TextAnalysis.tokensExpr)).as("token"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val st = dl.agg(expr("sum(dl) div count(*)").as("avgdl"),
+        val tfCols = QueryTerms.map(term =>
+          expr(s"size(filter(toks, t -> t = '$term'))").cast("long").as(s"tf_$term"))
+        val perDoc = t(s, d, "documents")
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id") +: expr("size(toks)").cast("long").as("dl") +: tfCols: _*)
+        val st = perDoc.agg(expr("sum(dl) div count(*)").as("avgdl"),
           count(lit(1)).as("nd"))
-        val tf = toks.filter(col("token").isin(QueryTerms: _*))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfq), "token")
-          .join(dl, "doc_id")
+        val stackArgs = QueryTerms.map(t => s"'$t', tf_$t").mkString(", ")
+        val tr = perDoc.select(col("doc_id"), col("dl"),
+            expr(s"stack(${QueryTerms.length}, $stackArgs) AS (token, tf)"))
+          .filter(col("tf") > 0)
+        val dfq = tr.groupBy("token").agg(count(lit(1)).as("df"))
+        tr.join(broadcast(dfq), "token")
           .crossJoin(broadcast(st))
           .withColumn("term_s", expr(
             """least((1000000 * (nd - df)) div (df + 1), 1000000000L)
