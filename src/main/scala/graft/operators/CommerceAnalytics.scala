@@ -288,6 +288,139 @@ object CommerceAnalytics extends QueryModule {
             count(lit(1)).as("n_purchases"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
           .orderBy("channel")
+      }),
+
+    // ── Q110 item-item co-occurrence neighbors (collaborative filter) ────
+    // "Customers who bought X also bought Y": top-3 neighbor parts per
+    // part by co-purchase similarity over NEIGHBORHOOD-BOUNDED
+    // co-occurrence — each customer contributes at most 16 items, chosen
+    // by a deterministic salted-hash rank (the md5-parity family), the
+    // standard heavy-user cap: pair volume is Σ min(d,16)² — linear in
+    // customers with a small constant at ANY degree distribution, and the
+    // estimate is unbiased across customers because the sample salt is
+    // per-customer. Pair generation is IN-ROW (sorted item array →
+    // combination explode — no self-join, no second incidence
+    // derivation); similarity is the integer squared-cosine surrogate
+    // (10⁶·n_ab²) div (n_a·n_b); per-item top-3 by rank window. The
+    // oracle replays the identical sample with a plain self-join — same
+    // pair set, so the hash check pins the in-row generator.
+    Q("q110_item_neighbors",
+      Some("""WITH inc AS (
+             |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |samp AS (
+             |  SELECT cust, item FROM (
+             |    SELECT cust, item,
+             |      row_number() OVER (PARTITION BY cust ORDER BY
+             |        concat('0x', substring(md5(cust::VARCHAR || ':' || item::VARCHAR), 1, 15))::BIGINT,
+             |        item) AS hr
+             |    FROM inc) WHERE hr <= 16),
+             |supp AS (SELECT item, count(*) AS n FROM samp GROUP BY item),
+             |pairs AS (
+             |  SELECT a.item AS ia, b.item AS ib, count(*) AS n_ab
+             |  FROM samp a JOIN samp b ON a.cust = b.cust AND a.item < b.item
+             |  GROUP BY 1, 2),
+             |sym AS (
+             |  SELECT ia AS item, ib AS nbr, n_ab FROM pairs
+             |  UNION ALL
+             |  SELECT ib, ia, n_ab FROM pairs),
+             |scored AS (
+             |  SELECT s.item, s.nbr,
+             |    (1000000 * s.n_ab * s.n_ab) // (sa.n * sb.n) AS sim_s,
+             |    row_number() OVER (PARTITION BY s.item
+             |      ORDER BY (1000000 * s.n_ab * s.n_ab) // (sa.n * sb.n) DESC, s.nbr) AS rnk
+             |  FROM sym s
+             |  JOIN supp sa ON sa.item = s.item
+             |  JOIN supp sb ON sb.item = s.nbr
+             |  WHERE s.n_ab >= 2)
+             |SELECT item, nbr, CAST(sim_s AS BIGINT) AS sim_s, CAST(rnk AS BIGINT) AS rnk
+             |FROM scored WHERE rnk <= 3
+             |ORDER BY item, rnk""".stripMargin),
+      (s, d) => {
+        val inc = t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+          .distinct()
+        val hw = Window.partitionBy("cust").orderBy(
+          expr("conv(substring(md5(concat(cast(cust as string), ':', cast(item as string))), 1, 15), 16, 10)")
+            .cast("long").asc, col("item").asc)
+        val samp = inc.withColumn("hr", row_number().over(hw))
+          .filter(col("hr") <= 16).select("cust", "item")
+        val supp = samp.groupBy("item").agg(count(lit(1)).as("n"))
+        val baskets = samp.groupBy("cust")
+          .agg(sort_array(collect_list(col("item"))).as("items"))
+        val pairs = baskets.select(explode(expr(
+            """flatten(transform(items, (x, i) ->
+              |  transform(slice(items, i + 2, size(items)),
+              |            y -> named_struct('ia', x, 'ib', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("n_ab"))
+        val sym = pairs.select(col("ia").as("item"), col("ib").as("nbr"), col("n_ab"))
+          .unionAll(pairs.select(col("ib").as("item"), col("ia").as("nbr"), col("n_ab")))
+        val w = Window.partitionBy("item").orderBy(desc("sim_s"), asc("nbr"))
+        sym.filter(col("n_ab") >= 2)
+          .join(broadcast(supp.select(col("item").as("item"), col("n").as("n_i"))), "item")
+          .join(broadcast(supp.select(col("item").as("nbr"), col("n").as("n_j"))), "nbr")
+          .withColumn("sim_s", expr("(1000000 * n_ab * n_ab) div (n_i * n_j)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("item"), col("nbr"), col("sim_s"), col("rnk"))
+          .orderBy("item", "rnk")
+      }),
+
+    // ── Q112 temporal dimension join (SCD2 point-in-time read) ───────────
+    // The read side of q62's SCD2 history: each part carries three price
+    // versions with [valid_from, valid_to) ranges; every lineitem must be
+    // costed at the price version VALID ON ITS SHIP DATE — the
+    // point-in-time-correctness join a feature store / audit replay runs.
+    // The join keys on l_partkey with an interval filter: per-key fanout
+    // is the version count (3), so this is a plain key-partitioned
+    // shuffle join, never an unbounded range join. Money is integer CENTS
+    // (BIGINT) end-to-end — no decimal division anywhere; version
+    // boundaries are fixed calendar dates; quantities are integral.
+    Q("q112_temporal_dim_join",
+      Some("""WITH hist AS (
+             |  SELECT p_partkey, v,
+             |    CASE v WHEN 0 THEN DATE '1990-01-01'
+             |           WHEN 1 THEN DATE '1997-01-01'
+             |           ELSE DATE '1999-06-01' END AS valid_from,
+             |    CASE v WHEN 0 THEN DATE '1997-01-01'
+             |           WHEN 1 THEN DATE '1999-06-01'
+             |           ELSE DATE '9999-12-31' END AS valid_to,
+             |    ((p_partkey % 1000) + 100 * v + 1) * 10 AS vprice_cents
+             |  FROM part, (SELECT unnest([0, 1, 2]) AS v)),
+             |joined AS (
+             |  SELECT h.v, CAST(l.l_quantity AS BIGINT) AS qty, h.vprice_cents
+             |  FROM lineitem l JOIN hist h ON l.l_partkey = h.p_partkey
+             |  WHERE CAST(l.l_shipdate AS DATE) >= h.valid_from
+             |    AND CAST(l.l_shipdate AS DATE) < h.valid_to)
+             |SELECT CAST(v AS INT) AS version, CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(vprice_cents * qty) AS BIGINT) AS revenue_cents
+             |FROM joined GROUP BY v ORDER BY version""".stripMargin),
+      (s, d) => {
+        val hist = t(s, d, "part").select("p_partkey")
+          .withColumn("v", explode(expr("array(0, 1, 2)")))
+          .withColumn("valid_from", expr(
+            """CASE v WHEN 0 THEN DATE '1990-01-01'
+              |       WHEN 1 THEN DATE '1997-01-01'
+              |       ELSE DATE '1999-06-01' END""".stripMargin))
+          .withColumn("valid_to", expr(
+            """CASE v WHEN 0 THEN DATE '1997-01-01'
+              |       WHEN 1 THEN DATE '1999-06-01'
+              |       ELSE DATE '9999-12-31' END""".stripMargin))
+          .withColumn("vprice_cents",
+            expr("((p_partkey % 1000) + 100 * v + 1) * 10"))
+        t(s, d, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
+          .join(hist, col("l_partkey") === col("p_partkey") &&
+            col("l_shipdate").cast("date") >= col("valid_from") &&
+            col("l_shipdate").cast("date") < col("valid_to"))
+          .groupBy(col("v").cast("int").as("version"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("vprice_cents") * col("l_quantity").cast("long"))
+              .cast("long").as("revenue_cents"))
+          .orderBy("version")
       })
   )
 }

@@ -119,6 +119,41 @@ object GraphOps extends QueryModule {
       .select(col("node"), coalesce(col("tcnt"), lit(0L)).as("n_tri"))
   }
 
+  /** Multi-source BFS: frontier-free iterative min-distance relaxation.
+    * dist⁰(v) = 0 for seeds (doc_id % 97 == 0), ∞ otherwise; each round
+    * dist′(v) = min(dist(v), min over in-edges u→v of dist(u)+1). Like
+    * pageRank each round is ONE shuffle join + partial-aggregated min and
+    * rounds are lineage-cut every third iteration; `Rounds` bounds the
+    * explored radius (distances beyond it report −1 = unreached). The
+    * relaxation is monotone and commutative, so the result is
+    * partitioning- and schedule-independent — exact integers both
+    * engines replay. */
+  def bfsDistances(docs: DataFrame): DataFrame = {
+    val Inf = 1000000000L
+    val nodes = docs.select(col("doc_id").as("node")).cache()
+    val n = nodes.count()
+    val e = linkEdges(docs, n).select("src", "dst").cache()
+    var dist = nodes.withColumn("dd",
+      when(col("node") % 97 === 0, 0L).otherwise(Inf))
+    var backing: DataFrame = null
+    for (round <- 1 to Rounds) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dd") + 1).as("dd"))
+      val merged = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dd").as("dd"))
+      val next =
+        if (round % 3 == 0) merged.localCheckpoint() else merged.cache()
+      next.count()
+      if (backing != null) backing.unpersist()
+      backing = next
+      dist = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    dist.select(col("node"),
+      when(col("dd") >= Inf, -1L).otherwise(col("dd")).as("dist"))
+  }
+
   val qs: Seq[Q] = Seq(
     // Q99 PageRank — 8 exact-integer rounds over the deterministic link
     // graph; the oracle replays the identical recursion in one DuckDB
@@ -200,5 +235,42 @@ object GraphOps extends QueryModule {
              |FROM documents d LEFT JOIN pern t ON t.v = d.doc_id
              |ORDER BY node""".stripMargin),
       (s, d) => triangleCounts(t(s, d, "documents")).orderBy("node"))
+      ,
+
+    // Q111 multi-source BFS distances — seeds are doc_id % 97 == 0; 8
+    // relaxation rounds bound the radius (−1 = unreached). The oracle
+    // replays the identical relaxation in one DuckDB recursive CTE
+    // carrying the distance vector as a LIST (the q99 single-row
+    // recursion pattern; fine for an oracle, the Spark side stays fully
+    // distributed). All-integer — hash-checked.
+    Q("q111_bfs_distances",
+      Some("""WITH RECURSIVE
+             |p AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |e AS (
+             |  SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % p.n AS dst
+             |  FROM documents d, p, generate_series(0, 2) AS j(j)
+             |  WHERE j.j <= d.doc_id % 3),
+             |inl AS (SELECT dst, list(src ORDER BY src) AS srcs FROM e GROUP BY dst),
+             |shape AS (
+             |  SELECT p.n, list(coalesce(i.srcs, []) ORDER BY d.doc_id) AS inlists
+             |  FROM documents d LEFT JOIN inl i ON i.dst = d.doc_id, p
+             |  GROUP BY p.n),
+             |bf(iter, dists) AS (
+             |  SELECT 0, list_transform(generate_series(1, n),
+             |           x -> CASE WHEN (x - 1) % 97 = 0 THEN 0 ELSE 1000000000 END)
+             |  FROM p
+             |  UNION ALL
+             |  SELECT iter + 1,
+             |    list_transform(generate_series(1, s.n), v ->
+             |      least(dists[v],
+             |            coalesce(list_min(list_transform(s.inlists[v],
+             |                     src -> dists[src + 1] + 1)), 1000000000)))
+             |  FROM bf, shape s WHERE iter < 8)
+             |SELECT CAST(d.doc_id AS BIGINT) AS node,
+             |  CAST(CASE WHEN f.dists[d.doc_id + 1] >= 1000000000 THEN -1
+             |            ELSE f.dists[d.doc_id + 1] END AS BIGINT) AS dist
+             |FROM documents d, (SELECT dists FROM bf WHERE iter = 8) f
+             |ORDER BY node""".stripMargin),
+      (s, d) => bfsDistances(t(s, d, "documents")).orderBy("node"))
   )
 }

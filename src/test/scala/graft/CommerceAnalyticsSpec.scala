@@ -81,6 +81,35 @@ class CommerceAnalyticsSpec extends SparkSpec {
     prof.foreach(r => assert(r.getLong(2) >= 0L, "negative concurrency"))
   }
 
+  test("q110 neighbor lists are top-3, scored in range, and acyclic in rank") {
+    val nb = SparkEntry.queries("q110_item_neighbors")(spark, sf).collect()
+    assert(nb.nonEmpty)
+    val byItem = nb.groupBy(_.getLong(0))
+    byItem.foreach { case (item, rows) =>
+      assert(rows.length <= 3, s"item $item has ${rows.length} neighbors")
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.sameElements(1L to rows.length),
+        s"item $item ranks not dense: ${ranks.mkString(",")}")
+      val sims = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(sims.sameElements(sims.sortBy(-_)), "sim not descending by rank")
+      rows.foreach { r =>
+        assert(r.getLong(2) > 0L && r.getLong(2) <= 1000000L,
+          s"sim out of (0, 1e6]: ${r.getLong(2)}")
+        assert(r.getLong(1) != item, "self-neighbor")
+      }
+    }
+  }
+
+  test("q112 temporal join costs every lineitem against exactly one version") {
+    val out = SparkEntry.queries("q112_temporal_dim_join")(spark, sf).collect()
+    assert(out.length == 3, "all three versions must receive lines")
+    val totalLines = out.map(_.getLong(1)).sum
+    val liCount = Tables.table(spark, sf, "lineitem").count()
+    assert(totalLines == liCount,
+      s"version ranges must partition time: $totalLines != $liCount")
+    out.foreach(r => assert(r.getLong(2) > 0L, "non-positive revenue"))
+  }
+
   test("q105 attribution covers every purchase exactly once") {
     val att = SparkEntry.queries("q105_attribution")(spark, sf).collect()
     val attributed = att.map(_.getLong(1)).sum

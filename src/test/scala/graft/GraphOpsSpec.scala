@@ -109,4 +109,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.select("dst").distinct().count() <= n)
     assert(e.filter(col("dst") < 0 || col("dst") >= n).count() == 0)
   }
+
+  test("q111 BFS distances satisfy the relaxation invariants") {
+    import org.apache.spark.sql.functions._
+    val dist = SparkEntry.queries("q111_bfs_distances")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Seeds at distance 0, and only seeds.
+    dist.foreach { case (node, dd) =>
+      if (node % 97 == 0) assert(dd == 0L, s"seed $node has dist $dd")
+      else assert(dd != 0L, s"non-seed $node has dist 0")
+      assert(dd == -1L || (dd >= 0L && dd <= 8L), s"dist out of range: $dd")
+    }
+    // Edge consistency: along every edge u→v, dist(v) ≤ dist(u) + 1
+    // whenever u is reached (−1 encodes unreached/beyond-radius, except
+    // that a node one step past the radius is also legitimately −1).
+    val docs = Tables.table(spark, sf, "documents")
+    val edges = GraphOps.linkEdges(docs, n).select("src", "dst").collect()
+    edges.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      val du = dist(u); val dv = dist(v)
+      if (du >= 0 && du < 8)
+        assert(dv != -1L && dv <= du + 1,
+          s"edge $u($du)→$v($dv) violates relaxation")
+    }
+  }
 }
