@@ -421,6 +421,87 @@ object CommerceAnalytics extends QueryModule {
             sum(col("vprice_cents") * col("l_quantity").cast("long"))
               .cast("long").as("revenue_cents"))
           .orderBy("version")
+      }),
+
+    // ── Q113 star-schema flattening (TPC-H Q5 shape) ─────────────────────
+    // Revenue by region and order year across the full star: lineitem ⋈
+    // orders is the single big shuffle join; customer, nation, and region
+    // chain on as broadcasts (each orders-of-magnitude smaller than the
+    // fact) — the canonical warehouse plan the reference's star schema
+    // exists for. Line revenue extendedprice·(1−discount) is exact
+    // DECIMAL arithmetic (discounts have 2 decimal digits), summed in
+    // DECIMAL, cast to DOUBLE at the edge.
+    Q("q113_star_flatten",
+      Some("""SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+             |  CAST(count(*) AS BIGINT) AS n_lines,
+             |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY 1, 2 ORDER BY r_name, o_year""".stripMargin),
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount").cast("decimal(3,2)"))).as("line_rev"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").select("r_regionkey", "r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum("line_rev").cast("double").as("revenue"))
+          .orderBy("r_name", "o_year")
+      }),
+
+    // ── Q114 statistical anomaly days (2σ, exact-integer) ────────────────
+    // Days whose revenue deviates from the mean by more than two standard
+    // deviations — with NO floating point anywhere: the z-test
+    // (x−μ)² > 4σ² cross-multiplies to (n·x − S)² > 4·(n·Q − S²) over
+    // integer daily revenues (S=Σx, Q=Σx²), which both engines evaluate
+    // bit-identically. Daily revenues are first rescaled by the
+    // CORPUS-RELATIVE unit S div (n·10⁴) (≈mean/10⁴), keeping every
+    // operand ≲10⁸ so the cross-multiplied squares stay far below 2⁶³ at
+    // ANY scale factor — an absolute cents unit would overflow by sf100.
+    // One date-domain aggregation (bounded frame) + a 1-row stats
+    // broadcast.
+    Q("q114_anomaly_days",
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |u AS (SELECT greatest(CAST(sum(rev_c) AS BIGINT) // (count(*) * 10000), 1) AS unit
+             |      FROM daily),
+             |scaled AS (SELECT day, rev_c, rev_c // u.unit AS x FROM daily, u),
+             |st AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |              CAST(sum(x * x) AS BIGINT) AS q FROM scaled)
+             |SELECT day, rev_c
+             |FROM scaled, st
+             |WHERE (st.n * x - st.s) * (st.n * x - st.s) > 4 * (st.n * st.q - st.s * st.s)
+             |ORDER BY day""".stripMargin),
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("rev_c"))
+        val u = daily.agg(
+          greatest(expr("sum(rev_c) div (count(*) * 10000)"), lit(1L)).as("unit"))
+        val scaled = daily.crossJoin(broadcast(u))
+          .select(col("day"), col("rev_c"), expr("rev_c div unit").as("x"))
+        val st = scaled.agg(count(lit(1)).as("n"),
+          sum("x").cast("long").as("s"),
+          sum(expr("x * x")).cast("long").as("q"))
+        scaled.crossJoin(broadcast(st))
+          .filter(expr("(n * x - s) * (n * x - s) > 4 * (n * q - s * s)"))
+          .select("day", "rev_c")
+          .orderBy("day")
       })
   )
 }

@@ -87,6 +87,39 @@ object SourceFormats extends QueryModule {
           .orderBy("o_orderstatus")
       }),
 
+    // Q115 small-file compaction (the OPTIMIZE job of a parquet
+    // warehouse): a fragmented landing zone — 64 shards of the orders
+    // table, the shape a high-frequency ingest cadence leaves behind
+    // (reference anchor: each Lambda batch lands its own small file,
+    // `transactions_mock_data.py:125-150`) — is rewritten into
+    // size-targeted files: target count = ceil(bytes / 32 MiB), computed
+    // from FILESYSTEM METADATA (a driver-side listing, no data motion),
+    // executed as one round-robin repartition write. The oracle
+    // aggregates the original table — compaction must be
+    // content-preserving; ScaleOpsSpec asserts the file-count economics.
+    Q("q115_compaction",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q115:$d")
+        val small = s"$dir/small"
+        val compacted = s"$dir/compacted"
+        t(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(small)
+        val bytes = new java.io.File(small).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+        val target = math.max(1L, (bytes + (32L << 20) - 1) / (32L << 20)).toInt
+        s.read.parquet(small).repartition(target)
+          .write.mode("overwrite").parquet(compacted)
+        s.read.parquet(compacted)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Q57c schema evolution: two parquet generations of the same table —
     // the second with an added column — read back through mergeSchema into
     // one unified frame (old rows surface NULL for the new column). The

@@ -27,6 +27,26 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q115 compaction collapses the fragmented landing zone") {
+    // Run the declared query (it performs the write→compact→read cycle),
+    // then audit the file layout it left behind.
+    SparkEntry.queries("q115_compaction")(spark, sf).collect()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val work = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("graft_src_"))
+      .map(d => new java.io.File(d, "compacted"))
+      .filter(_.exists())
+    assert(work.nonEmpty, "compacted output dir not found")
+    work.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 4,
+        s"expected <=4 compacted files, got ${files.length} in $dir")
+      val small = new java.io.File(dir.getParentFile, "small")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(small == 64, s"landing zone should have 64 shards, got $small")
+    }
+  }
+
   test("bucketed join equals plain shuffle join") {
     val bucketed = SparkEntry.queries("q36_bucketed_join")(spark, sf)
     val plain = SparkEntry.queries("q04_join_shuffle")(spark, sf)
