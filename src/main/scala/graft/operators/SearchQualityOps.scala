@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.ElemMinMaxAggregator
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +225,108 @@ object SearchQualityOps extends QueryModule {
         evDomain.unionAll(liDisc).unionAll(liQty).unionAll(fk)
           .unionAll(fresh).unionAll(uniq)
           .orderBy("chk")
+      }),
+
+    // ── Q116 feature scaling (min-max normalization, custom UDAF) ────────
+    // The normalization pass a feature pipeline runs before training:
+    // per-dimension corpus min/max via the typed ElemMinMaxAggregator
+    // (§2.C — O(dim) buffer, associative merge, full map-side combine: one
+    // O(dim) row per partition crosses the wire, never the vectors), then
+    // a map-only rescale with the 1-row stats broadcast. The check column
+    // is the SUM of floor-quantized scaled components (2²⁰ grid): every
+    // dimension participates, output stays one row per vector, and the
+    // arithmetic — float→double exact widening, one multiply, one divide,
+    // floor — is bit-identical cross-engine (selected mins/maxs, never
+    // derived doubles).
+    Q("q116_feature_scaling",
+      Some("""WITH mm AS (
+             |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+             |  FROM (
+             |    SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+             |      SELECT unnest(embedding) AS x,
+             |             unnest(range(1, len(embedding) + 1)) AS pos
+             |      FROM embeddings) u GROUP BY pos) p)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(embedding, (x, i) ->
+             |    CASE WHEN maxs[i] > mins[i]
+             |         THEN CAST(floor((CAST(x AS DOUBLE) - CAST(mins[i] AS DOUBLE)) * 1048576
+             |                         / (CAST(maxs[i] AS DOUBLE) - CAST(mins[i] AS DOUBLE))) AS BIGINT)
+             |         ELSE 0 END)) AS BIGINT) AS qsum
+             |FROM embeddings, mm
+             |ORDER BY vec_id""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val mmUdaf = udaf(new ElemMinMaxAggregator(dim),
+          ExpressionEncoder[Seq[Float]]())
+        val mm = emb.agg(mmUdaf(col("embedding")).as("mm"))
+          .select(col("mm._1").as("mins"), col("mm._2").as("maxs"))
+        emb.crossJoin(broadcast(mm))
+          .select(col("vec_id"), expr(
+            """aggregate(transform(embedding, (x, i) ->
+              |  CASE WHEN element_at(maxs, i + 1) > element_at(mins, i + 1)
+              |       THEN cast(floor((cast(x as double) - element_at(mins, i + 1)) * 1048576
+              |                       / (element_at(maxs, i + 1) - element_at(mins, i + 1))) as bigint)
+              |       ELSE 0L END),
+              |  0L, (acc, v) -> acc + v)""".stripMargin).as("qsum"))
+          .orderBy("vec_id")
+      }),
+
+    // ── Q117 phrase search (positional adjacency, in-row) ────────────────
+    // Documents containing the exact phrase "hash join": instead of the
+    // posexplode + self-join-on-(doc, pos+1) formulation, adjacency is
+    // detected IN-ROW with an index lambda over the token array — the
+    // corpus pass is map-only (the q28h discipline), and the occurrence
+    // count doubles as the score. Mind the index bases: Spark lambda
+    // indices are 0-based with 1-based element_at, DuckDB lambda indices
+    // are 1-based — the oracle mirrors the same positions.
+    Q("q117_phrase_search",
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(tk, (x, i) ->
+             |    x = 'hash' AND i < len(tk) AND tk[i + 1] = 'join')) AS BIGINT) AS n_occ
+             |FROM toks
+             |WHERE len(list_filter(tk, (x, i) ->
+             |    x = 'hash' AND i < len(tk) AND tk[i + 1] = 'join')) > 0
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("tk", expr(TextAnalysis.tokensExpr))
+          .withColumn("n_occ", expr(
+            """size(filter(transform(tk, (x, i) ->
+              |  x = 'hash' AND i + 1 < size(tk) AND element_at(tk, i + 2) = 'join'),
+              |  b -> b))""".stripMargin).cast("long"))
+          .filter(col("n_occ") > 0)
+          .select("doc_id", "n_occ")
+          .orderBy("doc_id")),
+
+    // ── Q118 mergeable-sketch rollup (HLL union across grains) ───────────
+    // The warehouse pattern exact distinct counting can't follow at
+    // scale: per-DAY HyperLogLog sketches of active users, ROLLED UP to
+    // weeks by sketch UNION (hll_union_agg) — the daily sketches are
+    // reusable for any coarser grain without touching raw events again.
+    // Output carries the estimate next to the exact weekly distinct; the
+    // sketch estimate is engine-specific, so this is a declared
+    // rows-only query (like q24b/q25) with the ≤5% accuracy bound
+    // asserted in SearchQualityOpsSpec.
+    Q("q118_hll_rollup",
+      None,
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+            date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        val daily = ev.groupBy("wk", "day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val weeklyEst = daily.groupBy("wk")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+        val weeklyExact = ev.groupBy("wk")
+          .agg(countDistinct("user_id").as("exact_users"))
+        weeklyEst.join(weeklyExact, "wk")
+          .select(col("wk").as("week"), col("est_users"), col("exact_users"))
+          .orderBy("week")
       })
   )
 }

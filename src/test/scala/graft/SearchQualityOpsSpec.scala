@@ -63,6 +63,64 @@ class SearchQualityOpsSpec extends SparkSpec {
     assert(byName("orders.o_orderdate.span_days") >= 365.0)
   }
 
+  test("q116 scaled sums are bounded and match a direct per-vector replay") {
+    val out = SparkEntry.queries("q116_feature_scaling")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val dim = vecs.head._2.length
+    out.values.foreach(q =>
+      assert(q >= 0L && q <= dim.toLong * 1048576L, s"qsum out of bounds: $q"))
+    // Exact replay: per-dim min/max over doubles, the same floor grid.
+    val mins = Array.fill(dim)(Double.PositiveInfinity)
+    val maxs = Array.fill(dim)(Double.NegativeInfinity)
+    vecs.foreach { case (_, v) =>
+      var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble
+        if (x < mins(i)) mins(i) = x
+        if (x > maxs(i)) maxs(i) = x
+        i += 1
+      }
+    }
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until dim).map { i =>
+        if (maxs(i) > mins(i))
+          math.floor((v(i).toDouble - mins(i)) * 1048576L / (maxs(i) - mins(i))).toLong
+        else 0L
+      }.sum
+      assert(out(id) == expect, s"vec $id: ${out(id)} != replay $expect")
+    }
+  }
+
+  test("q117 occurrence counts equal a token-pair recount") {
+    val out = SparkEntry.queries("q117_phrase_search")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split(" +").filter(_.nonEmpty)
+      val n = toks.sliding(2).count(p => p.length == 2 &&
+        p(0) == "hash" && p(1) == "join")
+      if (n > 0) assert(out.get(r.getLong(0)).contains(n.toLong),
+        s"doc ${r.getLong(0)}: query says ${out.get(r.getLong(0))}, recount $n")
+      else assert(!out.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} matched but contains no phrase")
+    }
+  }
+
+  test("q118 HLL weekly rollup estimates within 5% of exact") {
+    val out = SparkEntry.queries("q118_hll_rollup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(exact > 0)
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"week ${r.getDate(0)}: est $est vs exact $exact beyond 5%")
+    }
+  }
+
   test("q109 outer join extends q32b's inner matches with gated nulls") {
     val outer = SparkEntry.queries("q109_stream_outer_join")(spark, sf).collect()
     val inner = SparkEntry.queries("q32b_stream_stream_join")(spark, sf).collect()
