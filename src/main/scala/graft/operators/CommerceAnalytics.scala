@@ -502,6 +502,42 @@ object CommerceAnalytics extends QueryModule {
           .filter(expr("(n * x - s) * (n * x - s) > 4 * (n * q - s * s)"))
           .select("day", "rev_c")
           .orderBy("day")
-      })
+      }),
+
+    // ── Q119 exponentially-weighted moving average (exact-integer) ───────
+    // Per-user EWMA of event values (α=¼ on the 2¹⁰ grid): the recursion
+    // e′ = (256·x + 768·e) div 1024 is seeded with the first observation
+    // and folded left over the user's time-ordered value sequence — the
+    // PROVEN cross-engine fold parity (q85): Spark's first-element-seeded
+    // `aggregate(slice(xs,2,…), element_at(xs,1), f)` is the same fold as
+    // DuckDB's `list_reduce`. Values are exact cents (DECIMAL→BIGINT),
+    // all operands non-negative so div/floor-division agree. The fold is
+    // IN-ROW over a per-user array: one user_id shuffle, sequences
+    // bounded by per-user event counts, every user folds in parallel —
+    // the only honest shape for an order-dependent recursion.
+    Q("q119_ewma",
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+             |  FROM events),
+             |l AS (SELECT user_id, list(x ORDER BY ts_us, event_id) AS xs
+             |      FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  CAST(list_reduce(xs, (e, x) -> (256 * x + 768 * e) // 1024) AS BIGINT) AS ewma_s
+             |FROM l ORDER BY user_id""".stripMargin),
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts_us"), col("event_id"), col("x")))).as("sx"))
+          .select(col("user_id"), expr("transform(sx, s -> s.x)").as("xs"))
+          .select(col("user_id"), expr(
+            """aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
+              |          (e, x) -> (256 * x + 768 * e) div 1024)""".stripMargin)
+            .as("ewma_s"))
+          .orderBy("user_id"))
   )
 }

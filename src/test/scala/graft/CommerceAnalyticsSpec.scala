@@ -110,6 +110,24 @@ class CommerceAnalyticsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) > 0L, "non-positive revenue"))
   }
 
+  test("q119 EWMA matches a sequential per-user replay") {
+    val out = SparkEntry.queries("q119_ewma")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.table(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) AS x")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val replay = events.groupBy(_._1).map { case (uid, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      uid -> xs.tail.foldLeft(xs.head)((e, x) => (256 * x + 768 * e) / 1024)
+    }
+    assert(out.keySet == replay.keySet)
+    replay.foreach { case (uid, v) =>
+      assert(out(uid) == v, s"user $uid: ${out(uid)} != replay $v")
+    }
+  }
+
   test("q105 attribution covers every purchase exactly once") {
     val att = SparkEntry.queries("q105_attribution")(spark, sf).collect()
     val attributed = att.map(_.getLong(1)).sum
