@@ -341,6 +341,48 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Per-doc block-mean resample summary (q120). */
+  final case class WavBlocks(doc_id: Long, n_blocks: Long, m_first: Long,
+      m_sum: Long)
+
+  /** REAL audio downsample: decode the PCM (same lossless path as
+    * decodeWav), then box-filter decimation — each non-overlapping block
+    * of `factor` samples collapses to its floor-mean. The mean is
+    * computed as (sum + 32768·factor) div factor − 32768: the shift makes
+    * the dividend non-negative so truncating `div` IS floor division,
+    * the established negative-operand recipe (q81). Map-only; only the
+    * per-doc summary (block count, first block, sum of block means)
+    * leaves the partition. */
+  def resampleWav(media: Dataset[MediaRow], factor: Int): Dataset[WavBlocks] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          def sample(j: Int): Long =
+            ((bytes(2 * j) & 0xff) | (bytes(2 * j + 1) << 8)).toShort.toLong
+          val nb = n / factor
+          var msum = 0L
+          var first = 0L
+          var b = 0
+          while (b < nb) {
+            var s = 0L
+            var k = 0
+            while (k < factor) { s += sample(b * factor + k); k += 1 }
+            val m = (s + 32768L * factor) / factor - 32768L
+            if (b == 0) first = m
+            msum += m
+            b += 1
+          }
+          WavBlocks(r.doc_id, nb.toLong, first, msum)
+        } finally ais.close()
+      }
+    }
+  }
+
   // ──────────────────── MP4 / ISO-BMFF video container ────────────────────
 
   /** Box-probed video-container metadata — the ISO-BMFF analog of the GIF
@@ -578,6 +620,31 @@ object Multimodal extends QueryModule {
              |  CAST(ssum AS BIGINT) AS s_sum
              |FROM s ORDER BY doc_id""".stripMargin),
       (s, d) => decodeWav(wavTable(s, d)).toDF().orderBy("doc_id")),
+
+    // Q120 REAL audio downsample (decode → box-filter decimate by 4): the
+    // feature-extract stage after q35e's raw decode. The oracle replays
+    // every block mean from doc_id arithmetic — only a correct lossless
+    // decode plus the exact floor-mean reproduces the per-doc block sum.
+    // Both engines use the shifted dividend so truncation ≡ floor on the
+    // negative samples.
+    Q("q120_audio_resample",
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+             |b AS (SELECT doc_id, n // 4 AS nb FROM d),
+             |vals AS (
+             |  SELECT doc_id, nb, i // 4 AS blk,
+             |         (doc_id * 131 + i * 97) % 65536 - 32768 AS v
+             |  FROM (SELECT doc_id, nb, unnest(generate_series(0, nb * 4 - 1)) AS i
+             |        FROM b)),
+             |bm AS (
+             |  SELECT doc_id, nb, blk,
+             |         (sum(v) + 131072) // 4 - 32768 AS m
+             |  FROM vals GROUP BY doc_id, nb, blk)
+             |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+             |  CAST(min(CASE WHEN blk = 0 THEN m END) AS BIGINT) AS m_first,
+             |  CAST(sum(m) AS BIGINT) AS m_sum
+             |FROM bm GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin),
+      (s, d) => resampleWav(wavTable(s, d), 4).toDF().orderBy("doc_id")),
 
     // Q35b2 REAL multi-frame decode: GIF payloads (deterministic per-frame
     // gradients keyed on doc_id, lossless via an explicit 256-gray

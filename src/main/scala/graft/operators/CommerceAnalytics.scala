@@ -538,6 +538,46 @@ object CommerceAnalytics extends QueryModule {
             """aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
               |          (e, x) -> (256 * x + 768 * e) div 1024)""".stripMargin)
             .as("ewma_s"))
-          .orderBy("user_id"))
+          .orderBy("user_id")),
+
+    // ── Q121 top-N + OTHER rollup ────────────────────────────────────────
+    // The reporting idiom every dashboard runs: revenue by brand, keeping
+    // the top-5 brands and collapsing the tail into 'OTHER'. The
+    // dictionary (which brands are top-5) is DATA-DEPENDENT: derived from
+    // the same aggregation, ranked on the bounded brand domain (25 rows —
+    // the q93 bounded-frame discipline), and broadcast back for the
+    // relabel; the second aggregation re-shuffles only |brands| rows.
+    // Revenue is exact DECIMAL, ties broken by brand name.
+    Q("q121_topn_other",
+      Some("""WITH rev AS (
+             |  SELECT p.p_brand AS brand,
+             |         count(*) AS n_items,
+             |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |  GROUP BY 1),
+             |rk AS (
+             |  SELECT brand, n_items, r,
+             |         row_number() OVER (ORDER BY r DESC, brand) AS rnk
+             |  FROM rev)
+             |SELECT CASE WHEN rnk <= 5 THEN brand ELSE 'OTHER' END AS label,
+             |  CAST(sum(n_items) AS BIGINT) AS n_items,
+             |  CAST(sum(r) AS DOUBLE) AS revenue
+             |FROM rk GROUP BY 1 ORDER BY label""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val part = t(s, d, "part")
+        val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+        val w = Window.orderBy(desc("r"), asc("brand"))
+        rev.withColumn("rnk", row_number().over(w))
+          .withColumn("label",
+            when(col("rnk") <= 5, col("brand")).otherwise(lit("OTHER")))
+          .groupBy("label")
+          .agg(sum("n_items").cast("long").as("n_items"),
+            sum("r").cast("double").as("revenue"))
+          .orderBy("label")
+      })
   )
 }

@@ -128,6 +128,30 @@ class CommerceAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q120 resample blocks are consistent with the raw decode") {
+    val res = SparkEntry.queries("q120_audio_resample")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val raw = SparkEntry.queries("q35e_audio_decode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.keySet == raw.keySet)
+    res.foreach { case (id, (nb, mFirst, _)) =>
+      assert(nb == raw(id) / 4, s"doc $id: $nb blocks vs ${raw(id)} samples")
+      assert(mFirst >= -32768L && mFirst <= 32767L, s"doc $id mean $mFirst")
+    }
+  }
+
+  test("q121 top-5 plus OTHER partitions all line items") {
+    val out = SparkEntry.queries("q121_topn_other")(spark, sf).collect()
+    assert(out.length == 6, s"expected 5 brands + OTHER, got ${out.length}")
+    assert(out.exists(_.getString(0) == "OTHER"))
+    val total = out.map(_.getLong(1)).sum
+    val li = Tables.table(spark, sf, "lineitem").count()
+    assert(total == li, s"item counts $total != lineitem $li")
+    val other = out.filter(_.getString(0) == "OTHER").head.getDouble(2)
+    val named = out.filter(_.getString(0) != "OTHER").map(_.getDouble(2))
+    assert(named.forall(_ > 0.0) && other > 0.0)
+  }
+
   test("q105 attribution covers every purchase exactly once") {
     val att = SparkEntry.queries("q105_attribution")(spark, sf).collect()
     val attributed = att.map(_.getLong(1)).sum
