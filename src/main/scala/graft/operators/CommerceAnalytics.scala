@@ -578,6 +578,99 @@ object CommerceAnalytics extends QueryModule {
           .agg(sum("n_items").cast("long").as("n_items"),
             sum("r").cast("double").as("revenue"))
           .orderBy("label")
+      }),
+
+    // ── Q122 missing-ID ranges (gaps-and-islands WITHOUT a global sort) ──
+    // Which ranges of the order-key sequence are absent once pending
+    // ('P') orders drop out — the audit a warehouse runs on any
+    // "should-be-contiguous" ID domain. The classic formulation is one
+    // global lead() — an Exchange SinglePartition. Here the key domain is
+    // BUCKETED (div 4096): in-bucket gaps come from a lead window
+    // PARTITIONED by bucket (fully parallel, ≤4096 rows each), and
+    // cross-bucket gaps from a lead over the per-bucket min/max summary
+    // (n/4096 rows — the only unpartitioned window input, 4096× smaller
+    // than the corpus; empty buckets fall out of the same seam logic).
+    // The union is EXACTLY the global gap set, which is what the oracle
+    // computes with the simple single-window form.
+    Q("q122_key_gaps",
+      Some("""SELECT k + 1 AS gap_start, nk - 1 AS gap_end
+             |FROM (SELECT o_orderkey AS k,
+             |             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+             |      FROM orders WHERE o_orderstatus <> 'P')
+             |WHERE nk > k + 1
+             |ORDER BY gap_start""".stripMargin),
+      (s, d) => {
+        val B = 4096
+        val keys = t(s, d, "orders")
+          .filter(col("o_orderstatus") =!= "P")
+          .select(col("o_orderkey").as("k"))
+          .withColumn("b", expr(s"k div $B"))
+        val wb = Window.partitionBy("b").orderBy("k")
+        val inBucket = keys
+          .withColumn("nk", lead("k", 1).over(wb))
+          .filter(col("nk") > col("k") + 1)
+          .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"))
+        val ws = Window.orderBy("b")
+        val between = keys.groupBy("b")
+          .agg(min("k").as("mn"), max("k").as("mx"))
+          .withColumn("nmn", lead("mn", 1).over(ws))
+          .filter(col("nmn") > col("mx") + 1)
+          .select((col("mx") + 1).as("gap_start"), (col("nmn") - 1).as("gap_end"))
+        inBucket.unionAll(between).orderBy("gap_start")
+      }),
+
+    // ── Q123 deletion-request propagation (right-to-be-forgotten audit) ──
+    // A deterministic cohort of customers (c_custkey % 53 == 0) requests
+    // erasure; the operator propagates the deletion across every table
+    // that references them — orders by custkey, lineitems through their
+    // orders, events by user id — and emits the audit a compliance job
+    // must produce: per table, how many rows the deletion removes and
+    // how many remain. All joins are semi/anti on the (broadcast) target
+    // set or on the affected-order keys; each table is scanned once.
+    Q("q123_forgotten_user",
+      Some("""WITH tg AS (SELECT c_custkey AS t FROM customer WHERE c_custkey % 53 = 0),
+             |o AS (
+             |  SELECT count(CASE WHEN t IS NOT NULL THEN 1 END) AS ndel, count(*) AS n
+             |  FROM orders LEFT JOIN tg ON o_custkey = t),
+             |li AS (
+             |  SELECT count(CASE WHEN t IS NOT NULL THEN 1 END) AS ndel, count(*) AS n
+             |  FROM lineitem
+             |  LEFT JOIN (SELECT DISTINCT o_orderkey, tg.t FROM orders JOIN tg ON o_custkey = t) x
+             |    ON l_orderkey = x.o_orderkey),
+             |ev AS (
+             |  SELECT count(CASE WHEN t IS NOT NULL THEN 1 END) AS ndel, count(*) AS n
+             |  FROM events LEFT JOIN tg ON user_id = t),
+             |cu AS (
+             |  SELECT count(CASE WHEN t IS NOT NULL THEN 1 END) AS ndel, count(*) AS n
+             |  FROM customer LEFT JOIN tg ON c_custkey = t)
+             |SELECT 'customer' AS tbl, CAST(ndel AS BIGINT) AS n_deleted,
+             |       CAST(n - ndel AS BIGINT) AS n_remaining FROM cu
+             |UNION ALL SELECT 'events', CAST(ndel AS BIGINT), CAST(n - ndel AS BIGINT) FROM ev
+             |UNION ALL SELECT 'lineitem', CAST(ndel AS BIGINT), CAST(n - ndel AS BIGINT) FROM li
+             |UNION ALL SELECT 'orders', CAST(ndel AS BIGINT), CAST(n - ndel AS BIGINT) FROM o
+             |ORDER BY tbl""".stripMargin),
+      (s, d) => {
+        val tg = t(s, d, "customer")
+          .filter(col("c_custkey") % 53 === 0)
+          .select(col("c_custkey").as("tgt"))
+        def audit(tbl: String, df: DataFrame, key: org.apache.spark.sql.Column,
+            rhs: DataFrame, rkey: org.apache.spark.sql.Column): DataFrame = {
+          val ndel = count(when(col("__hit").isNotNull, 1))
+          df.join(broadcast(rhs.select(rkey.as("__hit")).distinct()),
+              key === col("__hit"), "left")
+            .agg(lit(tbl).as("tbl"), ndel.as("n_deleted"),
+              (count(lit(1)) - ndel).as("n_remaining"))
+        }
+        val orders = t(s, d, "orders")
+        val affectedOrders = orders
+          .join(broadcast(tg), col("o_custkey") === col("tgt"), "left_semi")
+          .select("o_orderkey")
+        audit("customer", t(s, d, "customer"), col("c_custkey"), tg, col("tgt"))
+          .unionAll(audit("events", t(s, d, "events"), col("user_id"), tg, col("tgt")))
+          .unionAll(audit("lineitem", t(s, d, "lineitem"), col("l_orderkey"),
+            affectedOrders, col("o_orderkey")))
+          .unionAll(audit("orders", orders, col("o_custkey"), tg, col("tgt")))
+          .orderBy("tbl")
       })
   )
 }

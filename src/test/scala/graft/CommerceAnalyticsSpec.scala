@@ -152,6 +152,42 @@ class CommerceAnalyticsSpec extends SparkSpec {
     assert(named.forall(_ > 0.0) && other > 0.0)
   }
 
+  test("q122 bucketed gaps equal a global sequential replay") {
+    val gaps = SparkEntry.queries("q122_key_gaps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keys = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") =!= "P")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val expect = keys.zip(keys.tail).collect {
+      case (a, b) if b > a + 1 => (a + 1, b - 1)
+    }
+    assert(gaps.sameElements(expect),
+      s"${gaps.length} gaps vs replay ${expect.length}")
+    gaps.foreach { case (s0, e0) => assert(s0 <= e0) }
+  }
+
+  test("q123 deletion audit is consistent across referencing tables") {
+    val audit = SparkEntry.queries("q123_forgotten_user")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit.keySet == Set("customer", "events", "lineitem", "orders"))
+    val targets = Tables.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 53 === 0).collect().map(_.getLong(0)).toSet
+    assert(audit("customer")._1 == targets.size)
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+    val affected = orders.filter(r => targets(r.getLong(1))).map(_.getLong(0)).toSet
+    assert(audit("orders")._1 == affected.size)
+    val liDel = Tables.table(spark, sf, "lineitem").select("l_orderkey")
+      .collect().count(r => affected(r.getLong(0)))
+    assert(audit("lineitem")._1 == liDel)
+    // Deleted + remaining must equal each table's full count.
+    audit.foreach { case (tbl, (d0, r0)) =>
+      val full = Tables.table(spark, sf,
+        if (tbl == "events") "events" else tbl).count()
+      assert(d0 + r0 == full, s"$tbl: $d0 + $r0 != $full")
+    }
+  }
+
   test("q105 attribution covers every purchase exactly once") {
     val att = SparkEntry.queries("q105_attribution")(spark, sf).collect()
     val attributed = att.map(_.getLong(1)).sum
