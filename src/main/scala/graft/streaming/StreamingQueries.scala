@@ -567,6 +567,53 @@ object StreamingQueries extends QueryModule {
     // Glue handoff (`:105-123`) without the 10 s sleep (`:132`): the
     // trigger sees exactly the committed files. Oracle = the batch
     // derivation (stream and batch must agree on AvailableNow input).
+    // Q124 streaming temporal enrichment — the feature-store read path:
+    // each event is joined to the dimension VERSION that was valid at the
+    // event's own time (stream-static join with an interval condition;
+    // the versioned dim is a broadcast, 3 rows per customer with
+    // [valid_from, valid_to) windows over the fixture's January span).
+    // This is q112's point-in-time-correctness discipline applied to a
+    // stream: no state store needed — the static side is immutable for
+    // the run, so the join is map-only per micro-batch at any rate.
+    // Oracle = the identical batch join on epoch micros, hash-checked.
+    Q("q124_stream_temporal_enrich",
+      Some("""WITH hist AS (
+             |  SELECT c_custkey, v,
+             |    CASE v WHEN 0 THEN 1704067200000000
+             |           WHEN 1 THEN 1704931200000000
+             |           ELSE 1705795200000000 END AS vf_us,
+             |    CASE v WHEN 0 THEN 1704931200000000
+             |           WHEN 1 THEN 1705795200000000
+             |           ELSE 9999999999999999 END AS vt_us,
+             |    (c_custkey * 7 + v) % 5 AS plan_code
+             |  FROM customer, (SELECT unnest([0, 1, 2]) AS v))
+             |SELECT e.event_id, CAST(h.v AS INT) AS version,
+             |       CAST(h.plan_code AS BIGINT) AS plan_code
+             |FROM events e JOIN hist h ON e.user_id = h.c_custkey
+             |WHERE epoch_us(e.ts) >= h.vf_us AND epoch_us(e.ts) < h.vt_us
+             |ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val hist = Tables.table(s, d, "customer").select("c_custkey")
+          .withColumn("v", explode(expr("array(0, 1, 2)")))
+          .withColumn("vf_us", expr(
+            """CASE v WHEN 0 THEN 1704067200000000L
+              |       WHEN 1 THEN 1704931200000000L
+              |       ELSE 1705795200000000L END""".stripMargin))
+          .withColumn("vt_us", expr(
+            """CASE v WHEN 0 THEN 1704931200000000L
+              |       WHEN 1 THEN 1705795200000000L
+              |       ELSE 9999999999999999L END""".stripMargin))
+          .withColumn("plan_code", expr("(c_custkey * 7 + v) % 5"))
+        val enriched = eventsStream(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .join(broadcast(hist),
+            col("user_id") === col("c_custkey") &&
+              col("ts_us") >= col("vf_us") && col("ts_us") < col("vt_us"))
+          .select(col("event_id"), col("v").cast("int").as("version"),
+            col("plan_code"))
+        runToMemory(enriched, "q124_out", "append").orderBy("event_id")
+      }),
+
     Q("q34_streaming_pipeline",
       Some("""WITH txn AS (
              |  SELECT

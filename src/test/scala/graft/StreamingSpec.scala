@@ -646,4 +646,17 @@ class StreamingSpec extends SparkSpec {
       .orderBy("window_start", "event_type")
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("Q124: every event is enriched with exactly one valid dim version") {
+    val out = SparkEntry.queries("q124_stream_temporal_enrich")(spark, sf)
+      .collect()
+    val nEvents = Tables.table(spark, sf, "events").count()
+    assert(out.length.toLong == nEvents,
+      s"${out.length} enriched rows vs $nEvents events — versions must " +
+        "partition event time for every user")
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "an event matched more than one version")
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 2))
+    assert(out.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 5L))
+  }
 }
