@@ -82,7 +82,13 @@ object Bench {
     // outside the timed loop — a layout write is an ETL decision amortized
     // over every later query, not per-query work. The executed plan of the
     // warmup run doubles as the plan_fp source (post-AQE final plan).
+    // Local-dev subset knob (unset on the driver): comma-separated name
+    // substrings — time just the queries under the knife without paying
+    // the full 160-query suite per iteration.
+    val onlySubstr = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val queriesSorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlySubstr.isEmpty || onlySubstr.exists(n.contains) }
     val planFps: Seq[(String, String)] = queriesSorted.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

@@ -649,13 +649,23 @@ object Similarity extends QueryModule {
         out.result().iterator
       }
     }.toDF("cid", "cv", "cn")
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
     for (_ <- 1 to iters) {
-      val assigned = sample.join(broadcast(cents))
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("vec_id"), col("v"))
+      // Nearest-centroid assignment as a MAP-ONLY pass: the ≤ k centroids
+      // collapse to one broadcast array row, each sample vector scores all
+      // of them inside a codegen'd `transform`, and `array_min` keeps the
+      // best (negated-cosine, cid) struct — identical (desc ccos, asc cid)
+      // semantics to the former row_number window, without materializing
+      // and shuffle-sorting |sample|×k pair rows (the r10 bench's cost
+      // center at scale: a window is a full shuffle + sort; this is zero
+      // shuffles and O(k) per row).
+      val assigned = sample
+        .crossJoin(broadcast(cents.agg(sort_array(
+          collect_list(struct(col("cid"), col("cv"), col("cn")))).as("cs"))))
+        .withColumn("best", array_min(transform(col("cs"), c =>
+          struct((-(dot(col("v"), c.getField("cv")) /
+              (col("nrm") * c.getField("cn")))).as("nc"),
+            c.getField("cid").as("cid")))))
+        .select(col("best.cid").as("cid"), col("vec_id"), col("v"))
       val updated = assigned.groupBy("cid")
         .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
         .withColumn("cv2", expr(s"transform(sequence(1, $Dim), i -> " +
@@ -714,20 +724,102 @@ object Similarity extends QueryModule {
     val nprobe = nprobeOpt.getOrElse(fit._2)
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    val cents = broadcast(kmeansCentroids(emb, nCentroids)
-      .select(col("cid"), col("cv").as("ce"), col("cn")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cid"))
-    val ranked = withNorm.join(cents)
-      .withColumn("ccos", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-      .withColumn("crn", row_number().over(wAssign))
-      .select(col("vec_id"), col("cid"), col("crn"), col("embedding"), col("nrm"))
-    // One row per (vector, probed cluster); the crn=1 row IS the residency.
-    val rows = ranked.filter(col("crn") <= nprobe)
+    val cents = kmeansCentroids(emb, nCentroids)
+      .select(col("cid"), col("cv").as("ce"), col("cn"))
+    // One row per (vector, probed cluster); the pos=0 row IS the residency.
+    val rows = probeAssignments(withNorm, cents, nprobe)
       .select(col("vec_id"), lit(0).as("c"), col("cid").cast("long").as("v"),
         col("embedding").cast("array<double>").as("emb"), col("nrm"),
         (col("crn") === 1).as("res"))
     bucketTopK(rows.as[BucketVec], k, cap)
   }
+
+  /** Nearest-`nprobe` centroid assignment as a MAP-ONLY pass. The old
+    * formulation joined every vector against every centroid and ranked
+    * the n×k pair rows through a `row_number` window — a full shuffle +
+    * sort of the cross product, the r10 bench's dominant cost (q27d
+    * 8.3 s). Here the ≤ 256 centroids collapse into ONE broadcast array
+    * row; each vector scores all of them inside a codegen'd `transform`
+    * (same DotProductDouble accumulation as before — bit-identical
+    * doubles), and `slice(array_sort(...))` keeps the nprobe best by the
+    * exact former ordering: the sort key is the struct (−cosine, cid),
+    * whose ascending lexicographic order IS (desc ccos, asc cid). Zero
+    * shuffles, O(k log k) per row, and the n×k pair set never exists as
+    * rows — the shape that survives 100 TB, where the window variant
+    * would shuffle ~n×k wide rows.
+    * Input: `withNorm` = (vec_id, embedding, nrm); `cents` = (cid, ce, cn).
+    * Output: (vec_id, cid, crn, embedding, nrm) with crn ∈ [1, nprobe]. */
+  def probeAssignments(withNorm: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val centArr = broadcast(cents.agg(sort_array(
+      collect_list(struct(col("cid"), col("ce"), col("cn")))).as("cs")))
+    withNorm.crossJoin(centArr)
+      .withColumn("top", slice(array_sort(transform(col("cs"), c =>
+        struct((-(dot(col("embedding"), c.getField("ce")) /
+            (col("nrm") * c.getField("cn")))).as("nc"),
+          c.getField("cid").as("cid")))), 1, nprobe))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("top")))
+      .select(col("vec_id"), col("col.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("crn"), col("embedding"), col("nrm"))
+  }
+
+  /** Per-(sfDir) persisted IVF index locations built in THIS JVM. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The index dir a corpus resolved to in this JVM, if built — lets
+    * specs assert build-once reuse without scanning tmpdir. */
+  private[graft] def ivfIndexDirFor(dir: String): Option[String] =
+    Option(ivfIndexCache.get(dir))
+
+  /** Build-once IVF index persistence (r10 verdict "What's missing" #1):
+    * a production ANN corpus is fitted ONCE and served MANY times — every
+    * earlier round's q27d re-ran the k-means fit and the full corpus
+    * assignment per query. The index is two parquet tables under a work
+    * dir (same per-(corpus) JVM cache + shutdown-hook cleanup discipline
+    * as SourceFormats):
+    *
+    *   centroids/  (cid, cv DOUBLE[], cn)       — ≤ 256 rows, the fit;
+    *   lists/      (vec_id, crn, emb, nrm) PARTITIONED BY cid — the
+    *               inverted lists: crn=1 rows are cluster residency,
+    *               crn ∈ (1, nprobe] rows are each vector's precomputed
+    *               probe set at the fitted probe width.
+    *
+    * `lists/` is repartitioned on cid before the partitioned write, so
+    * each cluster's list lands as a contiguous file set under its own
+    * cid=… directory — a probe of specific clusters is partition-PRUNED
+    * at the scan, and at 100 TB the layout shards by cluster instead of
+    * re-scoring the corpus. Serving (q126) reads ONLY these tables: no
+    * k-means stages, no assignment pass — plan-asserted in
+    * DedupSimilaritySpec (no ExistingRDD lineage from the fit's
+    * localCheckpoints). */
+  def buildIvfIndex(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, { _ =>
+      val emb = t(s, dir, "embeddings")
+      val (nCentroids, nprobe) = ivfParams(emb.count())
+      val cents = kmeansCentroids(emb, nCentroids)
+      val p = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+      }
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
+      val withNorm = emb.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      probeAssignments(withNorm,
+          cents.select(col("cid"), col("cv").as("ce"), col("cn")), nprobe)
+        .select(col("vec_id"), col("cid"), col("crn"),
+          col("embedding").cast("array<double>").as("emb"), col("nrm"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$p/lists")
+      p.toString
+    })
 
   /** The shared nonlinear integer mix → uniform double in [−0.5, 0.5],
     * exact in 64-bit arithmetic in both engines (same family as
@@ -875,6 +967,50 @@ object Similarity extends QueryModule {
        |    * CAST(embedding[i] AS DOUBLE))""".stripMargin
   }
 
+  /** The q27d fit prefix in DuckDB — corpus read, fitted √n/11·16⁻¹
+    * params, k-means|| seeding, two Lloyd iterations (ends at CTE `c2`,
+    * no trailing comma). Shared by q27d/q126 (full ranking) and q125
+    * (centroid dump): one text, three hash checks. */
+  private lazy val ivfFitDuck: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |kk AS (
+       |  SELECT least(256, CAST(round(sqrt(count(*))) AS BIGINT)) AS k,
+       |         CAST(ceil(least(256, CAST(round(sqrt(count(*))) AS BIGINT)) * $IvfProbeFrac) AS BIGINT) AS np
+       |  FROM e),
+       |s AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 3 = 0),
+       |${seedDuck("SELECT k FROM kk")},
+       |${lloydSql(1, "c0")},
+       |${lloydSql(2, "c1")}""".stripMargin
+
+  /** Full q27d oracle — fit prefix + cluster-local ranking. Also q126's
+    * oracle verbatim: the index-served answer must hash-equal the
+    * fit-per-query answer. */
+  private lazy val ivfDuckSql: String =
+    s"""$ivfFitDuck,
+       |ranked AS (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid) AS crn
+       |  FROM e CROSS JOIN c2 c),
+       |members AS (SELECT cid, vec_id AS nbr_id FROM ranked WHERE crn = 1),
+       |probes AS (SELECT vec_id, cid FROM ranked
+       |           WHERE crn <= (SELECT np FROM kk)),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id, m.nbr_id
+       |  FROM probes p JOIN members m USING (cid) WHERE p.vec_id <> m.nbr_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.nbr_id,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id)
+       |SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
+       |  SELECT vec_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+       |  FROM scored) WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Q27 exact brute-force cosine top-3 per vector.
@@ -946,39 +1082,49 @@ object Similarity extends QueryModule {
     // cluster-local bounded heaps equal a global rank over the candidate
     // union. Recall additionally asserted in ScalaTest.
     Q("q27d_knn_ivf",
-      Some(s"""WITH RECURSIVE e AS (
-              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-              |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-              |  FROM embeddings),
-              |kk AS (
-              |  SELECT least(256, CAST(round(sqrt(count(*))) AS BIGINT)) AS k,
-              |         CAST(ceil(least(256, CAST(round(sqrt(count(*))) AS BIGINT)) * $IvfProbeFrac) AS BIGINT) AS np
-              |  FROM e),
-              |s AS (SELECT vec_id, v, nrm FROM e WHERE vec_id % 3 = 0),
-              |${seedDuck("SELECT k FROM kk")},
-              |${lloydSql(1, "c0")},
-              |${lloydSql(2, "c1")},
-              |ranked AS (
-              |  SELECT e.vec_id, c.cid,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cid) AS crn
-              |  FROM e CROSS JOIN c2 c),
-              |members AS (SELECT cid, vec_id AS nbr_id FROM ranked WHERE crn = 1),
-              |probes AS (SELECT vec_id, cid FROM ranked
-              |           WHERE crn <= (SELECT np FROM kk)),
-              |cand AS (
-              |  SELECT DISTINCT p.vec_id, m.nbr_id
-              |  FROM probes p JOIN members m USING (cid) WHERE p.vec_id <> m.nbr_id),
-              |scored AS (
-              |  SELECT c.vec_id, c.nbr_id,
-              |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-              |  FROM cand c JOIN e a ON a.vec_id = c.vec_id JOIN e b ON b.vec_id = c.nbr_id)
-              |SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
-              |  SELECT vec_id, nbr_id, cos,
-              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
-              |  FROM scored) WHERE rnk <= 3
-              |ORDER BY vec_id, rnk""".stripMargin),
+      Some(ivfDuckSql),
       (s, d) => ivfTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
+
+    // Q125 ANN index BUILD (r10 verdict missing #1 — build-once /
+    // query-many): fits the q27d centroids, persists them plus the
+    // cid-partitioned inverted lists (buildIvfIndex), and RETURNS the
+    // fitted centroids element-wise — (cid, i, x) rows read back from the
+    // persisted centroids/ table, so the hash check proves the on-disk
+    // fit is bit-identical to the oracle's replayed k-means. Build cost
+    // is paid here exactly once per corpus; q126 then serves top-k
+    // reading only the index.
+    Q("q125_ann_index_build",
+      Some(s"""$ivfFitDuck
+              |SELECT cid, CAST(i AS BIGINT) AS i, cv[i] AS x
+              |FROM c2 CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i)
+              |ORDER BY cid, i""".stripMargin),
+      (s, d) => {
+        val idx = buildIvfIndex(s, d)
+        s.read.parquet(s"$idx/centroids")
+          .select(col("cid"), posexplode(col("cv")))
+          .select(col("cid"), (col("pos") + 1).cast("long").as("i"),
+            col("col").as("x"))
+          .orderBy("cid", "i")
+      }),
+
+    // Q126 ANN index QUERY — top-3 served from the PERSISTED index: reads
+    // the cid-partitioned inverted lists (residency = crn 1, probe sets =
+    // crn 2…nprobe) and runs only the bucket-local bounded heaps — no
+    // k-means fit, no corpus assignment pass (plan-asserted: no
+    // ExistingRDD fit lineage in DedupSimilaritySpec). The oracle is
+    // q27d's SQL VERBATIM, so the hash check proves the served answer
+    // equals the fit-per-query answer row for row — the build/serve split
+    // loses nothing.
+    Q("q126_ann_index_query",
+      Some(ivfDuckSql),
+      (s, d) => {
+        val idx = buildIvfIndex(s, d)
+        import s.implicits._
+        val rows = s.read.parquet(s"$idx/lists")
+          .select(col("vec_id"), lit(0).as("c"), col("cid").cast("long").as("v"),
+            col("emb"), col("nrm"), (col("crn") === 1).as("res"))
+        bucketTopK(rows.as[BucketVec], 3).orderBy("vec_id", "rnk")
+      }),
 
     // Q27g IVF on the planted CLUSTERED corpus — the regime where IVF's
     // candidate economics pay (verdict r7 #3): same ivfTopK dataflow, but

@@ -179,6 +179,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(biggest > 0 && biggest <= 128, s"resident block of $biggest escaped the cap")
   }
 
+  test("q126 serves q27d's exact answer from the persisted index with no fit in the plan") {
+    // Build-once / query-many (r10 verdict missing #1): the served top-k
+    // must equal the fit-per-query answer row for row, and the serving
+    // plan must not contain the k-means lineage — the fit's
+    // localCheckpoints surface as ExistingRDD scans, so their absence
+    // proves q126 read only the persisted index tables.
+    val served = SparkEntry.queries("q126_ann_index_query")(spark, sf)
+    val fitted = SparkEntry.queries("q27d_knn_ivf")(spark, sf)
+    assert(served.collect().toSeq == fitted.collect().toSeq,
+      "index-served top-k diverged from the fit-per-query answer")
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD"),
+      s"k-means fit lineage leaked into the serving plan:\n$p")
+    // Build-once: the index dir is registered and reused across calls.
+    val idx = Similarity.ivfIndexDirFor(sf)
+    assert(idx.nonEmpty, "index dir not registered after build")
+    assert(Similarity.buildIvfIndex(spark, sf) == idx.get,
+      "second build call did not reuse the cached index")
+  }
+
   test("q27g: clustered-corpus IVF reaches recall ≥ 0.9 at nprobe 2/32 with ≤ 10% of brute candidates") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
