@@ -12,6 +12,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * map-side combine — one O(dim) row per partition crosses the wire, never
   * the vectors. Doubles here are SELECTED (never derived), so downstream
   * arithmetic on them is engine-exact.
+  *
+  * NaN contract (ADVICE r10): inputs are REQUIRED NaN-free and a NaN
+  * fails loudly. Java `<`/`>` are false for NaN, so silently admitting
+  * one would skip it here while Spark's native min/max and DuckDB both
+  * treat NaN as the GREATEST double — a cross-engine divergence that
+  * would corrupt q116's oracle parity without a visible error. The
+  * embeddings fixture is NaN-free by construction; a pipeline with dirty
+  * floats must filter/impute before this aggregator (the same posture as
+  * the raise_error id-collision guards in Similarity).
   */
 class ElemMinMaxAggregator(dim: Int)
     extends Aggregator[Seq[Float], (Array[Double], Array[Double]), (Seq[Double], Seq[Double])] {
@@ -26,6 +35,8 @@ class ElemMinMaxAggregator(dim: Int)
     var i = 0
     while (i < dim) {
       val v = in(i).toDouble
+      require(!v.isNaN, s"NaN at dim $i: ElemMinMaxAggregator requires " +
+        "NaN-free input (see NaN contract in the class scaladoc)")
       if (v < b._1(i)) b._1(i) = v
       if (v > b._2(i)) b._2(i) = v
       i += 1

@@ -68,9 +68,15 @@ object CommerceAnalytics extends QueryModule {
              |ORDER BY a, b""".stripMargin),
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val part = t(s, d, "part")
+        // No broadcast HINT on part: it is corpus-scaled (grows with SF),
+        // so a forced broadcast risks the driver/8 GB cap at large SF —
+        // the narrow (key, brand) projection is declared and AQE picks
+        // broadcast at runtime whenever the measured size allows (it does
+        // at every fixture SF). Only the genuinely bounded frames below
+        // (25-brand supp, 1-row nb) keep explicit hints. (ADVICE r10)
+        val part = t(s, d, "part").select("p_partkey", "p_brand")
         val items = li
-          .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
           .distinct()
         val nb = items.agg(countDistinct("basket").as("nbk"))
@@ -301,7 +307,8 @@ object CommerceAnalytics extends QueryModule {
     // per-customer. Pair generation is IN-ROW (sorted item array →
     // combination explode — no self-join, no second incidence
     // derivation); similarity is the integer squared-cosine surrogate
-    // (10⁶·n_ab²) div (n_a·n_b); per-item top-3 by rank window. The
+    // (10⁶·min(n_ab,10⁶)²) div (n_a·n_b) — capped so the numerator stays
+    // < 2⁶³ at any co-occurrence count; per-item top-3 by rank window. The
     // oracle replays the identical sample with a plain self-join — same
     // pair set, so the hash check pins the in-row generator.
     Q("q110_item_neighbors",
@@ -326,9 +333,9 @@ object CommerceAnalytics extends QueryModule {
              |  SELECT ib, ia, n_ab FROM pairs),
              |scored AS (
              |  SELECT s.item, s.nbr,
-             |    (1000000 * s.n_ab * s.n_ab) // (sa.n * sb.n) AS sim_s,
+             |    (1000000 * least(s.n_ab, 1000000) * least(s.n_ab, 1000000)) // (sa.n * sb.n) AS sim_s,
              |    row_number() OVER (PARTITION BY s.item
-             |      ORDER BY (1000000 * s.n_ab * s.n_ab) // (sa.n * sb.n) DESC, s.nbr) AS rnk
+             |      ORDER BY (1000000 * least(s.n_ab, 1000000) * least(s.n_ab, 1000000)) // (sa.n * sb.n) DESC, s.nbr) AS rnk
              |  FROM sym s
              |  JOIN supp sa ON sa.item = s.item
              |  JOIN supp sb ON sb.item = s.nbr
@@ -360,10 +367,19 @@ object CommerceAnalytics extends QueryModule {
         val sym = pairs.select(col("ia").as("item"), col("ib").as("nbr"), col("n_ab"))
           .unionAll(pairs.select(col("ib").as("item"), col("ia").as("nbr"), col("n_ab")))
         val w = Window.partitionBy("item").orderBy(desc("sim_s"), asc("nbr"))
+        // supp's cardinality = distinct items — corpus-scaled, so no
+        // forced broadcast (a data-dependent frame must never carry an
+        // unconditional hint — the Similarity.capBuckets discipline); sym
+        // is already shuffled on item/nbr, and AQE broadcasts at runtime
+        // when the measured size allows. least(n_ab, 1e6) bounds the
+        // squared term: 1e6·(1e6)² = 1e18 < 2⁶³, so the score can never
+        // wrap under non-ANSI Spark while DuckDB raises — the cap is in
+        // BOTH engines' SQL, keeping them bit-identical at any SF.
         sym.filter(col("n_ab") >= 2)
-          .join(broadcast(supp.select(col("item").as("item"), col("n").as("n_i"))), "item")
-          .join(broadcast(supp.select(col("item").as("nbr"), col("n").as("n_j"))), "nbr")
-          .withColumn("sim_s", expr("(1000000 * n_ab * n_ab) div (n_i * n_j)"))
+          .join(supp.select(col("item").as("item"), col("n").as("n_i")), "item")
+          .join(supp.select(col("item").as("nbr"), col("n").as("n_j")), "nbr")
+          .withColumn("sim_s", expr(
+            "(1000000 * least(n_ab, 1000000L) * least(n_ab, 1000000L)) div (n_i * n_j)"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("item"), col("nbr"), col("sim_s"), col("rnk"))
@@ -565,8 +581,9 @@ object CommerceAnalytics extends QueryModule {
              |FROM rk GROUP BY 1 ORDER BY label""".stripMargin),
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val part = t(s, d, "part")
-        val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        // Corpus-scaled dim: no forced broadcast — AQE decides (q101 note).
+        val part = t(s, d, "part").select("p_partkey", "p_brand")
+        val rev = li.join(part, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand").as("brand"))
           .agg(count(lit(1)).as("n_items"),
             sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))

@@ -48,6 +48,14 @@ object SourceFormats extends QueryModule {
       p.toString
     })
 
+  /** The exact work dir a (query, sfDir) key resolved to in THIS JVM, if
+    * it ran — lets specs audit the layout they just produced instead of
+    * scanning java.io.tmpdir, where a stale dir from a killed JVM
+    * (shutdown hooks don't run on SIGKILL) or a concurrent test JVM
+    * would be picked up and asserted against (ADVICE r10). */
+  private[graft] def workDirFor(key: String): Option[String] =
+    Option(dirCache.get(key))
+
   /** Avro record schema (JSON) for a flat Spark schema — the four
     * primitive shapes the interchange tables need. Non-null by contract:
     * the driver tables carry no NULLs in these columns, and a nullable

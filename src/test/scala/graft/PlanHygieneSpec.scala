@@ -213,4 +213,22 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("FileScan") && !p.contains("parquet"),
       s"corpus scan leaked into the post-round output plan:\n$p")
   }
+
+  test("q110/q101: corpus-scaled frames carry no forced broadcast, yet " +
+      "still broadcast at fixture scale via runtime stats") {
+    // ADVICE r10: the per-item support frame (q110) and the part dim
+    // (q101) are data-dependent/corpus-scaled, so the code must NOT pin
+    // them with a broadcast hint (a hint is unconditional — it would
+    // still fire at 100 TB item cardinality and blow the driver). The
+    // planner remains free to broadcast from MEASURED sizes, and at
+    // fixture scale it does: both plans still show BroadcastHashJoin, so
+    // dropping the hints cost nothing here while the 100 TB path can
+    // degrade to a shuffled join on its own.
+    val p110 = plan("q110_item_neighbors")
+    assert(p110.contains("BroadcastHashJoin"),
+      s"support joins should still broadcast at fixture scale:\n$p110")
+    val p101 = plan("q101_basket_rules")
+    assert(p101.contains("BroadcastHashJoin"),
+      s"part dim should still broadcast at fixture scale:\n$p101")
+  }
 }

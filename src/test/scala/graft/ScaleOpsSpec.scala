@@ -31,20 +31,19 @@ class ScaleOpsSpec extends SparkSpec {
     // Run the declared query (it performs the write→compact→read cycle),
     // then audit the file layout it left behind.
     SparkEntry.queries("q115_compaction")(spark, sf).collect()
-    val tmp = System.getProperty("java.io.tmpdir")
-    val work = new java.io.File(tmp).listFiles()
-      .filter(_.getName.startsWith("graft_src_"))
-      .map(d => new java.io.File(d, "compacted"))
-      .filter(_.exists())
-    assert(work.nonEmpty, "compacted output dir not found")
-    work.foreach { dir =>
-      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(files.nonEmpty && files.length <= 4,
-        s"expected <=4 compacted files, got ${files.length} in $dir")
-      val small = new java.io.File(dir.getParentFile, "small")
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      assert(small == 64, s"landing zone should have 64 shards, got $small")
-    }
+    // Audit ONLY the dir this run used (SourceFormats.workDirFor) — a
+    // tmpdir-wide graft_src_* scan could match a stale dir from a killed
+    // JVM or a concurrent test JVM (ADVICE r10).
+    val base = graft.sources.SourceFormats.workDirFor(s"q115:$sf")
+    assert(base.nonEmpty, "q115 work dir not registered in this JVM")
+    val dir = new java.io.File(base.get, "compacted")
+    assert(dir.exists(), s"compacted output dir not found under ${base.get}")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.length <= 4,
+      s"expected <=4 compacted files, got ${files.length} in $dir")
+    val small = new java.io.File(base.get, "small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(small == 64, s"landing zone should have 64 shards, got $small")
   }
 
   test("bucketed join equals plain shuffle join") {
