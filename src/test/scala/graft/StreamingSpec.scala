@@ -636,6 +636,26 @@ class StreamingSpec extends SparkSpec {
       "exactly-once violated: duplicate transaction_ids in the committed output")
   }
 
+  test("q127: JDBC warehouse load is exactly-once under restart AND blind retry") {
+    // The engine itself re-applies the committed batch verbatim (the
+    // Lambda-style retry) between run 1 and the restart — so a non-
+    // idempotent sink would surface here as duplicates or a count drift.
+    val (out, counts) = graft.streaming.StreamingQueries
+      .idempotentWarehouseIngest(spark, sf)
+    val rows = out.count()
+    val txn = graft.pipeline.EcommercePipeline.transactions(spark, sf)
+    val nA = txn.filter(abs(hash(col("transaction_id"))) % 2 === 0).count()
+    val nB = txn.filter(abs(hash(col("transaction_id"))) % 2 === 1).count()
+    assert(counts == Seq(nA, nB),
+      s"runs ingested $counts, generations are ($nA, $nB) — " +
+        "either a reprocess (not incremental) or lost input")
+    assert(rows == nA + nB,
+      s"warehouse holds $rows rows, expected ${nA + nB} — " +
+        "the blind retry double-loaded or dropped transactions")
+    assert(rows == out.select("transaction_id").distinct().count(),
+      "exactly-once violated: duplicate transaction_ids in the warehouse")
+  }
+
   test("Q29 streaming tumbling aggregate equals the batch group-by") {
     val streamed = SparkEntry.queries("q29_stream_tumbling")(spark, sf)
     val batch = Tables.table(spark, sf, "events")
