@@ -346,19 +346,32 @@ object StreamingQueries extends QueryModule {
     * 128 checkpointed stores per micro-batch. State-shard count is a
     * throughput-sizing knob (raise it for hot streams at scale); size it
     * to the micro-batch volume here and restore the batch setting after. */
-  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+    runToMemoryThrottled(df, name, mode)._1
+
+  /** runToMemory, also returning the per-micro-batch input-row counts —
+    * the observable a rate-limit spec needs: with a source-side
+    * `maxFilesPerTrigger`, AvailableNow drains the backlog in several
+    * bounded batches instead of one unbounded one, and these counts prove
+    * it (r10 verdict #7: the backpressure knob a 100 TB ingest needs —
+    * without it, the first trigger after downtime reads the whole backlog
+    * into one micro-batch and the state/shuffle for that batch must fit
+    * in memory all at once). */
+  private def runToMemoryThrottled(df: DataFrame, name: String,
+      mode: String): (DataFrame, Seq[Long]) = {
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    val perBatch = try {
       val q = df.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.numInputRows)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    (s.table(name), perBatch)
   }
 
   /** q87's engine: restartable incremental ingestion with an EXACTLY-ONCE
@@ -374,8 +387,9 @@ object StreamingQueries extends QueryModule {
     * sink's `_spark_metadata` commit log makes the output exactly-once —
     * re-reading it yields every transaction exactly once no matter how
     * the two runs sliced the work. Returns the committed output plus the
-    * per-run input-row counts so the spec can assert run 2 ingested ONLY
-    * generation B (incremental, not a reprocess). Work dirs are fresh
+    * per-run, per-micro-batch input-row counts so the spec can assert
+    * run 2 ingested ONLY generation B (incremental, not a reprocess) and
+    * that each run's drain was rate-limit sliced. Work dirs are fresh
     * per invocation (the restart IS the operator; layout reuse would
     * hide it) and cleaned by a shutdown hook. */
   /** The two landed GENERATIONS are input that exists before a restart
@@ -391,16 +405,18 @@ object StreamingQueries extends QueryModule {
       .select("transaction_id", "product_id", "quantity")
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val stage = s"/tmp/graft_restart_stage$tag"
-    val manifest = s"v1|${txn.schema.toDDL}"
+    // v2: each generation lands as 4 shards, so a maxFilesPerTrigger-
+    // throttled drain has files to slice into multiple micro-batches.
+    val manifest = s"v2|${txn.schema.toDDL}"
     val mPath = java.nio.file.Paths.get(s"$stage/_graft_layout")
     val staged = new java.io.File(s"$stage/a/_SUCCESS").exists() &&
       new java.io.File(s"$stage/b/_SUCCESS").exists() &&
       java.nio.file.Files.exists(mPath) &&
       new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
     if (!staged) {
-      txn.filter(abs(hash(col("transaction_id"))) % 2 === 0)
+      txn.filter(abs(hash(col("transaction_id"))) % 2 === 0).repartition(4)
         .write.mode("overwrite").option("header", "true").csv(s"$stage/a")
-      txn.filter(abs(hash(col("transaction_id"))) % 2 === 1)
+      txn.filter(abs(hash(col("transaction_id"))) % 2 === 1).repartition(4)
         .write.mode("overwrite").option("header", "true").csv(s"$stage/b")
       java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
     }
@@ -417,7 +433,65 @@ object StreamingQueries extends QueryModule {
       }
   }
 
-  def restartableIngest(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
+  /** q34's engine: the reference pipeline's transform leg as a
+    * RATE-LIMITED stream. The landed-CSV directory is the pipeline's
+    * LANDING ZONE — input that exists before the streaming transform runs,
+    * not per-query work (q33 measures the landing write itself); built
+    * once per (sf, schema) and reused, manifest-validated like the
+    * bucketed layouts in ScaleOps. `maxFilesPerTrigger` (r10 verdict #7)
+    * bounds each micro-batch to 64 of the ~250 (year, month) files: an
+    * AvailableNow drain — and equally a first trigger after downtime at
+    * 100 TB — processes the backlog as a sequence of bounded batches
+    * whose state/shuffle footprint is capped, instead of one batch sized
+    * by however much data accumulated. Returns the result plus per-batch
+    * input-row counts; StreamingSpec asserts the drain really was sliced
+    * and the result is identical to the batch derivation. */
+  def streamingPipeline(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
+    import graft.pipeline.EcommercePipeline
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val landDir = s"/tmp/graft_stream_csv$tag"
+    val txn = EcommercePipeline.transactions(s, d)
+    val manifest = s"v1|${txn.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$landDir/_graft_layout")
+    val onDiskOk = new java.io.File(s"$landDir/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      EcommercePipeline.csvRoundTrip(txn, landDir)
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("transaction_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("customer_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("quantity",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("price",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("transaction_date",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payment_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    val dims = broadcast(EcommercePipeline.dimProducts(s, d)
+      .select("product_id", "category"))
+    val enriched = s.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "64")
+      .csv(landDir)
+      .join(dims, Seq("product_id"))
+      .select("transaction_id", "quantity", "category")
+    val (out, perBatch) = runToMemoryThrottled(enriched, "q34_out", "append")
+    (out.orderBy("transaction_id"), perBatch)
+  }
+
+  def restartableIngest(s: SparkSession, d: String)
+      : (DataFrame, Seq[Seq[Long]]) = {
     import graft.pipeline.EcommercePipeline
     val root = java.nio.file.Files.createTempDirectory("graft_restart_")
     sys.addShutdownHook {
@@ -439,11 +513,18 @@ object StreamingQueries extends QueryModule {
         org.apache.spark.sql.types.IntegerType)))
     val dims = broadcast(EcommercePipeline.dimProducts(s, d)
       .select("product_id", "category"))
-    def runOnce(): Long = {
+    // Rate-limit discipline (r10 verdict #7): each run drains its backlog
+    // in micro-batches of at most 2 files — a restart after downtime
+    // processes bounded slices, not one batch sized by the outage. The
+    // per-batch counts ride back so the spec can assert the slicing; the
+    // file sink's commit log makes the multi-batch output byte-identical
+    // to the unthrottled one.
+    def runOnce(): Seq[Long] = {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        val q = s.readStream.schema(schema).option("header", "true").csv(land)
+        val q = s.readStream.schema(schema).option("header", "true")
+          .option("maxFilesPerTrigger", "2").csv(land)
           .join(dims, Seq("product_id"))
           .select("transaction_id", "quantity", "category")
           .writeStream.format("parquet")
@@ -451,7 +532,7 @@ object StreamingQueries extends QueryModule {
           .outputMode("append").trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        q.recentProgress.map(_.numInputRows).sum
+        q.recentProgress.toSeq.filter(_.numInputRows > 0).map(_.numInputRows)
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
     val n1 = runOnce() // query instance 1: generation A only
@@ -836,52 +917,7 @@ object StreamingQueries extends QueryModule {
              |SELECT t.transaction_id, t.quantity, p.category
              |FROM txn t JOIN dimp p ON t.product_id = p.product_id
              |ORDER BY transaction_id""".stripMargin),
-      (s, d) => {
-        import graft.pipeline.EcommercePipeline
-        // The landed-CSV directory is the pipeline's LANDING ZONE — input
-        // that exists before the streaming transform runs, not per-query
-        // work (q33 measures the landing write itself). Build it once per
-        // (sf, schema) and reuse, manifest-validated like the bucketed
-        // layouts in ScaleOps.
-        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-        val landDir = s"/tmp/graft_stream_csv$tag"
-        val txn = EcommercePipeline.transactions(s, d)
-        val manifest = s"v1|${txn.schema.toDDL}"
-        val mPath = java.nio.file.Paths.get(s"$landDir/_graft_layout")
-        val onDiskOk = new java.io.File(s"$landDir/_SUCCESS").exists() &&
-          java.nio.file.Files.exists(mPath) &&
-          new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-        if (!onDiskOk) {
-          EcommercePipeline.csvRoundTrip(txn, landDir)
-          java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
-        }
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("transaction_id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("customer_id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("product_id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("quantity",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("price",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("transaction_date",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("payment_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
-        val dims = broadcast(EcommercePipeline.dimProducts(s, d)
-          .select("product_id", "category"))
-        val enriched = s.readStream
-          .schema(schema)
-          .option("header", "true")
-          .csv(landDir)
-          .join(dims, Seq("product_id"))
-          .select("transaction_id", "quantity", "category")
-        runToMemory(enriched, "q34_out", "append").orderBy("transaction_id")
-      }),
+      (s, d) => streamingPipeline(s, d)._1),
 
     // Q87 restartable incremental ingestion (see restartableIngest): two
     // streaming query instances over one checkpoint, the second resuming

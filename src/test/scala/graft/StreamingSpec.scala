@@ -623,17 +623,42 @@ class StreamingSpec extends SparkSpec {
     // this pins the INCREMENTAL property: run 2's progress counters must
     // equal generation B's size exactly — a reprocess of generation A
     // would double them.
-    val (out, counts) = graft.streaming.StreamingQueries
+    val (out, perRun) = graft.streaming.StreamingQueries
       .restartableIngest(spark, sf)
     val total = out.count()
-    assert(counts.size == 2 && counts.forall(_ > 0),
-      s"expected two non-empty runs: $counts")
+    assert(perRun.size == 2 && perRun.forall(_.nonEmpty),
+      s"expected two non-empty runs: $perRun")
     val txn = graft.pipeline.EcommercePipeline.transactions(spark, sf)
     val nB = txn.filter(abs(hash(col("transaction_id"))) % 2 === 1).count()
-    assert(counts(1) == nB,
-      s"run 2 ingested ${counts(1)} rows, generation B has $nB — not incremental")
+    assert(perRun(1).sum == nB,
+      s"run 2 ingested ${perRun(1).sum} rows, generation B has $nB — not incremental")
+    // Rate-limit discipline: each run's drain is sliced into bounded
+    // micro-batches (maxFilesPerTrigger=2 over ≥4 staged files ⇒ >1 batch,
+    // none holding a full generation) — yet the committed output below is
+    // still complete and duplicate-free.
+    assert(perRun.forall(_.size > 1),
+      s"expected multi-batch drains under maxFilesPerTrigger: $perRun")
+    assert(perRun(0).max < perRun(0).sum,
+      s"run 1 put the whole backlog in one batch: ${perRun(0)}")
     assert(total == out.select("transaction_id").distinct().count(),
       "exactly-once violated: duplicate transaction_ids in the committed output")
+  }
+
+  test("q34: the landing-zone drain is rate-limited into bounded micro-batches") {
+    // maxFilesPerTrigger=64 over the ~250-file (year, month) landing zone:
+    // AvailableNow must slice the backlog into several batches, each
+    // bounded, while the union of batches equals the batch derivation —
+    // the backpressure posture a 100 TB ingest restart needs.
+    val (out, perBatch) = graft.streaming.StreamingQueries
+      .streamingPipeline(spark, sf)
+    assert(perBatch.size > 1,
+      s"expected a sliced drain, got one batch: $perBatch")
+    val total = perBatch.sum
+    assert(perBatch.max < total,
+      s"one micro-batch held the whole backlog: $perBatch")
+    val expected = graft.pipeline.EcommercePipeline.transactions(spark, sf).count()
+    assert(total == expected && out.count() == expected,
+      s"throttled drain lost rows: $total ingested vs $expected landed")
   }
 
   test("q127: JDBC warehouse load is exactly-once under restart AND blind retry") {
