@@ -519,14 +519,14 @@ object Similarity extends QueryModule {
        |  * cast(element_at($embExpr, i) as double)""".stripMargin
   }
 
-  def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val base = e.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    // The guard lives inside the used id expression (a dropped check column
-    // would be pruned away by Catalyst): an id at or above the offset fails
-    // the run instead of silently colliding with its own planted copy.
-    val pert = e
+  /** The perturbed-copy half of plantedEmbeddings on its own — q128's
+    * delta corpus: every fixture vector's near-duplicate (cos ≈ 0.996)
+    * under a PlantOffset id. The guard lives inside the used id
+    * expression (a dropped check column would be pruned away by
+    * Catalyst): an id at or above the offset fails the run instead of
+    * silently colliding with its own planted copy. */
+  def perturbedCopies(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         s"transform(sequence(1, $Dim), i -> ${perturbedSql("vec_id", "embedding")})")
         .as("embedding"))
@@ -535,7 +535,12 @@ object Similarity extends QueryModule {
             lit("with planted-copy ids"))))
           .as("vec_id"),
         col("embedding"))
-    base.unionByName(pert)
+
+  def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val base = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    base.unionByName(perturbedCopies(s, dir))
   }
 
   /** The q86 corpora: q84's hash rule splits the embedding table into a
@@ -795,30 +800,77 @@ object Similarity extends QueryModule {
     * DedupSimilaritySpec (no ExistingRDD lineage from the fit's
     * localCheckpoints). */
   def buildIvfIndex(s: SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, { _ =>
-      val emb = t(s, dir, "embeddings")
-      val (nCentroids, nprobe) = ivfParams(emb.count())
-      val cents = kmeansCentroids(emb, nCentroids)
-      val p = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.iterator().asScala.toSeq.reverseIterator
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
+    ivfIndexCache.computeIfAbsent(dir, _ => buildIndexInto(s, dir))
+
+  /** Fit + persist one index instance into a fresh work dir (shared by
+    * the build-once path and q128's private append instance). Alongside
+    * centroids/ and lists/, a 1-row params/ table records the fitted
+    * (n_centroids, nprobe): maintenance operations on the index must
+    * reuse the BUILD-time probe width, not re-derive one from a corpus
+    * count that the appends themselves keep changing. */
+  private def buildIndexInto(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    val (nCentroids, nprobe) = ivfParams(emb.count())
+    val cents = kmeansCentroids(emb, nCentroids)
+    val p = java.nio.file.Files.createTempDirectory("graft_ann_idx_")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
-      val withNorm = emb.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
-      probeAssignments(withNorm,
-          cents.select(col("cid"), col("cv").as("ce"), col("cn")), nprobe)
-        .select(col("vec_id"), col("cid"), col("crn"),
-          col("embedding").cast("array<double>").as("emb"), col("nrm"))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$p/lists")
-      p.toString
+    }
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$p/centroids")
+    import s.implicits._
+    Seq((nCentroids, nprobe)).toDF("nc", "np")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/params")
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    appendToLists(s, p.toString, withNorm)
+    p.toString
+  }
+
+  /** Assign a vector frame against an index's PERSISTED centroids at its
+    * PERSISTED probe width and append the rows to its inverted lists —
+    * the index-maintenance kernel: map-only scoring (probeAssignments),
+    * one shuffle on cid to co-locate each cluster's new rows with its
+    * partition directory, files appended without touching existing ones.
+    * At 100 TB this is the nightly-delta path: cost scales with the
+    * DELTA, never the corpus, and no fit runs. */
+  private def appendToLists(s: SparkSession, idx: String,
+      withNorm: DataFrame): Unit = {
+    val nprobe = s.read.parquet(s"$idx/params").head().getInt(1)
+    val cents = s.read.parquet(s"$idx/centroids")
+      .select(col("cid"), col("cv").as("ce"), col("cn"))
+    probeAssignments(withNorm, cents, nprobe)
+      .select(col("vec_id"), col("cid"), col("crn"),
+        col("embedding").cast("array<double>").as("emb"), col("nrm"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$idx/lists")
+  }
+
+  /** q128's appended-index instance: a PRIVATE base build (the shared
+    * q125/q126 index must stay append-free — its oracle replays the base
+    * corpus exactly) plus one delta append of the perturbed copies.
+    * Cached per corpus so repeated invocations serve the same index
+    * instead of appending twice. */
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The appended-index dir a corpus resolved to in this JVM, if built. */
+  private[graft] def ivfAppendDirFor(dir: String): Option[String] =
+    Option(ivfAppendCache.get(dir))
+
+  def appendedIvfIndex(s: SparkSession, dir: String): String =
+    ivfAppendCache.computeIfAbsent(dir, { _ =>
+      val idx = buildIndexInto(s, dir)
+      val delta = perturbedCopies(s, dir)
+      appendToLists(s, idx,
+        delta.select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm")))
+      idx
     })
 
   /** The shared nonlinear integer mix → uniform double in [−0.5, 0.5],
@@ -1119,6 +1171,55 @@ object Similarity extends QueryModule {
       Some(ivfDuckSql),
       (s, d) => {
         val idx = buildIvfIndex(s, d)
+        import s.implicits._
+        val rows = s.read.parquet(s"$idx/lists")
+          .select(col("vec_id"), lit(0).as("c"), col("cid").cast("long").as("v"),
+            col("emb"), col("nrm"), (col("crn") === 1).as("res"))
+        bucketTopK(rows.as[BucketVec], 3).orderBy("vec_id", "rnk")
+      }),
+
+    // Q128 ANN index APPEND (maintenance): a delta corpus — the perturbed
+    // near-copies under PlantOffset ids — is assigned against the
+    // PERSISTED centroids at the PERSISTED probe width and appended to
+    // the inverted lists; NO re-fit runs, and the append cost scales with
+    // the delta, never the corpus (the nightly-delta path a production
+    // index lives by). Serving then reads the merged lists. The oracle
+    // fits on the BASE corpus only (ivfFitDuck) and ranks the UNION —
+    // exactly what build-then-append produces — so the hash check proves
+    // the maintenance path loses nothing vs rebuilding from scratch with
+    // the same centroids. Each appended copy must also rediscover its
+    // source at rank 1 (cos ≈ 0.996, same cluster) — asserted in
+    // DedupSimilaritySpec.
+    Q("q128_ann_index_append",
+      Some(s"""$ivfFitDuck,
+              |pert AS (
+              |  SELECT vec_id + ${PlantOffset} AS vec_id, $sqlPerturb AS v
+              |  FROM embeddings),
+              |u AS (
+              |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+              |    SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert)),
+              |ranked AS (
+              |  SELECT u.vec_id, c.cid,
+              |    row_number() OVER (PARTITION BY u.vec_id
+              |      ORDER BY list_dot_product(u.v, c.cv) / (u.nrm * c.cn) DESC, c.cid) AS crn
+              |  FROM u CROSS JOIN c2 c),
+              |members AS (SELECT cid, vec_id AS nbr_id FROM ranked WHERE crn = 1),
+              |probes AS (SELECT vec_id, cid FROM ranked
+              |           WHERE crn <= (SELECT np FROM kk)),
+              |cand AS (
+              |  SELECT DISTINCT p.vec_id, m.nbr_id
+              |  FROM probes p JOIN members m USING (cid) WHERE p.vec_id <> m.nbr_id),
+              |scored AS (
+              |  SELECT c.vec_id, c.nbr_id,
+              |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+              |  FROM cand c JOIN u a ON a.vec_id = c.vec_id JOIN u b ON b.vec_id = c.nbr_id)
+              |SELECT vec_id, rnk, nbr_id, round(cos, 4) AS cos FROM (
+              |  SELECT vec_id, nbr_id, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+              |  FROM scored) WHERE rnk <= 3
+              |ORDER BY vec_id, rnk""".stripMargin),
+      (s, d) => {
+        val idx = appendedIvfIndex(s, d)
         import s.implicits._
         val rows = s.read.parquet(s"$idx/lists")
           .select(col("vec_id"), lit(0).as("c"), col("cid").cast("long").as("v"),

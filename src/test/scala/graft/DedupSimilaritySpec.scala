@@ -199,6 +199,31 @@ class DedupSimilaritySpec extends SparkSpec {
       "second build call did not reuse the cached index")
   }
 
+  test("q128: every appended near-copy rediscovers its source at rank 1, and the base fit is untouched") {
+    // The maintenance path's semantic value: a vector appended WITHOUT
+    // re-fitting still lands in its source's cluster (cos ≈ 0.996) and
+    // must surface that source as its nearest neighbor. Also pins that
+    // the append ran against the SAME centroids as the base build: the
+    // private appended instance and the shared q125/q126 instance must
+    // carry byte-identical centroid tables (the fit is corpus-determined,
+    // not instance-determined).
+    val served = SparkEntry.queries("q128_ann_index_append")(spark, sf)
+      .filter(col("vec_id") >= Similarity.PlantOffset && col("rnk") === 1)
+      .select("vec_id", "nbr_id").collect()
+    assert(served.nonEmpty, "no appended vectors in the served answer")
+    served.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - Similarity.PlantOffset,
+        s"appended ${r.getLong(0)} ranked ${r.getLong(1)} first, " +
+          s"expected its source ${r.getLong(0) - Similarity.PlantOffset}")
+    }
+    val shared = Similarity.buildIvfIndex(spark, sf)
+    val appended = Similarity.ivfAppendDirFor(sf).get
+    val a = spark.read.parquet(s"$shared/centroids").orderBy("cid").collect()
+    val b = spark.read.parquet(s"$appended/centroids").orderBy("cid").collect()
+    assert(a.toSeq == b.toSeq,
+      "appended instance re-fitted: centroids diverge from the base build")
+  }
+
   test("q27g: clustered-corpus IVF reaches recall ≥ 0.9 at nprobe 2/32 with ≤ 10% of brute candidates") {
     import graft.functions.VectorFunctions._
     import org.apache.spark.sql.expressions.Window
