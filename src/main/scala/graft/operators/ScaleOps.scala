@@ -151,6 +151,60 @@ object ScaleOps extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** q129: LAYOUT-PRESERVING compaction (r10 verdict #8) — q115 compacts
+    * for file-size economics alone; a real OPTIMIZE must also preserve
+    * the table's CLUSTERING, or every compaction erodes the pruning the
+    * layout was built for. The fixture reproduces how a clustered table
+    * actually degrades in production: the z-ordered base (q70b's Morton
+    * layout) is written fragmented (small size-capped files), then an
+    * UNSORTED delta lands as a plain append — the shape every
+    * incremental ingest leaves, and one whose single delta file overlaps
+    * EVERY z range (a 2-D box must now touch it regardless of the box).
+    * The OPTIMIZE pass rewrites the union in ONE range-sort on the
+    * Morton key: `repartitionByRange(target, zval)` + in-partition sort,
+    * target derived from filesystem METADATA (bytes / 8 MiB, floored at
+    * 4 for minimum scan parallelism) — so the compacted copy is both
+    * size-targeted AND z-clustered again. Content preservation is
+    * hash-checked (the q70b box aggregate vs the plain table); the
+    * restored locality and the file-count economics are asserted in
+    * ScaleOpsSpec. At 100 TB this is the nightly table-maintenance job:
+    * one shuffle of the compacted slice, clustering invariant kept, no
+    * driver-side data motion. */
+  def zorderCompaction(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/tmp/graft_zcompact$tag"
+    val src = t(s, dir, "lineitem")
+    val manifest = s"v1|zc(l_partkey,l_suppkey)|${src.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$root/_graft_layout")
+    val onDiskOk = new java.io.File(s"$root/compacted/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      val withZ = src.withColumn("zval", expr(zorderExpr("l_partkey", "l_suppkey")))
+      // the degraded state: clustered-but-fragmented base + unsorted delta
+      withZ.filter(pmod(col("l_orderkey"), lit(8)) =!= 0)
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000)
+        .parquet(s"$root/data")
+      withZ.filter(pmod(col("l_orderkey"), lit(8)) === 0)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$root/data")
+      // OPTIMIZE: metadata-derived size target, one clustering-preserving
+      // range-sort rewrite
+      val bytes = new java.io.File(s"$root/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val target = math.max(4L, (bytes + (8L << 20) - 1) / (8L << 20)).toInt
+      s.read.parquet(s"$root/data")
+        .repartitionByRange(target, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(s"$root/compacted")
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    s.read.parquet(s"$root/compacted")
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -167,6 +221,19 @@ object ScaleOps extends QueryModule {
         col(factKey) === col(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** The 2-D box aggregate over the Morton layout — shared verbatim by
+    * q70b (clustered write) and q129 (clustering-preserving compaction):
+    * both paths must return exactly the plain table's answer, stored z
+    * keys included. */
+  private val zBoxDuckSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  CAST(sum((SELECT sum((((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+      |                  + (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+      |            FROM range(0, 16) t(i))) AS BIGINT) AS z_sum
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 3""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -249,14 +316,25 @@ object ScaleOps extends QueryModule {
     // payoff (the box lives in a small fraction of the files) is asserted
     // in ScaleOpsSpec.
     Q("q70b_zorder_layout",
-      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-             |  CAST(sum((SELECT sum((((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
-             |                  + (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
-             |            FROM range(0, 16) t(i))) AS BIGINT) AS z_sum
-             |FROM lineitem
-             |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 3""".stripMargin),
+      Some(zBoxDuckSql),
       (s, d) => zorderedLineitem(s, d)
+        .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("zval")).as("z_sum"))),
+
+    // Q129 layout-preserving compaction (see zorderCompaction): the
+    // fragmented + delta-degraded z-layout is OPTIMIZEd by one
+    // metadata-sized range-sort rewrite on the Morton key, so file-size
+    // economics AND the 2-D pruning property survive the same pass —
+    // where q115 proves content-preserving compaction alone. Oracle =
+    // q70b's box aggregate VERBATIM over the plain table: the degraded
+    // copy, the rewrite, and the clustered read-back must lose nothing,
+    // including the stored z keys (z_sum hash-verifies them row-for-row).
+    // Locality restoration + file economics asserted in ScaleOpsSpec.
+    Q("q129_zorder_compaction",
+      Some(zBoxDuckSql),
+      (s, d) => zorderCompaction(s, d)
         .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),

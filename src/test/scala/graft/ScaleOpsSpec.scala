@@ -150,6 +150,40 @@ class ScaleOpsSpec extends SparkSpec {
       s"2-D box touched $touched of $total files — no locality")
   }
 
+  test("q129: compaction restores the z-locality an unsorted delta append broke") {
+    SparkEntry.queries("q129_zorder_compaction")(spark, sf).collect()
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/tmp/graft_zcompact$tag"
+    def parquets(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    // Degraded state on the record: many fragmented files plus the delta.
+    val fragN = parquets(s"$root/data").length
+    assert(fragN >= 16, s"fixture not fragmented: $fragN files")
+    // Economics: the rewrite hits its metadata-derived size target.
+    val compN = parquets(s"$root/compacted").length
+    assert(compN < fragN && compN >= 4,
+      s"compaction produced $compN files from $fragN")
+    // Locality RESTORED: the 2-D box lives in a minority of the compacted
+    // files (the delta file alone made that impossible before — unsorted,
+    // it overlaps every z range, so every box had to touch it).
+    val comp = spark.read.parquet(s"$root/compacted")
+    val total = comp.select(input_file_name()).distinct().count()
+    val touched = comp
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
+      .select(input_file_name()).distinct().count()
+    assert(touched > 0 && touched * 2 <= total,
+      s"2-D box touched $touched of $total compacted files — clustering lost")
+    // The delta really did poison the degraded layout: it contains box
+    // rows, so every box query had to read it.
+    val frag = spark.read.parquet(s"$root/data")
+    val deltaTouched = frag
+      .filter(col("l_partkey").between(1, 50) && col("l_suppkey").between(1, 3))
+      .select(input_file_name()).distinct().count()
+    assert(deltaTouched > touched,
+      s"degraded layout touched $deltaTouched files, compacted $touched — " +
+        "compaction should shrink the box's file set")
+  }
+
   test("AQE splits the skewed join partition (skew=true in the final plan)") {
     // Complements the MANUAL salting demonstration (q37): the same skew
     // profile handled by the runtime — AQE detects the oversized reduce
