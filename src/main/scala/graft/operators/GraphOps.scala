@@ -154,6 +154,53 @@ object GraphOps extends QueryModule {
       when(col("dd") >= Inf, -1L).otherwise(col("dd")).as("dist"))
   }
 
+  /** Synchronous label-propagation communities (LPA): label⁰(v) = v;
+    * each round every node adopts the MOST FREQUENT label among its
+    * undirected neighbours, ties to the smallest label (the
+    * deterministic tie-break that makes synchronous LPA replayable —
+    * vanilla LPA's random tie-break is not an operator, it's a dice
+    * roll). Fixed 4 rounds: synchronous LPA can oscillate on bipartite
+    * structures, so the round count IS part of the contract, like
+    * pageRank's. Each round is one shuffle join (edges ⋈ labels) + two
+    * partial-aggregated groupBys — the histogram groupBy(v, lbl) carries
+    * only (id, id, count) rows, and the argmax is a min over a
+    * lexicographic (−count, label) struct, no window. Same lineage-cut
+    * cadence as pageRank; isolated nodes keep their label through the
+    * left join. Exact integers end to end. */
+  def labelPropagation(docs: DataFrame): DataFrame = {
+    val LpRounds = 4
+    val nodes = docs.select(col("doc_id").as("node")).cache()
+    val n = nodes.count()
+    val bi = linkEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = bi.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(bi.select(col("b").as("v"), col("a").as("u")))
+      .cache()
+    var labels = nodes.withColumn("lbl", col("node"))
+    var backing: DataFrame = null
+    for (round <- 1 to LpRounds) {
+      val chosen = und.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy("v")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("newl"))
+      val merged = labels.join(chosen, col("node") === col("v"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+      val next =
+        if (round % 3 == 0) merged.localCheckpoint() else merged.cache()
+      next.count() // materialize this round; the single action per round
+      if (backing != null) backing.unpersist()
+      backing = next
+      labels = next
+    }
+    und.unpersist()
+    nodes.unpersist()
+    labels
+  }
+
   val qs: Seq[Q] = Seq(
     // Q99 PageRank — 8 exact-integer rounds over the deterministic link
     // graph; the oracle replays the identical recursion in one DuckDB
@@ -243,6 +290,50 @@ object GraphOps extends QueryModule {
     // carrying the distance vector as a LIST (the q99 single-row
     // recursion pattern; fine for an oracle, the Spark side stays fully
     // distributed). All-integer — hash-checked.
+    // Q134 label-propagation communities — 4 synchronous rounds of
+    // adopt-the-modal-neighbour-label with smallest-label tie-break (see
+    // labelPropagation). The oracle replays the identical recursion in
+    // one DuckDB recursive CTE carrying the label vector as a LIST (the
+    // q99/q111 single-row recursion pattern); the modal choice is
+    // replayed arithmetically as argmin over (deg − count)·n + label —
+    // the same winner as (−count, label) lexicographic order, encoded in
+    // one BIGINT so list_min decides it. All-integer — hash-checked.
+    Q("q134_label_propagation",
+      Some("""WITH RECURSIVE
+             |p AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |e0 AS (
+             |  SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13 + 1) % p.n AS dst
+             |  FROM documents d, p, generate_series(0, 2) AS j(j)
+             |  WHERE j.j <= d.doc_id % 3),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |        FROM e0 WHERE src <> dst),
+             |bi AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+             |adj AS (SELECT v, list(u ORDER BY u) AS us FROM bi GROUP BY v),
+             |shape AS (
+             |  SELECT p.n, list(coalesce(a.us, []) ORDER BY d.doc_id) AS adjl
+             |  FROM documents d LEFT JOIN adj a ON a.v = d.doc_id, p
+             |  GROUP BY p.n),
+             |lp(iter, lbls) AS (
+             |  SELECT 0, list_transform(generate_series(1, n), x -> CAST(x - 1 AS BIGINT)) FROM p
+             |  UNION ALL
+             |  SELECT iter + 1,
+             |    list_transform(generate_series(1, s.n), v ->
+             |      CASE WHEN len(s.adjl[v]) = 0 THEN lbls[v]
+             |      ELSE list_min(list_transform(
+             |             list_transform(s.adjl[v], u -> lbls[u + 1]),
+             |             x -> (len(s.adjl[v]) - len(list_filter(
+             |                     list_transform(s.adjl[v], u2 -> lbls[u2 + 1]),
+             |                     y -> y = x))) * s.n + x)) % s.n
+             |      END)
+             |  FROM lp, shape s WHERE iter < 4)
+             |SELECT CAST(d.doc_id AS BIGINT) AS node,
+             |       CAST(f.lbls[d.doc_id + 1] AS BIGINT) AS community
+             |FROM documents d, (SELECT lbls FROM lp WHERE iter = 4) f
+             |ORDER BY node""".stripMargin),
+      (s, d) => labelPropagation(t(s, d, "documents"))
+        .select(col("node"), col("lbl").as("community"))
+        .orderBy("node")),
+
     Q("q111_bfs_distances",
       Some("""WITH RECURSIVE
              |p AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -259,6 +259,51 @@ object ScaleOps extends QueryModule {
           .limit(20)
       }),
 
+    // Q132 heavy hitters via a Misra–Gries sketch (functions/
+    // MisraGriesAggregator.scala) — q63's "what are the hot keys" answered
+    // with O(c) state instead of a full-cardinality groupBy shuffle. The
+    // fixture's keys are uniform (no key exceeds any useful threshold), so
+    // the stream is a DETERMINISTIC skew construction both engines replay
+    // exactly — 90% of rows collapse onto two hot keys, the rest spread
+    // over the part-key space (the same technique the AQE skew spec uses).
+    // Two passes, both scale-shaped: (1) the typed aggregate runs with
+    // map-side combine — each partition ships one ≤64-entry map, never raw
+    // keys — and its ≤64 candidates come to the driver (the one structural
+    // O(c) action, the sketch→broadcast-literal pattern); (2) candidates
+    // are re-counted EXACTLY, with the isin filter pruning the shuffle to
+    // candidate keys only, and thresholded at n/(c+1) — the bound MG
+    // guarantees no true heavy hitter can hide under. Output is therefore
+    // exact (sketch finds, recount proves) and hash-stable; the superset
+    // guarantee + merge error bound are property-tested in ScaleOpsSpec.
+    Q("q132_heavy_hitters",
+      Some("""WITH st AS (SELECT CASE WHEN l_orderkey % 10 < 9
+             |              THEN 'hot-' || CAST(l_orderkey % 2 AS VARCHAR)
+             |              ELSE 'cold-' || CAST(l_partkey AS VARCHAR) END AS item
+             |            FROM lineitem),
+             |tot AS (SELECT count(*) AS n FROM st)
+             |SELECT item, CAST(count(*) AS BIGINT) AS n_occurs
+             |FROM st GROUP BY item
+             |HAVING count(*) * 65 > (SELECT n FROM tot)
+             |ORDER BY item""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val c = 64
+        val st = t(s, d, "lineitem").select(
+          when(col("l_orderkey") % 10 < 9,
+            concat(lit("hot-"), (col("l_orderkey") % 2).cast("string")))
+            .otherwise(concat(lit("cold-"), col("l_partkey").cast("string")))
+            .as("item"))
+        val mg = new graft.functions.MisraGriesAggregator(c)
+        val candKeys = st.as[String].select(mg.toColumn).head().keys.toSeq
+        val tot = st.agg(count(lit(1)).as("n"))
+        st.filter(col("item").isin(candKeys: _*))
+          .groupBy("item").agg(count(lit(1)).as("n_occurs"))
+          .crossJoin(broadcast(tot))
+          .filter(col("n_occurs") * (c + 1) > col("n"))
+          .select(col("item"), col("n_occurs"))
+          .orderBy("item")
+      }),
+
     // Q36 bucketed co-located join — same answer as the shuffle join (the
     // oracle is the plain SQL join); ScaleOpsSpec asserts the plan contains
     // no Exchange.
@@ -423,6 +468,63 @@ object ScaleOps extends QueryModule {
             .agg(count(lit(1)).as("n_rows_pruned")))
           .crossJoin(orders.join(build, orders("o_custkey") === build("k"), "left_semi")
             .agg(count(lit(1)).as("n_rows_pass")))
+      }),
+
+    // Q131 grid-bucketed interval-overlap join — the scalable form of the
+    // interval self-join ("which shipments of the same supplier were in
+    // flight at the same time"). The naive formulation is an equi+theta
+    // join whose inequality part forces a per-supplier nested loop; at 100
+    // TB that is quadratic in the hot supplier. Instead each interval
+    // [ship, receipt] is exploded onto a coarse day grid (cell = day div
+    // 32 — ~2-3 cells per interval at the fixture's ≤ ~60-day spans) and
+    // pairs meet through a plain EQUI-join on (suppkey, cell), so the
+    // shuffle is hash-partitioned and AQE-splittable like any other join.
+    // A pair overlapping k shared cells would be counted k times; the
+    // standard dedup-free trick assigns each pair to the ONE cell that
+    // contains max(start_a, start_b) — overlap guarantees both intervals
+    // cover that cell, so each overlapping pair is counted exactly once
+    // and no DISTINCT (second shuffle of the pair stream) is needed.
+    // Pair identity is the (orderkey*8+linenumber) rowid (linenumber ≤ 7);
+    // a.id < b.id kills self- and mirror-pairs. The fixture carries no
+    // receipt date, so the in-flight window is synthesized as ship +
+    // 1..30 days of exact integer arithmetic — identical on both engines.
+    // The oracle replays the plain equi+theta join; ScaleOpsSpec asserts
+    // the plan joins on the composite grid key with no nested-loop
+    // product and that the grid answer equals the theta formulation.
+    Q("q131_grid_interval_join",
+      Some("""WITH iv AS (
+             |  SELECT l_suppkey AS suppkey,
+             |         l_orderkey * 8 + l_linenumber AS id,
+             |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+             |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |           + (l_orderkey * 7 + l_linenumber) % 30 + 1 AS ed
+             |  FROM lineitem)
+             |SELECT a.suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
+             |FROM iv a JOIN iv b ON a.suppkey = b.suppkey AND a.id < b.id
+             | AND a.sd <= b.ed AND b.sd <= a.ed
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val g = 32 // days per grid cell
+        val li = t(s, d, "lineitem").select(
+          col("l_suppkey").as("suppkey"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+          expr("cast(unix_date(cast(l_shipdate as date)) as bigint)").as("sd"),
+          expr("cast((l_orderkey * 7 + l_linenumber) % 30 + 1 as bigint)").as("w"))
+          .select(col("suppkey"), col("id"), col("sd"),
+            (col("sd") + col("w")).as("ed"))
+        val cells = li.withColumn("cell",
+          explode(expr(s"sequence(sd div $g, ed div $g)")))
+        val a = cells.select(col("suppkey"), col("cell"),
+          col("id").as("a_id"), col("sd").as("a_sd"), col("ed").as("a_ed"))
+        val b = cells.select(col("suppkey"), col("cell"),
+          col("id").as("b_id"), col("sd").as("b_sd"), col("ed").as("b_ed"))
+        a.join(b, Seq("suppkey", "cell"))
+          .filter(col("a_id") < col("b_id") &&
+            col("a_sd") <= col("b_ed") && col("b_sd") <= col("a_ed") &&
+            col("cell") === expr(s"greatest(a_sd, b_sd) div $g"))
+          .groupBy("suppkey")
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy("suppkey")
       }),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.

@@ -183,6 +183,42 @@ object SourceFormats extends QueryModule {
             count(col("lang")).as("n_parsed"))
       }),
 
+    // Q130 custom DataSource V2 ingestion — the "glog" pipe-delimited log
+    // source (sources/glog/GlogSource.scala): stage orders as glog text
+    // (shortest-round-trip double rendering, value-exact), read back through
+    // the V2 connector with a schema'd read, a pushed comparison filter and
+    // a pruned projection. The source — not Spark — evaluates the filter
+    // and materializes only the 2 requested fields of each line; splits are
+    // per-file, statistics from file metadata. GlogSourceSpec asserts the
+    // scan contract (pushed filters accepted, residual empty, read schema
+    // pruned); the oracle replays the filter+aggregate on the original
+    // parquet, so staging and the connector must both be value-preserving.
+    Q("q130_dsv2_glog_source",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_totalprice > 150000.0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q130:$d")
+        val glogDir = s"$dir/glog"
+        t(s, d, "orders")
+          .select(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_orderpriority"),
+            col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite").text(glogDir)
+        s.read
+          .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+          .format("graft.sources.glog.GlogDataSource")
+          .load(glogDir)
+          .filter(col("o_totalprice") > lit(150000.0))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Q57b XML round trip — the remaining text format Spark 4 ships a
     // built-in source for (the spark-xml donation). Row-tagged elements,
     // explicit schema on read (inference would widen types), aggregate

@@ -890,6 +890,49 @@ object StreamingQueries extends QueryModule {
           .orderBy("window_start")
       }),
 
+    // Q133 CHAINED streaming window aggregation (Spark 4 multiple
+    // stateful operators in one query): a 10-minute pre-aggregate rolls
+    // up into 1-hour totals INSIDE the same streaming query — the
+    // two-tier dashboard cadence (fine-grained recent, coarse
+    // historical) that previously needed two queries and an intermediate
+    // topic/table. The second tier consumes `window_time(window)` (the
+    // closed window's event-time representative) and groups it into the
+    // enclosing hour, so only FINALIZED 10-minute windows flow up, and an
+    // hour emits once the shared watermark passes its end. The scale
+    // property: the hour tier's state and input are windows-per-hour ×
+    // event_types (a constant), not events — the raw stream is absorbed
+    // by tier 1's partial aggregation. The oracle replays the hour
+    // aggregate with the same watermark cutoff arithmetic as q31, in
+    // exact integer microseconds; sums go through DECIMAL at tier 1 and
+    // stay DECIMAL through tier 2 (exact, associative), so the hour
+    // totals are bit-identical to a one-shot aggregation.
+    Q("q133_stream_chained_agg",
+      Some("""WITH agg AS (
+             |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+             |         event_type, count(*) AS n,
+             |         sum(CAST(value AS DECIMAL(18,2))) AS tot
+             |  FROM events GROUP BY 1, 2),
+             |wm AS (SELECT max(epoch_us(ts)) - 600000000 AS cutoff_us FROM events)
+             |SELECT hour_start, event_type, n, CAST(tot AS DOUBLE) AS total
+             |FROM agg, wm WHERE (hour_start + 3600) * 1000000 <= cutoff_us
+             |ORDER BY hour_start, event_type""".stripMargin),
+      (s, d) => {
+        val fine = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("tot"))
+        val hourly = fine
+          .groupBy(window(window_time(col("window")), "1 hour"),
+            col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+        runToMemory(hourly, "q133_out", "append")
+          .select(col("window.start").cast("long").as("hour_start"),
+            col("event_type"), col("n"),
+            col("tot").cast("double").as("total"))
+          .orderBy("hour_start", "event_type")
+      }),
+
     // Q34 the reference pipeline's transform leg as a stream: the
     // partitioned header-CSV batches the generator lands (E2,
     // `transactions_mock_data.py:85-98`) are consumed by a file-source

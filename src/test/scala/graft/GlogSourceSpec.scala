@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.glog.GlogScan
+
+/** The DSv2 scan contract of the glog source (q130): filters the source
+  * accepted must leave Spark's plan entirely, the reader schema must carry
+  * only the projected fields, splits are per-file, and NULL/inference
+  * semantics hold. Value parity vs parquet is QueryCorpusSpec + the
+  * CORRECTNESS oracle; this suite pins the *mechanics*. */
+class GlogSourceSpec extends SparkSpec {
+
+  private def stage(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_glog_$name").toString
+    Tables.table(spark, sf, "orders")
+      .select(concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("string")).as("value"))
+      .write.mode("overwrite").text(dir)
+    dir
+  }
+
+  private def read(dir: String) = spark.read
+    .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+    .format("graft.sources.glog.GlogDataSource")
+    .load(dir)
+
+  private def glogScan(df: org.apache.spark.sql.DataFrame): GlogScan = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.size == 1, s"expected one BatchScan, got ${scans.size}")
+    scans.head.asInstanceOf[GlogScan]
+  }
+
+  test("glog pushes comparison filters into the source and out of the plan") {
+    val dir = stage("push")
+    val df = read(dir)
+      .filter(col("o_totalprice") > 150000.0 && col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val scan = glogScan(df)
+    val pushed = scan.pushed.map(_.toString).mkString(", ")
+    assert(pushed.contains("GreaterThan(o_totalprice,150000.0)"), pushed)
+    assert(pushed.contains("EqualTo(o_orderpriority,1-URGENT)"), pushed)
+    // Everything was accepted → no residual FilterExec re-evaluates it.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"residual filter survived:\n$plan")
+    // And the pushed result equals filtering the original parquet in Spark.
+    val unpushed = Tables.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 150000.0 && col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      unpushed.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("glog prunes the reader schema to the projected fields") {
+    val dir = stage("prune")
+    val df = read(dir).select("o_orderpriority", "o_totalprice")
+    val scan = glogScan(df)
+    assert(scan.readSchema().fieldNames.toSet ===
+      Set("o_orderpriority", "o_totalprice"))
+    assert(scan.fullSchema.fieldNames.length == 3)
+  }
+
+  test("glog plans one input partition per staged file") {
+    val dir = stage("splits")
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val scan = glogScan(read(dir).select("o_orderkey"))
+    assert(scan.toBatch.planInputPartitions().length === files)
+    assert(scan.estimateStatistics().sizeInBytes().getAsLong > 0)
+  }
+
+  test("glog surfaces empty fields as NULL and honors pushed null checks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_null").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.glog"),
+      "1|x|2.5\n2||3.5\n3|y|\n".getBytes("UTF-8"))
+    val df = spark.read.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(dir)
+    assert(df.count() === 3)
+    assert(df.filter(col("s").isNull).select("k").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(df.filter(col("v").isNotNull).count() === 2)
+    // a comparison never matches a NULL field
+    assert(df.filter(col("v") > 0.0).count() === 2)
+  }
+
+  test("glog infers an all-string c0..cN schema when none is supplied") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_infer").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.glog"), "1|x|2.5\n".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.glog.GlogDataSource").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("c0", "c1", "c2"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.collect().map(_.getString(2)).toSeq === Seq("2.5"))
+  }
+}

@@ -133,4 +133,23 @@ class GraphOpsSpec extends SparkSpec {
           s"edge $u($du)→$v($dv) violates relaxation")
     }
   }
+
+  test("q134 label propagation: valid labels, real coarsening, partitioning-independent") {
+    val docs = Tables.table(spark, sf, "documents")
+    val res = GraphOps.labelPropagation(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = res.keySet
+    // every community label is itself a node id
+    res.values.foreach(l => assert(nodes.contains(l), s"label $l is not a node"))
+    // the modal adoption actually coarsens: strictly fewer communities
+    // than nodes (the fixture graph is connected enough)
+    val nComm = res.values.toSet.size
+    assert(nComm < nodes.size / 2,
+      s"LPA barely coarsened: $nComm communities over ${nodes.size} nodes")
+    // synchronous rounds + deterministic tie-break ⇒ the result is a pure
+    // function of the graph, not of physical partitioning
+    val re = GraphOps.labelPropagation(docs.repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === res, "labels changed under repartitioning")
+  }
 }

@@ -221,6 +221,59 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q131 grid interval join: equals the theta formulation, no pair product in the plan") {
+    val grid = SparkEntry.queries("q131_grid_interval_join")(spark, sf)
+    // The reference semantics: plain equi+theta self-join on the same
+    // synthesized intervals (the oracle's shape, executed in Spark).
+    val li = Tables.table(spark, sf, "lineitem").select(
+      col("l_suppkey").as("suppkey"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      expr("cast(unix_date(cast(l_shipdate as date)) as bigint)").as("sd"),
+      expr("cast((l_orderkey * 7 + l_linenumber) % 30 + 1 as bigint)").as("w"))
+      .select(col("suppkey"), col("id"), col("sd"), (col("sd") + col("w")).as("ed"))
+    val a = li.select(col("suppkey"), col("id").as("a_id"),
+      col("sd").as("a_sd"), col("ed").as("a_ed"))
+    val b = li.select(col("suppkey"), col("id").as("b_id"),
+      col("sd").as("b_sd"), col("ed").as("b_ed"))
+    val theta = a.join(b, Seq("suppkey"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_sd") <= col("b_ed") && col("b_sd") <= col("a_ed"))
+      .groupBy("suppkey").agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("suppkey")
+    assert(grid.collect().toSeq === theta.collect().toSeq)
+    // The scalable property: pairs meet through a hash join on the
+    // composite (suppkey, cell) key — never a nested-loop pair product.
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to a pair product:\n$plan")
+    assert(plan.contains("cell"), s"grid key missing from the join plan:\n$plan")
+  }
+
+  test("MisraGries: heavy-hitter superset + one-sided error bound, any partitioning") {
+    import spark.implicits._
+    // 60% of the stream is one majority key; the tail is all-distinct —
+    // the shape that forces real decrements at any capacity < tail size.
+    val n = 3000
+    val items = (0 until n).map(i => if (i % 5 < 3) "M" else s"u$i")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (c <- Seq(4, 16); parts <- Seq(1, 7)) {
+      val mg = new graft.functions.MisraGriesAggregator(c)
+      val summ = spark.createDataset(items).repartition(parts)
+        .select(mg.toColumn).head()
+      assert(summ.size <= c, s"c=$c parts=$parts size=${summ.size}")
+      // guarantee: every item with true count > n/(c+1) survives the merge
+      exact.filter(_._2 * (c + 1) > n).keys.foreach(k =>
+        assert(summ.contains(k), s"c=$c parts=$parts lost heavy hitter $k"))
+      // one-sided estimates: never above truth, never more than n/(c+1) below
+      summ.foreach { case (k, est) =>
+        val tru = exact.getOrElse(k, 0L)
+        assert(est <= tru && tru - est <= n / (c + 1),
+          s"c=$c parts=$parts $k est=$est true=$tru")
+      }
+    }
+  }
+
   test("q89 bloom pruning: no false negatives, bits bounded, rows accounted") {
     val r = SparkEntry.queries("q89_bloom_join")(spark, sf).head()
     val nBuild = r.getLong(0); val bitsSet = r.getLong(1)

@@ -73,6 +73,49 @@ class StreamingSpec extends SparkSpec {
       s"expected two sessions (2 events + 1 event), got $out")
   }
 
+  test("Q133: chained window tiers — two stateful operators, hours finalize across batches") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val fine = input.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,2)")).as("tot"))
+    val hourly = fine
+      .groupBy(window(window_time(col("window")), "1 hour"), col("k"))
+      .agg(sum("n").as("n"), sum("tot").as("tot"))
+    val q = hourly.writeStream.format("memory").queryName("q133_test")
+      .outputMode(OutputMode.Append()).start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0's rows arrive out of order inside batch 1; watermark → 00:45
+    input.addData((t(0, 5), "a", 1.5), (t(0, 35), "a", 4.0),
+      (t(0, 45), "a", 2.0), (t(0, 55), "b", 3.25))
+    q.processAllAvailable()
+    // watermark → 01:10: tier 1 closes hour 0's remaining 10-min windows
+    input.addData((t(1, 20), "a", 9.0))
+    q.processAllAvailable()
+    // watermark → 02:20: tier 2 can now finalize the [00:00, 01:00) hour
+    input.addData((t(2, 30), "a", 0.5))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(q.lastProgress.stateOperators.length == 2,
+      s"expected two stateful tiers, got ${q.lastProgress.stateOperators.length}")
+    val out = spark.table("q133_test")
+      .select(col("window.start").cast("long").as("s"), col("k"),
+        col("n"), col("tot").cast("double").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val h0 = t(0, 0).getTime / 1000
+    // hour 0 totals roll up ONLY from tier-1-finalized windows — and they
+    // cover every hour-0 event exactly once, across the batch slicing
+    assert(out((h0, "a")) == (3L, 7.5), s"hour-0 'a' wrong: $out")
+    assert(out((h0, "b")) == (1L, 3.25), s"hour-0 'b' wrong: $out")
+    // the 01:20 hour is still open (watermark 02:20 < its end 02:00? no —
+    // 02:20 ≥ 02:00 closes it too; the 02:30 hour must remain open)
+    assert(!out.contains((t(2, 0).getTime / 1000, "a")),
+      s"open hour leaked: $out")
+  }
+
   test("Q32: dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
     val input = MemoryStream[(Timestamp, Long)]
     val dedup = input.toDF().toDF("ts", "event_id")
