@@ -219,6 +219,35 @@ object SourceFormats extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // Q135 custom DataSource V2 SINK — the write half of the glog
+    // connector (q130 reads it): the customer dim is written through the
+    // V2 two-phase commit path (executors stream hidden temp shards; the
+    // driver publishes them with atomic renames, truncating the previous
+    // generation under overwrite), then read back through the same
+    // connector. GlogSourceSpec asserts the commit mechanics (no temp
+    // litter, overwrite really truncates, delimiter-bearing strings fail
+    // loudly); the oracle aggregates the original parquet, so the whole
+    // write→read cycle must be value-exact (shortest-round-trip doubles).
+    Q("q135_dsv2_glog_sink",
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q135:$d")
+        val out = s"$dir/sink"
+        t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+          .write.format("graft.sources.glog.GlogDataSource")
+          .mode("overwrite").save(out)
+        s.read
+          .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+          .format("graft.sources.glog.GlogDataSource").load(out)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total"))
+          .orderBy("c_mktsegment")
+      }),
+
     // Q57b XML round trip — the remaining text format Spark 4 ships a
     // built-in source for (the spark-xml donation). Row-tagged elements,
     // explicit schema on read (inference would widen types), aggregate

@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,13 +88,117 @@ object GlogDataSource {
 }
 
 final case class GlogTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"glog:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GlogWriteBuilder(info.schema(), path)
+}
+
+/** Write side — the standard two-phase file commit every production file
+  * sink performs, spelled out: executors stream rows to HIDDEN
+  * `.part-…​.glog.tmp` files (invisible to concurrent readers — the read
+  * path skips dot-files), each task's commit message names its temp file,
+  * and the DRIVER's `BatchWrite.commit` publishes all of them with atomic
+  * renames (truncating the previous generation first under
+  * `mode("overwrite")` via SupportsTruncate). A failed/speculative task
+  * aborts by deleting its own temp file; a failed JOB leaves only temp
+  * litter that the next overwrite clears — committed data is never
+  * half-visible. Doubles are rendered with shortest-round-trip
+  * `Double.toString`, so a glog write→read cycle is value-exact. Strings
+  * must be free of the field/record delimiters — enforced loudly, not
+  * silently corrupted. */
+final class GlogWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GlogBatchWrite(schema, path, doTruncate)
+  }
+}
+
+final case class GlogCommitMsg(tmp: String, fin: String)
+    extends WriterCommitMessage
+
+final class GlogBatchWrite(schema: StructType, path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    GlogWriterFactory(schema, path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate)
+      new java.io.File(path).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".glog"))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+    messages.foreach { case GlogCommitMsg(tmp, fin) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(fin),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GlogCommitMsg(tmp, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+      case _ => ()
+    }
+}
+
+final case class GlogWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GlogDataWriter(schema, path, partitionId, taskId)
+}
+
+final class GlogDataWriter(schema: StructType, path: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  // taskId in the name keeps a speculative/retried attempt's temp file
+  // distinct from the original's; only the committed attempt is renamed.
+  private val tmp = s"$path/.part-$partitionId-$taskId.glog.tmp"
+  private val fin = s"$path/part-$partitionId-$taskId.glog"
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private val types = schema.fields.map(_.dataType)
+
+  private def render(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) ""
+    else types(i) match {
+      case LongType => java.lang.Long.toString(row.getLong(i))
+      case IntegerType => java.lang.Integer.toString(row.getInt(i))
+      case DoubleType => java.lang.Double.toString(row.getDouble(i))
+      case StringType =>
+        val s = row.getUTF8String(i).toString
+        require(!s.contains("|") && !s.contains("\n"),
+          s"glog cannot encode a string containing a delimiter: $s")
+        s
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case other => throw new IllegalArgumentException(
+        s"glog: unsupported field type $other")
+    }
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) out.write('|')
+      out.write(render(row, i))
+      i += 1
+    }
+    out.write('\n')
+  }
+  override def commit(): WriterCommitMessage = { out.close(); GlogCommitMsg(tmp, fin) }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp)); ()
+  }
+  override def close(): Unit = ()
 }
 
 /** A pushed predicate in executor-shippable form: column ordinal in the

@@ -88,6 +88,42 @@ class GlogSourceSpec extends SparkSpec {
     assert(df.filter(col("v") > 0.0).count() === 2)
   }
 
+  test("glog sink: two-phase commit publishes shards atomically, overwrite truncates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_sink").toString + "/t"
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.format("graft.sources.glog.GlogDataSource").mode("overwrite").save(dir)
+    // generation 2 overwrites generation 1 entirely
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .write.format("graft.sources.glog.GlogDataSource").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.nonEmpty && files.forall(_.endsWith(".glog")),
+      s"uncommitted litter in the sink dir: ${files.mkString(", ")}")
+    val back = spark.read
+      .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(dir)
+    val expected = orders.filter(col("o_orderkey") % 2 === 1)
+    assert(back.count() === expected.count())
+    // value-exact round trip, doubles included
+    assert(back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0) ===
+      expected.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+  }
+
+  test("glog sink: a string carrying the field delimiter fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_bad").toString + "/t"
+    val bad = Seq((1L, "has|pipe")).toDF("k", "s")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.glog.GlogDataSource").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("delimiter"))),
+      s"expected a delimiter error, got $e")
+  }
+
   test("glog infers an all-string c0..cN schema when none is supplied") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_infer").toString
     java.nio.file.Files.write(
