@@ -215,6 +215,48 @@ object RelationalExt extends QueryModule {
           }
           .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
           .orderBy("o_custkey", "rnk")
-      })
+      }),
+
+    // Q136 VARIANT shredding (Spark 4 semi-structured type): a nested
+    // JSON document — built deterministically from the fixture so both
+    // engines hold the identical bytes — is parsed ONCE into a VARIANT
+    // and then shredded with typed `variant_get` path extraction (nested
+    // object, boolean, 0-based array index). This is the open-schema
+    // ingestion path q22's per-path get_json_object can't scale to: the
+    // VARIANT parse is paid once per row and every extraction after it is
+    // a binary-encoded path walk, not a string re-parse — at 100 TB the
+    // difference between one JSON decode and one per extracted column.
+    // All extracted values are integers/booleans (no double-in-JSON
+    // round-trip ambiguity); the oracle shreds the same string with
+    // DuckDB's JSON path functions. The parse→shred plan is map-only.
+    Q("q136_variant_shred",
+      Some("""WITH js AS (
+             |  SELECT event_id,
+             |    '{"id":' || CAST(event_id AS VARCHAR) ||
+             |    ',"meta":{"k":' || json_extract_string(props, '$.k') ||
+             |    ',"flag":' || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+             |    '},"vals":[' || CAST(event_id % 7 AS VARCHAR) || ',' ||
+             |    CAST(event_id % 11 AS VARCHAR) || ']}' AS doc
+             |  FROM events)
+             |SELECT event_id,
+             |  CAST(json_extract(doc, '$.meta.k') AS BIGINT) AS k,
+             |  CAST(json_extract(doc, '$.meta.flag') AS BOOLEAN) AS flag,
+             |  CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS second_val
+             |FROM js ORDER BY event_id""".stripMargin),
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          parse_json(concat(
+            lit("{\"id\":"), col("event_id").cast("string"),
+            lit(",\"meta\":{\"k\":"), get_json_object(col("props"), "$.k"),
+            lit(",\"flag\":"),
+            when(col("event_id") % 2 === 0, "true").otherwise("false"),
+            lit("},\"vals\":["), (col("event_id") % 7).cast("string"),
+            lit(","), (col("event_id") % 11).cast("string"),
+            lit("]}"))).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.meta.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.meta.flag', 'boolean')").as("flag"),
+          expr("variant_get(v, '$.vals[1]', 'bigint')").as("second_val"))
+        .orderBy("event_id"))
   )
 }

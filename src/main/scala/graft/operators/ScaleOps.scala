@@ -337,6 +337,30 @@ object ScaleOps extends QueryModule {
             .as("revenue"))
         .orderBy("o_year")),
 
+    // Q138 file provenance via metadata columns: every row of the
+    // year-partitioned warehouse table is audited against the FILE it
+    // physically came from (`_metadata.file_path` — the hidden per-row
+    // provenance any file source exposes; the lineage hook a 100 TB
+    // incident review reaches for first: "which landed file produced
+    // this row?"). The audit cross-checks the partition-directory
+    // encoding against the column value — n_consistent must equal
+    // n_rows, which the oracle asserts by construction (count twice),
+    // so a mis-partitioned write would hash-mismatch. Map-only over the
+    // scan + one partial-aggregated groupBy.
+    Q("q138_file_provenance",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_consistent
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => partitionedOrders(s, d)
+        .select(col("o_year"), col("_metadata.file_path").as("fp"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(regexp_extract(col("fp"), "o_year=([0-9]+)", 1)
+              === col("o_year").cast("string"), 1L).otherwise(0L))
+            .as("n_consistent"))
+        .orderBy("o_year")),
+
     // Q70 range-clustered layout round-trip: a range predicate over the
     // clustered copy must return exactly what the original table returns —
     // the layout changes file boundaries and statistics, never rows. The

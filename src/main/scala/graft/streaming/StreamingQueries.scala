@@ -933,6 +933,61 @@ object StreamingQueries extends QueryModule {
           .orderBy("hour_start", "event_type")
       }),
 
+    // Q137 state-store INSPECTION (Spark 4 state data source): the
+    // contents of a streaming checkpoint's state store read back as a
+    // plain DataFrame — the debugging/ops surface a 100 TB streaming
+    // deployment needs when a window total looks wrong ("what does the
+    // store actually hold for this key?") or a migration needs to audit
+    // state without replaying the stream. A tumbling aggregation runs
+    // once into a fresh checkpoint; `spark.read.format("statestore")`
+    // then reads that checkpoint's operator-0 store — one partition per
+    // state shard, no stream replay. The declared output is the state
+    // itself (window start, event type, the count buffer), which must
+    // equal the batch GROUP BY: the oracle hash-checks that the STORE —
+    // not the sink — holds exactly the aggregation state. The value
+    // buffer's column is located by type (the single LongType field):
+    // the inspector adapts to the buffer schema the operator wrote
+    // rather than hard-coding Spark's internal aggregate alias.
+    Q("q137_state_store_read",
+      Some("""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             |  event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_ssread_")
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val agg = eventsStream(s, d)
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = agg.writeStream.format("memory").queryName("q137_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        val st = s.read.format("statestore").load(s"$root/ckpt")
+        val valueType = st.schema("value").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val countField = valueType.fields
+          .find(_.dataType == org.apache.spark.sql.types.LongType)
+          .getOrElse(sys.error(
+            s"no LongType buffer field in state value: $valueType"))
+          .name
+        st.select(
+          col("key.window.start").cast("long").as("window_start"),
+          col("key.event_type").as("event_type"),
+          col(s"value.`$countField`").as("n"))
+          .orderBy("window_start", "event_type")
+      }),
+
     // Q34 the reference pipeline's transform leg as a stream: the
     // partitioned header-CSV batches the generator lands (E2,
     // `transactions_mock_data.py:85-98`) are consumed by a file-source

@@ -73,6 +73,19 @@ class StreamingSpec extends SparkSpec {
       s"expected two sessions (2 events + 1 event), got $out")
   }
 
+  test("Q137: the state store read equals the sink's complete-mode output") {
+    // The semantic claim of the state data source: for a complete-mode
+    // aggregation, the STORE holds exactly the rows the SINK shows —
+    // reading state is reading the query's truth, not an approximation.
+    val stateRows = SparkEntry.queries("q137_state_store_read")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sinkRows = spark.table("q137_sink")
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stateRows === sinkRows,
+      s"state (${stateRows.size}) diverges from sink (${sinkRows.size})")
+  }
+
   test("Q133: chained window tiers — two stateful operators, hours finalize across batches") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val fine = input.toDF().toDF("ts", "k", "v")
