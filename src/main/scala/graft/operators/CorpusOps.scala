@@ -326,6 +326,39 @@ object CorpusOps extends QueryModule {
             min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
             sum("n_chars").as("sum_chars"))
           .orderBy("bucket")
+      }),
+
+    // Q139 epoch shuffle-shard — the training-data ordering operator: a
+    // DETERMINISTIC pseudo-random permutation of the corpus for one
+    // training epoch, sharded for parallel readers. Each doc's position
+    // is derived from an md5-parity hash salted with the epoch ('ep2:'
+    // here), so (a) the order is reproducible bit-for-bit on any cluster
+    // (a rand()-based shuffle is partition-dependent — useless as a
+    // training manifest), (b) different epochs yield different orders
+    // from the same one-line salt change, and (c) position assignment is
+    // a PER-SHARD row_number window — the global sort a naive shuffle
+    // would pay is sharded into 8 independent windows, each shard a
+    // separate training file at 100 TB. The oracle replays hash, shard
+    // and rank arithmetically (the q94 md5-parity family).
+    Q("q139_epoch_shuffle",
+      Some("""WITH k AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substring(md5('ep2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM k ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr("cast(conv(substring(md5(concat('ep2:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+              .as("h"))
+          .withColumn("shard", col("h") % 8)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")
       })
   )
 }

@@ -217,6 +217,50 @@ object RelationalExt extends QueryModule {
           .orderBy("o_custkey", "rnk")
       }),
 
+    // Q141 typed COGROUP reconciliation — the KeyValueGroupedDataset
+    // surface the join operators can't express directly: both sides of a
+    // key arrive at ONE function as streams (no pre-join, no null-side
+    // coalescing gymnastics), the canonical shape for per-entity
+    // reconciliation between two systems (here: the order ledger vs the
+    // event stream per customer). Each side shuffles once on the key and
+    // the per-key closure runs with ITERATORS — counts and exact cent
+    // sums fold without buffering either side, so a hot key streams
+    // instead of materializing (the 100 TB posture; a groupByKey that
+    // collected to Seq would not survive a skewed entity). Money stays
+    // in exact integer cents (DECIMAL(18,2)·100 → BIGINT). The oracle is
+    // the equivalent FULL OUTER join of the two aggregates.
+    Q("q141_cogroup_reconcile",
+      Some("""WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+             |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+             |       FROM orders GROUP BY 1),
+             |e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
+             |SELECT coalesce(o.k, e.k) AS custkey,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+             |  CAST(coalesce(cents, 0) AS BIGINT) AS cents,
+             |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+             |FROM o FULL JOIN e ON o.k = e.k
+             |ORDER BY custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+          .as[(Long, Long)]
+        val events = t(s, d, "events")
+          .select(col("user_id")).as[Long]
+        orders.groupByKey(_._1)
+          .cogroup(events.groupByKey(identity)) { (k, os, es) =>
+            var nOrd = 0L; var cents = 0L
+            os.foreach { o => nOrd += 1; cents += o._2 }
+            var nEv = 0L
+            es.foreach(_ => nEv += 1)
+            Iterator((k, nOrd, cents, nEv))
+          }
+          .toDF("custkey", "n_orders", "cents", "n_events")
+          .orderBy("custkey")
+      }),
+
     // Q136 VARIANT shredding (Spark 4 semi-structured type): a nested
     // JSON document — built deterministically from the fixture so both
     // engines hold the identical bytes — is parsed ONCE into a VARIANT

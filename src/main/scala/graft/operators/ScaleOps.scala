@@ -361,6 +361,38 @@ object ScaleOps extends QueryModule {
             .as("n_consistent"))
         .orderBy("o_year")),
 
+    // Q140 in-flight metrics via Dataset.observe — production pipelines
+    // instrument the pass they already run instead of paying a second
+    // scan for data-quality counters. A CollectMetrics node rides the
+    // orders scan (row count, exact decimal total, non-positive-price
+    // violations) while the query itself computes something else (the
+    // per-priority rollup); after the single action, the observed map is
+    // read off the EXECUTED plan and surfaced as the declared 1-row
+    // result. At 100 TB the counters are map-side accumulators — zero
+    // extra I/O, zero extra shuffle. The oracle recomputes the same
+    // three aggregates directly; equality proves the piggybacked metrics
+    // saw every row of the pass exactly once.
+    Q("q140_observe_metrics",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val observed = t(s, d, "orders").observe("q140_metrics",
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos"))
+        // the "real" work of the pass — the metrics piggyback on it
+        val work = observed.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        work.collect() // the one action; fires the CollectMetrics node
+        val m = work.queryExecution.observedMetrics("q140_metrics")
+        Seq((m.getAs[Long]("n_rows"), m.getAs[Double]("total"),
+          m.getAs[Long]("n_nonpos")))
+          .toDF("n_rows", "total", "n_nonpos")
+      }),
+
     // Q70 range-clustered layout round-trip: a range predicate over the
     // clustered copy must return exactly what the original table returns —
     // the layout changes file boundaries and statistics, never rows. The
@@ -549,6 +581,56 @@ object ScaleOps extends QueryModule {
           .groupBy("suppkey")
           .agg(count(lit(1)).as("n_overlaps"))
           .orderBy("suppkey")
+      }),
+
+    // Q142 dynamic partition overwrite — the surgical backfill every
+    // partitioned warehouse needs: restate ONE partition (here: 1995's
+    // prices doubled by a correction job) without rewriting or even
+    // touching the other years. Under
+    // spark.sql.sources.partitionOverwriteMode=dynamic, an overwrite
+    // write replaces exactly the partitions present in the incoming
+    // frame — static mode would truncate the whole table, the classic
+    // production data-loss foot-gun this mode exists to close. The conf
+    // flip is scoped and restored in a finally (the q11b discipline);
+    // ScaleOpsSpec asserts the untouched years kept their physical files
+    // byte-for-byte. The oracle replays the restatement arithmetically
+    // over the original table.
+    Q("q142_dynamic_partition_overwrite",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN year(o_orderdate) = 1995
+             |       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+             |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_dynpo_")
+        sys.addShutdownHook {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val path = s"$root/orders_by_year"
+        val src = t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+        src.repartition(col("o_year"))
+          .write.partitionBy("o_year").mode("overwrite").parquet(path)
+        val restated = src.filter(col("o_year") === 1995)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          restated.repartition(col("o_year"))
+            .write.partitionBy("o_year").mode("overwrite").parquet(path)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        s.read.parquet(path)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_year")
       }),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.

@@ -569,7 +569,7 @@ object StreamingQueries extends QueryModule {
     * Lambda-style blind retry — re-stages and re-merges the same rows
     * instead of appending duplicates, for ANY partial-failure cut. The
     * driver never sees a row, so the path scales like any JDBC fan-out.
-    * The load runs on a deterministic 1-in-8 id slice (SliceSpark /
+    * The load runs on a deterministic 1-in-16 id slice (SliceSpark /
     * SliceDuck, oracle-matched): the protocol under test is
     * slice-independent, and bulk JDBC throughput is q72's operator.
     *
@@ -760,15 +760,15 @@ object StreamingQueries extends QueryModule {
     * restart) and q127 (JDBC exactly-once): both sinks must land the
     * identical relation no matter how runs, restarts, and retries sliced
     * the work. */
-  /** q127's deterministic 1-in-8 transaction slice, in both engines' SQL
+  /** q127's deterministic 1-in-16 transaction slice, in both engines' SQL
     * (the md5-parity family — q110's recipe): the exactly-once PROTOCOL
     * is the operator under test, and it is id-set-independent; bulk JDBC
     * throughput is q72's domain, so the warehouse protocol runs on a
     * slice instead of paying a full-corpus Derby load per bench sample. */
   private val SliceSpark =
-    "cast(conv(substring(md5(transaction_id), 1, 15), 16, 10) as bigint) % 8 = 0"
+    "cast(conv(substring(md5(transaction_id), 1, 15), 16, 10) as bigint) % 16 = 0"
   private val SliceDuck =
-    "concat('0x', substring(md5(t.transaction_id), 1, 15))::BIGINT % 8 = 0"
+    "concat('0x', substring(md5(t.transaction_id), 1, 15))::BIGINT % 16 = 0"
 
   private def ingestedTxnDuckSql: String = ingestedTxnDuckSqlWhere("")
 
@@ -1384,6 +1384,43 @@ object StreamingQueries extends QueryModule {
           .select("view_id", "purchase_id")
         runToMemory(joined, "q32b_out", "append")
           .orderBy("view_id", "purchase_id")
+      }),
+
+    // Q143 LEFT-SEMI stream-stream interval join — the third join
+    // flavor alongside q32b (inner) and q109 (left-outer): "which views
+    // converted?" WITHOUT fanning out one row per matching purchase. A
+    // view emits at most ONCE however many purchases land in its window
+    // — at scale the semi form is the difference between an existence
+    // report and an accidental cross-product of hot converters. Same
+    // watermarked interval condition as q32b, so state stays
+    // horizon-bounded on both sides; the oracle is the EXISTS
+    // formulation of the identical predicate.
+    Q("q143_stream_semi_join",
+      Some("""SELECT v.event_id AS view_id FROM events v
+             |WHERE v.event_type = 'view' AND EXISTS (
+             |  SELECT 1 FROM events p
+             |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             |    AND epoch_us(p.ts) >= epoch_us(v.ts)
+             |    AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000)
+             |ORDER BY view_id""".stripMargin),
+      (s, d) => {
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+          .select("view_id")
+        runToMemory(joined, "q143_out", "append")
+          .orderBy("view_id")
       }),
 
     // Q109 LEFT-OUTER stream-stream interval join — the conversion-or-not

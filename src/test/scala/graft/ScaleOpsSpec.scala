@@ -250,6 +250,64 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("cell"), s"grid key missing from the join plan:\n$plan")
   }
 
+  test("q142 dynamic overwrite: untouched partitions keep their physical files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dynpo_spec").toString
+    val path = s"$root/t"
+    val src = Tables.table(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    src.repartition(col("o_year"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(path)
+    def snapshot(): Map[String, (Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> (f.length(), f.lastModified())))
+        .toMap
+    val before = snapshot()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      src.filter(col("o_year") === 1995)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .repartition(col("o_year"))
+        .write.partitionBy("o_year").mode("overwrite").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = snapshot()
+    val untouchedBefore = before.filter(!_._1.startsWith("o_year=1995"))
+    val untouchedAfter = after.filter(!_._1.startsWith("o_year=1995"))
+    assert(untouchedAfter === untouchedBefore,
+      "dynamic overwrite touched partitions outside the incoming frame")
+    assert(after.keys.exists(_.startsWith("o_year=1995")) &&
+      before.filter(_._1.startsWith("o_year=1995")) !=
+        after.filter(_._1.startsWith("o_year=1995")),
+      "the 1995 partition was not rewritten")
+  }
+
+  test("q139 epoch shuffle: different epochs permute differently, shards balanced") {
+    val base = SparkEntry.queries("q139_epoch_shuffle")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay with the ep1 salt: same mechanics, different permutation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    val ep1 = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('ep1:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)").as("h"))
+      .withColumn("shard", col("h") % 8)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(base.keySet === ep1.keySet)
+    val moved = base.keys.count(k => base(k) != ep1(k))
+    assert(moved > base.size / 2,
+      s"epochs barely differ: only $moved of ${base.size} docs moved")
+    // positions within each shard are a contiguous 1..n ranking
+    base.groupBy(_._2._1).foreach { case (shard, docs) =>
+      val ps = docs.values.map(_._2).toSeq.sorted
+      assert(ps === (1L to ps.size.toLong), s"shard $shard ranks not contiguous")
+    }
+  }
+
   test("MisraGries: heavy-hitter superset + one-sided error bound, any partitioning") {
     import spark.implicits._
     // 60% of the stream is one majority key; the tail is all-distinct —

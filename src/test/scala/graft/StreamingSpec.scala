@@ -129,6 +129,40 @@ class StreamingSpec extends SparkSpec {
       s"open hour leaked: $out")
   }
 
+  test("Q143: stream-stream semi join emits each view ONCE despite multiple matches") {
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("v_ts", "v_user", "view_id")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+    val q = joined.writeStream.format("memory").queryName("q143_test")
+      .outputMode(OutputMode.Append()).start()
+
+    // view at 00:00; TWO purchases inside its window, arriving in
+    // DIFFERENT batches — the semi join must still emit the view once.
+    views.addData((ts(0), 1L, 100L))
+    purchases.addData((ts(5), 1L, 200L))
+    q.processAllAvailable()
+    purchases.addData((ts(10), 1L, 201L))
+    // a second view with NO purchase, plus horizon-advancing traffic
+    views.addData((ts(2), 2L, 101L))
+    views.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 9L, 999L))
+    purchases.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 9L, 998L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("q143_test").select("view_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 100 exactly once (not twice), 101 never, 999 matched at 03:00
+    assert(out === Seq(100L, 999L), s"semi join emitted $out")
+  }
+
   test("Q32: dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
     val input = MemoryStream[(Timestamp, Long)]
     val dedup = input.toDF().toDF("ts", "event_id")
