@@ -14,6 +14,7 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.AnalyticsExt,
     operators.RelationalExt,
+    operators.SqlSurface,
     operators.TextAnalysis,
     operators.CorpusOps,
     operators.CurationExt,
