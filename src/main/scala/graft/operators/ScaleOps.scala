@@ -205,6 +205,46 @@ object ScaleOps extends QueryModule {
     s.read.parquet(s"$root/compacted")
   }
 
+  /** q149's engine (see the query comment): base-MV + fact-delta staged
+    * once per (sf, schema) behind a manifest; the per-run plan reads ONLY
+    * those two layouts. Exposed for ScaleOpsSpec's scan-path assertion. */
+  def incrementalJoinView(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/tmp/graft_mv$tag"
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val orders = t(s, dir, "orders")
+    val manifest = s"v1|mv(seg)|${orders.schema.toDDL}"
+    val mPath = java.nio.file.Paths.get(s"$root/_graft_layout")
+    val onDiskOk = new java.io.File(s"$root/base_mv/_SUCCESS").exists() &&
+      new java.io.File(s"$root/delta/_SUCCESS").exists() &&
+      java.nio.file.Files.exists(mPath) &&
+      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    if (!onDiskOk) {
+      val isDelta = pmod(abs(hash(col("o_orderkey"))), lit(10)) === 0
+      orders.filter(!isDelta)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .write.mode("overwrite").parquet(s"$root/base_mv")
+      orders.filter(isDelta)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/delta")
+      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    }
+    val baseMv = s.read.parquet(s"$root/base_mv")
+    val deltaMv = s.read.parquet(s"$root/delta")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    baseMv.select(col("c_mktsegment"), col("n"), col("rev"))
+      .unionByName(deltaMv)
+      .groupBy("c_mktsegment")
+      .agg(sum("n").as("n"), sum("rev").cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -632,6 +672,47 @@ object ScaleOps extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy("o_year")
       }),
+
+    // Q148 REBALANCE hint — the AQE knob that fixes BOTH small-file and
+    // skewed-file writes in one line: unlike REPARTITION(n) (fixed
+    // width, skew-blind) or COALESCE (no splitting), REBALANCE lets AQE
+    // size post-shuffle partitions to the configured advisory bytes,
+    // splitting hot key groups and merging slivers — the standard
+    // pre-write shuffle of a 100 TB table job. The declared result is
+    // the (rebalance-invariant) per-priority rollup; ScaleOpsSpec
+    // asserts the hint survives into the optimized plan as a
+    // RebalancePartitions node.
+    Q("q148_rebalance_hint",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT /*+ REBALANCE(o_orderpriority) */
+                |  o_orderpriority, o_totalprice FROM orders""".stripMargin)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q149 incremental materialized-view maintenance over a JOIN — the
+    // nightly-MV economics at 100 TB: the standing view (orders ⋈
+    // customer rolled up by segment) is NOT recomputed when a fact delta
+    // lands; only Δorders joins the dimension, and the per-segment
+    // partial merges into the stored MV by exact DECIMAL addition
+    // (insert-only delta propagation: Δ(A⋈B agg) = ΔA⋈B agg ⊕ MV). The
+    // base MV and the delta are materialized ONCE per (sf, schema) under
+    // a manifest — each run's plan reads the tiny MV parquet plus the
+    // delta parquet and NEVER the base fact (ScaleOpsSpec asserts the
+    // scan paths). Oracle = the full recompute, proving the incremental
+    // merge loses nothing.
+    Q("q149_incremental_join_view",
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => incrementalJoinView(s, d)),
 
     // Q37 salted skew join — row-identical to the plain broadcast join.
     Q("q37_salted_skew_join",

@@ -1479,6 +1479,68 @@ object StreamingQueries extends QueryModule {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // Q147 FULL-OUTER stream-stream interval join — completes the
+    // join-flavor matrix (q32b inner, q109 left-outer, q143 left-semi):
+    // the two-sided reconciliation report — every view AND every
+    // purchase appears, matched where the interval holds, null-extended
+    // otherwise. Null emission is watermark-gated on each side by its
+    // OWN completeness horizon, and the horizons are ASYMMETRIC because
+    // the interval is one-sided: an unmatched view can close only once
+    // the watermark passes v_ts + 30 min (a purchase inside its window
+    // could still arrive), while an unmatched purchase closes as soon as
+    // the watermark passes p_ts itself (any future view has v_ts ≥ wm >
+    // p_ts and the condition needs v_ts ≤ p_ts). The oracle replays both
+    // gates in integer microseconds; rows younger than their horizon are
+    // correctly withheld (the q31/q109 closed-window discipline).
+    Q("q147_stream_full_outer_join",
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+             |    (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+             |    - 600000000 AS wm_us),
+             |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+             |      FROM events WHERE event_type = 'view'),
+             |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+             |      FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT v.view_id, p.purchase_id
+             |  FROM v JOIN p ON v.user_id = p.user_id
+             |   AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 1800000000),
+             |uv AS (
+             |  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id
+             |  FROM v, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+             |    AND v.v_us + 1800000000 < wm.wm_us),
+             |up AS (
+             |  SELECT CAST(NULL AS BIGINT) AS view_id, p.purchase_id
+             |  FROM p, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+             |    AND p.p_us < wm.wm_us)
+             |SELECT view_id, purchase_id FROM m
+             |UNION ALL SELECT view_id, purchase_id FROM uv
+             |UNION ALL SELECT view_id, purchase_id FROM up
+             |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin),
+      (s, d) => {
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "10 minutes")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+          .select("view_id", "purchase_id")
+        runToMemory(joined, "q147_out", "append")
+          .orderBy(asc_nulls_first("view_id"), asc_nulls_first("purchase_id"))
+      }),
+
     // Q32 stateful streaming dedup on event_id + stream-static broadcast
     // join with a dimension table. The dedup is watermark-bounded
     // (`dropDuplicatesWithinWatermark`): the state store only keeps ids

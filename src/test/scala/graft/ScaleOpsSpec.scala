@@ -308,6 +308,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q148: REBALANCE hint survives into the optimized plan") {
+    val df = SparkEntry.queries("q148_rebalance_hint")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RebalancePartitions"),
+      s"REBALANCE hint dropped from the plan:\n$plan")
+  }
+
+  test("q149 incremental MV: the per-run plan reads the MV + delta, never the base fact") {
+    val df = ScaleOps.incrementalJoinView(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("base_mv") && plan.contains("delta"),
+      s"incremental path does not read the staged layouts:\n$plan")
+    assert(!plan.contains("orders.parquet"),
+      s"incremental path re-scanned the base fact table:\n$plan")
+  }
+
   test("MisraGries: heavy-hitter superset + one-sided error bound, any partitioning") {
     import spark.implicits._
     // 60% of the stream is one majority key; the tail is all-distinct —

@@ -759,7 +759,7 @@ class StreamingSpec extends SparkSpec {
       .idempotentWarehouseIngest(spark, sf)
     val rows = out.count()
     // Source-level progress counts see FULL generations (the declared
-    // 1-in-8 md5 slice filters downstream of the source); the warehouse
+    // 1-in-16 md5 slice filters downstream of the source); the warehouse
     // itself holds only the slice.
     val txn = graft.pipeline.EcommercePipeline.transactions(spark, sf)
     val nA = txn.filter(abs(hash(col("transaction_id"))) % 2 === 0).count()
@@ -768,7 +768,7 @@ class StreamingSpec extends SparkSpec {
       s"runs ingested $counts, generations are ($nA, $nB) — " +
         "either a reprocess (not incremental) or lost input")
     val sliced = txn.filter(expr(
-      "cast(conv(substring(md5(transaction_id), 1, 15), 16, 10) as bigint) % 8 = 0"))
+      "cast(conv(substring(md5(transaction_id), 1, 15), 16, 10) as bigint) % 16 = 0"))
       .count()
     assert(rows == sliced,
       s"warehouse holds $rows rows, expected $sliced — " +
