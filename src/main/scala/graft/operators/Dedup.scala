@@ -212,14 +212,23 @@ object Dedup extends QueryModule {
 
     // Q26 exact dedup: keep-first per identical text. Window formulation in
     // the engine; min-per-group in the oracle (equivalent by construction).
+    // The group key is the md5 FINGERPRINT, not the text: grouping by the
+    // raw text would make the partial-agg rows carry the whole corpus to
+    // the reducers (measured: ~1.7× the compressed input crossed the
+    // shuffle before this fix — PlanHygieneSpec's measured-shuffle spec
+    // is the regression gate). Hashing first shrinks the exchanged row to
+    // (fp, doc_id, count) ≈ 48 B regardless of document length — the
+    // 100 TB posture. Collision-freedom is the same md5 assumption the
+    // output fingerprint itself makes.
     Q("q26_dedup_exact",
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
-             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents")
-        val counts = docs.groupBy("text")
+        docs.select(col("doc_id"), md5(col("text")).as("fp"))
+          .groupBy("fp")
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        counts.select(col("doc_id"), col("n_copies"), md5(col("text")).as("fp"))
+          .select(col("doc_id"), col("n_copies"), col("fp"))
           .orderBy("doc_id")
       }),
 

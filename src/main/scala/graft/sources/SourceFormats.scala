@@ -154,6 +154,51 @@ object SourceFormats extends QueryModule {
             sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
       }),
 
+    // Q150 schema-DRIFT reconciliation: q57c handles the benign evolution
+    // (an added column) that mergeSchema absorbs; this handles the drift
+    // that mergeSchema CANNOT — the same column changing TYPE across
+    // generations (doc_id INT → STRING, the classic upstream contract
+    // break), where a unified read throws. The operator reads each
+    // generation under its OWN schema, normalizes to the target via
+    // try_cast, and QUARANTINES the rows that don't conform ('doc-…'
+    // prefixed ids here) instead of failing the job or silently
+    // dropping them — the landing-zone triage a 100 TB ingest needs when
+    // a producer ships a bad day of data. The oracle replays the
+    // generation split and castability rule arithmetically; id_sum
+    // hash-verifies that exactly the right ROWS (not just counts)
+    // survived reconciliation.
+    Q("q150_schema_reconcile",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 0 OR doc_id % 3 <> 0 THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
+             |FROM documents""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q150:$d")
+        val docs = t(s, d, "documents")
+        // generation 1: the original contract — doc_id is an INT
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").cast("int").as("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/drift/gen1")
+        // generation 2: the broken contract — doc_id became a STRING,
+        // and a third of the rows aren't even numeric
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(
+            when(col("doc_id") % 3 === 0, concat(lit("doc-"), col("doc_id")))
+              .otherwise(col("doc_id").cast("string")).as("doc_id"),
+            col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/drift/gen2")
+        val g1 = s.read.parquet(s"$dir/drift/gen1")
+          .select(col("doc_id").cast("long").as("id"))
+        val g2 = s.read.parquet(s"$dir/drift/gen2")
+          .select(expr("try_cast(doc_id as long)").as("id"))
+        g1.unionByName(g2)
+          .agg(count(lit(1)).as("n_total"),
+            count(col("id")).as("n_reconciled"),
+            sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+            sum(coalesce(col("id"), lit(0L))).as("id_sum"))
+      }),
+
     // Q57d corrupt-record-tolerant ingestion: a JSON-lines landing file
     // where every 7th record is deliberately truncated mid-object, read in
     // PERMISSIVE mode with an explicit corrupt-record column — malformed

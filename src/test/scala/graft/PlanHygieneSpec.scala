@@ -13,6 +13,63 @@ class PlanHygieneSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** MEASURED shuffle-write bytes of `body` — the runtime counterpart of
+    * the plan-shape assertions: a plan can look right and still move the
+    * payload; the listener totals what actually crossed the shuffle.
+    * Listener events are delivered asynchronously, so the total is read
+    * once it has been stable for half a second. */
+  private def measuredShuffleBytes(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) { // 5×100 ms unchanged = settled
+        Thread.sleep(100)
+        waited += 1
+        if (acc.get == last) stable += 1 else { stable = 0; last = acc.get }
+      }
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q26 exact dedup: MEASURED shuffle volume scales with rows, not text bytes") {
+    // The scale claim on record: dedup's exchanges carry (fp, id, count)
+    // rows — a constant ~100 B per document through the agg and the
+    // output sort — never the text. The per-row bound is what survives a
+    // 100 TB corpus of long documents; this spec caught the original
+    // groupBy(text) formulation shuffling 1.7× the compressed input.
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    val inputBytes = new java.io.File(s"$sf/documents.parquet").length()
+    val bytes = measuredShuffleBytes {
+      SparkEntry.queries("q26_dedup_exact")(spark, sf).collect()
+    }
+    assert(bytes > 0, "expected at least one shuffle in exact dedup")
+    assert(bytes < 256L * nDocs,
+      s"dedup shuffled $bytes bytes for $nDocs docs (> 256 B/row) — " +
+        "text is crossing the wire")
+    assert(bytes < inputBytes,
+      s"dedup shuffled $bytes bytes vs $inputBytes compressed input")
+  }
+
+  test("q09 grouped agg: MEASURED shuffle is the partial-agg residue, not rows") {
+    // Map-side combine leaves per-partition×per-group partials: a few KB,
+    // independent of fact size. The fact table itself is ~100× larger.
+    val inputBytes = new java.io.File(s"$sf/lineitem.parquet").length()
+    val bytes = measuredShuffleBytes {
+      SparkEntry.queries("q09_agg_group")(spark, sf).collect()
+    }
+    assert(bytes < math.max(64 * 1024, inputBytes / 20),
+      s"grouped agg shuffled $bytes bytes — partial aggregation is not engaging")
+  }
+
   test("q01: scan prunes to the projected columns only") {
     val p = plan("q01_scan_project")
     assert(p.contains("c_custkey"), p)
