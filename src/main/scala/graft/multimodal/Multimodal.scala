@@ -510,6 +510,90 @@ object Multimodal extends QueryModule {
     bos.toByteArray
   }
 
+  final case class JpegProbe(doc_id: Long, width: Int, height: Int,
+      n_components: Int, bits_per_sample: Int, n_quant_tables: Int)
+
+  /** Deterministic RGB frame pushed through the JDK's REAL JPEG encoder
+    * (javax.imageio) — the first LOSSY codec in the modality family, so
+    * pixel-level parity can't be oracle-checked; what CAN be is the
+    * marker structure, because the frame geometry is ours and the
+    * encoder's segment layout is fixed for fixed settings. */
+  private[graft] def encodeJpeg(id: Long): Array[Byte] = {
+    val w = (id % 24 + 8).toInt
+    val h = ((id * 5) % 24 + 8).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x * 31L + y * 17L) % 256).toInt
+        val g = ((id * 3 + x * 7L + y * 29L) % 256).toInt
+        val bl = ((id * 5 + x * 13L + y * 11L) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** REAL JFIF marker walk: SOI, then length-prefixed segments until SOS.
+    * Frame geometry comes from the SOF payload ([precision][height 2B]
+    * [width 2B][n_components]); quantization TABLES are counted inside
+    * DQT payloads (a segment may carry several, 1+64 bytes each at 8-bit
+    * precision). Nothing is inferred from doc_id — every field is read
+    * from the encoded bytes. */
+  private[graft] def parseJpeg(docId: Long, b: Array[Byte]): JpegProbe = {
+    require(b.length > 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      s"doc $docId: not a JPEG (no SOI)")
+    def u16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    var o = 2
+    var width = -1; var height = -1; var ncomp = -1; var prec = -1
+    var nq = 0
+    var done = false
+    while (!done && o + 4 <= b.length) {
+      require((b(o) & 0xff) == 0xff, s"doc $docId: lost marker sync at $o")
+      val marker = b(o + 1) & 0xff
+      val len = u16(o + 2)
+      marker match {
+        case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOFn frame header
+          prec = b(o + 4) & 0xff
+          height = u16(o + 5)
+          width = u16(o + 7)
+          ncomp = b(o + 9) & 0xff
+        case 0xdb => // DQT: count tables inside the segment
+          var p = o + 4
+          val end = o + 2 + len
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4 // 0 = 8-bit, 1 = 16-bit entries
+            nq += 1
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+        case 0xda => done = true // SOS: entropy-coded data follows
+        case _ => ()
+      }
+      o += 2 + len
+    }
+    require(width > 0 && ncomp > 0, s"doc $docId: no SOF marker before SOS")
+    JpegProbe(docId, width, height, ncomp, prec, nq)
+  }
+
+  /** JPEG payload table (the lossy-image binary column). */
+  def jpegTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodeJpeg(id))))
+  }
+
+  def probeJpeg(media: Dataset[MediaRow]): Dataset[JpegProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseJpeg(r.doc_id, r.payload)))
+  }
+
   /** MP4 payload table (the video-modality binary column). */
   def mp4Table(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -901,6 +985,25 @@ object Multimodal extends QueryModule {
              |  CAST(doc_id % 640 + 160 AS INT) AS width,
              |  CAST((doc_id * 7) % 480 + 120 AS INT) AS height
              |FROM d ORDER BY doc_id""".stripMargin),
-      (s, d) => probeMp4(mp4Table(s, d)).toDF().orderBy("doc_id"))
+      (s, d) => probeMp4(mp4Table(s, d)).toDF().orderBy("doc_id")),
+
+    // Q151 JPEG probe — the modality family's first LOSSY codec, driven
+    // through the JDK's real encoder (javax.imageio) and a hand-rolled
+    // JFIF marker walk (see parseJpeg): SOI → length-prefixed segments →
+    // SOF geometry + DQT table census, stopping at SOS. Pixel parity
+    // can't be oracle-checked (lossy by definition); the marker
+    // STRUCTURE can, because the frame geometry is synthesized from
+    // doc_id and the encoder's segment layout is fixed for fixed
+    // settings — the oracle replays the geometry arithmetically while
+    // every output field is read from the encoded bytes. Map-only.
+    Q("q151_jpeg_probe",
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 24 + 8 AS INT) AS width,
+             |  CAST((doc_id * 5) % 24 + 8 AS INT) AS height,
+             |  CAST(3 AS INT) AS n_components,
+             |  CAST(8 AS INT) AS bits_per_sample,
+             |  CAST(2 AS INT) AS n_quant_tables
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => probeJpeg(jpegTable(s, d)).toDF().orderBy("doc_id"))
   )
 }

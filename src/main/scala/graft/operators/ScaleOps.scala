@@ -245,6 +245,30 @@ object ScaleOps extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** q152's scoped-conf runner: enables runtime Bloom-filter injection,
+    * drops its size floors to fixture scale, disables auto-broadcast
+    * (injection targets SHUFFLE joins), materializes the frame inside the
+    * scope, and returns (rows, executedPlan) — the plan so ScaleOpsSpec
+    * can assert the bloom probe landed. Every conf is restored. */
+  def runtimeBloomScope(s: SparkSession)(df: => DataFrame)
+      : (Seq[org.apache.spark.sql.Row], String) = {
+    val knobs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      knobs.foreach { case (k, v) => s.conf.set(k, v) }
+      val frame = df
+      val rows = frame.collect().toSeq
+      (rows, frame.queryExecution.executedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Salted skew join: dim side replicated `salt` times, fact side assigned
     * a deterministic salt from its PK, join on (key, salt). Spreads a hot
     * key across `salt` reducers; result is row-identical to the plain join.
@@ -694,6 +718,43 @@ object ScaleOps extends QueryModule {
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q152 NATIVE runtime Bloom-filter join (InjectRuntimeFilter) — the
+    // optimizer-owned counterpart of q89's hand-built filter: with the
+    // bloomFilter rule enabled, Spark itself derives a Bloom filter from
+    // the SELECTIVE dim side (machinery segment, ~1/5 of customers) and
+    // pushes a might_contain probe into the fact scan leg of the shuffle
+    // join, shedding non-matching fact rows before the exchange. At
+    // fixture scale the rule's size thresholds would veto it (fact ≪ the
+    // 10 GB application floor) and auto-broadcast would bypass the
+    // shuffle join entirely, so both are scoped down for the run
+    // (restored in a finally — the q11b discipline) and the result is
+    // materialized inside the scope (the q145 pattern: injection happens
+    // at execution). ScaleOpsSpec asserts the bloom probe really lands
+    // in the executed plan; the oracle is the plain join aggregate —
+    // runtime filtering must never change results.
+    Q("q152_runtime_bloom_join",
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'MACHINERY'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val rows = runtimeBloomScope(s) {
+          t(s, d, "orders")
+            .join(t(s, d, "customer")
+              .filter(col("c_mktsegment") === "MACHINERY")
+              .select("c_custkey"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+            .orderBy("o_orderpriority")
+        }._1
+        rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toDF("o_orderpriority", "n", "total")
       }),
 
     // Q149 incremental materialized-view maintenance over a JOIN — the

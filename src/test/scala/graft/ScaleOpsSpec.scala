@@ -308,6 +308,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q152: the optimizer injects a Bloom probe into the fact leg") {
+    val (rows, plan) = ScaleOps.runtimeBloomScope(spark) {
+      Tables.table(spark, sf, "orders")
+        .join(Tables.table(spark, sf, "customer")
+          .filter(col("c_mktsegment") === "MACHINERY")
+          .select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    }
+    assert(rows.nonEmpty)
+    val lower = plan.toLowerCase
+    assert(lower.contains("bloomfilter") || lower.contains("might_contain"),
+      s"no runtime bloom probe in the executed plan:\n$plan")
+  }
+
   test("q148: REBALANCE hint survives into the optimized plan") {
     val df = SparkEntry.queries("q148_rebalance_hint")(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
