@@ -15,6 +15,7 @@ object SparkEntry {
     operators.AnalyticsExt,
     operators.RelationalExt,
     operators.SqlSurface,
+    operators.Inference,
     operators.TextAnalysis,
     operators.CorpusOps,
     operators.CurationExt,
