@@ -245,6 +245,48 @@ object ScaleOps extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** q155's engine. Builds (once, manifest-validated) a per-file
+    * (min, max) l_orderkey index over the range-clustered lineitem
+    * layout — computed WITH Spark (group by `_metadata.file_path`), but
+    * stored as plain JSON any planner could consult — then serves reads
+    * by intersecting the predicate with the index and loading only the
+    * matching files. Returns the pruned frame, filtered (the manifest
+    * admits whole files; row-level filtering still applies). Also
+    * exposes the (selected, total) file counts for the spec. */
+  def manifestPrunedRead(s: SparkSession, dir: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (paths, _, _) = manifestSelect(s, dir, lo, hi)
+    s.read.parquet(paths: _*)
+      .filter(col("l_orderkey").between(lo, hi))
+  }
+
+  private[graft] def manifestSelect(s: SparkSession, dir: String,
+      lo: Long, hi: Long): (Seq[String], Int, Int) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = rangeClusteredLineitem(s, dir) // ensures the layout exists
+    val layout = s"/tmp/graft_rangeclust_lineitem$tag"
+    val idxPath = java.nio.file.Paths.get(s"$layout/_graft_minmax_index")
+    if (!java.nio.file.Files.exists(idxPath)) {
+      val perFile = base
+        .select(col("_metadata.file_path").as("f"), col("l_orderkey"))
+        .groupBy("f")
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .collect() // one row per FILE — metadata-sized, not data-sized
+      val json = perFile.map(r =>
+        s"""{"file":"${r.getString(0)}","lo":${r.getLong(1)},"hi":${r.getLong(2)}}""")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.write(idxPath, json.getBytes("UTF-8"))
+    }
+    val entries = new String(java.nio.file.Files.readAllBytes(idxPath), "UTF-8")
+    // tiny hand parse of the [{"file":…,"lo":…,"hi":…}] shape we wrote
+    val Entry = """\{"file":"([^"]+)","lo":(\d+),"hi":(\d+)\}""".r
+    val all = Entry.findAllMatchIn(entries)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+    val hit = all.filter { case (_, flo, fhi) => flo <= hi && lo <= fhi }
+    (hit.map(_._1.stripPrefix("file://").stripPrefix("file:")),
+      hit.size, all.size)
+  }
+
   /** q152's scoped-conf runner: enables runtime Bloom-filter injection,
     * drops its size floors to fixture scale, disables auto-broadcast
     * (injection targets SHUFFLE joins), materializes the frame inside the
@@ -719,6 +761,31 @@ object ScaleOps extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy("o_orderpriority")
       }),
+
+    // Q155 EXTERNAL min/max manifest + file skipping — the table-format
+    // statistics index (what Delta/Iceberg keep in their metadata layer)
+    // as a library operator over plain parquet: one pass groups the
+    // range-clustered layout BY SOURCE FILE (`_metadata.file_path` — the
+    // q138 provenance column) into a per-file (min, max) manifest JSON;
+    // the reader consults the MANIFEST FIRST and hands Spark only the
+    // files whose range intersects the predicate — the scan's file list
+    // is pruned before Spark ever opens a footer, which at 100 TB is the
+    // difference between listing/footer-reading a million files and a
+    // handful (parquet row-group stats prune pages, but only AFTER the
+    // footer read; a manifest prunes the file set itself). The manifest
+    // is built once per layout behind the usual validation; ScaleOpsSpec
+    // asserts the pruned read touches a strict subset of the files while
+    // the oracle (plain filtered aggregate) proves it loses no rows.
+    Q("q155_manifest_pruning",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem WHERE l_orderkey BETWEEN 400 AND 1200
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => manifestPrunedRead(s, d, 400L, 1200L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("l_returnflag")),
 
     // Q152 NATIVE runtime Bloom-filter join (InjectRuntimeFilter) — the
     // optimizer-owned counterpart of q89's hand-built filter: with the

@@ -308,6 +308,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q155: the manifest admits a strict subset of files and loses no rows") {
+    val (paths, nHit, nTotal) = ScaleOps.manifestSelect(spark, sf, 400L, 1200L)
+    assert(nHit > 0 && nHit < nTotal,
+      s"manifest selected $nHit of $nTotal files — no pruning happened")
+    assert(paths.size == nHit)
+    // completeness: the pruned read returns exactly the plain filter
+    val pruned = ScaleOps.manifestPrunedRead(spark, sf, 400L, 1200L).count()
+    val full = Tables.table(spark, sf, "lineitem")
+      .filter(col("l_orderkey").between(400, 1200)).count()
+    assert(pruned === full, s"manifest pruning dropped rows: $pruned vs $full")
+  }
+
   test("q152: the optimizer injects a Bloom probe into the fact leg") {
     val (rows, plan) = ScaleOps.runtimeBloomScope(spark) {
       Tables.table(spark, sf, "orders")
