@@ -339,7 +339,11 @@ object CorpusOps extends QueryModule {
     // a PER-SHARD row_number window — the global sort a naive shuffle
     // would pay is sharded into 8 independent windows, each shard a
     // separate training file at 100 TB. The oracle replays hash, shard
-    // and rank arithmetically (the q94 md5-parity family).
+    // and rank arithmetically (the q94 md5-parity family). The shard
+    // count IS the parallelism of the rank windows — 8 here matches the
+    // fixture's file-count target; a production manifest uses O(cluster)
+    // shards (e.g. 4096), which keeps every window partition small AND
+    // yields the shard-per-training-file layout readers want.
     Q("q139_epoch_shuffle",
       Some("""WITH k AS (
              |  SELECT doc_id,

@@ -316,8 +316,11 @@ final case class GlogReaderFactory(fullSchema: StructType,
       fullSchema, requiredOrdinals, preds)
 }
 
-/** Per-split reader: stream lines, parse the typed full row, apply pushed
-  * predicates, emit an InternalRow of only the required ordinals. */
+/** Per-split reader: stream lines, parse ONLY the fields the query needs
+  * (the pruning contract is honored at PARSE time, not just in the output
+  * row: a 2-column projection over a 30-field line splits the line but
+  * converts 2 values — plus whatever the pushed predicates touch), apply
+  * the predicates, emit an InternalRow of the required ordinals. */
 final class GlogPartitionReader(file: String, fullSchema: StructType,
     requiredOrdinals: Array[Int], preds: Seq[GlogPred])
     extends PartitionReader[InternalRow] {
@@ -327,6 +330,9 @@ final class GlogPartitionReader(file: String, fullSchema: StructType,
       new java.io.FileInputStream(file),
       java.nio.charset.StandardCharsets.UTF_8))
   private val types = fullSchema.fields.map(_.dataType)
+  // fields that must be converted: the projection ∪ the predicate targets
+  private val needed: Array[Int] =
+    (requiredOrdinals ++ preds.map(_.ordinal)).distinct.sorted
   private var row: InternalRow = _
 
   private def parseField(s: String, dt: DataType): Any =
@@ -345,8 +351,13 @@ final class GlogPartitionReader(file: String, fullSchema: StructType,
     var line = in.readLine()
     while (line != null) {
       val raw = line.split("\\|", -1)
-      val full = Array.tabulate[Any](types.length)(i =>
-        if (i < raw.length) parseField(raw(i), types(i)) else null)
+      val full = new Array[Any](types.length) // only `needed` slots filled
+      var j = 0
+      while (j < needed.length) {
+        val i = needed(j)
+        if (i < raw.length) full(i) = parseField(raw(i), types(i))
+        j += 1
+      }
       if (preds.forall(_.eval(full))) {
         row = InternalRow.fromSeq(requiredOrdinals.toSeq.map { i =>
           full(i) match {
