@@ -220,13 +220,19 @@ object Dedup extends QueryModule {
     // (fp, doc_id, count) ≈ 48 B regardless of document length — the
     // 100 TB posture. Collision-freedom is the same md5 assumption the
     // output fingerprint itself makes.
+    // The group key is (md5, length), not md5 alone: MD5 collisions are
+    // practically CONSTRUCTIBLE (and known collision pairs are equal-
+    // length, so length is a cheap second factor an adversarial corpus
+    // must also defeat) — 8 more bytes per partial-agg row keeps the
+    // shuffle-size win while closing the silent-merge risk (ADVICE r11).
     Q("q26_dedup_exact",
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
-             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+             |FROM documents GROUP BY md5(text), length(text) ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = t(s, d, "documents")
-        docs.select(col("doc_id"), md5(col("text")).as("fp"))
-          .groupBy("fp")
+        docs.select(col("doc_id"), md5(col("text")).as("fp"),
+            length(col("text")).as("len"))
+          .groupBy("fp", "len")
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
           .select(col("doc_id"), col("n_copies"), col("fp"))
           .orderBy("doc_id")

@@ -247,10 +247,14 @@ object SourceFormats extends QueryModule {
       (s, d) => {
         val dir = workDir(s"q130:$d")
         val glogDir = s"$dir/glog"
+        // concat (not concat_ws) on purpose: concat_ws SKIPS null operands,
+        // which would silently shift every later field left; concat
+        // propagates the null and the text writer rejects the null row —
+        // staging fails loudly instead of corrupting columns (ADVICE r11).
         t(s, d, "orders")
-          .select(concat_ws("|",
-            col("o_orderkey").cast("string"),
-            col("o_orderpriority"),
+          .select(concat(
+            col("o_orderkey").cast("string"), lit("|"),
+            col("o_orderpriority"), lit("|"),
             col("o_totalprice").cast("string")).as("value"))
           .write.mode("overwrite").text(glogDir)
         s.read

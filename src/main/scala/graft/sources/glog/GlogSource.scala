@@ -178,6 +178,11 @@ final class GlogDataWriter(schema: StructType, path: String,
         val s = row.getUTF8String(i).toString
         require(!s.contains("|") && !s.contains("\n"),
           s"glog cannot encode a string containing a delimiter: $s")
+        // The format renders NULL as an empty field, so an empty STRING is
+        // unrepresentable — failing loudly beats silently reading "" back
+        // as NULL and breaking the value-exact contract (ADVICE r11).
+        require(s.nonEmpty,
+          "glog cannot encode an empty string (empty field means NULL)")
         s
       case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
       case other => throw new IllegalArgumentException(
@@ -217,7 +222,13 @@ final case class GlogPred(ordinal: Int, op: String, value: Any)
           case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue())
           case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue())
           case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
-          case (a: String, b) => a.compareTo(b.toString)
+          // Spark orders strings by UTF-8 BINARY comparison; Java
+          // String.compareTo orders UTF-16 code units, and the two diverge
+          // on supplementary-plane characters. An accepted filter is
+          // removed from Spark's residual, so the source must reproduce
+          // Spark's order exactly (ADVICE r11).
+          case (a: String, b) =>
+            UTF8String.fromString(a).compareTo(UTF8String.fromString(b.toString))
           case _ => return false
         }
         op match {

@@ -953,13 +953,13 @@ object StreamingQueries extends QueryModule {
              |  event_type, count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft_ssread_")
-        sys.addShutdownHook {
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-          }
-          rm(root.toFile)
-        }
+        // One cached root per (query, sf); the checkpoint itself must start
+        // EMPTY each invocation (the MEMORY sink refuses checkpoint
+        // recovery), so each run gets a fresh `ckpt` subdir and the
+        // previous generation is deleted first — one shutdown hook, disk
+        // bounded at one generation (ADVICE r11).
+        val ckptDir =
+          graft.WorkDirs.freshSubdir("graft_ssread_", s"q137:$d", "ckpt")
         val agg = eventsStream(s, d)
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -968,12 +968,12 @@ object StreamingQueries extends QueryModule {
         try {
           val q = agg.writeStream.format("memory").queryName("q137_sink")
             .outputMode("complete")
-            .option("checkpointLocation", s"$root/ckpt")
+            .option("checkpointLocation", ckptDir)
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-        val st = s.read.format("statestore").load(s"$root/ckpt")
+        val st = s.read.format("statestore").load(ckptDir)
         val valueType = st.schema("value").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val countField = valueType.fields

@@ -124,6 +124,38 @@ class GlogSourceSpec extends SparkSpec {
       s"expected a delimiter error, got $e")
   }
 
+  test("glog sink: an empty string fails loudly (empty field means NULL)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_empty").toString + "/t"
+    val bad = Seq((1L, "")).toDF("k", "s")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.glog.GlogDataSource").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("empty string"))),
+      s"expected an empty-string error, got $e")
+  }
+
+  test("glog pushed string ranges use Spark's UTF-8 binary order (supplementary planes)") {
+    // U+FFFD sorts ABOVE U+1F600 in UTF-16 code units (Java String
+    // .compareTo: 0xFFFD > surrogate 0xD83D) but BELOW it in UTF-8 bytes
+    // (EF BF BD < F0 9F 98 80) — the order Spark uses. A pushed `>` must
+    // agree with Spark, because the accepted filter leaves the plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_utf8").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.glog"),
+      "1|�|1.0\n2|😀|2.0\n".getBytes("UTF-8"))
+    val df = spark.read.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(dir)
+      .filter(col("s") > "�")
+    val scan = glogScan(df)
+    assert(scan.pushed.nonEmpty, "string range was not pushed")
+    assert(df.select("k").collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "pushed string comparison diverged from Spark's UTF-8 binary order")
+  }
+
   test("glog infers an all-string c0..cN schema when none is supplied") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glog_infer").toString
     java.nio.file.Files.write(
