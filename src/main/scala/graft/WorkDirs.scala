@@ -20,6 +20,11 @@ object WorkDirs {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Recursive delete, shared by the cache's shutdown hooks and the ops
+    * that retire their own staging/orphan dirs (TimeTravel). */
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
+    deleteRecursively(p)
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -49,5 +54,71 @@ object WorkDirs {
     deleteRecursively(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Concurrency-safe publication of a layout SHARED ACROSS JVMs under a
+    * fixed /tmp path (r11 verdict #2 — a concurrent Verify JVM tore a
+    * live layout mid-scan by rewriting it in place).
+    *
+    * The layout's identity is the md5 of its manifest — a pure function
+    * of the build inputs — so its path is deterministic:
+    * `<base>/gen-<md5>`. A JVM that finds that generation PUBLISHED
+    * (byte-equal `_graft_layout` manifest inside it) uses it as-is;
+    * otherwise it builds into a private `.stage-<uuid>` sibling and
+    * publishes with ONE atomic rename. Two JVMs racing both build; the
+    * loser's rename fails against the already-published dir and its
+    * staging is discarded. A published generation is therefore immutable:
+    * never overwritten, never mutated in place — the discipline a table
+    * format's commit protocol provides on a shared object store.
+    * Superseded generations (manifest changed ⇒ different md5) are
+    * garbage-collected on publish; same-manifest readers resolve the same
+    * generation, which stays. */
+  def publishedLayout(base: String, manifest: String)
+      (build: String => Unit): String = {
+    // 12 hex chars (48 bits) of the md5: ample for distinguishing the
+    // handful of manifest versions a base ever sees, and short enough
+    // that plan strings still show the subpaths under the generation
+    // (FileScan locations truncate at spark.sql.maxMetadataStringLength).
+    val genPath = s"$base/gen-${md5Hex(manifest).take(12)}"
+    // The manifest is written into the staging dir LAST and the dir then
+    // renamed atomically, so a visible, byte-equal manifest ⇒ the whole
+    // generation is complete — no separate _SUCCESS marker needed (multi-
+    // subdir layouts have no single top-level one anyway).
+    def published = {
+      val mPath = java.nio.file.Paths.get(s"$genPath/_graft_layout")
+      java.nio.file.Files.exists(mPath) &&
+        new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
+    }
+    if (!published) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      // NOT dot-prefixed: Spark refuses to write into a hidden dir ("All
+      // paths were ignored"); nothing ever lists `base` for data — readers
+      // go straight to their gen path — so visibility is irrelevant.
+      val stage =
+        java.nio.file.Paths.get(s"$base/stage-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.createDirectories(stage)
+      try {
+        build(stage.toString)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$stage/_graft_layout"),
+          manifest.getBytes("UTF-8"))
+        java.nio.file.Files.move(stage,
+          java.nio.file.Paths.get(genPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // GC superseded generations AFTER the new one is live.
+        Option(new java.io.File(base).listFiles()).foreach(_
+          .filter(f => f.getName.startsWith("gen-") && f.getAbsolutePath != genPath)
+          .foreach(f => deleteRecursively(f.toPath)))
+      } catch {
+        // both the lost-race shapes: target appeared between check & move
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException if published =>
+      } finally deleteRecursively(stage)
+    }
+    genPath
   }
 }

@@ -17,6 +17,10 @@ object ScaleOps extends QueryModule {
 
   val Buckets = 8
 
+  private def publishedLayout(base: String, manifest: String)
+      (build: String => Unit): String =
+    graft.WorkDirs.publishedLayout(base, manifest)(build)
+
   /** Write both join sides bucketed+sorted by the join key, then join the
     * bucketed tables. Both sides expose identical hash-bucket partitioning,
     * so the sort-merge join runs with ZERO Exchange — at warehouse scale
@@ -34,27 +38,24 @@ object ScaleOps extends QueryModule {
         // CURRENT constants — a stale directory from an older build would
         // otherwise be declared CLUSTERED BY with the wrong metadata, Spark
         // would elide the exchanges, and the bucketed join would silently
-        // return wrong rows.
-        val manifest = s"$Buckets|$key|${df.schema.toDDL}"
-        val mPath = java.nio.file.Paths.get(s"$base/$name/_graft_layout")
-        val onDiskOk = new java.io.File(s"$base/$name/_SUCCESS").exists() &&
-          java.nio.file.Files.exists(mPath) &&
-          new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-        if (onDiskOk) {
-          // Bucketed files already on disk from an earlier session (the
-          // in-memory catalog dies with each JVM): re-register the layout
-          // as an external bucketed table instead of rewriting the data —
-          // bucketing is a one-time ETL decision, not per-query work.
-          s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet
-                   |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
-                   |LOCATION '$base/$name'""".stripMargin)
-        } else {
+        // return wrong rows. The files are built through a throwaway
+        // EXTERNAL table bound to the staging dir (dropping it keeps the
+        // files), then published atomically; the real table registers the
+        // published generation — bucketing is a one-time ETL decision, not
+        // per-query work, and a concurrent JVM never sees a half-written
+        // bucket directory.
+        val genPath = publishedLayout(s"$base/$name",
+          s"$Buckets|$key|${df.schema.toDDL}") { stage =>
+          val tmpTbl = s"${tbl}_stage_${System.nanoTime()}"
           df.write.mode("overwrite")
             .bucketBy(Buckets, key).sortBy(key)
-            .option("path", s"$base/$name")
-            .saveAsTable(tbl)
-          java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+            .option("path", stage)
+            .saveAsTable(tmpTbl)
+          s.sql(s"DROP TABLE $tmpTbl")
         }
+        s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING parquet
+                 |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+                 |LOCATION '$genPath'""".stripMargin)
       }
       s.table(tbl)
     }
@@ -69,18 +70,12 @@ object ScaleOps extends QueryModule {
     * when the filter arrives through a join. */
   def partitionedOrders(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_part_orders$tag"
     val src = t(s, dir, "orders")
-    val manifest = s"o_year|${src.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
-    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
+    val path = publishedLayout(s"/tmp/graft_part_orders$tag",
+      s"o_year|${src.schema.toDDL}") { stage =>
       src.withColumn("o_year", year(col("o_orderdate")))
         .repartition(col("o_year"))
-        .write.mode("overwrite").partitionBy("o_year").parquet(path)
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(stage)
     }
     s.read.parquet(path)
   }
@@ -93,24 +88,24 @@ object ScaleOps extends QueryModule {
     * prune whole files). Layout properties are asserted in ScaleOpsSpec;
     * built once per (sf, schema) behind a validated manifest. */
   def rangeClusteredLineitem(s: SparkSession, dir: String,
-      maxRecordsPerFile: Int = 50000): DataFrame = {
+      maxRecordsPerFile: Int = 50000): DataFrame =
+    s.read.parquet(rangeClusteredLayout(s, dir, maxRecordsPerFile))
+
+  /** The published generation dir of the range-clustered layout — exposed
+    * so the min/max index (q155) and ScaleOpsSpec audit the exact files
+    * this JVM resolved, not a path a concurrent build may replace. */
+  private[graft] def rangeClusteredLayout(s: SparkSession, dir: String,
+      maxRecordsPerFile: Int = 50000): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_rangeclust_lineitem$tag"
     val src = t(s, dir, "lineitem")
-    val manifest = s"l_orderkey|$maxRecordsPerFile|${src.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
-    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
+    publishedLayout(s"/tmp/graft_rangeclust_lineitem$tag",
+      s"l_orderkey|$maxRecordsPerFile|${src.schema.toDDL}") { stage =>
       src.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .parquet(path)
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+        .parquet(stage)
     }
-    s.read.parquet(path)
   }
 
   /** 16-bit Morton (z-order) interleave of two keys — the multi-dimensional
@@ -132,21 +127,15 @@ object ScaleOps extends QueryModule {
   def zorderedLineitem(s: SparkSession, dir: String,
       maxRecordsPerFile: Int = 50000): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val path = s"/tmp/graft_zorder_lineitem$tag"
     val src = t(s, dir, "lineitem")
-    val manifest = s"z(l_partkey,l_suppkey)|$maxRecordsPerFile|${src.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$path/_graft_layout")
-    val onDiskOk = new java.io.File(s"$path/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
+    val path = publishedLayout(s"/tmp/graft_zorder_lineitem$tag",
+      s"z(l_partkey,l_suppkey)|$maxRecordsPerFile|${src.schema.toDDL}") { stage =>
       src.withColumn("zval", expr(zorderExpr("l_partkey", "l_suppkey")))
         .repartitionByRange(8, col("zval"))
         .sortWithinPartitions("zval")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .parquet(path)
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+        .parquet(stage)
     }
     s.read.parquet(path)
   }
@@ -170,16 +159,16 @@ object ScaleOps extends QueryModule {
     * ScaleOpsSpec. At 100 TB this is the nightly table-maintenance job:
     * one shuffle of the compacted slice, clustering invariant kept, no
     * driver-side data motion. */
-  def zorderCompaction(s: SparkSession, dir: String): DataFrame = {
+  def zorderCompaction(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${zorderCompactionRoot(s, dir)}/compacted")
+
+  /** The published generation root (holds `data/` + `compacted/`) —
+    * exposed for ScaleOpsSpec's before/after layout audit. */
+  private[graft] def zorderCompactionRoot(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"/tmp/graft_zcompact$tag"
     val src = t(s, dir, "lineitem")
-    val manifest = s"v1|zc(l_partkey,l_suppkey)|${src.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$root/_graft_layout")
-    val onDiskOk = new java.io.File(s"$root/compacted/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
+    publishedLayout(s"/tmp/graft_zcompact$tag",
+      s"v1|zc(l_partkey,l_suppkey)|${src.schema.toDDL}") { root =>
       val withZ = src.withColumn("zval", expr(zorderExpr("l_partkey", "l_suppkey")))
       // the degraded state: clustered-but-fragmented base + unsorted delta
       withZ.filter(pmod(col("l_orderkey"), lit(8)) =!= 0)
@@ -200,9 +189,7 @@ object ScaleOps extends QueryModule {
         .repartitionByRange(target, col("zval"))
         .sortWithinPartitions("zval")
         .write.mode("overwrite").parquet(s"$root/compacted")
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
     }
-    s.read.parquet(s"$root/compacted")
   }
 
   /** q149's engine (see the query comment): base-MV + fact-delta staged
@@ -210,27 +197,20 @@ object ScaleOps extends QueryModule {
     * those two layouts. Exposed for ScaleOpsSpec's scan-path assertion. */
   def incrementalJoinView(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"/tmp/graft_mv$tag"
     val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
     val orders = t(s, dir, "orders")
-    val manifest = s"v1|mv(seg)|${orders.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$root/_graft_layout")
-    val onDiskOk = new java.io.File(s"$root/base_mv/_SUCCESS").exists() &&
-      new java.io.File(s"$root/delta/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
+    val root = publishedLayout(s"/tmp/graft_mv$tag",
+      s"v1|mv(seg)|${orders.schema.toDDL}") { stage =>
       val isDelta = pmod(abs(hash(col("o_orderkey"))), lit(10)) === 0
       orders.filter(!isDelta)
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-        .write.mode("overwrite").parquet(s"$root/base_mv")
+        .write.mode("overwrite").parquet(s"$stage/base_mv")
       orders.filter(isDelta)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$root/delta")
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+        .write.mode("overwrite").parquet(s"$stage/delta")
     }
     val baseMv = s.read.parquet(s"$root/base_mv")
     val deltaMv = s.read.parquet(s"$root/delta")
@@ -256,18 +236,24 @@ object ScaleOps extends QueryModule {
   def manifestPrunedRead(s: SparkSession, dir: String,
       lo: Long, hi: Long): DataFrame = {
     val (paths, _, _) = manifestSelect(s, dir, lo, hi)
-    s.read.parquet(paths: _*)
-      .filter(col("l_orderkey").between(lo, hi))
+    if (paths.isEmpty) {
+      // A predicate range intersecting no files is a normal outcome of
+      // manifest pruning, not an error: answer with an empty frame of the
+      // layout's schema instead of handing parquet() an empty path list
+      // (which throws "unable to infer schema") — ADVICE r11.
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        rangeClusteredLineitem(s, dir).schema)
+    } else
+      s.read.parquet(paths: _*)
+        .filter(col("l_orderkey").between(lo, hi))
   }
 
   private[graft] def manifestSelect(s: SparkSession, dir: String,
       lo: Long, hi: Long): (Seq[String], Int, Int) = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = rangeClusteredLineitem(s, dir) // ensures the layout exists
-    val layout = s"/tmp/graft_rangeclust_lineitem$tag"
+    val layout = rangeClusteredLayout(s, dir) // ensures the layout exists
     val idxPath = java.nio.file.Paths.get(s"$layout/_graft_minmax_index")
     if (!java.nio.file.Files.exists(idxPath)) {
-      val perFile = base
+      val perFile = s.read.parquet(layout)
         .select(col("_metadata.file_path").as("f"), col("l_orderkey"))
         .groupBy("f")
         .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
@@ -275,7 +261,16 @@ object ScaleOps extends QueryModule {
       val json = perFile.map(r =>
         s"""{"file":"${r.getString(0)}","lo":${r.getLong(1)},"hi":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
-      java.nio.file.Files.write(idxPath, json.getBytes("UTF-8"))
+      // Write-temp + atomic rename: the published generation dir is shared
+      // across JVMs, so the index must appear complete or not at all. A
+      // racing JVM computes the same (file → min/max) content, so
+      // whichever rename lands last is equally valid.
+      val tmp = java.nio.file.Paths.get(
+        s"$layout/.idx-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, idxPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val entries = new String(java.nio.file.Files.readAllBytes(idxPath), "UTF-8")
     // tiny hand parse of the [{"file":…,"lo":…,"hi":…}] shape we wrote
@@ -709,13 +704,9 @@ object ScaleOps extends QueryModule {
              |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft_dynpo_")
-        sys.addShutdownHook {
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-          }
-          rm(root.toFile)
-        }
+        // Cached per (query, sf): the writes below are overwrite-idempotent,
+        // so re-invocations reuse one dir + one shutdown hook (ADVICE r11).
+        val root = graft.WorkDirs.cached("graft_dynpo_", s"q142:$d")
         val path = s"$root/orders_by_year"
         val src = t(s, d, "orders")
           .withColumn("o_year", year(col("o_orderdate")))

@@ -404,23 +404,17 @@ object StreamingQueries extends QueryModule {
     val txn = EcommercePipeline.transactions(s, d)
       .select("transaction_id", "product_id", "quantity")
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val stage = s"/tmp/graft_restart_stage$tag"
     // v2: each generation lands as 4 shards, so a maxFilesPerTrigger-
     // throttled drain has files to slice into multiple micro-batches.
-    val manifest = s"v2|${txn.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$stage/_graft_layout")
-    val staged = new java.io.File(s"$stage/a/_SUCCESS").exists() &&
-      new java.io.File(s"$stage/b/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!staged) {
+    // Staged + atomically published (WorkDirs.publishedLayout): shared
+    // across JVMs, so it must never be rebuilt over a live copy.
+    graft.WorkDirs.publishedLayout(s"/tmp/graft_restart_stage$tag",
+      s"v2|${txn.schema.toDDL}") { stage =>
       txn.filter(abs(hash(col("transaction_id"))) % 2 === 0).repartition(4)
         .write.mode("overwrite").option("header", "true").csv(s"$stage/a")
       txn.filter(abs(hash(col("transaction_id"))) % 2 === 1).repartition(4)
         .write.mode("overwrite").option("header", "true").csv(s"$stage/b")
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
     }
-    stage
   }
 
   /** Hardlink a staged generation's CSVs into a landing dir. */
@@ -449,16 +443,10 @@ object StreamingQueries extends QueryModule {
   def streamingPipeline(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
     import graft.pipeline.EcommercePipeline
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val landDir = s"/tmp/graft_stream_csv$tag"
     val txn = EcommercePipeline.transactions(s, d)
-    val manifest = s"v1|${txn.schema.toDDL}"
-    val mPath = java.nio.file.Paths.get(s"$landDir/_graft_layout")
-    val onDiskOk = new java.io.File(s"$landDir/_SUCCESS").exists() &&
-      java.nio.file.Files.exists(mPath) &&
-      new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
-    if (!onDiskOk) {
-      EcommercePipeline.csvRoundTrip(txn, landDir)
-      java.nio.file.Files.write(mPath, manifest.getBytes("UTF-8"))
+    val landDir = graft.WorkDirs.publishedLayout(s"/tmp/graft_stream_csv$tag",
+      s"v1|${txn.schema.toDDL}") { stage =>
+      EcommercePipeline.csvRoundTrip(txn, stage)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("transaction_id",
@@ -493,13 +481,10 @@ object StreamingQueries extends QueryModule {
   def restartableIngest(s: SparkSession, d: String)
       : (DataFrame, Seq[Seq[Long]]) = {
     import graft.pipeline.EcommercePipeline
-    val root = java.nio.file.Files.createTempDirectory("graft_restart_")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(root.toFile)
-    }
+    // Fresh land/out/ckpt per invocation (the restart protocol needs an
+    // empty landing zone), but under ONE cached root + shutdown hook —
+    // the q142/q137 disk/hook-accumulation fix (ADVICE r11).
+    val root = graft.WorkDirs.freshSubdir("graft_restart_", s"q87:$d", "run")
     val (land, out, ckpt) = (s"$root/land", s"$root/out", s"$root/ckpt")
     val stage = stageGenerations(s, d)
     def landGen(gen: String): Unit = landGeneration(stage, land, gen)
@@ -585,20 +570,22 @@ object StreamingQueries extends QueryModule {
   def idempotentWarehouseIngest(s: SparkSession, d: String)
       : (DataFrame, Seq[Long]) = {
     import graft.pipeline.EcommercePipeline
-    val root = java.nio.file.Files.createTempDirectory("graft_wh_eo_")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(root.toFile)
-    }
-    val (land, ckpt) = (s"$root/land", s"$root/ckpt")
+    // One cached root per (query, sf): the Derby database is created once
+    // and stays BOOTED for the JVM (deleting a live Derby dir corrupts
+    // it); each invocation drops+recreates the warehouse table and gets a
+    // fresh land/ckpt generation subdir — one shutdown hook, disk bounded
+    // (ADVICE r11, same class as q142/q137).
+    val dbRoot = graft.WorkDirs.cached("graft_wh_eo_", s"q127:$d")
+    val run = graft.WorkDirs.freshSubdir("graft_wh_eo_", s"q127:$d", "run")
+    val (land, ckpt) = (s"$run/land", s"$run/ckpt")
     if (System.getProperty("derby.system.home") == null)
-      System.setProperty("derby.system.home", root.toString)
-    val url = s"jdbc:derby:$root/wh;create=true"
+      System.setProperty("derby.system.home", dbRoot)
+    val url = s"jdbc:derby:$dbRoot/wh;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
+      try st.execute("DROP TABLE txn_wh")
+      catch { case _: java.sql.SQLException => () } // first run: no table
       st.execute("CREATE TABLE txn_wh (" +
         "transaction_id VARCHAR(40) PRIMARY KEY, quantity INT, " +
         "category VARCHAR(16), pk BIGINT, batch_id BIGINT)")

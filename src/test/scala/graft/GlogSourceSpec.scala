@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
-import graft.sources.glog.GlogScan
+import graft.sources.glog.{GlogScan, GlogStreamOffset}
 
 /** The DSv2 scan contract of the glog source (q130): filters the source
   * accepted must leave Spark's plan entirely, the reader schema must carry
@@ -97,7 +97,10 @@ class GlogSourceSpec extends SparkSpec {
     // generation 2 overwrites generation 1 entirely
     orders.filter(col("o_orderkey") % 2 === 1)
       .write.format("graft.sources.glog.GlogDataSource").mode("overwrite").save(dir)
+    // hidden files (Hadoop checksum sidecars like .part-N.glog.crc) are
+    // invisible to the read path; the litter contract covers VISIBLE files
     val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
     assert(files.nonEmpty && files.forall(_.endsWith(".glog")),
       s"uncommitted litter in the sink dir: ${files.mkString(", ")}")
     val back = spark.read
@@ -154,6 +157,96 @@ class GlogSourceSpec extends SparkSpec {
     assert(scan.pushed.nonEmpty, "string range was not pushed")
     assert(df.select("k").collect().map(_.getLong(0)).toSeq === Seq(2L),
       "pushed string comparison diverged from Spark's UTF-8 binary order")
+  }
+
+  test("glog reads and writes through the Hadoop FileSystem path (file:/ URIs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glog_hfs").toString
+    val uri = s"file:$dir/t"
+    val orders = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .filter(col("o_orderkey") % 10 === 0)
+    orders.write.format("graft.sources.glog.GlogDataSource")
+      .mode("overwrite").save(uri)
+    val back = spark.read
+      .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(uri)
+    assert(back.count() === orders.count())
+    assert(back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0) ===
+      orders.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // the committed files really live where the URI pointed
+    val files = new java.io.File(s"$dir/t").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".glog")), files.mkString(", "))
+  }
+
+  test("glog stream offsets serialize deterministically and round trip") {
+    val off = GlogStreamOffset(Map("/b/f2.glog" -> 7L, "/a/f1.glog" -> 3L))
+    assert(off.json === """{"/a/f1.glog":3,"/b/f2.glog":7}""")
+    assert(GlogStreamOffset.fromJson(off.json) === off)
+    assert(GlogStreamOffset.fromJson("{}") === GlogStreamOffset(Map.empty))
+  }
+
+  test("glog streaming source: resume-from-offset across restarts (new files + appended lines)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_stream").toString
+    val data = s"$root/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "a.glog"),
+      "1|x|1.0\n2|y|2.0\n3|z|3.0\n".getBytes("UTF-8"))
+    val ckpt = s"$root/ckpt"
+    // run a fresh query instance against the SAME checkpoint each time;
+    // the set-fold absorbs any replayed uncommitted batch (idempotent)
+    def runOnce(): Set[Long] = {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream.schema("k LONG, s STRING, v DOUBLE")
+        .format("graft.sources.glog.GlogDataSource").load(data)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k").collect().foreach(r => seen.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(runOnce() === Set(1L, 2L, 3L))
+    // between the runs: two lines APPENDED to the consumed file plus one
+    // new file — the two arrival shapes the (file, line-range) offset
+    // must distinguish from already-committed data
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "a.glog"),
+      "4|p|4.0\n5|q|5.0\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "b.glog"), "6|r|6.0\n".getBytes("UTF-8"))
+    assert(runOnce() === Set(4L, 5L, 6L),
+      "a restarted instance must deliver ONLY the ranges beyond the committed offset")
+    // and a third instance with nothing new delivers nothing
+    assert(runOnce() === Set.empty[Long])
+  }
+
+  test("glog streaming source prunes and filters at the source per micro-batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_streamf").toString
+    val data = s"$root/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "a.glog"),
+      "1|x|1.0\n2|y|2.0\n3|z|3.0\n".getBytes("UTF-8"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(data)
+      .filter(col("v") > 1.5).select("k")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet === Set(2L, 3L))
   }
 
   test("glog infers an all-string c0..cN schema when none is supplied") {

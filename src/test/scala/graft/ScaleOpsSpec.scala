@@ -104,8 +104,8 @@ class ScaleOpsSpec extends SparkSpec {
   test("range-clustered layout: bounded file sizes, non-overlapping key ranges, pruned scan") {
     val maxRows = 2000
     val df = operators.ScaleOps.rangeClusteredLineitem(spark, sf, maxRows)
-    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val files = new java.io.File(s"/tmp/graft_rangeclust_lineitem$tag")
+    val files = new java.io.File(
+      operators.ScaleOps.rangeClusteredLayout(spark, sf, maxRows))
       .listFiles().filter(f => f.getName.endsWith(".parquet"))
     assert(files.length >= 2, s"expected a multi-file layout, got ${files.length}")
     // Size bound: maxRecordsPerFile caps every file.
@@ -152,8 +152,7 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("q129: compaction restores the z-locality an unsorted delta append broke") {
     SparkEntry.queries("q129_zorder_compaction")(spark, sf).collect()
-    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = s"/tmp/graft_zcompact$tag"
+    val root = operators.ScaleOps.zorderCompactionRoot(spark, sf)
     def parquets(p: String) =
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
     // Degraded state on the record: many fragmented files plus the delta.
@@ -318,6 +317,13 @@ class ScaleOpsSpec extends SparkSpec {
     val full = Tables.table(spark, sf, "lineitem")
       .filter(col("l_orderkey").between(400, 1200)).count()
     assert(pruned === full, s"manifest pruning dropped rows: $pruned vs $full")
+  }
+
+  test("q155: a range hitting no files answers an empty frame, not an error") {
+    val pruned = ScaleOps.manifestPrunedRead(spark, sf, Long.MaxValue - 10, Long.MaxValue)
+    assert(pruned.count() === 0L)
+    assert(pruned.schema.fieldNames.contains("l_orderkey"),
+      s"empty answer lost the layout schema: ${pruned.schema.treeString}")
   }
 
   test("q152: the optimizer injects a Bloom probe into the fact leg") {
