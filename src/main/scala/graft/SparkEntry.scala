@@ -25,6 +25,7 @@ object SparkEntry {
     operators.GraphOps,
     operators.Similarity,
     operators.ScaleOps,
+    operators.TimeTravel,
     operators.AsOfJoin,
     sources.SourceFormats,
     pipeline.EcommercePipeline,

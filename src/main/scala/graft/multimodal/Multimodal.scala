@@ -582,6 +582,54 @@ object Multimodal extends QueryModule {
     JpegProbe(docId, width, height, ncomp, prec, nq)
   }
 
+  final case class JpegDecode(doc_id: Long, width: Int, height: Int,
+      n_px: Long, max_abs_err: Long, mean_err_milli: Long,
+      within_bound: Boolean)
+
+  /** Per-image MEAN per-channel absolute-error ceiling for the JDK
+    * encoder at its default quality on the doc_id-derived noise rasters.
+    * Lossy JPEG on high-frequency noise is its worst case: individual
+    * pixels can miss by >240 (measured max 243 at sf0.01), so a per-pixel
+    * max is not a checkable property — the MEAN is: measured per-image
+    * ceiling is ≈34.6/channel across the corpora, while a shuffled,
+    * constant, or misaligned "decode" of these rasters sits near the
+    * ~85/channel expectation of unrelated uniform bytes. 60 separates the
+    * two regimes with wide margin on both sides. */
+  val JpegMeanErrMilli = 60000L // mean abs error ≤ 60.0/channel
+
+  /** REAL pixel decode of the q151 bytes (javax.imageio) — closes the
+    * probe→decode arc for the lossy codec (r11 verdict #5). The
+    * pre-encode raster is reconstructed from doc_id (encodeJpeg's exact
+    * formula) and compared per pixel per channel; the property spec and
+    * within_bound pin the codec-error ceiling the way q27b pins recall.
+    * Map-only: decode, compare, and reduce happen in-row — nothing but
+    * the bounded stats ever leaves the executor. */
+  private[graft] def decodeJpeg(docId: Long, b: Array[Byte]): JpegDecode = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"doc $docId: ImageIO could not decode")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sumErr = 0L
+    var maxErr = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val er = math.abs(((px >> 16) & 0xff) - ((docId + x * 31L + y * 17L) % 256).toInt)
+        val eg = math.abs(((px >> 8) & 0xff) - ((docId * 3 + x * 7L + y * 29L) % 256).toInt)
+        val eb = math.abs((px & 0xff) - ((docId * 5 + x * 13L + y * 11L) % 256).toInt)
+        sumErr += er + eg + eb
+        maxErr = math.max(maxErr, math.max(er, math.max(eg, eb)))
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    val meanMilli = sumErr * 1000L / (nPx * 3L)
+    JpegDecode(docId, w, h, nPx, maxErr, meanMilli,
+      meanMilli <= JpegMeanErrMilli)
+  }
+
   /** JPEG payload table (the lossy-image binary column). */
   def jpegTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -1004,6 +1052,25 @@ object Multimodal extends QueryModule {
              |  CAST(8 AS INT) AS bits_per_sample,
              |  CAST(2 AS INT) AS n_quant_tables
              |FROM documents ORDER BY doc_id""".stripMargin),
-      (s, d) => probeJpeg(jpegTable(s, d)).toDF().orderBy("doc_id"))
+      (s, d) => probeJpeg(jpegTable(s, d)).toDF().orderBy("doc_id")),
+
+    // Q158 JPEG pixel decode — the decode half q151's marker walk stops
+    // short of: the encoded frames are decoded back to rasters with the
+    // JDK's real decoder and compared per pixel per channel against the
+    // doc_id-derived PRE-encode raster. Bit parity is unprovable for a
+    // lossy codec, so this is the declared property-checked class
+    // (q24b/q27b pattern): per-image error stats are exact integers, the
+    // codec-error ceiling is pinned by within_bound here and by
+    // MultimodalSpec's hard assert. No DuckDB oracle — DuckDB cannot run
+    // a JPEG codec; the driver records the rows-only check. Map-only at
+    // any scale: decode + compare + reduce stay in-row, only ~40 bytes of
+    // stats per image ever leave the executor.
+    Q("q158_jpeg_decode", None,
+      (s, d) => {
+        import s.implicits._
+        jpegTable(s, d)
+          .mapPartitions(_.map(r => decodeJpeg(r.doc_id, r.payload)))
+          .toDF().orderBy("doc_id")
+      })
   )
 }

@@ -220,4 +220,26 @@ class MultimodalSpec extends SparkSpec {
       assert(p.width == (p.doc_id % 640 + 160).toInt)
     }
   }
+
+  test("q158: real JPEG decode tracks the pre-encode raster within the codec bound") {
+    val out = SparkEntry.queries("q158_jpeg_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    var anyLoss = false
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 24 + 8).toInt, s"doc $id width")
+      assert(r.getInt(2) == ((id * 5) % 24 + 8).toInt, s"doc $id height")
+      val maxErr = r.getLong(4)
+      val meanMilli = r.getLong(5)
+      // the property this class declares: per-image MEAN codec error under
+      // the bound (per-pixel max is unboundable for lossy JPEG on noise)
+      assert(meanMilli <= Multimodal.JpegMeanErrMilli,
+        s"doc $id mean err $meanMilli m‰ exceeds ${Multimodal.JpegMeanErrMilli}")
+      assert(r.getBoolean(6), s"doc $id within_bound is false")
+      if (maxErr > 0) anyLoss = true
+    }
+    // lossy codec on noise rasters: at least one image must show real
+    // error, or the "decode" isn't decoding the encoded bytes at all
+    assert(anyLoss, "zero error across a lossy codec corpus is implausible")
+  }
 }
