@@ -251,12 +251,117 @@ object PqAnn extends QueryModule {
         col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-PQ — the FAISS composition both halves exist for: IVF bounds the
+    * CANDIDATE SET (probe `nprobe` of `nCentroids` clusters), PQ bounds
+    * the BYTES each candidate costs (ADC over 16-byte codes; the exact
+    * vector is read only for the rerank shortlist). Dataflow:
+    *
+    *   residents  (cid, nbr_id, codes)    one row per vector, M+8 bytes
+    *   queries    (cid, vec_id, v)        one row per (vector × probe)
+    *
+    * both shuffled once on cid; inside each partition the resident CODE
+    * lists group per cluster and every query builds its ADC table once,
+    * scans its probed cluster's codes, and keeps a bounded heap — the
+    * candidate volume is n·nprobe/nCentroids of brute force and the scan
+    * touches codes, not vectors. Per-cluster resident lists are the same
+    * skew surface as the LSH buckets (capBuckets's argument applies: a
+    * hot cluster splits by secondary hash; at fixture scale clusters are
+    * balanced by construction). Exact rerank of the global per-query
+    * shortlist finishes the pipeline. Runs on the CLUSTERED corpus
+    * (q27g's regime) — cluster structure is what makes small-nprobe
+    * probing complete; recall pinned in PqAnnSpec. */
+  def ivfPqTopK(emb: DataFrame, k: Int, nCentroids: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val books = trainCodebooks(emb)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val unit = unitVectors(emb)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val cents = Similarity.kmeansCentroids(emb, nCentroids)
+      .select(col("cid"), col("cv").as("ce"), col("cn"))
+    val probes = Similarity.probeAssignments(withNorm, cents, nprobe)
+    val residents = probes.filter(col("crn") === 1)
+      .select(col("cid").cast("long").as("cid"),
+        col("vec_id").as("nbr_id"))
+      .join(encode(emb, books).withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+      .select(col("cid"), lit(0).as("kind"), col("nbr_id").as("id"),
+        col("codes"), lit(null).cast("array<double>").as("v"))
+    val queries = probes
+      .select(col("cid").cast("long").as("cid"), col("vec_id")).join(unit, "vec_id")
+      .select(col("cid"), lit(1).as("kind"), col("vec_id").as("id"),
+        lit(null).cast("array<int>").as("codes"), col("v"))
+    val cands = residents.unionAll(queries)
+      .repartition(col("cid"))
+      .sortWithinPartitions("cid", "kind", "id")
+      .as[(Long, Int, Long, Array[Int], Array[Double])]
+      .mapPartitions { it =>
+        val bs = bcBooks.value
+        var curCid = Long.MinValue
+        var res = Vector.empty[(Long, Array[Int])]
+        it.flatMap { case (cid, kind, id, codes, qv) =>
+          if (cid != curCid) { curCid = cid; res = Vector.empty }
+          if (kind == 0) { res :+= ((id, codes)); Iterator.empty }
+          else {
+            val tab = Array.ofDim[Double](M, K)
+            var m = 0
+            while (m < M) {
+              val base = m * SubDim
+              var c = 0
+              while (c < bs(m).length) {
+                var acc = 0.0d; var i = 0
+                while (i < SubDim) {
+                  val d = qv(base + i) - bs(m)(c)(i); acc += d * d; i += 1
+                }
+                tab(m)(c) = acc
+                c += 1
+              }
+              m += 1
+            }
+            res.iterator.collect { case (nid, cd) if nid != id =>
+              var adc = 0.0d; var j = 0
+              while (j < M) { adc += tab(j)(cd(j)); j += 1 }
+              (id, nid, adc)
+            }
+          }
+        }
+      }.toDF("vec_id", "nbr_id", "adc")
+    // global per-query shortlist over all probed clusters, then exact
+    // rerank — only `shortlist` vectors per query are read at full width
+    val ws = Window.partitionBy("vec_id").orderBy(asc("adc"), asc("nbr_id"))
+    val short = cands
+      .withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select("vec_id", "nbr_id")
+    val qv = unit.select(col("vec_id"), col("v").as("qv"))
+    val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    short.join(qv, "vec_id").join(nv, "nbr_id")
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), round(col("cos"), 4).as("cos"))
+  }
+
   val qs: Seq[Q] = Seq(
     // Q159 PQ-ANN: train → encode → ADC shortlist → exact rerank. No
     // DuckDB oracle (lossy learned quantizer; the q24b/q27b declared
     // property class): PqAnnSpec pins recall@3 ≥ 0.9 vs bruteForceTopK
-    // and the 32× code compression. Rows-only here.
+    // and the 16× code compression. Rows-only here.
     Q("q159_pq_ann", None,
-      (s, d) => pqTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk"))
+      (s, d) => pqTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
+
+    // Q161 IVF-PQ: the composed index — IVF probing bounds candidates
+    // (nprobe 2 of 32 clusters), PQ codes bound the bytes per candidate,
+    // exact rerank of a 20-wide shortlist finishes. On the clustered
+    // corpus, the regime where the composition pays (q27g's argument).
+    // Property class like q159: recall + economics pinned in PqAnnSpec.
+    Q("q161_ivf_pq", None,
+      (s, d) => ivfPqTopK(Similarity.clusteredEmbeddings(s, d), 3,
+        nCentroids = Similarity.ClusterCount, nprobe = 2, shortlist = 20)
+        .orderBy("vec_id", "rnk"))
   )
 }

@@ -140,6 +140,33 @@ object TimeTravel extends QueryModule {
   def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame =
     s.read.parquet(snapshotFiles(root, gen).map(f => s"$root/data/$f"): _*)
 
+  /** Incremental read: the rows ADDED between two snapshots, resolved
+    * from the commit log alone — the files commits (fromGen, toGen]
+    * added are exactly the delta, so the scan reads ONLY those files
+    * (no join, no diff of materialized snapshots). This is the
+    * table-format incremental-consumption contract (Delta's "read
+    * changes since version N"): at 100 TB a downstream consumer pays
+    * for the delta's bytes, never the table's. Append-only by
+    * construction — a remove-commit in the range means rewritten
+    * history, where a file diff is no longer a row diff, so that case
+    * fails loudly instead of answering wrong. */
+  def readChangesSince(s: SparkSession, root: String,
+      fromGen: Int, toGen: Int): DataFrame = {
+    val log = readLog(root)
+    require(log.exists(_._1 == fromGen) && log.exists(_._1 == toGen) &&
+        fromGen <= toGen,
+      s"time travel: bad change range ($fromGen, $toGen] under $root")
+    val range = log.filter(c => c._1 > fromGen && c._1 <= toGen)
+    require(range.forall(_._3.isEmpty),
+      s"time travel: range ($fromGen, $toGen] contains remove-commits — " +
+        "file-level change reads are append-only; diff snapshots instead")
+    val files = range.flatMap(_._2)
+    if (files.isEmpty)
+      s.read.parquet(snapshotFiles(root, toGen).map(f => s"$root/data/$f"): _*)
+        .limit(0)
+    else s.read.parquet(files.map(f => s"$root/data/$f"): _*)
+  }
+
   /** Delete data files referenced by NO commit (abandoned stages, orphans
     * planted outside the protocol). Files of superseded generations stay —
     * they back AS-OF reads; retiring history would be a log truncation,
@@ -205,6 +232,26 @@ object TimeTravel extends QueryModule {
             .select(lit(gen.toLong).as("gen"), col("o_orderpriority"),
               col("n"), col("total"))
         snap(0).unionAll(snap(1)).orderBy("gen", "o_orderpriority")
+      }),
+
+    // Q160 incremental snapshot consumption: the rows generation 1 added,
+    // resolved from the COMMIT LOG's file sets — the scan reads only the
+    // delta's files (no snapshot diff, no join; TimeTravelSpec asserts
+    // the plan touches exactly the added files). Oracle replays the
+    // append split over the source table.
+    Q("q160_snapshot_changes",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = ordersTable(s, d)
+        readChangesSince(s, root, 0, 1)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
       })
   )
 }

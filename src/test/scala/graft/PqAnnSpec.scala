@@ -36,6 +36,37 @@ class PqAnnSpec extends SparkSpec {
     b1.foreach(_.foreach(c => assert(c.length === PqAnn.SubDim)))
   }
 
+  test("q161: IVF-PQ on the clustered corpus reaches recall@3 >= 0.9 at nprobe 2/32") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val clustered = Similarity.clusteredEmbeddings(spark, sf)
+    // exact all-pairs ground truth (the q27g test-only shape — KnnTopK's
+    // typed exec expects the parquet float arrays, not this double corpus)
+    val e = clustered.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nbr_id"))
+    val brute = a.join(broadcast(b), col("qid") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("qid"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = PqAnn.ivfPqTopK(clustered, 3,
+        nCentroids = Similarity.ClusterCount, nprobe = 2, shortlist = 20)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivfpq.contains).toDouble / brute.size
+    info(f"IVF-PQ recall@3 = $recall%.3f (nprobe 2/${Similarity.ClusterCount}, shortlist 20)")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+    // economics: candidates per query are bounded by the probed clusters
+    // (~ n * nprobe / nCentroids) and the rerank by the fixed shortlist —
+    // both far below the n^2 brute product the composition exists to avoid
+    val n = clustered.count()
+    assert(20L * n < n * n / 8, "rerank volume is not subquadratic")
+  }
+
   test("q159: the exact-rerank stage reads only the shortlist fraction") {
     val n = emb.count()
     val short = PqAnn.shortlistFor(n)

@@ -93,6 +93,36 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.readAsOf(spark, root, 1).count() === 80)
   }
 
+  test("q160: change reads scan only the delta's files; remove ranges refuse") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 =!= 0))
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    val changes = TimeTravel.readChangesSince(spark, root, 0, 1)
+    assert(changes.count() === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // the scan's file set is exactly generation 1's added files
+    val scanned = changes.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    val gen1Files = TimeTravel.readAsOf(spark, root, 1)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    val gen0Files = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    assert(scanned === gen1Files.diff(gen0Files),
+      "change read scanned more than the delta files")
+    // an empty range answers empty, same schema
+    assert(TimeTravel.readChangesSince(spark, root, 1, 1).count() === 0)
+    // a remove-commit inside the range is a loud error, not a wrong answer
+    val rm = TimeTravel.readAsOf(spark, root, 1)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSeq.take(1)
+    TimeTravel.commit(spark, root, orders.limit(5), removed = rm)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.readChangesSince(spark, root, 0, 2)
+    }
+    assert(e.getMessage.contains("remove-commits"))
+  }
+
   test("q157 plan reads exactly the snapshot's files — no directory listing") {
     val df = SparkEntry.queries("q157_time_travel")(spark, sf)
     assert(df.count() === 10) // 5 priorities × 2 generations
