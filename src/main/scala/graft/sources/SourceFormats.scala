@@ -312,6 +312,51 @@ object SourceFormats extends QueryModule {
         s.table("q156_sink").orderBy("o_orderpriority")
       }),
 
+    // Q162 custom DSv2 STREAMING SINK — the glog connector's fourth
+    // quadrant (batch/stream × read/write): one streaming query whose
+    // SOURCE and SINK are both the custom connector. The staged orders
+    // log is drained with AvailableNow through a stateless projection +
+    // filter into a glog-format sink (per-epoch two-phase commit under
+    // deterministic (epoch, partition) names — a replayed epoch replaces
+    // its files instead of duplicating rows), then the sink is read back
+    // BATCH and aggregated; oracle replays filter+aggregate on the
+    // original parquet. A value drift anywhere in stream-write → read
+    // hash-mismatches.
+    Q("q162_glog_stream_sink",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val dir = workDir(s"q162:$d")
+        val srcDir = s"$dir/src"
+        val sinkDir = s"$dir/sink"
+        val ckpt = s"$dir/ckpt"
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.format("graft.sources.glog.GlogDataSource")
+          .mode("overwrite").save(srcDir)
+        val q = s.readStream
+          .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+          .format("graft.sources.glog.GlogDataSource")
+          .load(srcDir)
+          .filter(col("o_orderkey") % 2 === 0)
+          .writeStream.format("graft.sources.glog.GlogDataSource")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read
+          .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+          .format("graft.sources.glog.GlogDataSource").load(sinkDir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Q135 custom DataSource V2 SINK — the write half of the glog
     // connector (q130 reads it): the customer dim is written through the
     // V2 two-phase commit path (executors stream hidden temp shards; the

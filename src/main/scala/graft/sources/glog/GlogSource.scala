@@ -118,7 +118,8 @@ final case class GlogTable(tableSchema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlogScanBuilder(tableSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -144,6 +145,9 @@ final class GlogWriteBuilder(schema: StructType, path: String)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GlogBatchWrite(schema, path, doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GlogStreamingWrite(schema, path)
   }
 }
 
@@ -187,17 +191,75 @@ final class GlogBatchWrite(schema: StructType, path: String, truncate: Boolean)
 final case class GlogWriterFactory(schema: StructType, path: String,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GlogDataWriter(schema, path, partitionId, taskId, conf.value)
-}
-
-final class GlogDataWriter(schema: StructType, path: String,
-    partitionId: Int, taskId: Long, conf: Configuration)
-    extends DataWriter[InternalRow] {
   // taskId in the name keeps a speculative/retried attempt's temp file
   // distinct from the original's; only the committed attempt is renamed.
-  private val tmp = s"$path/.part-$partitionId-$taskId.glog.tmp"
-  private val fin = s"$path/part-$partitionId-$taskId.glog"
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GlogDataWriter(schema,
+      s"$path/.part-$partitionId-$taskId.glog.tmp",
+      s"$path/part-$partitionId-$taskId.glog", conf.value)
+}
+
+/** STREAMING write factory: the EPOCH joins the temp name (a retried
+  * attempt of the same epoch stays distinct) while the FINAL name is
+  * (epoch, partition) only — a REPLAYED epoch (restart before the sink's
+  * commit was recorded) regenerates the identical final names, and the
+  * epoch commit below replaces them in place, which is what makes the
+  * file sink's output exactly-once rather than at-least-once. */
+final case class GlogStreamWriterFactory(schema: StructType, path: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GlogDataWriter(schema,
+      s"$path/.epoch-$epochId-part-$partitionId-$taskId.glog.tmp",
+      s"$path/epoch-$epochId-part-$partitionId.glog", conf.value)
+}
+
+/** The DSv2 STREAMING write path — glog as a structured-streaming SINK,
+  * completing the connector's four quadrants (batch/stream × read/write).
+  * Per-epoch two-phase commit: executors stream to hidden temp files,
+  * the driver's epoch commit publishes them under deterministic
+  * (epoch, partition) names — delete-then-rename, so a replayed epoch
+  * OVERWRITES its previous attempt instead of duplicating rows. Append
+  * is the natural mode for a log format; the committed files are exactly
+  * what the glog batch source and MicroBatchStream read back. */
+final class GlogStreamingWrite(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private def fs(): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(GlogDataSource.hadoopConf()), p)
+  }
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val (f, p) = fs()
+    f.mkdirs(p)
+    GlogStreamWriterFactory(schema, path,
+      new org.apache.spark.util.SerializableConfiguration(
+        GlogDataSource.hadoopConf()))
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (f, _) = fs()
+    messages.foreach { case GlogCommitMsg(tmp, fin) =>
+      val finP = new Path(fin)
+      if (f.exists(finP)) f.delete(finP, false) // replayed epoch: replace
+      require(f.rename(new Path(tmp), finP),
+        s"glog epoch $epochId commit: rename $tmp -> $fin failed")
+    }
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (f, _) = fs()
+    messages.foreach {
+      case GlogCommitMsg(tmp, _) => f.delete(new Path(tmp), false); ()
+      case _ => ()
+    }
+  }
+}
+
+final class GlogDataWriter(schema: StructType,
+    tmp: String, fin: String, conf: Configuration)
+    extends DataWriter[InternalRow] {
   private val out = {
     val p = new Path(tmp)
     new java.io.BufferedWriter(

@@ -226,6 +226,51 @@ class GlogSourceSpec extends SparkSpec {
     assert(runOnce() === Set.empty[Long])
   }
 
+  test("glog streaming sink: epoch-committed files, no litter, restart appends only the delta") {
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_ssink").toString
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "a.glog"),
+      "1|x|1.0\n2|y|2.0\n3|z|3.0\n".getBytes("UTF-8"))
+    val sink = s"$root/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k LONG, s STRING, v DOUBLE")
+        .format("graft.sources.glog.GlogDataSource").load(src)
+        .writeStream.format("graft.sources.glog.GlogDataSource")
+        .option("path", sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sinkRows(): Set[Long] = spark.read.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(sink)
+      .select("k").collect().map(_.getLong(0)).toSet
+    drain()
+    assert(sinkRows() === Set(1L, 2L, 3L))
+    // committed names carry (epoch, partition); hidden temps are gone
+    val files = new java.io.File(sink).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(f =>
+        f.startsWith("epoch-") && f.endsWith(".glog")),
+      s"unexpected sink contents: ${files.mkString(", ")}")
+    assert(!new java.io.File(sink).listFiles()
+      .exists(_.getName.endsWith(".tmp")), "temp litter survived the commit")
+    // restart with nothing new: the sink is unchanged (no re-emission)
+    drain()
+    assert(sinkRows() === Set(1L, 2L, 3L))
+    // new arrivals land as a NEW epoch's files; old epochs untouched
+    val before = new java.io.File(sink).listFiles().map(_.getName).toSet
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "b.glog"), "4|p|4.0\n".getBytes("UTF-8"))
+    drain()
+    assert(sinkRows() === Set(1L, 2L, 3L, 4L))
+    val after = new java.io.File(sink).listFiles().map(_.getName).toSet
+    assert(before.subsetOf(after), "an epoch commit touched earlier epochs' files")
+  }
+
   test("glog streaming source prunes and filters at the source per micro-batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_glog_streamf").toString
     val data = s"$root/log"
