@@ -47,16 +47,50 @@ object TimeTravel extends QueryModule {
 
   private def logDir(root: String) = s"$root/_graft_log"
 
+  /** All IO goes through the Hadoop `FileSystem` API (the glog r11
+    * lesson): a commit log is only a table format if it works on the
+    * filesystems tables live on — HDFS, object stores via their Hadoop
+    * connectors, or `file:/`. The session's conf propagates fs.*
+    * settings; outside a session (unit paths) defaults apply. */
+  private def fsFor(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def readBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeBytes(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, txt: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Parsed commit: version → (added, removed), file names relative to
     * `<root>/data`. */
   private def readLog(root: String): Seq[(Int, Seq[String], Seq[String])] = {
-    val d = new java.io.File(logDir(root))
-    val commits = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json"))
-      .map(f => (f.getName.stripSuffix(".json").toInt, f))
-      .sortBy(_._1)
+    val (fs, d) = fsFor(logDir(root))
+    val commits =
+      if (!fs.exists(d)) Array.empty[(Int, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".json"))
+        .map(f => (f.getName.stripSuffix(".json").toInt, f))
+        .sortBy(_._1)
     commits.toSeq.map { case (v, f) =>
-      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val txt = readBytes(fs, f)
       def arr(key: String): Seq[String] = {
         val i = txt.indexOf(s""""$key":[""")
         if (i < 0) Nil
@@ -82,43 +116,40 @@ object TimeTravel extends QueryModule {
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/data"))
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
     // collision-free physical names: files are live the moment the commit
     // that lists them lands, and never renamed or rewritten afterwards
-    val added = new java.io.File(stage).listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
       .map { f =>
         val name = s"$uid-${f.getName}"
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$root/data/$name"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
         name
       }.toSeq
-    WorkDirs.deleteTree(java.nio.file.Paths.get(stage))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir(root)))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
     def render(v: Int) =
       s"""{"version":$v,"added":[${added.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""removed":[${removed.map("\"" + _ + "\"").mkString(",")}]}"""
-    // optimistic concurrency: claim version N with an atomic NO-replace
-    // rename; a racing committer that claimed N first makes ours fail —
-    // re-read the log, retry at N+1 (bounded only by contention).
+    // optimistic concurrency: claim version N with a NO-replace rename
+    // (Hadoop rename refuses an existing destination); a racing committer
+    // that claimed N first makes ours return false — re-read the log,
+    // retry at N+1 (bounded only by contention).
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
-      val tmp = java.nio.file.Paths.get(s"${logDir(root)}/.c-$uid")
-      java.nio.file.Files.write(tmp, render(v).getBytes("UTF-8"))
-      try {
-        java.nio.file.Files.move(tmp,
-          java.nio.file.Paths.get(s"${logDir(root)}/$v.json"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.c-$uid")
+      writeBytes(fs, tmp, render(v))
+      if (fs.rename(tmp, new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")))
         committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-          val latest = currentVersion(root)
-          require(latest >= v, s"commit $v failed but log has no $v")
-          v = latest + 1
+      else {
+        fs.delete(tmp, false)
+        val latest = currentVersion(root)
+        require(latest >= v, s"commit $v failed but log has no $v")
+        v = latest + 1
       }
     }
     v
@@ -173,11 +204,12 @@ object TimeTravel extends QueryModule {
     * a policy this library leaves to the caller. */
   def vacuum(root: String): Seq[String] = {
     val referenced = readLog(root).flatMap(_._2).toSet
-    Option(new java.io.File(s"$root/data").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && !referenced(f.getName))
-      .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
-      .toSeq
+    val (fs, _) = fsFor(root)
+    val d = new org.apache.hadoop.fs.Path(s"$root/data")
+    (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
+      .filter(st => st.isFile && !referenced(st.getPath.getName))
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+      .sorted
   }
 
   /** q157's table: gen 0 = two thirds of orders, gen 1 = the remaining
