@@ -79,33 +79,58 @@ object TimeTravel extends QueryModule {
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Parsed commit: version → (added, removed), file names relative to
-    * `<root>/data`. */
-  private def readLog(root: String): Seq[(Int, Seq[String], Seq[String])] = {
+  private val CommitName = """(\d+)\.json""".r
+  private val CkptName = """(\d+)\.ckpt\.json""".r
+
+  /** Log-dir listing by NAME only — version discovery costs a listing,
+    * never a content read. Returns (commits, checkpoints), each sorted. */
+  private def listLog(root: String): (org.apache.hadoop.fs.FileSystem,
+      Seq[(Int, org.apache.hadoop.fs.Path)],
+      Seq[(Int, org.apache.hadoop.fs.Path)]) = {
     val (fs, d) = fsFor(logDir(root))
-    val commits =
-      if (!fs.exists(d)) Array.empty[(Int, org.apache.hadoop.fs.Path)]
+    val names =
+      if (!fs.exists(d)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(d).map(_.getPath)
-        .filter(_.getName.endsWith(".json"))
-        .map(f => (f.getName.stripSuffix(".json").toInt, f))
-        .sortBy(_._1)
-    commits.toSeq.map { case (v, f) =>
-      val txt = readBytes(fs, f)
-      def arr(key: String): Seq[String] = {
-        val i = txt.indexOf(s""""$key":[""")
-        if (i < 0) Nil
-        else {
-          val body = txt.substring(i + key.length + 4, txt.indexOf(']', i))
-          Entry.findAllMatchIn(body).map(_.group(1)).toSeq
-        }
-      }
-      (v, arr("added"), arr("removed"))
+    val commits = names.flatMap(f => f.getName match {
+      case CommitName(v) => Some((v.toInt, f)); case _ => None
+    }).sortBy(_._1).toSeq
+    val ckpts = names.flatMap(f => f.getName match {
+      case CkptName(v) => Some((v.toInt, f)); case _ => None
+    }).sortBy(_._1).toSeq
+    (fs, commits, ckpts)
+  }
+
+  private def parseArr(txt: String, key: String): Seq[String] = {
+    val i = txt.indexOf(s""""$key":[""")
+    if (i < 0) Nil
+    else {
+      val body = txt.substring(i + key.length + 4, txt.indexOf(']', i))
+      Entry.findAllMatchIn(body).map(_.group(1)).toSeq
     }
   }
 
-  /** Latest committed generation, -1 when the table does not exist yet. */
-  def currentVersion(root: String): Int =
-    readLog(root).lastOption.map(_._1).getOrElse(-1)
+  private def readCommit(fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.Path): (Seq[String], Seq[String]) = {
+    val txt = readBytes(fs, f)
+    (parseArr(txt, "added"), parseArr(txt, "removed"))
+  }
+
+  /** Parsed commit log: version → (added, removed), file names relative
+    * to `<root>/data` — reads EVERY commit; resolution paths use
+    * `resolveSnapshot`, which reads only a checkpoint + its tail. */
+  private def readLog(root: String): Seq[(Int, Seq[String], Seq[String])] = {
+    val (fs, commits, _) = listLog(root)
+    commits.map { case (v, f) =>
+      val (a, r) = readCommit(fs, f); (v, a, r)
+    }
+  }
+
+  /** Latest committed generation, -1 when the table does not exist yet.
+    * A name-only listing — no commit content is read. */
+  def currentVersion(root: String): Int = {
+    val (_, commits, _) = listLog(root)
+    commits.lastOption.map(_._1).getOrElse(-1)
+  }
 
   /** Commit `df` as the next generation: an APPEND, or — when `removed`
     * names files of earlier generations — a REWRITE (compaction,
@@ -155,16 +180,61 @@ object TimeTravel extends QueryModule {
     v
   }
 
-  /** The snapshot file set of generation `gen` (relative names). */
-  private def snapshotFiles(root: String, gen: Int): Seq[String] = {
-    val log = readLog(root)
-    require(log.exists(_._1 == gen),
-      s"time travel: generation $gen does not exist under $root " +
-        s"(latest: ${log.lastOption.map(_._1).getOrElse(-1)})")
-    val upTo = log.filter(_._1 <= gen)
-    val removed = upTo.flatMap(_._3).toSet
-    upTo.flatMap(_._2).filterNot(removed)
+  /** Write a CHECKPOINT of the current latest generation: the fully
+    * resolved snapshot file list, stored beside the commits as
+    * `<N>.ckpt.json`. Without one, resolving generation N reads N+1
+    * commit files — at one commit per micro-batch that is the metadata
+    * read a 100 TB deployment feels first (Delta's checkpoint solves
+    * exactly this). With one, `resolveSnapshot` reads ONE checkpoint plus
+    * only the commits beyond it. Content is a pure function of the log,
+    * so racing checkpointers write identical bytes — last rename wins,
+    * both are right. Returns the checkpointed version. */
+  def checkpoint(root: String): Int = {
+    val (fs, commits, _) = listLog(root)
+    require(commits.nonEmpty, s"time travel: nothing to checkpoint under $root")
+    val v = commits.last._1
+    val files = resolveSnapshot(root, v)._1
+    val txt =
+      s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${logDir(root)}/.ck-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeBytes(fs, tmp, txt)
+    val dest = new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.ckpt.json")
+    if (!fs.rename(tmp, dest)) { // deterministic content: replace is safe
+      fs.delete(dest, false)
+      require(fs.rename(tmp, dest), s"time travel: checkpoint $v failed")
+    }
+    v
   }
+
+  /** The snapshot file set of generation `gen` (relative names), plus the
+    * number of COMMIT files parsed to resolve it — the metadata-cost
+    * observable TimeTravelSpec pins. Resolution starts from the newest
+    * checkpoint ≤ gen (zero commit reads for the prefix) and folds only
+    * the tail commits (ckpt, gen]. */
+  private[graft] def resolveSnapshot(root: String, gen: Int)
+      : (Seq[String], Int) = {
+    val (fs, commits, ckpts) = listLog(root)
+    require(commits.exists(_._1 == gen),
+      s"time travel: generation $gen does not exist under $root " +
+        s"(latest: ${commits.lastOption.map(_._1).getOrElse(-1)})")
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    val baseFiles: Seq[String] =
+      base.map { case (_, f) => parseArr(readBytes(fs, f), "files") }
+        .getOrElse(Nil)
+    val tail = commits.filter(c => c._1 > base.map(_._1).getOrElse(-1) &&
+      c._1 <= gen)
+    var files = baseFiles
+    tail.foreach { case (_, f) =>
+      val (a, r) = readCommit(fs, f)
+      val rm = r.toSet
+      files = files.filterNot(rm) ++ a
+    }
+    (files, tail.size)
+  }
+
+  private def snapshotFiles(root: String, gen: Int): Seq[String] =
+    resolveSnapshot(root, gen)._1
 
   /** Read the table AS OF generation `gen` — the snapshot the log defines,
     * resolved from commit metadata only (the data dir is never listed). */
@@ -183,11 +253,13 @@ object TimeTravel extends QueryModule {
     * fails loudly instead of answering wrong. */
   def readChangesSince(s: SparkSession, root: String,
       fromGen: Int, toGen: Int): DataFrame = {
-    val log = readLog(root)
-    require(log.exists(_._1 == fromGen) && log.exists(_._1 == toGen) &&
+    val (fs, commits, _) = listLog(root)
+    require(commits.exists(_._1 == fromGen) && commits.exists(_._1 == toGen) &&
         fromGen <= toGen,
       s"time travel: bad change range ($fromGen, $toGen] under $root")
-    val range = log.filter(c => c._1 > fromGen && c._1 <= toGen)
+    // only the RANGE's commit files are read — never the whole log
+    val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
+      .map { case (v, f) => val (a, r) = readCommit(fs, f); (v, a, r) }
     require(range.forall(_._3.isEmpty),
       s"time travel: range ($fromGen, $toGen] contains remove-commits — " +
         "file-level change reads are append-only; diff snapshots instead")
@@ -230,6 +302,23 @@ object TimeTravel extends QueryModule {
             java.nio.file.Paths.get(s"$root/data/orphan-${f.getName}"))
         }
       WorkDirs.deleteTree(java.nio.file.Paths.get(s"$root/orphan"))
+    }
+    root
+  }
+
+  /** q163's table: EIGHT append generations (commit g holds the
+    * o_orderkey % 8 == g slice) with a checkpoint written at version 5 —
+    * deep enough that checkpointed resolution provably skips commits
+    * 0..5 (TimeTravelSpec counts the parses). Built once per JVM. */
+  private[graft] def ordersTableDeep(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttl8_", s"q163:$d")
+    if (currentVersion(root) < 0) {
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      (0 until 8).foreach { g =>
+        commit(s, root, orders.filter(col("o_orderkey") % 8 === g))
+        if (g == 5) checkpoint(root)
+      }
     }
     root
   }
@@ -284,6 +373,35 @@ object TimeTravel extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").as("total"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q163 checkpointed AS-OF resolution: an 8-generation log with a
+    // checkpoint at version 5 — reading AS OF 7 parses the checkpoint
+    // plus commits 6..7 only (TimeTravelSpec counts the parses), and AS
+    // OF 3, BELOW the checkpoint, still replays commits 0..3 correctly.
+    // Oracle replays both generation predicates over the source table.
+    Q("q163_log_checkpoint",
+      Some("""SELECT CAST(3 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderkey % 8 <= 3 GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CAST(7 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY gen, o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = ordersTableDeep(s, d)
+        def snap(gen: Int): DataFrame =
+          readAsOf(s, root, gen)
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").as("total"))
+            .select(lit(gen.toLong).as("gen"), col("o_orderpriority"),
+              col("n"), col("total"))
+        snap(3).unionAll(snap(7)).orderBy("gen", "o_orderpriority")
       })
   )
 }

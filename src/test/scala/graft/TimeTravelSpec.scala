@@ -123,6 +123,33 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("remove-commits"))
   }
 
+  test("q163: a checkpoint bounds resolution to the tail commits; below it replays fully") {
+    val root = newRoot()
+    (0 until 8).foreach { g =>
+      TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 8 === g))
+    }
+    // pre-checkpoint resolution of the latest generation parses all 8 commits
+    val (filesBefore, parsedBefore) = TimeTravel.resolveSnapshot(root, 7)
+    assert(parsedBefore === 8)
+    assert(TimeTravel.checkpoint(root) === 7)
+    // checkpointed resolution: same file set, ZERO commit parses
+    val (filesAfter, parsedAfter) = TimeTravel.resolveSnapshot(root, 7)
+    assert(parsedAfter === 0, s"checkpoint did not bound the log read: $parsedAfter")
+    assert(filesAfter.sorted === filesBefore.sorted,
+      "checkpointed resolution changed the snapshot")
+    // two more commits: resolution = checkpoint + 2 tail parses
+    TimeTravel.commit(spark, root, orders.limit(10))
+    TimeTravel.commit(spark, root, orders.limit(20))
+    val (_, parsedTail) = TimeTravel.resolveSnapshot(root, 9)
+    assert(parsedTail === 2, s"expected 2 tail parses, got $parsedTail")
+    assert(TimeTravel.readAsOf(spark, root, 9).count() === orders.count() + 30)
+    // a generation BELOW the checkpoint still resolves by full replay
+    val (_, parsedBelow) = TimeTravel.resolveSnapshot(root, 3)
+    assert(parsedBelow === 4)
+    assert(TimeTravel.readAsOf(spark, root, 3).count() ===
+      orders.filter(col("o_orderkey") % 8 <= 3).count())
+  }
+
   test("q157 plan reads exactly the snapshot's files — no directory listing") {
     val df = SparkEntry.queries("q157_time_travel")(spark, sf)
     assert(df.count() === 10) // 5 priorities × 2 generations
