@@ -190,9 +190,15 @@ object TimeTravel extends QueryModule {
     * so racing checkpointers write identical bytes — last rename wins,
     * both are right. Returns the checkpointed version. */
   def checkpoint(root: String): Int = {
-    val (fs, commits, _) = listLog(root)
+    val (_, commits, _) = listLog(root)
     require(commits.nonEmpty, s"time travel: nothing to checkpoint under $root")
-    val v = commits.last._1
+    checkpoint(root, commits.last._1)
+  }
+
+  /** Checkpoint a SPECIFIC generation — retention needs an anchor at the
+    * expiry boundary, which is usually not the latest version. */
+  def checkpoint(root: String, v: Int): Int = {
+    val (fs, _, _) = listLog(root)
     val files = resolveSnapshot(root, v)._1
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
@@ -275,13 +281,45 @@ object TimeTravel extends QueryModule {
     * they back AS-OF reads; retiring history would be a log truncation,
     * a policy this library leaves to the caller. */
   def vacuum(root: String): Seq[String] = {
-    val referenced = readLog(root).flatMap(_._2).toSet
+    // referenced = every surviving commit's adds PLUS every checkpoint's
+    // resolved file list — after history expiry the oldest surviving
+    // snapshot is backed by a checkpoint, not by the deleted commits
+    val (fsL, _, ckpts) = listLog(root)
+    val referenced = (readLog(root).flatMap(_._2) ++
+      ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet
     val (fs, _) = fsFor(root)
     val d = new org.apache.hadoop.fs.Path(s"$root/data")
     (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
       .filter(st => st.isFile && !referenced(st.getPath.getName))
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
       .sorted
+  }
+
+  /** History RETENTION: delete commit files below `keepFrom` (and
+    * checkpoints no surviving resolution needs). Legal only when an
+    * ANCHOR checkpoint exists at version keepFrom−1 or keepFrom — the
+    * oldest SURVIVING generation must resolve without the deleted
+    * commits, and a later checkpoint cannot serve generations below it
+    * (resolution walks forward from a checkpoint, never backward).
+    * Every surviving g then resolves from a kept checkpoint ≤ g plus
+    * commits (ckpt, g], all ≥ keepFrom. AS-OF below keepFrom becomes the
+    * explicit does-not-exist error (that IS retention); `vacuum`
+    * afterwards reclaims data files only the expired history referenced,
+    * while checkpoint-listed files stay. The Delta retention/VACUUM
+    * pair, as two explicit library calls. */
+  def expireHistory(root: String, keepFrom: Int): Seq[String] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val anchor = ckpts.map(_._1)
+      .filter(v => v == keepFrom - 1 || v == keepFrom).sorted.headOption
+    require(anchor.nonEmpty,
+      s"time travel: cannot expire below $keepFrom — no checkpoint at " +
+        s"${keepFrom - 1} or $keepFrom to anchor the oldest surviving " +
+        "generation; write one first (checkpoint(root))")
+    val dropC = commits.filter(_._1 < keepFrom)
+    val dropK = ckpts.filter(_._1 < anchor.get)
+    (dropC ++ dropK).map { case (_, f) =>
+      fs.delete(f, false); f.getName
+    }.sorted
   }
 
   /** q157's table: gen 0 = two thirds of orders, gen 1 = the remaining
