@@ -74,9 +74,24 @@ object WorkDirs {
     * staging is discarded. A published generation is therefore immutable:
     * never overwritten, never mutated in place — the discipline a table
     * format's commit protocol provides on a shared object store.
-    * Superseded generations (manifest changed ⇒ different md5) are
-    * garbage-collected on publish; same-manifest readers resolve the same
-    * generation, which stays. */
+    *
+    * Sibling generations are NOT collected at publish time (r12 verdict
+    * #1): two different manifests under one base are different live
+    * VARIANTS, not superseded history — e.g. ScaleOpsSpec's
+    * maxRecordsPerFile=2000 layout racing q70's default-50000 build in a
+    * concurrent Verify JVM; eager GC let whichever JVM published second
+    * delete the other's generation mid-scan. Instead, every resolution
+    * refreshes the generation's mtime and each publish sweeps only
+    * siblings untouched for [[sweepAgeMs]] — a generation can be
+    * reclaimed only after no JVM has resolved it for that window, while
+    * scans happen within seconds of resolution. */
+  private[graft] val sweepAgeMs: Long = 60L * 60 * 1000
+
+  private def refreshMtime(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => } // best effort: sweep is advisory
+
   def publishedLayout(base: String, manifest: String)
       (build: String => Unit): String = {
     // 12 hex chars (48 bits) of the md5: ample for distinguishing the
@@ -93,7 +108,10 @@ object WorkDirs {
       java.nio.file.Files.exists(mPath) &&
         new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8") == manifest
     }
-    if (!published) {
+    if (published) {
+      // keep a live variant out of the age-based sweep's reach
+      refreshMtime(java.nio.file.Paths.get(genPath))
+    } else {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
       // NOT dot-prefixed: Spark refuses to write into a hidden dir ("All
       // paths were ignored"); nothing ever lists `base` for data — readers
@@ -109,9 +127,12 @@ object WorkDirs {
         java.nio.file.Files.move(stage,
           java.nio.file.Paths.get(genPath),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // GC superseded generations AFTER the new one is live.
+        // Sweep only STALE siblings (untouched for sweepAgeMs) after the
+        // new generation is live; recently-resolved variants stay.
+        val cutoff = System.currentTimeMillis() - sweepAgeMs
         Option(new java.io.File(base).listFiles()).foreach(_
-          .filter(f => f.getName.startsWith("gen-") && f.getAbsolutePath != genPath)
+          .filter(f => f.getName.startsWith("gen-") &&
+            f.getAbsolutePath != genPath && f.lastModified() < cutoff)
           .foreach(f => deleteRecursively(f.toPath)))
       } catch {
         // both the lost-race shapes: target appeared between check & move

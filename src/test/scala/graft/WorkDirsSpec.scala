@@ -53,8 +53,67 @@ class WorkDirsSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$stage/b"), "b".getBytes("UTF-8"))
     }
     assert(p2 !== p1)
-    // the superseded generation was garbage-collected on publish
+    // r12 verdict #1: a sibling generation is a live VARIANT, not
+    // superseded history — publishing mB must NOT delete mA's generation
+    // (a concurrent JVM may be mid-scan on it).
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p1/a")),
+      "live sibling variant was garbage-collected at publish")
+  }
+
+  test("racing publishers of DIFFERENT variants both stay live") {
+    // The exact r12 collision: one JVM builds maxRows=2000, another the
+    // default 50000 — different manifests, same base. Whoever publishes
+    // second must not reclaim the other's generation.
+    val base = newBase()
+    val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val threads = Seq("variant-2000", "variant-50000").map { m =>
+      new Thread(() => {
+        val p = WorkDirs.publishedLayout(base, m) { stage =>
+          Thread.sleep(50) // widen the race window
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$stage/data.txt"), m.getBytes("UTF-8"))
+        }
+        paths.put(m, p); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(paths.size === 2)
+    Seq("variant-2000", "variant-50000").foreach { m =>
+      val p = paths.get(m)
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$p/data.txt")), "UTF-8") === m,
+        s"variant $m torn by its sibling's publish")
+    }
+    // re-resolving either variant reuses it without a rebuild
+    var rebuilt = false
+    val again = WorkDirs.publishedLayout(base, "variant-2000")(_ => rebuilt = true)
+    assert(again === paths.get("variant-2000") && !rebuilt)
+  }
+
+  test("a stale sibling (older than sweepAgeMs) is reclaimed on publish") {
+    val base = newBase()
+    val p1 = WorkDirs.publishedLayout(base, "old") { stage =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stage/a"), "a".getBytes("UTF-8"))
+    }
+    // backdate the generation past the sweep window
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(p1),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - WorkDirs.sweepAgeMs - 60000))
+    val p2 = WorkDirs.publishedLayout(base, "new") { stage =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stage/b"), "b".getBytes("UTF-8"))
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p2/b")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)),
-      "superseded generation not collected")
+      "stale generation survived the sweep")
+    // ...but resolving a variant refreshes its mtime, shielding it
+    val p3 = WorkDirs.publishedLayout(base, "new")(_ => ())
+    assert(p3 === p2)
+    val mt = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p2)).toMillis
+    assert(System.currentTimeMillis() - mt < 60000,
+      "resolution did not refresh the generation's mtime")
   }
 }

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Fast Verify loop outside sbt (skill fast path). Usage: run_verify.sh <sfdir> <outdir>
+AO=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do AO="$AO --add-opens $p=ALL-UNNAMED"; done
+exec java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
+  -cp "/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*" \
+  graft.Verify "$1" "$2"
