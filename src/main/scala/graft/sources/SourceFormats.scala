@@ -330,8 +330,15 @@ object SourceFormats extends QueryModule {
       (s, d) => {
         val dir = workDir(s"q162:$d")
         val srcDir = s"$dir/src"
-        val sinkDir = s"$dir/sink"
-        val ckpt = s"$dir/ckpt"
+        // Sink + checkpoint must start EMPTY each invocation (ADVICE r12):
+        // the overwrite-staged source gets NEW file names every run (taskId
+        // is embedded), so a reused checkpoint sees them as unconsumed and
+        // replays every row into fresh epoch files BESIDE the previous
+        // run's — the batch readback would double-count. freshSubdir wipes
+        // the previous generation (the q87/q127/q137 discipline).
+        val run = graft.WorkDirs.freshSubdir("graft_q162_", s"q162run:$d", "run")
+        val sinkDir = s"$run/sink"
+        val ckpt = s"$run/ckpt"
         t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
           .write.format("graft.sources.glog.GlogDataSource")
           .mode("overwrite").save(srcDir)

