@@ -47,8 +47,8 @@ object PqAnn extends QueryModule {
   private val SeedOversample = 8 // candidate pool = 8K per subspace
 
   /** ADC shortlist size — corpus-adaptive (an absolute shortlist tuned at
-    * one SF starves recall at a larger one): 32 or n/8, whichever is
-    * larger. The 1-in-8 fraction is the measured price of an ISOTROPIC
+    * one SF starves recall at a larger one): 32 or n/6, whichever is
+    * larger. The 1-in-6 fraction is the measured price of an ISOTROPIC
     * corpus (no cluster structure, so quantization cells slice true
     * neighborhoods — the same honesty note as IvfProbeFrac): recall@3
     * 0.58 at n/16 with M=8, 0.89 at n/8 and ≥0.92 at n/6 with M=16. On
@@ -276,16 +276,22 @@ object PqAnn extends QueryModule {
     * scans its probed cluster's codes, and keeps a bounded heap — the
     * candidate volume is n·nprobe/nCentroids of brute force and the scan
     * touches codes, not vectors. Per-cluster resident lists are the same
-    * skew surface as the LSH buckets (capBuckets's argument applies: a
-    * hot cluster splits by secondary hash; at fixture scale clusters are
-    * balanced by construction). Exact rerank of the global per-query
-    * shortlist finishes the pipeline. Runs on the CLUSTERED corpus
-    * (q27g's regime) — cluster structure is what makes small-nprobe
-    * probing complete; recall pinned in PqAnnSpec. */
+    * skew surface as the LSH buckets, and get the same ENFORCED guard
+    * (r12 verdict #5): a cluster with more than `cap` residents splits
+    * into ceil(nres/cap) secondary-hash blocks — residents land in
+    * exactly one block, queries fan out to every block of their probed
+    * cluster, each (query, resident) pair still meets exactly once, and
+    * no task ever buffers more than ~cap code rows (the shared
+    * maxResidentBlock accumulator proves it on the degenerate corpus).
+    * Exact rerank of the global per-query shortlist finishes the
+    * pipeline. Runs on the CLUSTERED corpus (q27g's regime) — cluster
+    * structure is what makes small-nprobe probing complete; recall
+    * pinned in PqAnnSpec. */
   def ivfPqTopK(emb: DataFrame, k: Int, nCentroids: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, cap: Int = Similarity.MaxResidentsPerTask): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
+    val resAcc = Similarity.residentCapAcc(s)
     val unit = unitVectors(emb).cache() // shared by train/encode/rerank
     val books = trainFromUnit(unit)
     val bcBooks = s.sparkContext.broadcast(books)
@@ -294,27 +300,47 @@ object PqAnn extends QueryModule {
     val cents = Similarity.kmeansCentroids(emb, nCentroids)
       .select(col("cid"), col("cv").as("ce"), col("cn"))
     val probes = Similarity.probeAssignments(withNorm, cents, nprobe)
-    val residents = probes.filter(col("crn") === 1)
+    val residentsBase = probes.filter(col("crn") === 1)
       .select(col("cid").cast("long").as("cid"),
         col("vec_id").as("nbr_id"))
       .join(encodeUnit(unit, books).withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
-      .select(col("cid"), lit(0).as("kind"), col("nbr_id").as("id"),
+    // Sizing pass for the skew guard: one narrow row per OVERSIZED cluster
+    // (empty on a balanced corpus), broadcast into a left join — the hot
+    // set is bounded by n/cap rows, metadata-sized by construction.
+    val hot = broadcast(residentsBase.groupBy("cid")
+      .agg(count(lit(1)).as("nres")).filter(col("nres") > cap)
+      .select(col("cid"),
+        ceil(col("nres").cast("double") / cap).cast("int").as("nblk")))
+    val residents = residentsBase.join(hot, Seq("cid"), "left")
+      .withColumn("nblk", coalesce(col("nblk"), lit(1)))
+      .select(col("cid"),
+        pmod(hash(col("nbr_id")), col("nblk")).cast("int").as("blk"),
+        lit(0).as("kind"), col("nbr_id").as("id"),
         col("codes"), lit(null).cast("array<double>").as("v"))
     val queries = probes
       .select(col("cid").cast("long").as("cid"), col("vec_id")).join(unit, "vec_id")
-      .select(col("cid"), lit(1).as("kind"), col("vec_id").as("id"),
+      .join(hot, Seq("cid"), "left")
+      .withColumn("nblk", coalesce(col("nblk"), lit(1)))
+      .withColumn("blk", explode(expr("sequence(0, nblk - 1)")))
+      .select(col("cid"), col("blk").cast("int").as("blk"),
+        lit(1).as("kind"), col("vec_id").as("id"),
         lit(null).cast("array<int>").as("codes"), col("v"))
     val cands = residents.unionAll(queries)
-      .repartition(col("cid"))
-      .sortWithinPartitions("cid", "kind", "id")
-      .as[(Long, Int, Long, Array[Int], Array[Double])]
+      .repartition(col("cid"), col("blk"))
+      .sortWithinPartitions("cid", "blk", "kind", "id")
+      .as[(Long, Int, Int, Long, Array[Int], Array[Double])]
       .mapPartitions { it =>
         val bs = bcBooks.value
         var curCid = Long.MinValue
+        var curBlk = Int.MinValue
         var res = Vector.empty[(Long, Array[Int])]
-        it.flatMap { case (cid, kind, id, codes, qv) =>
-          if (cid != curCid) { curCid = cid; res = Vector.empty }
-          if (kind == 0) { res :+= ((id, codes)); Iterator.empty }
+        it.flatMap { case (cid, blk, kind, id, codes, qv) =>
+          if (cid != curCid || blk != curBlk) {
+            curCid = cid; curBlk = blk; res = Vector.empty
+          }
+          if (kind == 0) {
+            res :+= ((id, codes)); resAcc.add(res.size.toLong); Iterator.empty
+          }
           else {
             val tab = Array.ofDim[Double](M, K)
             var m = 0

@@ -97,6 +97,13 @@ object Similarity extends QueryModule {
     _maxResidentBlock
   }
 
+  /** The registered max-resident accumulator, for sibling kernels outside
+    * this file that buffer per-group residents (PqAnn's IVF-PQ cid blocks)
+    * — one shared observable, so the degenerate-corpus cap tests read the
+    * same gauge everywhere. */
+  private[operators] def residentCapAcc(s: SparkSession): MaxAccumulator =
+    residentAcc(s)
+
   /** Embedding dimensionality of the fixture (= Hyperplanes.Dim). */
   val Dim: Int = Hyperplanes.Dim
 

@@ -43,9 +43,15 @@ object TimeTravel extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
-  private val Entry = """"([^"]+)"""".r
-
   private def logDir(root: String) = s"$root/_graft_log"
+
+  /** Per-root JVM lock closing the local check-then-rename window between
+    * same-JVM committers; cross-JVM exclusion is [[claimVersion]]'s
+    * no-replace rename. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   /** All IO goes through the Hadoop `FileSystem` API (the glog r11
     * lesson): a commit log is only a table format if it works on the
@@ -100,13 +106,43 @@ object TimeTravel extends QueryModule {
     (fs, commits, ckpts)
   }
 
+  /** Minimal string-array JSON parser: walks the array char-by-char
+    * respecting quoting and `\`-escapes, so a file name containing `]`,
+    * `,` or an escaped quote parses correctly, and richer commit metadata
+    * added later cannot derail the scan (the regex + first-`]` version
+    * was a fragile seam — r12 verdict #8). */
   private def parseArr(txt: String, key: String): Seq[String] = {
-    val i = txt.indexOf(s""""$key":[""")
-    if (i < 0) Nil
-    else {
-      val body = txt.substring(i + key.length + 4, txt.indexOf(']', i))
-      Entry.findAllMatchIn(body).map(_.group(1)).toSeq
+    val marker = s""""$key":"""
+    val i = txt.indexOf(marker)
+    if (i < 0) return Nil
+    var j = i + marker.length
+    while (j < txt.length && txt.charAt(j).isWhitespace) j += 1
+    if (j >= txt.length || txt.charAt(j) != '[') return Nil
+    j += 1
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    while (j < txt.length) {
+      val c = txt.charAt(j)
+      if (inStr) {
+        if (esc) {
+          sb.append(c match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other // covers \" \\ \/ — literal char
+          })
+          esc = false
+        } else if (c == '\\') esc = true
+        else if (c == '"') { out += sb.toString; sb.clear(); inStr = false }
+        else sb.append(c)
+      } else c match {
+        case '"' => inStr = true
+        case ']' => return out.toSeq
+        case _ => // commas / whitespace between elements
+      }
+      j += 1
     }
+    out.toSeq
   }
 
   private def readCommit(fs: org.apache.hadoop.fs.FileSystem,
@@ -159,26 +195,70 @@ object TimeTravel extends QueryModule {
     def render(v: Int) =
       s"""{"version":$v,"added":[${added.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""removed":[${removed.map("\"" + _ + "\"").mkString(",")}]}"""
-    // optimistic concurrency: claim version N with a NO-replace rename
-    // (Hadoop rename refuses an existing destination); a racing committer
-    // that claimed N first makes ours return false — re-read the log,
-    // retry at N+1 (bounded only by contention).
+    // Optimistic concurrency: claim version N with an atomically-refusing
+    // rename (claimVersion); the loser of a race re-reads the log and
+    // retries at N+1 — data files are immutable, so the retry is
+    // metadata-only. Before EVERY claim of a remove-commit, the remove set
+    // is re-validated against the would-be parent snapshot (r12 verdict
+    // #4): if a commit that won meanwhile already retired any of these
+    // files (two racing compactions), blind-landing a second remove would
+    // corrupt the log — that is a logical conflict, reported loudly for
+    // the caller to re-plan, never retried past.
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
-      val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.c-$uid")
-      writeBytes(fs, tmp, render(v))
-      if (fs.rename(tmp, new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")))
-        committed = true
-      else {
-        fs.delete(tmp, false)
-        val latest = currentVersion(root)
-        require(latest >= v, s"commit $v failed but log has no $v")
-        v = latest + 1
+      lockFor(root).synchronized {
+        if (removed.nonEmpty) {
+          val live =
+            if (v == 0) Set.empty[String]
+            else resolveSnapshot(root, v - 1)._1.toSet
+          val gone = removed.filterNot(live)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"time travel: commit conflict under $root — removed files " +
+                s"${gone.mkString(", ")} are not in snapshot ${v - 1} " +
+                "(a concurrent commit already retired them, or they never " +
+                "existed); re-read the table and re-plan the rewrite")
+        }
+        val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.c-$uid")
+        writeBytes(fs, tmp, render(v))
+        if (claimVersion(fs, tmp,
+            new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")))
+          committed = true
+        else {
+          fs.delete(tmp, false)
+          val latest = currentVersion(root)
+          require(latest >= v, s"commit $v failed but log has no $v")
+          v = latest + 1
+        }
       }
     }
     v
   }
+
+  /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
+    * existing destination. `FileSystem.rename` is not that primitive
+    * everywhere — LocalFileSystem delegates to POSIX rename(2), which
+    * silently REPLACES the destination, so two racing committers could
+    * both "win" a version and one commit's rows would vanish (ADVICE
+    * r12). `FileContext.rename(…, Options.Rename.NONE)` routes through
+    * `AbstractFileSystem`'s no-replace validation on every filesystem
+    * (atomic on HDFS; check-then-rename on file:/, closed for same-JVM
+    * racers by [[lockFor]]). Returns false when the destination already
+    * exists — the lost-race signal the retry loop consumes. */
+  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, fs.getConf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if fs.exists(dst) => false
+    }
 
   /** Write a CHECKPOINT of the current latest generation: the fully
     * resolved snapshot file list, stored beside the commits as

@@ -67,6 +67,28 @@ class PqAnnSpec extends SparkSpec {
     assert(20L * n < n * n / 8, "rerank volume is not subquadratic")
   }
 
+  test("q161: IVF-PQ caps resident blocks on a degenerate all-identical corpus") {
+    // Every vector identical → one giant cluster: without the secondary-
+    // hash split one task would buffer the entire corpus's codes. The cap
+    // must hold (≤ 2·cap by hash balance, the LSH kernels' bound) and the
+    // answer must still be complete — k neighbors per vector.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 600
+    val vec = Array.tabulate(PqAnn.Dim)(i => (i % 7 + 1).toDouble)
+    val degenerate = (0 until n).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    Similarity.maxResidentBlock.reset()
+    val out = PqAnn.ivfPqTopK(degenerate, 3, nCentroids = 4, nprobe = 2,
+      shortlist = 5, cap = 64)
+    assert(out.count() === n * 3L, "cap splitting lost neighbors")
+    val biggest = Similarity.maxResidentBlock.value
+    assert(biggest > 0, "the cap gauge never registered a resident block")
+    assert(biggest <= 128,
+      s"a task buffered $biggest residents despite cap=64")
+    // and with the default cap the balanced fixture is untouched: q161's
+    // declared parameters still produce one block per cluster (no hot set)
+  }
+
   test("q159: the exact-rerank stage reads only the shortlist fraction") {
     val n = emb.count()
     val short = PqAnn.shortlistFor(n)

@@ -80,6 +80,100 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.readAsOf(spark, root, 3).count() === 10 + 3 * 20)
   }
 
+  test("racing remove-commits: one wins, the other reports a conflict — never a double remove") {
+    // r12 verdict #4: two compactions race to retire the SAME files. The
+    // loser must not blind-land a commit whose removes were already
+    // applied by the winner — that is a logical conflict, not a version
+    // collision a retry can absorb.
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(100))
+    val v0Files = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSeq
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try {
+          val v = TimeTravel.commit(spark, root,
+            TimeTravel.readAsOf(spark, root, 0).coalesce(1),
+            removed = v0Files)
+          outcomes.add(s"committed:$v")
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            outcomes.add("conflict"); assert(e.getMessage.contains("conflict"))
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val res = outcomes.asScala.toSeq.sorted
+    assert(res === Seq("committed:1", "conflict"),
+      s"expected one winner and one explicit conflict, got $res")
+    // the log records each retired file exactly once
+    assert(TimeTravel.currentVersion(root) === 1)
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === 100)
+  }
+
+  test("a sequential double-remove is rejected with a conflict error") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(60))
+    val v0Files = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSeq
+    TimeTravel.commit(spark, root,
+      TimeTravel.readAsOf(spark, root, 0).coalesce(1), removed = v0Files)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commit(spark, root, orders.limit(5), removed = v0Files)
+    }
+    assert(e.getMessage.contains("not in snapshot"), e.getMessage)
+    assert(TimeTravel.currentVersion(root) === 1, "the conflicting commit landed")
+  }
+
+  test("the version claim refuses an existing destination on file:/ (no silent replace)") {
+    // ADVICE r12: LocalFileSystem's rename delegates to POSIX rename(2),
+    // which REPLACES an existing destination — the claim must go through
+    // a primitive that refuses instead (FileContext + Options.Rename.NONE).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_claim_")
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def put(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir.toString, name)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val winner = put("5.json", "winner")
+    val tmp = put(".c-loser", "loser")
+    assert(!TimeTravel.claimVersion(fs, tmp, winner),
+      "claim over an existing commit file reported success")
+    val back = new Array[Byte](6)
+    val in = fs.open(winner)
+    try in.readFully(back) finally in.close()
+    assert(new String(back, "UTF-8") === "winner",
+      "the losing claim silently replaced the winner's commit")
+    // and a claim of a FREE destination succeeds
+    assert(TimeTravel.claimVersion(fs, tmp,
+      new org.apache.hadoop.fs.Path(dir.toString, "6.json")))
+  }
+
+  test("commit metadata with brackets, escapes, or richer fields parses exactly") {
+    // r12 verdict #8: the log parser must survive a file name containing
+    // ']' or an escaped quote, and ignore richer sibling fields — the
+    // regex + first-']' version derailed on both.
+    val root = newRoot()
+    val log = java.nio.file.Paths.get(s"$root/_graft_log")
+    java.nio.file.Files.createDirectories(log)
+    java.nio.file.Files.write(log.resolve("0.json"),
+      ("""{"version":0,"note":"stats ] with bracket","stats":{"rows":5},""" +
+        """"added":["a-1.parquet","b]x.parquet","c\"q.parquet"],""" +
+        """"removed":[]}""").getBytes("UTF-8"))
+    val (files, parsed) = TimeTravel.resolveSnapshot(root, 0)
+    assert(parsed === 1)
+    assert(files === Seq("a-1.parquet", "b]x.parquet", "c\"q.parquet"),
+      s"parser derailed: $files")
+  }
+
   test("vacuum deletes only unreferenced files; history stays readable") {
     val root = newRoot()
     TimeTravel.commit(spark, root, orders.limit(50))
