@@ -25,6 +25,7 @@ object SparkEntry {
     operators.GraphOps,
     operators.Similarity,
     operators.PqAnn,
+    operators.HnswAnn,
     operators.ScaleOps,
     operators.TimeTravel,
     operators.AsOfJoin,
