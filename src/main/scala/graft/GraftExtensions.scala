@@ -36,10 +36,29 @@ object GraftFunctions {
     ("graft_md5hash60", es => Md5HashArray(es.head, 0L),
       "graft_md5hash60(arr) - md5-derived 60-bit hash of each element"))
 
-  def register(spark: SparkSession): Unit =
+  /** Table-valued functions — the FROM-position SQL surface of the
+    * commit-log reads (r12 verdict #7):
+    *
+    *   graft_asof(root, gen)          snapshot AS OF generation gen
+    *   graft_changes(root, from, to)  rows commits (from, to] added
+    */
+  val tableFns: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String)] = Seq(
+    ("graft_asof", graft.operators.TimeTravel.asOfPlan _,
+      "graft_asof(root, gen) - snapshot of a graft commit-log table AS OF generation gen"),
+    ("graft_changes", graft.operators.TimeTravel.changesPlan _,
+      "graft_changes(root, from, to) - rows added by commits (from, to]"))
+
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
     }
+    tableFns.foreach { case (name, builder, _) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerTableFunction(spark, name, builder)
+    }
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -47,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
+    }
+    GraftFunctions.tableFns.foreach { case (name, builder, usage) =>
+      e.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.operators", name, usage), builder))
     }
     // Whole-operator plans (graft.plans): sessions built with
     // spark.sql.extensions=graft.GraftExtensions plan KnnTopKNode without

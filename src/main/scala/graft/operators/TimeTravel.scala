@@ -327,6 +327,49 @@ object TimeTravel extends QueryModule {
   def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame =
     s.read.parquet(snapshotFiles(root, gen).map(f => s"$root/data/$f"): _*)
 
+  /** Table-valued SQL surface (r12 verdict #7): `graft_asof(root, gen)`
+    * and `graft_changes(root, from, to)` in FROM position make the commit
+    * log queryable from pure SQL — no library call in the query text. The
+    * builders run at ANALYSIS time: arguments must be literals (the same
+    * contract as Spark's own range()/explode() TVF arguments), the
+    * snapshot's file list resolves from the log right there, and the
+    * returned plan is a parquet relation over exactly those files — so
+    * the planned scan is identical to readAsOf's, orphans and later
+    * generations invisible, history depth never inflating the data scan. */
+  private def litStr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v,
+        org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"graft TVF: $what must be a string literal, got $other")
+  }
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+        org.apache.spark.sql.types.LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft TVF: $what must be an integer literal, got $other")
+  }
+
+  /** `graft_asof(root, gen)` — the TVF plan builder. */
+  def asOfPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_asof(root, gen)")
+    readAsOf(SparkSession.active, litStr(exprs(0), "root"),
+      litInt(exprs(1), "gen")).queryExecution.logical
+  }
+
+  /** `graft_changes(root, from, to)` — the change-feed TVF plan builder. */
+  def changesPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3, "usage: graft_changes(root, from, to)")
+    readChangesSince(SparkSession.active, litStr(exprs(0), "root"),
+      litInt(exprs(1), "from"), litInt(exprs(2), "to"))
+      .queryExecution.logical
+  }
+
   /** Incremental read: the rows ADDED between two snapshots, resolved
     * from the commit log alone — the files commits (fromGen, toGen]
     * added are exactly the delta, so the scan reads ONLY those files
@@ -520,6 +563,39 @@ object TimeTravel extends QueryModule {
             .select(lit(gen.toLong).as("gen"), col("o_orderpriority"),
               col("n"), col("total"))
         snap(3).unionAll(snap(7)).orderBy("gen", "o_orderpriority")
+      }),
+
+    // Q166 SQL AS-OF surface (r12 verdict #7): the SAME snapshots q157
+    // reads, but queried through pure SQL — `graft_asof(root, gen)` in
+    // FROM position, via the registered table-valued function. The TVF
+    // resolves the file list from the commit log at analysis time, so
+    // the planned scan is identical to the library call's (orphan still
+    // invisible). Oracle: q157's generation-split replay, hash-checked.
+    Q("q166_sql_asof",
+      Some("""SELECT CAST(0 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY gen, o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = ordersTable(s, d)
+        graft.GraftFunctions.register(s) // idempotent createOrReplace
+        s.sql(
+          s"""SELECT CAST(0 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM graft_asof('$root', 0) GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM graft_asof('$root', 1) GROUP BY o_orderpriority
+             |ORDER BY gen, o_orderpriority""".stripMargin)
       })
   )
 }

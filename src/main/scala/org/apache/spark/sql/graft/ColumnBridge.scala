@@ -19,4 +19,14 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Register a TABLE-VALUED function (FROM-position, e.g.
+    * `SELECT … FROM graft_asof('/t', 0)`) on a live session — the same
+    * private[sql] seam, against the table-function registry. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

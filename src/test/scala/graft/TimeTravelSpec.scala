@@ -244,6 +244,40 @@ class TimeTravelSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 8 <= 3).count())
   }
 
+  test("graft_asof / graft_changes TVFs: pure-SQL snapshot reads match the library calls") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 =!= 0))
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+    // plant an orphan: the SQL path must resolve files from the log too
+    orders.limit(10).write.mode("overwrite").parquet(s"$root/tmp_orphan")
+    new java.io.File(s"$root/tmp_orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).take(1).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$root/data/orphan-${f.getName}"))
+      }
+    GraftFunctions.register(spark)
+    val asof0 = spark.sql(s"SELECT count(*) FROM graft_asof('$root', 0)")
+      .head().getLong(0)
+    assert(asof0 === TimeTravel.readAsOf(spark, root, 0).count())
+    val asof1 = spark.sql(s"SELECT count(*) FROM graft_asof('$root', 1)")
+      .head().getLong(0)
+    assert(asof1 === orders.count(), "SQL snapshot saw the planted orphan")
+    val delta = spark.sql(s"SELECT count(*) FROM graft_changes('$root', 0, 1)")
+      .head().getLong(0)
+    assert(delta === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // joins/filters compose around the TVF like any relation
+    val top = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n FROM graft_asof('$root', 1)
+         |WHERE o_totalprice > 0 GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority
+         |LIMIT 1""".stripMargin).collect()
+    assert(top.length === 1)
+    // a non-literal argument is an explicit error, not a silent guess
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_asof('$root', CAST(rand() * 2 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("q157 plan reads exactly the snapshot's files — no directory listing") {
     val df = SparkEntry.queries("q157_time_travel")(spark, sf)
     assert(df.count() === 10) // 5 priorities × 2 generations
