@@ -263,6 +263,96 @@ object PqAnn extends QueryModule {
         col("nbr_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Broadcast-free ADC (the q159 at-scale caveat, r12 verdict): the code
+    * table stays DISTRIBUTED — sharded by hash(vec_id), queries fan out
+    * to every shard, each (query, shard) keeps its local top-`short` by
+    * (adc, id), and a global window merges shards. The merged shortlist
+    * is EXACTLY the broadcast kernel's (top-short of a union = top-short
+    * of the union of per-shard top-shorts, under the same strict (adc,
+    * id) total order — PqAnnSpec asserts byte-equality of the outputs),
+    * so this is pqTopK's 10⁹-vector shape: no driver materialization of
+    * the code table (24 GB at 10⁹ vectors), per-task residency one
+    * shard's codes (n/nShards × ~(8+M) B, set nShards = table_bytes /
+    * executor_budget), at the price of an nShards× wider shortlist
+    * shuffle into the merge window. */
+  def pqTopKSharded(emb: DataFrame, k: Int, nShards: Int = 4): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val unit = unitVectors(emb).cache()
+    val books = trainFromUnit(unit)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val short = shortlistFor(unit.count())
+    val codeRows = encodeUnit(unit, books)
+      .select(pmod(hash(col("vec_id")), lit(nShards)).cast("int").as("shard"),
+        lit(0).as("kind"), col("vec_id").as("id"), col("codes"),
+        lit(null).cast("array<double>").as("v"))
+    val qRows = unit
+      .crossJoin(broadcast((0 until nShards).toDF("shard")))
+      .select(col("shard"), lit(1).as("kind"), col("vec_id").as("id"),
+        lit(null).cast("array<int>").as("codes"), col("v"))
+    val local = codeRows.unionAll(qRows)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "kind", "id")
+      .as[(Int, Int, Long, Array[Int], Array[Double])]
+      .mapPartitions { it =>
+        val bs = bcBooks.value
+        var curShard = Int.MinValue
+        var res = Vector.empty[(Long, Array[Int])]
+        it.flatMap { case (shard, kind, id, cd, qv) =>
+          if (shard != curShard) { curShard = shard; res = Vector.empty }
+          if (kind == 0) { res :+= ((id, cd)); Iterator.empty }
+          else {
+            val tab = Array.ofDim[Double](M, K)
+            var m = 0
+            while (m < M) {
+              val base = m * SubDim
+              var c = 0
+              while (c < bs(m).length) {
+                var acc = 0.0d; var i = 0
+                while (i < SubDim) {
+                  val d = qv(base + i) - bs(m)(c)(i); acc += d * d; i += 1
+                }
+                tab(m)(c) = acc
+                c += 1
+              }
+              m += 1
+            }
+            val heap = new java.util.PriorityQueue[(Double, Long)](short + 1,
+              (a: (Double, Long), b: (Double, Long)) => {
+                val c = java.lang.Double.compare(b._1, a._1)
+                if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+              })
+            res.foreach { case (nid, c) =>
+              if (nid != id) {
+                var adc = 0.0d; var j = 0
+                while (j < M) { adc += tab(j)(c(j)); j += 1 }
+                heap.add((adc, nid))
+                if (heap.size > short) heap.poll()
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            heap.iterator().asScala.map { case (adc, nid) => (id, nid, adc) }
+          }
+        }
+      }.toDF("vec_id", "nbr_id", "adc")
+    // global merge: the same top-`short` the broadcast scan keeps
+    val wm = Window.partitionBy("vec_id").orderBy(asc("adc"), asc("nbr_id"))
+    val shortlist = local
+      .withColumn("srnk", row_number().over(wm))
+      .filter(col("srnk") <= short)
+      .select("vec_id", "nbr_id")
+    val qv = unit.select(col("vec_id"), col("v").as("qv"))
+    val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
+    shortlist.join(qv, "vec_id").join(nv, "nbr_id")
+      .withColumn("cos", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-PQ — the FAISS composition both halves exist for: IVF bounds the
     * CANDIDATE SET (probe `nprobe` of `nCentroids` clusters), PQ bounds
     * the BYTES each candidate costs (ADC over 16-byte codes; the exact
@@ -391,6 +481,14 @@ object PqAnn extends QueryModule {
     // and the 16× code compression. Rows-only here.
     Q("q159_pq_ann", None,
       (s, d) => pqTopK(t(s, d, "embeddings"), 3).orderBy("vec_id", "rnk")),
+
+    // Q167 sharded-ADC PQ: q159's kernel with the code table left
+    // DISTRIBUTED (no driver collect/broadcast — the 10⁹-vector shape).
+    // Same property class as q159; PqAnnSpec additionally asserts the
+    // output is byte-identical to the broadcast kernel's.
+    Q("q167_pq_ann_sharded", None,
+      (s, d) => pqTopKSharded(t(s, d, "embeddings"), 3)
+        .orderBy("vec_id", "rnk")),
 
     // Q161 IVF-PQ: the composed index — IVF probing bounds candidates
     // (nprobe 2 of 32 clusters), PQ codes bound the bytes per candidate,

@@ -89,6 +89,22 @@ class PqAnnSpec extends SparkSpec {
     // declared parameters still produce one block per cluster (no hot set)
   }
 
+  test("q167: sharded ADC equals the broadcast kernel byte-for-byte") {
+    // the distributed code table must not change a single row: local
+    // per-shard top-short heaps merged under the same (adc, id) total
+    // order reproduce the broadcast scan's shortlist exactly, and the
+    // rerank is shared
+    val a = PqAnn.pqTopK(emb, 3).orderBy("vec_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    val b = PqAnn.pqTopKSharded(emb, 3).orderBy("vec_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "sharded ADC diverged from the broadcast kernel")
+    // and with a different shard count too (shard layout must not matter)
+    val c = PqAnn.pqTopKSharded(emb, 3, nShards = 7).orderBy("vec_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(a === c)
+  }
+
   test("q159: the exact-rerank stage reads only the shortlist fraction") {
     val n = emb.count()
     val short = PqAnn.shortlistFor(n)
