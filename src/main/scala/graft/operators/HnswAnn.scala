@@ -198,6 +198,12 @@ object HnswAnn extends QueryModule {
       : Iterator[(Int, Long, Int, Array[Long], Array[Double])] = {
     val g = new ShardGraph(M, M0, EfConstruction)
     rows.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+    emitGraph(shard, g)
+  }
+
+  /** A graph's persisted row form (the inverse of [[loadShard]]). */
+  private def emitGraph(shard: Int, g: ShardGraph)
+      : Iterator[(Int, Long, Int, Array[Long], Array[Double])] =
     (0 until g.ids.length).iterator.flatMap { idx =>
       (0 to g.levels(idx)).map { layer =>
         (shard, g.ids(idx), layer,
@@ -205,6 +211,39 @@ object HnswAnn extends QueryModule {
           if (layer == 0) g.vecs(idx) else null)
       }
     }
+
+  /** Reload a shard's graph from its persisted (vec_id, layer, nbrs, v)
+    * rows — the persisted adjacency IS the state, no re-insertion. The
+    * reloaded graph serves queries identically and accepts FURTHER
+    * inserts (HNSW is incremental by design — the append path). */
+  private def loadShard(rows: Seq[(Long, Int, Array[Long], Array[Double])])
+      : ShardGraph = {
+    import scala.collection.mutable
+    val g = new ShardGraph(M, M0, EfConstruction)
+    val sorted = rows.sortBy(r => (r._1, r._2))
+    val idxOf = mutable.HashMap.empty[Long, Int]
+    sorted.foreach { case (id, layer, _, v) =>
+      if (layer == 0) {
+        idxOf(id) = g.ids.length
+        g.ids += id; g.vecs += v
+        g.levels += 0
+        g.nbrs += Array(mutable.ArrayBuffer.empty[Int])
+      }
+    }
+    sorted.foreach { case (id, layer, ns, _) =>
+      val i = idxOf(id)
+      if (layer > g.levels(i)) {
+        g.levels(i) = layer
+        g.nbrs(i) = (g.nbrs(i) ++ Array.fill(layer - g.nbrs(i).length + 1)(
+          mutable.ArrayBuffer.empty[Int])).take(layer + 1)
+      }
+      g.nbrs(i)(layer) ++= ns.iterator.map(idxOf)
+      if (g.levels(i) > g.maxLevel ||
+          (g.levels(i) == g.maxLevel && (g.entry < 0 || i < g.entry))) {
+        g.maxLevel = g.levels(i); g.entry = i
+      }
+    }
+    g
   }
 
   private def unitVectors(emb: DataFrame): DataFrame =
@@ -220,7 +259,11 @@ object HnswAnn extends QueryModule {
     * One shuffle on shard; each shard's graph builds inside one task and
     * lands as a contiguous file set under its shard=… directory. */
   def buildHnswIndex(s: SparkSession, dir: String): String =
-    indexCache.computeIfAbsent(dir, { _ =>
+    indexCache.computeIfAbsent(dir, _ => buildIndexInto(s, dir))
+
+  /** Build + persist one index instance into a fresh work dir (shared by
+    * the build-once path and q168's private appended instance). */
+  private def buildIndexInto(s: SparkSession, dir: String): String = {
       import s.implicits._
       val p = java.nio.file.Files.createTempDirectory("graft_hnsw_idx_")
       sys.addShutdownHook(graft.WorkDirs.deleteTree(p))
@@ -243,7 +286,7 @@ object HnswAnn extends QueryModule {
         .repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(s"$p/graph")
       p.toString
-    })
+  }
 
   /** Top-k neighbors for every corpus vector, served from the PERSISTED
     * index only: queries fan out to every shard, each shard task loads
@@ -271,33 +314,7 @@ object HnswAnn extends QueryModule {
         var curShard = Int.MinValue
         var rows = mutable.ArrayBuffer.empty[(Long, Int, Array[Long], Array[Double])]
         var g: ShardGraph = null
-        def finalize_(): Unit = if (g == null) {
-          g = new ShardGraph(M, M0, EfConstruction)
-          // reload, don't re-insert: the persisted adjacency IS the graph
-          val sorted = rows.sortBy(r => (r._1, r._2))
-          val idxOf = mutable.HashMap.empty[Long, Int]
-          sorted.foreach { case (id, layer, _, v) =>
-            if (layer == 0) {
-              idxOf(id) = g.ids.length
-              g.ids += id; g.vecs += v
-              g.levels += 0
-              g.nbrs += Array(mutable.ArrayBuffer.empty[Int])
-            }
-          }
-          sorted.foreach { case (id, layer, ns, _) =>
-            val i = idxOf(id)
-            if (layer > g.levels(i)) {
-              g.levels(i) = layer
-              g.nbrs(i) = (g.nbrs(i) ++ Array.fill(layer - g.nbrs(i).length + 1)(
-                mutable.ArrayBuffer.empty[Int])).take(layer + 1)
-            }
-            g.nbrs(i)(layer) ++= ns.iterator.map(idxOf)
-            if (g.levels(i) > g.maxLevel ||
-                (g.levels(i) == g.maxLevel && (g.entry < 0 || i < g.entry))) {
-              g.maxLevel = g.levels(i); g.entry = i
-            }
-          }
-        }
+        def finalize_(): Unit = if (g == null) g = loadShard(rows.toSeq)
         it.flatMap { case (shard, kind, id, layer, ns, v) =>
           if (shard != curShard) { curShard = shard; rows.clear(); g = null }
           if (kind == 0) { rows += ((id, layer, ns, v)); Iterator.empty }
@@ -316,6 +333,64 @@ object HnswAnn extends QueryModule {
         // unit-sphere identity: cos = 1 − L2²/2, exact (no rerank needed)
         round(lit(1.0d) - col("d") / 2.0d, 4).as("cos"))
   }
+
+  /** Incremental insertion into a persisted index — the graph family's
+    * maintenance path (the q128 contract): delta vectors shard by the
+    * SAME hash, each TOUCHED shard reloads its graph (the persisted
+    * adjacency is the state — HNSW inserts incrementally by design),
+    * inserts its delta in id order, and rewrites only its own shard
+    * directory (dynamic partition overwrite). Cost scales with the
+    * touched shards, never the corpus; no fit stage exists to re-run.
+    * Honest asymmetry: HNSW graphs are insertion-order-dependent, so
+    * append(base, delta) is not row-identical to build(base ∪ delta) —
+    * the preserved contract is degree bounds + recall (HnswAnnSpec). */
+  def appendToHnswIndex(s: SparkSession, idx: String,
+      delta: DataFrame): Unit = {
+    import s.implicits._
+    val nShards = s.read.parquet(s"$idx/params").head().getInt(3)
+    val deltaRows = unitVectors(delta)
+      .select(pmod(hash(col("vec_id")), lit(nShards)).cast("int").as("shard"),
+        lit(1).as("kind"), col("vec_id"), lit(0).as("layer"),
+        lit(null).cast("array<bigint>").as("nbrs"), col("v"))
+    val touched = deltaRows.select("shard").distinct()
+    val existing = s.read.parquet(s"$idx/graph")
+      .join(broadcast(touched), "shard") // untouched shards never load
+      .select(col("shard").cast("int").as("shard"), lit(0).as("kind"),
+        col("vec_id"), col("layer"), col("nbrs"), col("v"))
+    val rewritten = existing.unionAll(deltaRows)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "kind", "vec_id", "layer")
+      .as[(Int, Int, Long, Int, Array[Long], Array[Double])]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
+          case (shard, rows) =>
+            val g = loadShard(rows.filter(_._2 == 0)
+              .map(r => (r._3, r._4, r._5, r._6)))
+            rows.filter(_._2 == 1).sortBy(_._3)
+              .foreach(r => g.insert(r._3, r._6))
+            emitGraph(shard, g)
+        }
+      }.toDF("shard", "vec_id", "layer", "nbrs", "v")
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$idx/graph")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** q168's appended instance: a PRIVATE base build (the shared q164/q165
+    * index must stay append-free) plus one delta append of the perturbed
+    * copies — cached per corpus so repeated invocations serve the same
+    * index instead of appending twice (the appendedIvfIndex discipline). */
+  private val appendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def appendedHnswIndex(s: SparkSession, dir: String): String =
+    appendCache.computeIfAbsent(dir, { _ =>
+      val idx = buildIndexInto(s, dir)
+      appendToHnswIndex(s, idx, Similarity.perturbedCopies(s, dir))
+      idx
+    })
 
   val qs: Seq[Q] = Seq(
 
@@ -343,6 +418,20 @@ object HnswAnn extends QueryModule {
       (s, d) => {
         val idx = buildHnswIndex(s, d)
         hnswTopK(s, idx, unitVectors(t(s, d, "embeddings")), 3)
+          .orderBy("vec_id", "rnk")
+      }),
+
+    // Q168 HNSW incremental append: the maintenance path — perturbed
+    // near-duplicate copies inserted into a PRIVATE persisted instance
+    // (only touched shards reload and rewrite), then each DELTA vector
+    // queries the appended graph for its top-1. Property class:
+    // HnswAnnSpec pins that ≥90% of copies find their source vector and
+    // the degree bounds survive the append. Rows-only.
+    Q("q168_hnsw_index_append", None,
+      (s, d) => {
+        val idx = appendedHnswIndex(s, d)
+        hnswTopK(s, idx,
+          unitVectors(Similarity.perturbedCopies(s, d)), 1)
           .orderBy("vec_id", "rnk")
       })
   )

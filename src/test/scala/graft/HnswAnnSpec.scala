@@ -69,6 +69,31 @@ class HnswAnnSpec extends SparkSpec {
     assert(rows.sameElements(rows2))
   }
 
+  test("q168: appended copies find their source vectors; bounds survive the append") {
+    import graft.operators.Similarity
+    val out = SparkEntry.queries("q168_hnsw_index_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val n = emb.count()
+    assert(out.size === n, "append lost delta queries")
+    // a perturbed copy (cos ≈ 0.996 to its source) must find the source
+    // as its top-1 in the appended graph for ≥ 90% of the delta
+    val found = out.count { case (copyId, nbr) =>
+      nbr === copyId - Similarity.PlantOffset
+    }
+    val frac = found.toDouble / n
+    info(f"appended-copy top-1 source hit rate = $frac%.3f")
+    assert(frac >= 0.9, f"hit rate $frac%.3f below 0.9")
+    // degree bounds hold on the rewritten graph too
+    val idx = graft.operators.HnswAnn.appendedHnswIndex(spark, sf)
+    val over = spark.read.parquet(s"$idx/graph").filter(
+      (col("layer") === 0 && size(col("nbrs")) > HnswAnn.M0) ||
+        (col("layer") > 0 && size(col("nbrs")) > HnswAnn.M)).count()
+    assert(over === 0, s"$over rows exceed the degree bound after append")
+    // base + delta nodes all present at layer 0
+    assert(spark.read.parquet(s"$idx/graph")
+      .filter(col("layer") === 0).count() === 2 * n)
+  }
+
   test("q165 serves from the persisted index — the plan reads the graph dir") {
     HnswAnn.buildHnswIndex(spark, sf)
     val out = SparkEntry.queries("q165_hnsw_ann")(spark, sf)
