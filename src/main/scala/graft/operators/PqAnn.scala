@@ -18,11 +18,11 @@ import org.apache.spark.sql.functions._
   * 256 B raw, M = 16 code bytes encoded — 16×. The ADC scan therefore
   * runs over a table an order of magnitude smaller than the corpus, each
   * distance costing M table lookups instead of 64 multiplies, and the
-  * exact vectors are only read for the shortlist. Here the code table is
-  * broadcast (codes for 10^9 vectors ≈ 24 GB where raw vectors are
-  * 0.25 TB; beyond broadcast reach one shards the code table and
-  * tree-merges per-shard shortlists — the bounded-heap union KnnTopK
-  * performs).
+  * exact vectors are only read for the shortlist. q159 broadcasts the
+  * code table (codes for 10^9 vectors ≈ 24 GB where raw vectors are
+  * 0.25 TB); beyond broadcast reach, [[pqTopKSharded]] (q167) keeps the
+  * table DISTRIBUTED — per-shard local shortlists merged under the same
+  * total order, byte-identical output, no driver materialization.
   *
   * Training is deterministic (hash-ranked candidates, farthest-point
   * seeding, fixed Lloyd rounds, ties by id) so the declared query is
@@ -389,32 +389,59 @@ object PqAnn extends QueryModule {
       l2Norm(col("embedding")).as("nrm"))
     val cents = Similarity.kmeansCentroids(emb, nCentroids)
       .select(col("cid"), col("cv").as("ce"), col("cn"))
-    val probes = Similarity.probeAssignments(withNorm, cents, nprobe)
+    // CACHED: the probe assignment feeds the sizing pass, the residents
+    // and the queries — uncached, each reference re-runs the centroid
+    // scoring pass end-to-end (the executed plan showed it 4×; measured
+    // ~1 s per extra pass at sf0.1). CacheManager dedupes by plan, so
+    // repeat invocations share one entry, like `unit` above.
+    val probes = Similarity.probeAssignments(withNorm, cents, nprobe).cache()
     val residentsBase = probes.filter(col("crn") === 1)
       .select(col("cid").cast("long").as("cid"),
         col("vec_id").as("nbr_id"))
       .join(encodeUnit(unit, books).withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
     // Sizing pass for the skew guard: one narrow row per OVERSIZED cluster
-    // (empty on a balanced corpus), broadcast into a left join — the hot
-    // set is bounded by n/cap rows, metadata-sized by construction.
-    val hot = broadcast(residentsBase.groupBy("cid")
+    // (empty on a balanced corpus), from the CACHED probe assignments
+    // alone (crn=1 rows) — never through the encode join (the r8 lesson:
+    // wide rows must not pay the sizing pass). The common case (no
+    // cluster over cap — q161's declared parameters on the balanced
+    // fixture) takes the r12 fast path untouched: no guard joins, no
+    // query fan-out, one cheap narrow count as the insurance premium
+    // (the capBuckets conditional-broadcast spirit).
+    val hotRows = probes.filter(col("crn") === 1)
+      .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("nres")).filter(col("nres") > cap)
       .select(col("cid"),
-        ceil(col("nres").cast("double") / cap).cast("int").as("nblk")))
-    val residents = residentsBase.join(hot, Seq("cid"), "left")
-      .withColumn("nblk", coalesce(col("nblk"), lit(1)))
-      .select(col("cid"),
-        pmod(hash(col("nbr_id")), col("nblk")).cast("int").as("blk"),
-        lit(0).as("kind"), col("nbr_id").as("id"),
-        col("codes"), lit(null).cast("array<double>").as("v"))
-    val queries = probes
-      .select(col("cid").cast("long").as("cid"), col("vec_id")).join(unit, "vec_id")
-      .join(hot, Seq("cid"), "left")
-      .withColumn("nblk", coalesce(col("nblk"), lit(1)))
-      .withColumn("blk", explode(expr("sequence(0, nblk - 1)")))
-      .select(col("cid"), col("blk").cast("int").as("blk"),
-        lit(1).as("kind"), col("vec_id").as("id"),
-        lit(null).cast("array<int>").as("codes"), col("v"))
+        ceil(col("nres").cast("double") / cap).cast("int").as("nblk"))
+    val (residents, queries) =
+      if (hotRows.limit(1).count() == 0) {
+        (residentsBase
+          .select(col("cid"), lit(0).as("blk"),
+            lit(0).as("kind"), col("nbr_id").as("id"),
+            col("codes"), lit(null).cast("array<double>").as("v")),
+          probes
+            .select(col("cid").cast("long").as("cid"), col("vec_id"))
+            .join(unit, "vec_id")
+            .select(col("cid"), lit(0).as("blk"),
+              lit(1).as("kind"), col("vec_id").as("id"),
+              lit(null).cast("array<int>").as("codes"), col("v")))
+      } else {
+        val hot = broadcast(hotRows)
+        (residentsBase.join(hot, Seq("cid"), "left")
+          .withColumn("nblk", coalesce(col("nblk"), lit(1)))
+          .select(col("cid"),
+            pmod(hash(col("nbr_id")), col("nblk")).cast("int").as("blk"),
+            lit(0).as("kind"), col("nbr_id").as("id"),
+            col("codes"), lit(null).cast("array<double>").as("v")),
+          probes
+            .select(col("cid").cast("long").as("cid"), col("vec_id"))
+            .join(unit, "vec_id")
+            .join(hot, Seq("cid"), "left")
+            .withColumn("nblk", coalesce(col("nblk"), lit(1)))
+            .withColumn("blk", explode(expr("sequence(0, nblk - 1)")))
+            .select(col("cid"), col("blk").cast("int").as("blk"),
+              lit(1).as("kind"), col("vec_id").as("id"),
+              lit(null).cast("array<int>").as("codes"), col("v")))
+      }
     val cands = residents.unionAll(queries)
       .repartition(col("cid"), col("blk"))
       .sortWithinPartitions("cid", "blk", "kind", "id")
