@@ -191,10 +191,6 @@ object TimeTravel extends QueryModule {
         name
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
-    def render(v: Int) =
-      s"""{"version":$v,"added":[${added.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removed":[${removed.map("\"" + _ + "\"").mkString(",")}]}"""
     // Optimistic concurrency: claim version N with an atomically-refusing
     // rename (claimVersion); the loser of a race re-reads the log and
     // retries at N+1 — data files are immutable, so the retry is
@@ -203,7 +199,214 @@ object TimeTravel extends QueryModule {
     // #4): if a commit that won meanwhile already retired any of these
     // files (two racing compactions), blind-landing a second remove would
     // corrupt the log — that is a logical conflict, reported loudly for
-    // the caller to re-plan, never retried past.
+    // the caller to re-plan, never retried past. (Shared claim loop:
+    // commitNames.)
+    commitNames(s, root, added, removed)
+  }
+
+  /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
+    * existing destination. `FileSystem.rename` is not that primitive
+    * everywhere — LocalFileSystem delegates to POSIX rename(2), which
+    * silently REPLACES the destination, so two racing committers could
+    * both "win" a version and one commit's rows would vanish (ADVICE
+    * r12). `FileContext.rename(…, Options.Rename.NONE)` routes through
+    * `AbstractFileSystem`'s no-replace validation on every filesystem
+    * (atomic on HDFS; check-then-rename on file:/, closed for same-JVM
+    * racers by [[lockFor]]). Returns false when the destination already
+    * exists — the lost-race signal the retry loop consumes. */
+  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, fs.getConf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if fs.exists(dst) => false
+    }
+
+  /** Commit `df` BUCKETED by `keyCol` into `nBuckets` hash buckets, one
+    * parquet file per bucket, the bucket id encoded in the FILE NAME
+    * (`<uid>-b<k>-…`). This is the layout [[mergeInto]] prunes by: a
+    * row-level upsert only ever rewrites the files of buckets its source
+    * keys hash into. The bucket column itself is not stored — it is a
+    * pure function of the key, re-derived when needed. */
+  def commitBucketed(s: SparkSession, root: String, df: DataFrame,
+      keyCol: String, nBuckets: Int, removed: Seq[String] = Nil): Int = {
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.withColumn("gb", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .repartition(nBuckets, col("gb"))
+      .write.mode("overwrite").partitionBy("gb").parquet(stage)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val BucketDir = """gb=(\d+)""".r
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        val k = dir.getPath.getName match {
+          case BucketDir(b) => b.toInt
+          case other => throw new IllegalStateException(
+            s"time travel: unexpected staging entry $other")
+        }
+        fs.listStatus(dir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map { f =>
+            val name = s"$uid-b$k-${f.getName}"
+            require(fs.rename(f,
+                new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+              s"time travel: staging rename of $f failed")
+            name
+          }
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    commitNames(s, root, added, removed)
+  }
+
+  // Anchored to the exact commit-uid prefix: an embedded part-file UUID
+  // can contain look-alike `-b<digits>-` groups (observed: `…-b044-…`),
+  // and a greedy scan would misparse the bucket and silently skip the
+  // file in merge pruning — duplicating rows.
+  private val BucketName = """[0-9a-f]{8}-b(\d+)-.*""".r
+
+  /** Commit `df` RANGE-CLUSTERED on `sortCol` into ~`nFiles` files, and
+    * record each file's (min, max) of the sort column IN THE COMMIT —
+    * Delta's data-skipping stats, kept in the log so range reads prune
+    * files from METADATA alone. Stats are computed by one extra scan of
+    * the staged delta (cost ∝ the commit's bytes, never the table's),
+    * grouped by physical file via the _metadata column, and serialized
+    * as `file|col|min|max` strings — the tolerant array parser reads
+    * them back without a richer JSON layer. */
+  def commitClustered(s: SparkSession, root: String, df: DataFrame,
+      sortCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(stage)
+    // per-staged-file stats: one narrow agg over the delta just written
+    val stats = s.read.parquet(stage)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        ((r.get(1).toString, r.get(2).toString))).toMap // name → (lo, hi)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val name = s"$uid-${f.getName}"
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
+        (f.getName, name)
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val statLines = renamed.flatMap { case (staged, fin) =>
+      stats.get(staged).map { case (lo, hi) => s"$fin|$sortCol|$lo|$hi" }
+    }
+    commitNames(s, root, renamed.map(_._2), removed, statLines)
+  }
+
+  /** AS-OF read pruned by the log's per-file stats: only files whose
+    * recorded [min, max] of `statCol` overlaps [lo, hi] — plus files with
+    * NO recorded stats (conservative: must scan) — enter the parquet
+    * scan; the residual filter still applies for exactness. The pruning
+    * decision costs the same commit reads resolution already performs —
+    * no footer reads, no file opens for skipped files (TimeTravelSpec
+    * asserts the scanned file set). */
+  def readAsOfWhere(s: SparkSession, root: String, gen: Int,
+      statCol: String, lo: Long, hi: Long): DataFrame = {
+    val files = snapshotFiles(root, gen)
+    val stats = statsFor(root, gen)
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case Some((c, fLo, fHi)) if c == statCol => fHi >= lo && fLo <= hi
+        case _ => true // no stats for this file/column: cannot skip
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        s.read.parquet(snapshotFiles(root, gen).map(f => s"$root/data/$f"): _*)
+          .limit(0)
+      else s.read.parquet(kept.map(f => s"$root/data/$f"): _*)
+    base.filter(col(statCol) >= lo && col(statCol) <= hi)
+  }
+
+  /** The per-file (col, min, max) stats visible at generation `gen`,
+    * folded from the commits ≤ gen. Numeric (long-valued) columns only —
+    * the fixture's key columns. Files resolved from a CHECKPOINT carry no
+    * stats (checkpoints store file lists only) and simply stay
+    * un-prunable — correct, just conservative. */
+  private def statsFor(root: String, gen: Int): Map[String, (String, Long, Long)] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "stats").flatMap { line =>
+        line.split('|') match {
+          case Array(name, c, lo, hi) =>
+            try Some(name -> ((c, lo.toLong, hi.toLong)))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** Row-level MERGE (upsert) into a [[commitBucketed]] table, pruned to
+    * the TOUCHED buckets: source keys hash to a bucket set, only the
+    * snapshot files of those buckets are read and rewritten (matched key
+    * → the source row wins; unmatched existing rows are carried over;
+    * unmatched source rows insert), and the commit removes exactly the
+    * rewritten files — at 100 TB the upsert costs the touched buckets'
+    * bytes, never the table's (Delta's MERGE file-pruning discipline).
+    * Racing merges are safe: the remove-set conflict validation in
+    * [[commit]] turns a double rewrite into one winner plus one explicit
+    * conflict. Returns the committed version. */
+  def mergeInto(s: SparkSession, root: String, source: DataFrame,
+      keyCol: String, nBuckets: Int): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot merge into empty table $root")
+    val touched = source
+      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("gb"))
+      .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets ints
+    val files = snapshotFiles(root, gen)
+    val toRewrite = files.filter {
+      case BucketName(b) => touched(b.toInt)
+      case _ => true // a non-bucketed file may hold any key: rewrite it
+    }
+    val existing =
+      if (toRewrite.isEmpty) source.limit(0)
+      else s.read.parquet(toRewrite.map(f => s"$root/data/$f"): _*)
+    val dataCols = source.columns.filter(_ != keyCol)
+    require(existing.columns.sorted.sameElements(source.columns.sorted),
+      s"time travel: merge source schema ${source.columns.toSeq} does not " +
+        s"match table schema ${existing.columns.toSeq}")
+    val merged = existing.as("b")
+      .join(source.as("s"), Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        dataCols.map(c =>
+          coalesce(col(s"s.$c"), col(s"b.$c")).as(c)): _*)
+    commitBucketed(s, root, merged, keyCol, nBuckets, removed = toRewrite)
+  }
+
+  /** The shared claim loop: publish `added`/`removed` as the next
+    * generation (extracted from [[commit]] so bucketed commits reuse the
+    * same optimistic protocol + conflict validation). */
+  private def commitNames(s: SparkSession, root: String,
+      added: Seq[String], removed: Seq[String],
+      stats: Seq[String] = Nil): Int = {
+    val (fs, _) = fsFor(root)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
+    def render(v: Int) =
+      s"""{"version":$v,"added":[${added.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""removed":[${removed.map("\"" + _ + "\"").mkString(",")}]""" +
+        (if (stats.isEmpty) "}"
+         else s""","stats":[${stats.map("\"" + _ + "\"").mkString(",")}]}""")
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
@@ -235,30 +438,6 @@ object TimeTravel extends QueryModule {
     }
     v
   }
-
-  /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
-    * existing destination. `FileSystem.rename` is not that primitive
-    * everywhere — LocalFileSystem delegates to POSIX rename(2), which
-    * silently REPLACES the destination, so two racing committers could
-    * both "win" a version and one commit's rows would vanish (ADVICE
-    * r12). `FileContext.rename(…, Options.Rename.NONE)` routes through
-    * `AbstractFileSystem`'s no-replace validation on every filesystem
-    * (atomic on HDFS; check-then-rename on file:/, closed for same-JVM
-    * racers by [[lockFor]]). Returns false when the destination already
-    * exists — the lost-race signal the retry loop consumes. */
-  private[graft] def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Boolean =
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, fs.getConf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException if fs.exists(dst) => false
-    }
 
   /** Write a CHECKPOINT of the current latest generation: the fully
     * resolved snapshot file list, stored beside the commits as
@@ -484,6 +663,29 @@ object TimeTravel extends QueryModule {
     root
   }
 
+  /** q169's bucketed table: the orders slice committed once per JVM via
+    * [[commitBucketed]] (8 key-hash buckets, one file each). */
+  private[graft] def ordersTableBucketed(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttlm_", s"q169:$d")
+    if (currentVersion(root) < 0)
+      commitBucketed(s, root,
+        t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderkey", 8)
+    root
+  }
+
+  /** q170's range-clustered table with per-file stats in the log. */
+  private[graft] def ordersTableClustered(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttlc_", s"q170:$d")
+    if (currentVersion(root) < 0)
+      commitClustered(s, root,
+        t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderkey", 8)
+    root
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q157 snapshot isolation / AS-OF read: the same committed layout
@@ -596,6 +798,72 @@ object TimeTravel extends QueryModule {
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM graft_asof('$root', 1) GROUP BY o_orderpriority
              |ORDER BY gen, o_orderpriority""".stripMargin)
+      }),
+
+    // Q169 log-native MERGE (upsert) with bucket pruning: a bucketed
+    // commit-log table takes a mixed update+insert source; only the
+    // buckets the source keys hash into are read and rewritten
+    // (TimeTravelSpec asserts untouched buckets keep their physical
+    // files), the commit retires exactly the rewritten files, and the
+    // remove-conflict validation makes racing merges one-winner-safe.
+    // Idempotent by construction (the source is a pure function of the
+    // original orders), so repeated invocations re-merge to the same
+    // state. Oracle: FULL-JOIN merge semantics replayed in SQL.
+    Q("q169_log_merge",
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS p,
+             |                     o_totalprice AS v FROM orders),
+             |src AS (
+             |  SELECT k, p, v + 1000 AS v FROM base WHERE k % 10 = 3
+             |  UNION ALL
+             |  SELECT k + 10000000 AS k, p, v FROM base WHERE k % 100 = 7),
+             |m AS (
+             |  SELECT COALESCE(s.k, b.k) AS k, COALESCE(s.p, b.p) AS p,
+             |         COALESCE(s.v, b.v) AS v
+             |  FROM base b FULL JOIN src s ON b.k = s.k)
+             |SELECT p AS o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM m GROUP BY p ORDER BY p""".stripMargin),
+      (s, d) => {
+        val root = ordersTableBucketed(s, d)
+        val orders = t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val source = orders.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0d))
+          .unionByName(orders.filter(col("o_orderkey") % 100 === 7)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        mergeInto(s, root, source, "o_orderkey", 8)
+        readAsOf(s, root, currentVersion(root))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q170 log-stats data skipping: a range-clustered commit records each
+    // file's (min, max) of the sort key IN THE COMMIT; a range read then
+    // prunes files from log metadata alone — no footer reads, no opens
+    // for skipped files (TimeTravelSpec asserts the scanned set), with
+    // the residual filter keeping exactness. Oracle: the same range
+    // aggregate over the source table (bounds derived identically —
+    // truncating integer division of max(o_orderkey)).
+    Q("q170_log_stats_skipping",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = ordersTableClustered(s, d)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        readAsOfWhere(s, root, currentVersion(root), "o_orderkey",
+          mx / 4, mx / 2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
       })
   )
 }

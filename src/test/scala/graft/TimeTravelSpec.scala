@@ -244,6 +244,84 @@ class TimeTravelSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 8 <= 3).count())
   }
 
+  test("q169 merge: only touched buckets rewrite; updates, inserts, carry-overs all land") {
+    val root = newRoot()
+    val base = orders.limit(200)
+    TimeTravel.commitBucketed(spark, root, base, "o_orderkey", 8)
+    val filesBefore = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    assert(filesBefore.size === 8, s"expected 8 bucket files, got $filesBefore")
+    // a source touching ONE key: update its price, plus one brand-new key
+    val k0 = base.orderBy("o_orderkey").head().getLong(0)
+    import spark.implicits._
+    val src = base.filter(col("o_orderkey") === k0)
+      .withColumn("o_totalprice", lit(9999.5d))
+      .unionByName(Seq((99000001L, "9-NEW", 1.25d))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    TimeTravel.mergeInto(spark, root, src, "o_orderkey", 8)
+    val after = TimeTravel.readAsOf(spark, root, 1)
+    // row-level semantics: update applied, insert present, others intact
+    assert(after.count() === 201)
+    assert(after.filter(col("o_orderkey") === k0)
+      .head().getDouble(2) === 9999.5d)
+    assert(after.filter(col("o_orderkey") === 99000001L).count() === 1)
+    // file-level pruning: at most 2 buckets rewrote, the rest kept their
+    // PHYSICAL files (names unchanged in the new snapshot)
+    val filesAfter = after.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    val kept = filesBefore.intersect(filesAfter)
+    assert(filesBefore.size - kept.size <= 2,
+      s"merge rewrote ${filesBefore.size - kept.size} buckets for 2 keys")
+    assert(filesAfter.diff(filesBefore).size <= 2,
+      "merge added more files than the touched buckets")
+    // old snapshot still reads the pre-merge state
+    assert(TimeTravel.readAsOf(spark, root, 0)
+      .filter(col("o_orderkey") === k0).head().getDouble(2) !== 9999.5d)
+    // merge is idempotent: re-merging the same source changes nothing
+    TimeTravel.mergeInto(spark, root, src, "o_orderkey", 8)
+    val sum1 = after.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    val sum2 = TimeTravel.readAsOf(spark, root, 2)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(sum1 === sum2, "re-merging the same source drifted the table")
+  }
+
+  test("q170 stats skipping: a range read scans only overlapping files, exactly") {
+    val root = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // a range covering ~the middle eighth of the key space
+    val lo = keys(keys.length / 2)
+    val hi = keys(keys.length / 2 + keys.length / 8 - 1)
+    val pruned = TimeTravel.readAsOfWhere(spark, root, 0, "o_orderkey", lo, hi)
+    val expect = base.filter(col("o_orderkey").between(lo, hi))
+    assert(pruned.count() === expect.count())
+    assert(pruned.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // the scan touched only range-overlapping files — a narrow range over
+    // 8 non-overlapping clusters hits at most 3
+    val scanned = pruned.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    assert(scanned.size <= 3,
+      s"stats pruning scanned ${scanned.size} of 8 clustered files")
+    // an APPENDED clustered commit contributes its own stats: both
+    // generations prune together
+    TimeTravel.commitClustered(spark, root,
+      base.withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)),
+      "o_orderkey", 8)
+    val pruned2 = TimeTravel.readAsOfWhere(spark, root, 1, "o_orderkey", lo, hi)
+    assert(pruned2.count() === expect.count(),
+      "appended out-of-range generation leaked into the pruned read")
+    val scanned2 = pruned2.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    assert(scanned2.size <= 3, "append defeated the stats pruning")
+    // an empty range reads nothing but keeps the schema
+    assert(TimeTravel.readAsOfWhere(spark, root, 1, "o_orderkey",
+      -50L, -10L).count() === 0)
+  }
+
   test("graft_asof / graft_changes TVFs: pure-SQL snapshot reads match the library calls") {
     val root = newRoot()
     TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 =!= 0))
