@@ -201,7 +201,8 @@ object TimeTravel extends QueryModule {
     // corrupt the log — that is a logical conflict, reported loudly for
     // the caller to re-plan, never retried past. (Shared claim loop:
     // commitNames.)
-    commitNames(s, root, added, removed)
+    commitNames(s, root, added, removed,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
@@ -263,7 +264,8 @@ object TimeTravel extends QueryModule {
           }
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    commitNames(s, root, added, removed)
+    commitNames(s, root, added, removed,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   // Anchored to the exact commit-uid prefix: an embedded part-file UUID
@@ -309,7 +311,8 @@ object TimeTravel extends QueryModule {
     val statLines = renamed.flatMap { case (staged, fin) =>
       stats.get(staged).map { case (lo, hi) => s"$fin|$sortCol|$lo|$hi" }
     }
-    commitNames(s, root, renamed.map(_._2), removed, statLines)
+    commitNames(s, root, renamed.map(_._2), removed, statLines,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   /** AS-OF read pruned by the log's per-file stats: only files whose
@@ -396,17 +399,22 @@ object TimeTravel extends QueryModule {
   /** The shared claim loop: publish `added`/`removed` as the next
     * generation (extracted from [[commit]] so bucketed commits reuse the
     * same optimistic protocol + conflict validation). */
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def commitNames(s: SparkSession, root: String,
       added: Seq[String], removed: Seq[String],
-      stats: Seq[String] = Nil): Int = {
+      stats: Seq[String] = Nil, schemaDdl: Option[String] = None): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
     def render(v: Int) =
-      s"""{"version":$v,"added":[${added.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removed":[${removed.map("\"" + _ + "\"").mkString(",")}]""" +
-        (if (stats.isEmpty) "}"
-         else s""","stats":[${stats.map("\"" + _ + "\"").mkString(",")}]}""")
+      s"""{"version":$v,"added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
+        s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""" +
+        (if (stats.isEmpty) ""
+         else s""","stats":[${stats.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (schemaDdl.isEmpty) "}"
+         else s""","schemav":["${jsonEsc(schemaDdl.get)}"]}""")
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
@@ -501,10 +509,36 @@ object TimeTravel extends QueryModule {
   private def snapshotFiles(root: String, gen: Int): Seq[String] =
     resolveSnapshot(root, gen)._1
 
+  /** The schema in force at generation `gen`: the newest commit ≤ gen
+    * that logged one (every commit written since schema logging landed
+    * does). None for pre-schema logs or when the carrying commits were
+    * expired — readers then fall back to parquet inference, the old
+    * behavior. Resolution cost: the commits ≤ gen resolution already
+    * reads; content scan is the tolerant array parser. */
+  private[graft] def schemaAsOf(root: String, gen: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).reverseIterator
+      .map(c => parseArr(readBytes(fs, c._2), "schemav"))
+      .collectFirst { case Seq(ddl) =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      }
+  }
+
   /** Read the table AS OF generation `gen` — the snapshot the log defines,
-    * resolved from commit metadata only (the data dir is never listed). */
-  def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame =
-    s.read.parquet(snapshotFiles(root, gen).map(f => s"$root/data/$f"): _*)
+    * resolved from commit metadata only (the data dir is never listed).
+    * The read applies the SCHEMA LOGGED at `gen` (Delta's schema-on-read
+    * evolution, add/drop-column shape): files from older generations
+    * null-fill columns added later, and columns dropped by `gen` are
+    * projected away even though older files still store them — so every
+    * snapshot presents its own generation's schema, stably. */
+  def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame = {
+    val paths = snapshotFiles(root, gen).map(f => s"$root/data/$f")
+    schemaAsOf(root, gen) match {
+      case Some(schema) => s.read.schema(schema).parquet(paths: _*)
+      case None => s.read.parquet(paths: _*)
+    }
+  }
 
   /** Table-valued SQL surface (r12 verdict #7): `graft_asof(root, gen)`
     * and `graft_changes(root, from, to)` in FROM position make the commit
@@ -686,6 +720,21 @@ object TimeTravel extends QueryModule {
     root
   }
 
+  /** q171's schema-evolved table: gen 0 holds the EVEN keys under the
+    * 3-column schema; gen 1 appends the ODD keys with an added
+    * `o_flag = o_orderkey % 5` column. */
+  private[graft] def ordersTableEvolved(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttle_", s"q171:$d")
+    if (currentVersion(root) < 0) {
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      commit(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      commit(s, root, orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_flag", col("o_orderkey") % 5))
+    }
+    root
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q157 snapshot isolation / AS-OF read: the same committed layout
@@ -864,6 +913,52 @@ object TimeTravel extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").as("total"))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q171 schema evolution on the commit log (schema-on-read, Delta's
+    // add-column shape): each commit logs its schema; AS-OF 0 presents
+    // the original 3 columns, AS-OF 1 presents the evolved 4 — gen-0
+    // files NULL-FILL the added o_flag, so counting/summing it over the
+    // full snapshot touches exactly the gen-1 rows (the value the oracle
+    // pins). Old snapshots keep their own schema forever.
+    Q("q171_schema_evolution",
+      Some("""SELECT CAST(0 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(NULL AS BIGINT) AS nflags, CAST(NULL AS BIGINT) AS sumflag
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS nflags,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+             |           THEN o_orderkey % 5 END) AS BIGINT) AS sumflag
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY gen, o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = ordersTableEvolved(s, d)
+        val snap0 = readAsOf(s, root, 0)
+        require(!snap0.columns.contains("o_flag"),
+          "generation 0 must present its own 3-column schema")
+        val leg0 = snap0
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .select(lit(0L).as("gen"), col("o_orderpriority"), col("n"),
+            col("total"), lit(null).cast("bigint").as("nflags"),
+            lit(null).cast("bigint").as("sumflag"))
+        val leg1 = readAsOf(s, root, 1)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"),
+            count(col("o_flag")).as("nflags"),
+            sum(col("o_flag")).as("sumflag"))
+          .select(lit(1L).as("gen"), col("o_orderpriority"), col("n"),
+            col("total"), col("nflags"), col("sumflag"))
+        leg0.unionAll(leg1).orderBy("gen", "o_orderpriority")
       })
   )
 }

@@ -322,6 +322,34 @@ class TimeTravelSpec extends SparkSpec {
       -50L, -10L).count() === 0)
   }
 
+  test("q171 schema evolution: each snapshot presents its own logged schema") {
+    val root = newRoot()
+    val base = orders.limit(100)
+    TimeTravel.commit(spark, root, base)
+    // gen 1 ADDS a column
+    TimeTravel.commit(spark, root,
+      base.limit(40).withColumn("o_flag", lit(7L))
+        .withColumn("o_orderkey", col("o_orderkey") + 500000000L))
+    // gen 2 DROPS it again (commits without the column)
+    TimeTravel.commit(spark, root,
+      base.limit(10).withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+    // AS-OF 0: original schema, no flag column at all
+    assert(!TimeTravel.readAsOf(spark, root, 0).columns.contains("o_flag"))
+    // AS-OF 1: evolved schema; gen-0 rows null-fill the added column
+    val snap1 = TimeTravel.readAsOf(spark, root, 1)
+    assert(snap1.columns.contains("o_flag"))
+    assert(snap1.count() === 140)
+    assert(snap1.filter(col("o_flag").isNull).count() === 100)
+    assert(snap1.filter(col("o_flag") === 7L).count() === 40)
+    // AS-OF 2: the drop hides the column even though gen-1 files store it
+    val snap2 = TimeTravel.readAsOf(spark, root, 2)
+    assert(!snap2.columns.contains("o_flag"),
+      "a dropped column leaked back into a later snapshot")
+    assert(snap2.count() === 150)
+    // and the data beneath is intact across all three schemas
+    assert(snap2.filter(col("o_orderkey") >= 900000000L).count() === 10)
+  }
+
   test("graft_asof / graft_changes TVFs: pure-SQL snapshot reads match the library calls") {
     val root = newRoot()
     TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 3 =!= 0))
