@@ -28,6 +28,7 @@ object SparkEntry {
     operators.HnswAnn,
     operators.ScaleOps,
     operators.TimeTravel,
+    operators.LakehouseOps,
     operators.AsOfJoin,
     sources.SourceFormats,
     pipeline.EcommercePipeline,

@@ -35,6 +35,42 @@ object AnalyticsExt extends QueryModule {
 
   val qs: Seq[Q] = Seq(
 
+    // Q177 deterministic stratified sampling: a fixed-size per-stratum
+    // sample that is a PURE FUNCTION of the keys (md5-ranked top-20 per
+    // group — the "hash sampling" used for reproducible training-data
+    // draws; any engine can replay it, so the oracle hash-checks the
+    // exact sample). Scale shape: a naive per-group window puts each
+    // stratum on ONE partition (5 strata = 5 tasks at 100 TB); instead
+    // a 64-way sub-stratum pre-window takes local top-20s in parallel
+    // and the final window ranks only the ≤64×20 survivors per stratum —
+    // exact (the global top-20 is contained in the union of sub-stratum
+    // top-20s), deterministic, skew-free.
+    Q("q177_stratified_sample",
+      Some("""SELECT o_orderpriority, o_orderkey, CAST(rk AS BIGINT) AS rk
+             |FROM (SELECT o_orderpriority, o_orderkey,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+             |          AS rk
+             |      FROM orders)
+             |WHERE rk <= 20 ORDER BY o_orderpriority, rk""".stripMargin),
+      (s, d) => {
+        val pre = Window
+          .partitionBy(col("o_orderpriority"), col("sb"))
+          .orderBy(col("h"), col("o_orderkey"))
+        val fin = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("h"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"))
+          .withColumn("h", md5(col("o_orderkey").cast("string").cast("binary")))
+          .withColumn("sb", pmod(hash(col("o_orderkey")), lit(64)))
+          .withColumn("pk", row_number().over(pre))
+          .filter(col("pk") <= 20)
+          .withColumn("rk", row_number().over(fin).cast("bigint"))
+          .filter(col("rk") <= 20)
+          .select("o_orderpriority", "o_orderkey", "rk")
+          .orderBy("o_orderpriority", "rk")
+      }),
+
     // Q40 pivot (long → wide). Explicit value list => static schema, no
     // discovery scan; counts coalesced to 0 so absent cells match the
     // oracle's FILTER counts.

@@ -151,6 +151,28 @@ object TimeTravel extends QueryModule {
     (parseArr(txt, "added"), parseArr(txt, "removed"))
   }
 
+  /** The change-feed delta of commits (fromGen, toGen]: the data files
+    * whose rows were ADDED in the range. `nodata`-flagged commits
+    * (compaction — Delta's dataChange=false) are skipped wholesale; any
+    * other remove-commit in the range is rewritten history and fails
+    * loudly. Shared by [[readChangesSince]] and the streaming change-feed
+    * source — reads only the RANGE's commit files, never the whole log. */
+  private[graft] def changeFiles(root: String, fromGen: Int, toGen: Int)
+      : Seq[String] = {
+    val (fs, commits, _) = listLog(root)
+    val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
+      .map { case (v, f) =>
+        val txt = readBytes(fs, f)
+        (v, parseArr(txt, "added"), parseArr(txt, "removed"),
+          parseArr(txt, "flags"))
+      }
+      .filterNot(_._4.contains("nodata"))
+    require(range.forall(_._3.isEmpty),
+      s"time travel: range ($fromGen, $toGen] contains remove-commits — " +
+        "file-level change reads are append-only; diff snapshots instead")
+    range.flatMap(_._2)
+  }
+
   /** Parsed commit log: version → (added, removed), file names relative
     * to `<root>/data` — reads EVERY commit; resolution paths use
     * `resolveSnapshot`, which reads only a checkpoint + its tail. */
@@ -173,7 +195,7 @@ object TimeTravel extends QueryModule {
     * overwrite) that retires them in the same atomic commit. Returns the
     * version the commit landed as. */
   def commit(s: SparkSession, root: String, df: DataFrame,
-      removed: Seq[String] = Nil): Int = {
+      removed: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -202,7 +224,7 @@ object TimeTravel extends QueryModule {
     // the caller to re-plan, never retried past. (Shared claim loop:
     // commitNames.)
     commitNames(s, root, added, removed,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), flags = flags)
   }
 
   /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
@@ -288,19 +310,26 @@ object TimeTravel extends QueryModule {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(stage)
-    // per-staged-file stats: one narrow agg over the delta just written
+    // per-staged-file stats: one narrow agg over the delta just written.
+    // A file with NO rows gets no stats row — such files are DROPPED from
+    // the commit (they carry nothing, and a stat-less file would stay
+    // conservatively un-prunable forever, turning later range ops into
+    // needless rewrites). A file whose keys are all NULL keeps its place
+    // but records no stats (min/max are null — cannot prune it).
     val stats = s.read.parquet(stage)
       .groupBy(col("_metadata.file_path").as("f"))
       .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
       .collect()
       .map(r => r.getString(0).split('/').last ->
-        ((r.get(1).toString, r.get(2).toString))).toMap // name → (lo, hi)
+        ((Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.toString)))).toMap // name → (lo?, hi?)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val (fs, _) = fsFor(root)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
     val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+      .filter(f => stats.contains(f.getName)) // zero-row files: not committed
       .map { f =>
         val name = s"$uid-${f.getName}"
         require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
@@ -309,7 +338,10 @@ object TimeTravel extends QueryModule {
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val statLines = renamed.flatMap { case (staged, fin) =>
-      stats.get(staged).map { case (lo, hi) => s"$fin|$sortCol|$lo|$hi" }
+      stats.get(staged) match {
+        case Some((Some(lo), Some(hi))) => Some(s"$fin|$sortCol|$lo|$hi")
+        case _ => None
+      }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
       schemaDdl = Some(df.schema.toDDL))
@@ -396,6 +428,196 @@ object TimeTravel extends QueryModule {
     commitBucketed(s, root, merged, keyCol, nBuckets, removed = toRewrite)
   }
 
+  /** Row-level DELETE of `statCol BETWEEN lo AND hi`, pruned by the log's
+    * per-file stats: only files whose recorded [min, max] overlaps the
+    * range — plus stat-less files, conservatively — are read, rewritten
+    * without the matching rows, and retired in one atomic commit.
+    * Untouched files keep their physical names (old snapshots and the new
+    * one share them), so at 100 TB a range delete costs the overlapping
+    * files' bytes, never the table's. The rewrite re-clusters on
+    * `statCol` and records fresh stats, so later range reads keep
+    * pruning; racing deletes resolve via the remove-conflict validation
+    * (one winner, one explicit conflict). Returns the committed version,
+    * or the current one when nothing overlaps. */
+  def deleteWhere(s: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot delete from empty table $root")
+    val files = snapshotFiles(root, gen)
+    val stats = statsFor(root, gen)
+    val touched = files.filter { f =>
+      stats.get(f) match {
+        case Some((c, fLo, fHi)) if c == statCol => fHi >= lo && fLo <= hi
+        case _ => true // no stats: may hold matching rows, must rewrite
+      }
+    }
+    if (touched.isEmpty) gen
+    else {
+      val kept = s.read.parquet(touched.map(f => s"$root/data/$f"): _*)
+        .filter(!col(statCol).between(lo, hi))
+      commitClustered(s, root, kept, statCol, touched.size, removed = touched)
+    }
+  }
+
+  /** OPTIMIZE: bin-pack the current snapshot into ~`targetFiles` files in
+    * a `nodata`-flagged commit (Delta's dataChange=false) — the table's
+    * rows are untouched, so change feeds SKIP this commit instead of
+    * refusing the range, and concurrent readers of old generations keep
+    * their files (vacuum never touches committed history). The small-file
+    * compaction a streaming ingest accumulates toward, as a log-native
+    * commit. Returns the committed version; no-op (current version) when
+    * the table is already within the target. */
+  def compact(s: SparkSession, root: String, targetFiles: Int): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot compact empty table $root")
+    val files = snapshotFiles(root, gen)
+    if (files.size <= targetFiles) gen
+    else commit(s, root, readAsOf(s, root, gen).coalesce(targetFiles),
+      removed = files, flags = Seq("nodata"))
+  }
+
+  /** RESTORE the table to the state of generation `toGen`, as a NEW
+    * commit (Delta's RESTORE): re-adds the target snapshot's files that
+    * the current one dropped and retires the files it gained — a
+    * metadata-only rollback (data files are immutable and never copied),
+    * with the in-between history still readable AS-OF. The restored
+    * generation logs `toGen`'s schema, so schema evolution rolls back
+    * with the data. Change feeds refuse ranges crossing a restore (its
+    * removes are rewritten history — correct, conservative). */
+  def restore(s: SparkSession, root: String, toGen: Int): Int = {
+    val cur = currentVersion(root)
+    require(toGen >= 0 && toGen <= cur,
+      s"time travel: cannot restore $root to $toGen (latest: $cur)")
+    val target = resolveSnapshot(root, toGen)._1
+    val current = resolveSnapshot(root, cur)._1
+    commitNames(s, root,
+      added = target.filterNot(current.toSet),
+      removed = current.filterNot(target.toSet),
+      schemaDdl = schemaAsOf(root, toGen).map(_.toDDL),
+      flags = Seq("restore"))
+  }
+
+  // ---- per-file Bloom point-lookup index (Delta's bloom filter index,
+  // kept in the commit log like the q170 range stats) -------------------
+
+  /** splitmix64 — the deterministic 64-bit finalizer both the build UDF
+    * (executors) and the lookup pruner (driver) share; no RNG state, no
+    * dependence on Spark's internal hash implementations. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The k probe positions of an integral key in an m-bit filter —
+    * Kirsch–Mitzenmacher double hashing (h1 + i·h2, h2 forced odd). */
+  private[graft] def bloomPositions(key: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = mix64(key)
+    val h2 = mix64(key ^ 0x5DEECE66DL) | 1L
+    Array.tabulate(k)(i => (((h1 + i * h2) % m + m) % m).toInt)
+  }
+
+  private def bloomHit(bits: Array[Byte], m: Int, k: Int, key: Long): Boolean =
+    bloomPositions(key, m, k).forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+
+  /** Commit `df` hash-partitioned on `keyCol` into ~`nFiles` files, each
+    * with a BLOOM FILTER of its keys recorded IN THE COMMIT (~10 bits/row,
+    * k=7 probes → ~1% false positives): point lookups then prune files
+    * from log metadata alone, the per-file skipping index Delta attaches
+    * to high-cardinality columns that range stats can't serve. The filter
+    * bytes are assembled IN EXECUTORS (explode keys to probe positions →
+    * per-file collect_set, bounded by m bits → pack to base64); only the
+    * finished (file, blob) pairs reach the driver — at 1 M rows/file
+    * that's ~1.25 MB per file blob, the same footprint Delta's index
+    * files carry. Integral keys only (the point-lookup shape). */
+  def commitBloomed(s: SparkSession, root: String, df: DataFrame,
+      keyCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(stage)
+    val staged = s.read.parquet(stage)
+    val k = 7
+    val m = {
+      val perFile = math.max(1L, staged.count() / math.max(1, nFiles))
+      val want = perFile * 10
+      var p = 1024
+      while (p < want && p < (1 << 28)) p <<= 1
+      p
+    }
+    val posUdf = udf((key: Long) => bloomPositions(key, m, k).toSeq)
+    val packUdf = udf((pos: Seq[Int]) => {
+      val bytes = new Array[Byte]((m + 7) / 8)
+      pos.foreach(p => bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte)
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    })
+    val blobs = staged
+      .select(col("_metadata.file_path").as("f"),
+        explode(posUdf(col(keyCol).cast("long"))).as("p"))
+      .groupBy("f").agg(collect_set(col("p")).as("ps"))
+      .select(col("f"), packUdf(col("ps")).as("b64"))
+      .collect()
+      .map(r => r.getString(0).split('/').last -> r.getString(1)).toMap
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val name = s"$uid-${f.getName}"
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
+        (f.getName, name)
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val bloomLines = renamed.flatMap { case (staged0, fin) =>
+      blobs.get(staged0).map(b64 => s"$fin|$keyCol|$m|$k|$b64")
+    }
+    commitNames(s, root, renamed.map(_._2), removed,
+      schemaDdl = Some(df.schema.toDDL), blooms = bloomLines)
+  }
+
+  /** The per-file bloom filters visible at generation `gen`. */
+  private def bloomsFor(root: String, gen: Int)
+      : Map[String, (String, Int, Int, Array[Byte])] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "blooms").flatMap { line =>
+        line.split('|') match {
+          case Array(name, c, m, k, b64) =>
+            try Some(name -> ((c, m.toInt, k.toInt,
+              java.util.Base64.getDecoder.decode(b64))))
+            catch { case _: IllegalArgumentException => None }
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** Point lookup pruned by the log's bloom filters: only files whose
+    * filter claims at least one of `keys` — plus filter-less files,
+    * conservatively — are opened; the residual IN-filter keeps exactness
+    * (a bloom hit is only probabilistic). An absent key typically opens
+    * ZERO files: the lookup cost is the log metadata read, not the
+    * table (TimeTravelSpec asserts the scanned file set). */
+  def readAsOfKeys(s: SparkSession, root: String, gen: Int,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    val files = snapshotFiles(root, gen)
+    val blooms = bloomsFor(root, gen)
+    val kept = files.filter { f =>
+      blooms.get(f) match {
+        case Some((c, m, k, bits)) if c == keyCol =>
+          keys.exists(key => bloomHit(bits, m, k, key))
+        case _ => true // no filter recorded: cannot skip
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        s.read.parquet(files.map(f => s"$root/data/$f"): _*).limit(0)
+      else s.read.parquet(kept.map(f => s"$root/data/$f"): _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
   /** The shared claim loop: publish `added`/`removed` as the next
     * generation (extracted from [[commit]] so bucketed commits reuse the
     * same optimistic protocol + conflict validation). */
@@ -404,7 +626,8 @@ object TimeTravel extends QueryModule {
 
   private def commitNames(s: SparkSession, root: String,
       added: Seq[String], removed: Seq[String],
-      stats: Seq[String] = Nil, schemaDdl: Option[String] = None): Int = {
+      stats: Seq[String] = Nil, schemaDdl: Option[String] = None,
+      flags: Seq[String] = Nil, blooms: Seq[String] = Nil): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
@@ -413,6 +636,10 @@ object TimeTravel extends QueryModule {
         s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""" +
         (if (stats.isEmpty) ""
          else s""","stats":[${stats.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (flags.isEmpty) ""
+         else s""","flags":[${flags.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (blooms.isEmpty) ""
+         else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (schemaDdl.isEmpty) "}"
          else s""","schemav":["${jsonEsc(schemaDdl.get)}"]}""")
     var v = currentVersion(root) + 1
@@ -595,17 +822,19 @@ object TimeTravel extends QueryModule {
     * fails loudly instead of answering wrong. */
   def readChangesSince(s: SparkSession, root: String,
       fromGen: Int, toGen: Int): DataFrame = {
-    val (fs, commits, _) = listLog(root)
+    val (_, commits, _) = listLog(root)
     require(commits.exists(_._1 == fromGen) && commits.exists(_._1 == toGen) &&
         fromGen <= toGen,
       s"time travel: bad change range ($fromGen, $toGen] under $root")
-    // only the RANGE's commit files are read — never the whole log
-    val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
-      .map { case (v, f) => val (a, r) = readCommit(fs, f); (v, a, r) }
-    require(range.forall(_._3.isEmpty),
-      s"time travel: range ($fromGen, $toGen] contains remove-commits — " +
-        "file-level change reads are append-only; diff snapshots instead")
-    val files = range.flatMap(_._2)
+    // `nodata`-flagged commits (compaction — files rearranged, rows
+    // unchanged) are SKIPPED wholesale: neither their adds nor their
+    // removes are part of the row delta. A file a skipped compaction
+    // retired may still carry rows ADDED inside the range — retirement is
+    // physical, the rows live on in the compacted files — so the delta
+    // keeps reading it (data files are immutable and vacuum keeps every
+    // committed file). Any OTHER remove-commit is rewritten history,
+    // where a file diff is no longer a row diff: loud error (changeFiles).
+    val files = changeFiles(root, fromGen, toGen)
     if (files.isEmpty)
       s.read.parquet(snapshotFiles(root, toGen).map(f => s"$root/data/$f"): _*)
         .limit(0)

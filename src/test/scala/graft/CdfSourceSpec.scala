@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TimeTravel
+import graft.sources.cdf.CdfOffset
+
+/** The q176 streaming change feed: generation offsets, per-generation
+  * admission control, nodata-compaction skip, restart resume, and the
+  * loud remove-commit failure. */
+class CdfSourceSpec extends SparkSpec {
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cdf_spec_").toString + "/t"
+
+  private def orders = Tables.table(spark, sf, "orders")
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  private def stream(root: String) = spark.readStream
+    .format("graft.sources.cdf.CdfDataSource")
+    .option("startingGen", -1)
+
+  test("offset json roundtrips") {
+    assert(CdfOffset.fromJson(CdfOffset(7).json()) === CdfOffset(7))
+    assert(CdfOffset.fromJson("""{"gen": -1}""") === CdfOffset(-1))
+  }
+
+  test("AvailableNow drains per-generation under maxGensPerTrigger") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    val b = orders.filter(col("o_orderkey") % 2 === 1)
+    TimeTravel.commit(spark, root, a)
+    TimeTravel.commit(spark, root, b)
+    val q = stream(root).option("maxGensPerTrigger", 1).load(root)
+      .writeStream.format("memory").queryName("cdf_drain")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_drain")
+    assert(got.count() === a.count() + b.count())
+    // one generation per micro-batch: two non-empty batches, not one
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty === 2,
+      s"maxGensPerTrigger=1 delivered $nonEmpty non-empty batches for 2 gens")
+    // value-level: the union of both generations, exactly
+    assert(got.agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
+  test("a nodata compaction is skipped; its files never enter a batch") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 3 === 1)
+    val b = orders.filter(col("o_orderkey") % 3 === 2)
+    TimeTravel.commit(spark, root, a)
+    TimeTravel.commit(spark, root, b)
+    TimeTravel.compact(spark, root, 1)
+    val c = orders.filter(col("o_orderkey") % 3 === 0)
+    TimeTravel.commit(spark, root, c)
+    val q = stream(root).load(root)
+      .writeStream.format("memory").queryName("cdf_skip")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_skip")
+    // the three real appends once each — the compaction's rewrite of
+    // a ∪ b would double those rows if its files leaked into the feed
+    assert(got.count() === a.count() + b.count() + c.count())
+    assert(got.agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
+  test("restart resumes from the committed generation; only the delta is read") {
+    val root = newRoot()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdf_ckpt_").toString
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 2 === 1))
+    // foreachBatch + idempotent key-set fold (the memory sink refuses
+    // checkpoint recovery; a replayed batch re-adds the same keys)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      stream(root).load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("o_orderkey").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    run().awaitTermination()
+    assert(seen.size === orders.count())
+    // a new generation lands; the restarted query reads ONLY its rows
+    val delta = orders.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+    TimeTravel.commit(spark, root, delta)
+    val q2 = run()
+    q2.awaitTermination()
+    assert(seen.size === orders.count() + delta.count())
+    val readBack = q2.recentProgress.map(_.numInputRows).sum
+    assert(readBack === delta.count(),
+      s"restart re-read $readBack rows for a ${delta.count()}-row delta")
+  }
+
+  test("a remove-commit in the range fails the stream loudly") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.filter(col("o_orderkey") % 2 === 0))
+    // a real delete (dataChange remove) — not a row delta
+    val files = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSeq.take(1)
+    TimeTravel.commit(spark, root, orders.limit(5), removed = files)
+    val q = stream(root).load(root)
+      .writeStream.format("memory").queryName("cdf_refuse")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("remove-commits") ||
+      Option(e.getCause).exists(_.getMessage.contains("remove-commits")),
+      s"stream failed for the wrong reason: ${e.getMessage}")
+  }
+
+  test("schema-on-read: files written before a column was added null-fill it") {
+    val root = newRoot()
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    TimeTravel.commit(spark, root, base)
+    val flagged = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_flag", col("o_orderkey") % 5)
+    TimeTravel.commit(spark, root, flagged)
+    val q = stream(root).load(root)
+      .writeStream.format("memory").queryName("cdf_evolve")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cdf_evolve")
+    assert(got.columns.contains("o_flag"))
+    assert(got.filter(col("o_flag").isNull).count() === base.count())
+    assert(got.filter(col("o_flag").isNotNull).count() === flagged.count())
+    assert(got.filter(col("o_flag").isNotNull)
+      .agg(sum("o_flag")).head().getLong(0) ===
+      flagged.agg(sum("o_flag")).head().getLong(0))
+  }
+
+  test("q176 declared query runs green at the spec's scale factor") {
+    val df = SparkEntry.queries("q176_stream_changes")(spark, sf)
+    assert(df.count() === 5)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeTravel
+
+/** The q172–q175 lakehouse write-path ops: stats-pruned DELETE, nodata
+  * compaction the change feed skips, metadata-only RESTORE, and bloom
+  * point-lookup skipping. */
+class LakehouseOpsSpec extends SparkSpec {
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_lh_spec_").toString + "/t"
+
+  private def orders = Tables.table(spark, sf, "orders")
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+
+  test("q172 delete: only stats-overlapping files rewrite; survivors and history intact") {
+    val root = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val before = filesOf(TimeTravel.readAsOf(spark, root, 0))
+    assert(before.size === 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val lo = keys(keys.length / 2)
+    val hi = keys(keys.length / 2 + keys.length / 8 - 1)
+    val v = TimeTravel.deleteWhere(spark, root, "o_orderkey", lo, hi)
+    assert(v === 1)
+    val after = TimeTravel.readAsOf(spark, root, 1)
+    val expect = base.filter(!col("o_orderkey").between(lo, hi))
+    assert(after.count() === expect.count())
+    assert(after.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    assert(after.filter(col("o_orderkey").between(lo, hi)).count() === 0)
+    // file-level pruning: a middle-eighth range overlaps ≤3 of 8 clusters,
+    // so ≥5 files keep their physical names in the new snapshot
+    val kept = before.intersect(filesOf(after))
+    assert(before.size - kept.size <= 3,
+      s"delete rewrote ${before.size - kept.size} of 8 clustered files")
+    // the pre-delete snapshot still reads every row
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === 400)
+    // a delete touching nothing is a metadata no-op
+    assert(TimeTravel.deleteWhere(spark, root, "o_orderkey",
+      -100L, -50L) === 1)
+    // the rewrite recorded fresh stats: a range read over the deleted
+    // span scans at most the boundary files
+    val scanned = filesOf(
+      TimeTravel.readAsOfWhere(spark, root, 1, "o_orderkey", lo, hi))
+    assert(scanned.size <= 3, s"post-delete stats lost: scanned $scanned")
+  }
+
+  test("q173 compact: rows unchanged, file count shrinks, change feed skips the nodata commit") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 3 === 1)
+    val b = orders.filter(col("o_orderkey") % 3 === 2)
+    TimeTravel.commit(spark, root, a.repartition(3))
+    TimeTravel.commit(spark, root, b.repartition(3))
+    assert(filesOf(TimeTravel.readAsOf(spark, root, 1)).size === 6)
+    val v = TimeTravel.compact(spark, root, 1)
+    assert(v === 2)
+    val compacted = TimeTravel.readAsOf(spark, root, 2)
+    assert(filesOf(compacted).size === 1)
+    assert(compacted.count() === a.count() + b.count())
+    // compacting an already-compact table is a no-op
+    assert(TimeTravel.compact(spark, root, 1) === 2)
+    // history still reads the retired files
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === a.count())
+    // a post-compaction append, then the change feed across EVERYTHING:
+    // the nodata commit is skipped, the delta is the three real appends
+    val c = orders.filter(col("o_orderkey") % 3 === 0)
+    TimeTravel.commit(spark, root, c)
+    val delta = TimeTravel.readChangesSince(spark, root, 0, 3)
+    assert(delta.count() === b.count() + c.count())
+    // and the skipped compaction's files are NOT in the delta's scan
+    val compactedFiles = filesOf(compacted).diff(
+      filesOf(TimeTravel.readAsOf(spark, root, 1)))
+    assert(filesOf(delta).intersect(compactedFiles).isEmpty,
+      "change feed read the compaction's rewritten files")
+  }
+
+  test("q174 restore: metadata-only rollback; history and schema roll back together") {
+    val root = newRoot()
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    TimeTravel.commit(spark, root, even)
+    // gen 1 appends under an EVOLVED schema (added column)
+    TimeTravel.commit(spark, root, odd.withColumn("o_flag", lit(1L)))
+    val dataFiles0 = new java.io.File(s"$root/data").listFiles().length
+    val v = TimeTravel.restore(spark, root, 0)
+    assert(v === 2)
+    // metadata-only: not a single data file was written
+    assert(new java.io.File(s"$root/data").listFiles().length === dataFiles0)
+    val post = TimeTravel.readAsOf(spark, root, 2)
+    assert(post.count() === even.count())
+    assert(post.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === even.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // the restored snapshot presents gen 0's schema (o_flag rolled back)
+    assert(!post.columns.contains("o_flag"),
+      "restore kept the superseded generation's schema")
+    // the in-between generation is still readable
+    assert(TimeTravel.readAsOf(spark, root, 1).count() ===
+      even.count() + odd.count())
+    // vacuum keeps every committed file — restore re-references them
+    assert(TimeTravel.vacuum(root).isEmpty)
+    // the change feed refuses a range crossing the restore (its removes
+    // are rewritten history, not a row delta)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.readChangesSince(spark, root, 0, 2)
+    }
+    assert(e.getMessage.contains("remove-commits"))
+  }
+
+  test("q175 bloom lookup: present keys open their file only; absent keys open none") {
+    val root = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commitBloomed(spark, root, base, "o_orderkey", 8)
+    assert(filesOf(TimeTravel.readAsOf(spark, root, 0)).size === 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // a single present key: exact row back, ≤2 files opened (1 + ~1% fp)
+    val k0 = keys(keys.length / 3)
+    val hit = TimeTravel.readAsOfKeys(spark, root, 0, "o_orderkey", Seq(k0))
+    assert(hit.count() === 1)
+    assert(hit.head().getLong(0) === k0)
+    assert(filesOf(hit).size <= 2,
+      s"bloom pruning opened ${filesOf(hit).size} of 8 files for one key")
+    // an absent key: zero rows, and (allowing one false positive) ≤1 file
+    val ghost = keys.last + 987654321L
+    val miss = TimeTravel.readAsOfKeys(spark, root, 0, "o_orderkey", Seq(ghost))
+    assert(miss.count() === 0)
+    assert(filesOf(miss).size <= 1,
+      "an absent key opened multiple files — bloom index not consulted")
+    // a multi-key lookup matches the unpruned filter exactly
+    val some = Seq(keys(5), keys(100), keys(333), ghost)
+    val got = TimeTravel.readAsOfKeys(spark, root, 0, "o_orderkey", some)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(keys(5), keys(100), keys(333)).sorted)
+    // an appended commit WITHOUT blooms stays conservatively scannable
+    TimeTravel.commit(spark, root,
+      base.filter(col("o_orderkey") === k0)
+        .withColumn("o_orderkey", col("o_orderkey") + 777000000L))
+    val afterAppend = TimeTravel.readAsOfKeys(spark, root, 1, "o_orderkey",
+      Seq(k0 + 777000000L))
+    assert(afterAppend.count() === 1,
+      "a bloom-less appended file was skipped — pruning must be conservative")
+  }
+
+  test("q172–q175 declared queries run green at the spec's scale factor") {
+    Seq("q172_log_delete", "q173_log_compaction", "q174_log_restore",
+      "q175_log_bloom_lookup").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
