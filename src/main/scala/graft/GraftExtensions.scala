@@ -48,7 +48,10 @@ object GraftFunctions {
     ("graft_asof", graft.operators.TimeTravel.asOfPlan _,
       "graft_asof(root, gen) - snapshot of a graft commit-log table AS OF generation gen"),
     ("graft_changes", graft.operators.TimeTravel.changesPlan _,
-      "graft_changes(root, from, to) - rows added by commits (from, to]"))
+      "graft_changes(root, from, to) - rows added by commits (from, to]"),
+    ("graft_history", graft.operators.TimeTravel.historyPlan _,
+      "graft_history(root) - one row per commit: version, file counts, " +
+        "rows added, flags"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

@@ -82,6 +82,43 @@ object LakehouseOps extends QueryModule {
     root
   }
 
+  /** q178's table: the q173 fixture REPLICATED through one streaming
+    * pipeline — CDF source over the source log, foreachBatch committing
+    * each micro-batch into the destination log under a txn id (epoch =
+    * txn version), one generation per batch. Replayed epochs are
+    * idempotent skips; a deliberate stale re-commit at the end proves
+    * it. Built once per JVM. */
+  private[graft] def txnReplicatedTable(s: SparkSession, d: String): String = {
+    val src = compactedTable(s, d)
+    val dst = WorkDirs.cached("graft_ttlx_", s"q178:$d")
+    if (TimeTravel.currentVersion(dst) < 0) {
+      val ckpt = WorkDirs.freshSubdir("graft_ttlxc_", s"q178ck:$d", "ckpt")
+      val q = s.readStream
+        .format("graft.sources.cdf.CdfDataSource")
+        .option("startingGen", -1)
+        .option("maxGensPerTrigger", 1)
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, epoch: Long) =>
+          TimeTravel.commitTxn(s, dst, df, "q178-replicator", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a replayed epoch (restart re-runs the last uncommitted batch)
+      // must be a no-op: re-commit epoch 0's payload and require no
+      // new generation landed
+      val before = TimeTravel.currentVersion(dst)
+      TimeTravel.commitTxn(s, dst,
+        orders3(s, d).limit(10), "q178-replicator", 0L)
+      require(TimeTravel.currentVersion(dst) == before,
+        "q178: a replayed txn epoch landed as a new generation")
+    }
+    dst
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q172 log-native DELETE: the middle key range is deleted by
@@ -210,6 +247,115 @@ object LakehouseOps extends QueryModule {
           q.awaitTermination()
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         s.table("q176_sink").orderBy("o_orderpriority")
+      }),
+
+    // Q178 idempotent streaming writes into the log (txn commits): the
+    // q173 table replicated log-to-log through one streaming pipeline —
+    // CDF source, foreachBatch committing each epoch under a txn id —
+    // and a deliberately REPLAYED epoch skipped by the txn check (the
+    // fixture requires it landed no generation). The destination's
+    // latest snapshot must therefore hold the source's rows exactly
+    // once; oracle = the batch aggregate of the whole table.
+    Q("q178_log_txn_stream",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val dst = txnReplicatedTable(s, d)
+        prioAgg(TimeTravel.readAsOf(s, dst, TimeTravel.currentVersion(dst)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q179 SHALLOW CLONE: the q157 table cloned by METADATA ONLY (the
+    // clone's first commit references the source's files by absolute
+    // path — zero data copied), then a delta appended to the CLONE. The
+    // clone leg sees source snapshot + delta; the source leg is
+    // untouched by the clone's append (log independence, both
+    // directions spec-proven). Oracle replays both file sets.
+    Q("q179_shallow_clone",
+      Some("""WITH cl AS (
+             |  SELECT o_orderpriority, o_totalprice FROM orders
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice FROM orders
+             |  WHERE o_orderkey % 7 = 3)
+             |SELECT 'clone' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM cl GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'src' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        val src = TimeTravel.ordersTable(s, d) // gens 0,1 + planted orphan
+        val dst = WorkDirs.cached("graft_ttlcl_", s"q179:$d")
+        if (TimeTravel.currentVersion(dst) < 0) {
+          TimeTravel.shallowClone(s, src, dst)
+          TimeTravel.commit(s, dst,
+            orders3(s, d).filter(col("o_orderkey") % 7 === 3)
+              .withColumn("o_orderkey", col("o_orderkey") + 800000000L))
+        }
+        val clone = prioAgg(
+          TimeTravel.readAsOf(s, dst, TimeTravel.currentVersion(dst)))
+          .select(lit("clone").as("leg"), col("o_orderpriority"), col("n"),
+            col("total"))
+        val source = prioAgg(
+          TimeTravel.readAsOf(s, src, TimeTravel.currentVersion(src)))
+          .select(lit("src").as("leg"), col("o_orderpriority"), col("n"),
+            col("total"))
+        clone.unionAll(source).orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q180 commit history (DESCRIBE HISTORY through pure SQL): the q173
+    // table's log read back via the graft_history TVF — version, the
+    // ROWS each commit added (recorded per-file footer counts), and the
+    // commit's flags; the compaction generation carries `nodata` and
+    // re-adds the two appends' rows. File counts are partitioning-
+    // dependent and stay out of the declared output (history() exposes
+    // them for the spec). Oracle pins every row count to its generation
+    // predicate.
+    Q("q180_log_history",
+      Some("""SELECT CAST(0 AS BIGINT) AS version,
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1) AS n_rows,
+             |  '' AS flags
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT),
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2), ''
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT),
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0), 'nodata'
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT),
+             |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0), ''
+             |ORDER BY version""".stripMargin),
+      (s, d) => {
+        val root = compactedTable(s, d)
+        graft.GraftFunctions.register(s)
+        s.sql(
+          s"""SELECT version, n_rows, flags FROM graft_history('$root')
+             |ORDER BY version""".stripMargin)
+      }),
+
+    // Q181 categorical partition pruning in the log: orders committed
+    // hive-partitioned on o_orderpriority with each file's partition
+    // VALUE recorded in the commit — an equality read opens exactly that
+    // value's files from log metadata alone (the string-column
+    // counterpart of q170's range stats; spec asserts 1 of 5 files),
+    // with the residual filter keeping exactness. Oracle: the same
+    // equality aggregate over the source table.
+    Q("q181_log_partition_pruning",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderpriority = '3-MEDIUM'
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttlp_", s"q181:$d")
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitPartitioned(s, root, orders3(s, d),
+            "o_orderpriority")
+        prioAgg(TimeTravel.readAsOfValue(s, root,
+          TimeTravel.currentVersion(root), "o_orderpriority", "3-MEDIUM"))
       })
   )
 }

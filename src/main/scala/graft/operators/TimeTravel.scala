@@ -45,6 +45,13 @@ object TimeTravel extends QueryModule {
 
   private def logDir(root: String) = s"$root/_graft_log"
 
+  /** Physical path of a committed data file. Names are normally relative
+    * to `<root>/data`; a SHALLOW CLONE's commit references its source's
+    * files by ABSOLUTE path (the clone copies metadata, never data), so
+    * absolute references resolve as-is. */
+  private[graft] def dataPath(root: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$root/data/$f"
+
   /** Per-root JVM lock closing the local check-then-rename window between
     * same-JVM committers; cross-JVM exclusion is [[claimVersion]]'s
     * no-replace rename. */
@@ -195,7 +202,8 @@ object TimeTravel extends QueryModule {
     * overwrite) that retires them in the same atomic commit. Returns the
     * version the commit landed as. */
   def commit(s: SparkSession, root: String, df: DataFrame,
-      removed: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
+      removed: Seq[String] = Nil, flags: Seq[String] = Nil,
+      txn: Option[String] = None): Int = {
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -224,7 +232,7 @@ object TimeTravel extends QueryModule {
     // the caller to re-plan, never retried past. (Shared claim loop:
     // commitNames.)
     commitNames(s, root, added, removed,
-      schemaDdl = Some(df.schema.toDDL), flags = flags)
+      schemaDdl = Some(df.schema.toDDL), flags = flags, txn = txn)
   }
 
   /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
@@ -366,9 +374,9 @@ object TimeTravel extends QueryModule {
     }
     val base =
       if (kept.isEmpty)
-        s.read.parquet(snapshotFiles(root, gen).map(f => s"$root/data/$f"): _*)
+        s.read.parquet(snapshotFiles(root, gen).map(f => dataPath(root, f)): _*)
           .limit(0)
-      else s.read.parquet(kept.map(f => s"$root/data/$f"): _*)
+      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
@@ -415,7 +423,7 @@ object TimeTravel extends QueryModule {
     }
     val existing =
       if (toRewrite.isEmpty) source.limit(0)
-      else s.read.parquet(toRewrite.map(f => s"$root/data/$f"): _*)
+      else s.read.parquet(toRewrite.map(f => dataPath(root, f)): _*)
     val dataCols = source.columns.filter(_ != keyCol)
     require(existing.columns.sorted.sameElements(source.columns.sorted),
       s"time travel: merge source schema ${source.columns.toSeq} does not " +
@@ -453,7 +461,7 @@ object TimeTravel extends QueryModule {
     }
     if (touched.isEmpty) gen
     else {
-      val kept = s.read.parquet(touched.map(f => s"$root/data/$f"): _*)
+      val kept = s.read.parquet(touched.map(f => dataPath(root, f)): _*)
         .filter(!col(statCol).between(lo, hi))
       commitClustered(s, root, kept, statCol, touched.size, removed = touched)
     }
@@ -495,6 +503,206 @@ object TimeTravel extends QueryModule {
       removed = current.filterNot(target.toSet),
       schemaDdl = schemaAsOf(root, toGen).map(_.toDDL),
       flags = Seq("restore"))
+  }
+
+  /** Commit `df` HIVE-PARTITIONED on categorical `partCol`: files are
+    * staged under `<col>=<value>` directories (one file per value after
+    * the repartition) and each file's partition VALUE is recorded in the
+    * commit (`pvals`) — the partition-pruning contract for string-valued
+    * columns that (min,max) range stats can't serve. The partition column
+    * itself STAYS in the data files (staged through a duplicate), so
+    * reads need no dir-name reconstruction. At scale: one file per value
+    * per commit — the value domain is the partition count, the usual
+    * categorical-partitioning discipline. */
+  def commitPartitioned(s: SparkSession, root: String, df: DataFrame,
+      partCol: String, removed: Seq[String] = Nil): Int = {
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.withColumn("__p", col(partCol))
+      .repartition(col("__p"))
+      .write.mode("overwrite").partitionBy("__p").parquet(stage)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val PartDir = """__p=(.*)""".r
+    // one shuffle task serves every value hashing to it, so part-file
+    // names REPEAT across the __p= dirs — a per-file ordinal keeps the
+    // committed names collision-free
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+      .flatMap { dir =>
+        val value = dir.getPath.getName match {
+          case PartDir(v) => java.net.URLDecoder.decode(v, "UTF-8")
+          case other => throw new IllegalStateException(
+            s"time travel: unexpected staging entry $other")
+        }
+        fs.listStatus(dir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => (f, value))
+      }.toSeq
+    val renamed = staged.zipWithIndex.map { case ((f, value), i) =>
+      val name = s"$uid-v$i-${f.getName}"
+      require(fs.rename(f,
+          new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+        s"time travel: staging rename of $f failed")
+      (name, value)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    commitNames(s, root, renamed.map(_._1), removed,
+      stats = renamed.map { case (n, v) => s"$n|$partCol|=|$v" },
+      schemaDdl = Some(df.schema.toDDL))
+  }
+
+  /** The per-file partition VALUES visible at `gen` — the `=`-tagged
+    * stats lines [[commitPartitioned]] records. */
+  private def pvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "stats").flatMap { line =>
+        line.split('|') match {
+          case Array(name, c, "=", v) => Some(name -> ((c, v)))
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** Equality read pruned by the log's partition values: only files whose
+    * recorded value matches — plus files with NO recorded value,
+    * conservatively — are opened; the residual filter keeps exactness.
+    * The categorical counterpart of [[readAsOfWhere]]'s range pruning. */
+  def readAsOfValue(s: SparkSession, root: String, gen: Int,
+      partCol: String, value: String): DataFrame = {
+    val files = snapshotFiles(root, gen)
+    val pvals = pvalsFor(root, gen)
+    val kept = files.filter { f =>
+      pvals.get(f) match {
+        case Some((c, v)) if c == partCol => v == value
+        case _ => true // no partition value recorded: cannot skip
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        s.read.parquet(files.map(f => dataPath(root, f)): _*).limit(0)
+      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
+    base.filter(col(partCol) === value)
+  }
+
+  /** The newest transaction version committed under `appId` — the read
+    * half of [[commitTxn]]'s idempotence contract. Scans the surviving
+    * commits' txn records (O(history depth) metadata reads, the same
+    * bound Delta's setTransaction lookup has under retention). */
+  def lastTxnVersion(root: String, appId: String): Option[Long] = {
+    val (fs, commits, _) = listLog(root)
+    val vs: Seq[Long] = commits.flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "txn").flatMap(_.split('|') match {
+        case Array(a, v) if a == appId =>
+          try Some(v.toLong) catch { case _: NumberFormatException => None }
+        case _ => None
+      })
+    }
+    vs.maxOption
+  }
+
+  /** IDEMPOTENT commit (Delta's txnAppId/txnVersion): the commit records
+    * `(appId, version)`, and a commit whose version is ≤ the newest one
+    * already recorded for `appId` is SKIPPED — nothing staged, nothing
+    * claimed. This is the exactly-once contract a streaming writer needs:
+    * `foreachBatch((df, epoch) => commitTxn(…, appId, epoch))` makes a
+    * replayed micro-batch (restart re-runs the last uncommitted epoch) a
+    * no-op instead of a duplicate. The check-then-commit is serialized
+    * per root within the JVM ([[lockFor]]); writers of the SAME appId
+    * racing from different JVMs need external coordination — the same
+    * single-writer-per-appId assumption Delta documents. Returns the
+    * version the table is at (newly committed or unchanged). */
+  def commitTxn(s: SparkSession, root: String, df: DataFrame,
+      appId: String, version: Long): Int = {
+    require(!appId.contains("|"), "txn appId must not contain '|'")
+    lockFor(root).synchronized {
+      if (lastTxnVersion(root, appId).exists(_ >= version))
+        currentVersion(root) // replayed write: idempotent skip
+      else commit(s, root, df, txn = Some(s"$appId|$version"))
+    }
+  }
+
+  /** SHALLOW CLONE (Delta's CLONE): a new table whose first commit
+    * references the source snapshot's data files by ABSOLUTE path —
+    * metadata only, not one data byte copied, so cloning a 100 TB table
+    * costs one commit write. The clone carries the source's stats,
+    * blooms, and schema (re-keyed to the absolute names), so pruned
+    * reads keep pruning; from then on the two logs are independent —
+    * appends/deletes on either side never touch the other (spec-proven
+    * both directions). Caveat (Delta's too): vacuum/retention on the
+    * SOURCE can delete files a clone still references — cloned tables
+    * pin their source's files only as long as the source's history
+    * keeps them referenced. */
+  def shallowClone(s: SparkSession, src: String, dst: String): Int = {
+    val gen = currentVersion(src)
+    require(gen >= 0, s"time travel: cannot clone empty table $src")
+    require(currentVersion(dst) < 0,
+      s"time travel: clone target $dst already has a commit log")
+    val files = snapshotFiles(src, gen)
+    val abs = files.map(f => dataPath(src, f))
+    val srcStats = statsFor(src, gen)
+    val stats = files.flatMap(f => srcStats.get(f).map { case (c, lo, hi) =>
+      s"${dataPath(src, f)}|$c|$lo|$hi" })
+    val srcBlooms = bloomsFor(src, gen)
+    val blooms = files.flatMap(f => srcBlooms.get(f).map { case (c, m, k, bits) =>
+      s"${dataPath(src, f)}|$c|$m|$k|${java.util.Base64.getEncoder.encodeToString(bits)}" })
+    val srcRows = nrowsFor(src, gen)
+    val nrows = files.flatMap(f => srcRows.get(f).map(n =>
+      s"${dataPath(src, f)}|$n"))
+    commitNames(s, dst, abs, Nil, stats,
+      schemaDdl = schemaAsOf(src, gen).map(_.toDDL), blooms = blooms,
+      // carry the source's recorded counts when complete; else re-read
+      // the footers (still metadata-only)
+      nrowsIn = if (nrows.size == files.size) Some(nrows) else None)
+  }
+
+  /** Per-file recorded row counts visible at `gen` (commit metadata). */
+  private def nrowsFor(root: String, gen: Int): Map[String, Long] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "nrows").flatMap(_.split('|') match {
+        case Array(name, n) =>
+          try Some(name -> n.toLong)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      })
+    }.toMap
+  }
+
+  /** The table's commit HISTORY as a DataFrame (Delta's DESCRIBE
+    * HISTORY): one row per commit — version, file add/remove counts, the
+    * ROW count the commit added (from the per-file footer counts the
+    * commit records; null for pre-nrows logs), and its flags. The log is
+    * metadata (KBs per commit), so this materializes driver-side like
+    * every other resolution path. */
+  def history(s: SparkSession, root: String): DataFrame = {
+    val (fs, commits, _) = listLog(root)
+    val rows = commits.map { case (v, f) =>
+      val txt = readBytes(fs, f)
+      val added = parseArr(txt, "added")
+      val nr = parseArr(txt, "nrows").flatMap(_.split('|') match {
+        case Array(_, n) =>
+          try Some(n.toLong) catch { case _: NumberFormatException => None }
+        case _ => None
+      })
+      (v.toLong, added.size.toLong, parseArr(txt, "removed").size.toLong,
+        if (added.isEmpty) Some(0L)
+        else if (nr.size == added.size) Some(nr.sum)
+        else None,
+        parseArr(txt, "flags").mkString(","))
+    }
+    import s.implicits._
+    rows.toDF("version", "n_added", "n_removed", "n_rows", "flags")
+  }
+
+  /** `graft_history(root)` — the history TVF plan builder. */
+  def historyPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_history(root)")
+    history(SparkSession.active, litStr(exprs(0), "root"))
+      .queryExecution.logical
   }
 
   // ---- per-file Bloom point-lookup index (Delta's bloom filter index,
@@ -613,8 +821,8 @@ object TimeTravel extends QueryModule {
     }
     val base =
       if (kept.isEmpty)
-        s.read.parquet(files.map(f => s"$root/data/$f"): _*).limit(0)
-      else s.read.parquet(kept.map(f => s"$root/data/$f"): _*)
+        s.read.parquet(files.map(f => dataPath(root, f)): _*).limit(0)
+      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
     base.filter(col(keyCol).isin(keys: _*))
   }
 
@@ -624,13 +832,30 @@ object TimeTravel extends QueryModule {
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Parquet-footer row count of a committed file — a metadata read (no
+    * column data touched); one open per ADDED file per commit, so the
+    * cost is ∝ the commit's file count, never the table's. */
+  private def footerRows(root: String, name: String): Long = {
+    val (fs, _) = fsFor(root)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataPath(root, name)), fs.getConf))
+    try r.getRecordCount finally r.close()
+  }
+
   private def commitNames(s: SparkSession, root: String,
       added: Seq[String], removed: Seq[String],
       stats: Seq[String] = Nil, schemaDdl: Option[String] = None,
-      flags: Seq[String] = Nil, blooms: Seq[String] = Nil): Int = {
+      flags: Seq[String] = Nil, blooms: Seq[String] = Nil,
+      txn: Option[String] = None,
+      nrowsIn: Option[Seq[String]] = None): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
+    // per-file row counts, recorded in the commit for history()/auditing
+    // (Delta's numRecords); footer reads unless the caller already knows
+    val nrows = nrowsIn.getOrElse(
+      added.map(f => s"$f|${footerRows(root, f)}"))
     def render(v: Int) =
       s"""{"version":$v,"added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
         s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""" +
@@ -640,6 +865,10 @@ object TimeTravel extends QueryModule {
          else s""","flags":[${flags.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (blooms.isEmpty) ""
          else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (nrows.isEmpty) ""
+         else s""","nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (txn.isEmpty) ""
+         else s""","txn":["${jsonEsc(txn.get)}"]""") +
         (if (schemaDdl.isEmpty) "}"
          else s""","schemav":["${jsonEsc(schemaDdl.get)}"]}""")
     var v = currentVersion(root) + 1
@@ -760,7 +989,7 @@ object TimeTravel extends QueryModule {
     * projected away even though older files still store them — so every
     * snapshot presents its own generation's schema, stably. */
   def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame = {
-    val paths = snapshotFiles(root, gen).map(f => s"$root/data/$f")
+    val paths = snapshotFiles(root, gen).map(f => dataPath(root, f))
     schemaAsOf(root, gen) match {
       case Some(schema) => s.read.schema(schema).parquet(paths: _*)
       case None => s.read.parquet(paths: _*)
@@ -836,9 +1065,9 @@ object TimeTravel extends QueryModule {
     // where a file diff is no longer a row diff: loud error (changeFiles).
     val files = changeFiles(root, fromGen, toGen)
     if (files.isEmpty)
-      s.read.parquet(snapshotFiles(root, toGen).map(f => s"$root/data/$f"): _*)
+      s.read.parquet(snapshotFiles(root, toGen).map(f => dataPath(root, f)): _*)
         .limit(0)
-    else s.read.parquet(files.map(f => s"$root/data/$f"): _*)
+    else s.read.parquet(files.map(f => dataPath(root, f)): _*)
   }
 
   /** Delete data files referenced by NO commit (abandoned stages, orphans

@@ -154,7 +154,8 @@ final class CdfMicroBatchStream(schema: StructType, root: String,
     val from = start.asInstanceOf[CdfOffset].gen
     val to = end.asInstanceOf[CdfOffset].gen
     TimeTravel.changeFiles(root, from, to)
-      .map(f => CdfInputPartition(s"$root/data/$f"): InputPartition).toArray
+      .map(f => CdfInputPartition(TimeTravel.dataPath(root, f)): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -148,9 +148,165 @@ class LakehouseOpsSpec extends SparkSpec {
       "a bloom-less appended file was skipped — pruning must be conservative")
   }
 
-  test("q172–q175 declared queries run green at the spec's scale factor") {
+  test("q178 txn commits: a replayed version is skipped; a newer one lands") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    assert(TimeTravel.commitTxn(spark, root, a, "app1", 0L) === 0)
+    assert(TimeTravel.lastTxnVersion(root, "app1") === Some(0L))
+    // the replay: same appId, same version — nothing lands
+    assert(TimeTravel.commitTxn(spark, root, a, "app1", 0L) === 0)
+    assert(TimeTravel.currentVersion(root) === 0)
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === a.count(),
+      "a replayed txn duplicated rows")
+    // an OLDER version is also a skip (out-of-order replay)
+    assert(TimeTravel.commitTxn(spark, root, a, "app1", -5L) === 0)
+    // a newer version commits; a different appId tracks independently
+    val b = orders.filter(col("o_orderkey") % 2 === 1)
+    assert(TimeTravel.commitTxn(spark, root, b, "app1", 1L) === 1)
+    assert(TimeTravel.commitTxn(spark, root, b.limit(3), "app2", 0L) === 2)
+    assert(TimeTravel.lastTxnVersion(root, "app1") === Some(1L))
+    assert(TimeTravel.lastTxnVersion(root, "app2") === Some(0L))
+    assert(TimeTravel.lastTxnVersion(root, "app3") === None)
+  }
+
+  test("q178 streaming replication: restart with a forced replay stays exactly-once") {
+    val src = newRoot()
+    val dst = newRoot()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lh_txn_ckpt_").toString
+    TimeTravel.commit(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    def replicate(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.cdf.CdfDataSource")
+        .option("startingGen", -1).option("maxGensPerTrigger", 1)
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          TimeTravel.commitTxn(spark, dst, df, "repl", epoch)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    replicate()
+    val afterFirst = TimeTravel.readAsOf(spark, dst,
+      TimeTravel.currentVersion(dst)).count()
+    assert(afterFirst === orders.filter(col("o_orderkey") % 2 === 0).count())
+    // source grows; restarted stream replicates ONLY the delta — and a
+    // manually replayed old epoch between the runs must be a no-op
+    TimeTravel.commit(spark, src, orders.filter(col("o_orderkey") % 2 === 1))
+    TimeTravel.commitTxn(spark, dst, orders.limit(7), "repl", 0L) // replay
+    replicate()
+    val finalCount = TimeTravel.readAsOf(spark, dst,
+      TimeTravel.currentVersion(dst)).count()
+    assert(finalCount === orders.count(),
+      s"replication drifted: $finalCount vs ${orders.count()}")
+  }
+
+  test("q179 shallow clone: metadata only, pruning carried, logs fully independent") {
+    val src = newRoot()
+    val dst = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commitClustered(spark, src, base, "o_orderkey", 8)
+    TimeTravel.shallowClone(spark, src, dst)
+    // not one data file copied
+    assert(!new java.io.File(s"$dst/data").exists() ||
+      new java.io.File(s"$dst/data").listFiles().isEmpty)
+    // the clone reads the source snapshot exactly
+    assert(TimeTravel.readAsOf(spark, dst, 0).count() === 400)
+    // carried stats keep pruning on the CLONE
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val lo = keys(keys.length / 2)
+    val hi = keys(keys.length / 2 + keys.length / 8 - 1)
+    val pruned = TimeTravel.readAsOfWhere(spark, dst, 0, "o_orderkey", lo, hi)
+    assert(pruned.count() ===
+      base.filter(col("o_orderkey").between(lo, hi)).count())
+    assert(filesOf(pruned).size <= 3,
+      s"clone lost the source's stats: scanned ${filesOf(pruned).size} of 8")
+    // independence, clone → source: an append to the clone
+    TimeTravel.commit(spark, dst,
+      base.limit(50).withColumn("o_orderkey", col("o_orderkey") + 700000000L))
+    assert(TimeTravel.readAsOf(spark, dst, 1).count() === 450)
+    assert(TimeTravel.currentVersion(src) === 0,
+      "cloning or appending to the clone mutated the source's log")
+    assert(TimeTravel.readAsOf(spark, src, 0).count() === 400)
+    // independence, source → clone: an append to the source
+    TimeTravel.commit(spark, src,
+      base.limit(30).withColumn("o_orderkey", col("o_orderkey") + 600000000L))
+    assert(TimeTravel.readAsOf(spark, dst,
+      TimeTravel.currentVersion(dst)).count() === 450,
+      "a source append leaked into the clone's snapshot")
+    // vacuum on the clone deletes nothing it references
+    assert(TimeTravel.vacuum(dst).isEmpty)
+    assert(TimeTravel.readAsOf(spark, dst, 1).count() === 450)
+    // cloning onto an existing table is an explicit error
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.shallowClone(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already has a commit log"))
+  }
+
+  test("q180 history: versions, row counts, and flags read back exactly") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 3 === 1)
+    val b = orders.filter(col("o_orderkey") % 3 === 2)
+    TimeTravel.commit(spark, root, a)
+    TimeTravel.commit(spark, root, b)
+    TimeTravel.compact(spark, root, 1)
+    val h = TimeTravel.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(h(0).getLong(3) === a.count())
+    assert(h(1).getLong(3) === b.count())
+    assert(h(2).getLong(3) === a.count() + b.count())
+    assert(h(2).getString(4) === "nodata")
+    assert(h(0).getString(4) === "")
+    // n_added/n_removed are file counts: the compaction added 1, removed
+    // what the two appends wrote
+    assert(h(2).getLong(1) === 1L)
+    assert(h(2).getLong(2) === h(0).getLong(1) + h(1).getLong(1))
+    // and the TVF surface returns the same rows
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT version, n_rows, flags FROM graft_history('$root') ORDER BY version")
+      .collect()
+    assert(viaSql.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(viaSql.map(_.getLong(1)).toSeq ===
+      Seq(a.count(), b.count(), a.count() + b.count()))
+  }
+
+  test("q181 partition pruning: an equality read opens only the value's files") {
+    val root = newRoot()
+    TimeTravel.commitPartitioned(spark, root, orders, "o_orderpriority")
+    val all = TimeTravel.readAsOf(spark, root, 0)
+    assert(all.count() === orders.count())
+    val nFiles = filesOf(all).size
+    assert(nFiles >= 5, s"expected ≥5 partition files, got $nFiles")
+    val value = "3-MEDIUM"
+    val hit = TimeTravel.readAsOfValue(spark, root, 0, "o_orderpriority", value)
+    val expect = orders.filter(col("o_orderpriority") === value)
+    assert(hit.count() === expect.count())
+    assert(hit.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // pruning: only the value's own files are opened
+    assert(filesOf(hit).size < nFiles,
+      "equality read scanned every partition file")
+    assert(filesOf(hit).size <= 2,
+      s"one value mapped to ${filesOf(hit).size} files")
+    // an unknown value reads nothing
+    assert(TimeTravel.readAsOfValue(spark, root, 0, "o_orderpriority",
+      "9-NOPE").count() === 0)
+    // an appended UNPARTITIONED commit stays conservatively scannable
+    TimeTravel.commit(spark, root, orders.limit(10))
+    val after = TimeTravel.readAsOfValue(spark, root, 1, "o_orderpriority", value)
+    assert(after.count() >= expect.count(),
+      "a value-less appended file was skipped — pruning must be conservative")
+  }
+
+  test("q172–q181 declared queries run green at the spec's scale factor") {
     Seq("q172_log_delete", "q173_log_compaction", "q174_log_restore",
-      "q175_log_bloom_lookup").foreach { name =>
+      "q175_log_bloom_lookup", "q178_log_txn_stream", "q179_shallow_clone",
+      "q180_log_history", "q181_log_partition_pruning").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
     }

@@ -56,4 +56,42 @@ class SqlSurfaceSpec extends SparkSpec {
     // total orders conserved across the gap-filled months
     assert(rows.map(_._2).sum === Tables.table(spark, sf, "orders").count())
   }
+
+  test("q182 SQL UDF: the body inlines — no UDF call survives in the optimized plan") {
+    val df = SparkEntry.queries("q182_sql_udf")(spark, sf)
+    assert(df.count() === 3) // return flags A/N/R
+    // the function body was inlined at analysis: the optimized plan holds
+    // plain decimal arithmetic, not an opaque function invocation
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("graft_disc_price"),
+      s"SQL UDF survived as a black box:\n$plan")
+    // and the UDF agrees with the inline expression row-for-row
+    val inline = spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(df.collect().toSeq === inline.collect().toSeq)
+  }
+
+  test("q183 pipe syntax: the piped flow plans the same aggregate as nested SQL") {
+    val piped = SparkEntry.queries("q183_pipe_syntax")(spark, sf)
+    val nested = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(piped.collect().toSeq === nested.collect().toSeq)
+  }
+
+  test("q184 offset pagination: pages tile the ordered stream without overlap") {
+    def page(lim: Int, off: Int) = spark.sql(
+      s"""SELECT o_orderkey FROM orders ORDER BY o_orderkey
+         |LIMIT $lim OFFSET $off""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val all = page(100, 0)
+    assert(page(20, 40) === all.slice(40, 60))
+    // consecutive pages are disjoint and contiguous
+    assert((page(20, 0) ++ page(20, 20) ++ page(20, 40)) === all.take(60))
+  }
 }
