@@ -249,6 +249,27 @@ object LakehouseOps extends QueryModule {
         s.table("q176_sink").orderBy("o_orderpriority")
       }),
 
+    // Q186 BATCH change-feed read (Delta's `table_changes`): the same
+    // change resolution as q176 planned as ONE bounded batch scan under
+    // the standard pushdown rules — column pruning reaches each file's
+    // parquet projection (CdfSourceSpec counts decoded fields), the
+    // fixture's nodata compaction is skipped, and the full range equals
+    // the table. Oracle = the batch aggregate over orders.
+    Q("q186_batch_changes",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = compactedTable(s, d)
+        s.read.format("graft.sources.cdf.CdfDataSource").load(root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
     // Q178 idempotent streaming writes into the log (txn commits): the
     // q173 table replicated log-to-log through one streaming pipeline —
     // CDF source, foreachBatch committing each epoch under a txn id —
@@ -356,6 +377,137 @@ object LakehouseOps extends QueryModule {
             "o_orderpriority")
         prioAgg(TimeTravel.readAsOfValue(s, root,
           TimeTravel.currentVersion(root), "o_orderpriority", "3-MEDIUM"))
+      }),
+
+    // Q185 Z-ORDER clustering in the log (OPTIMIZE ZORDER BY): orders
+    // committed Morton-clustered on (o_orderkey, o_custkey) with per-file
+    // stats for BOTH dimensions in the commit — a range read on the
+    // SECONDARY dimension prunes from log metadata (spec: ≤9 of 16
+    // files; single-column clustering scans all 16 for the same range),
+    // the multi-dimensional locality a one-column sort cannot give.
+    // Oracle: the same custkey-range aggregate over the source table.
+    Q("q185_log_zorder",
+      Some("""WITH p AS (SELECT max(o_custkey)//4 AS lo,
+             |                  max(o_custkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_custkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttlz_", s"q185:$d")
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitZOrdered(s, root,
+            t(s, d, "orders").select("o_orderkey", "o_custkey",
+              "o_orderpriority", "o_totalprice"),
+            "o_orderkey", "o_custkey", 16)
+        val mx = t(s, d, "orders").agg(max("o_custkey")).head().getLong(0)
+        TimeTravel.readAsOfWhere(s, root, TimeTravel.currentVersion(root),
+          "o_custkey", mx / 4, mx / 2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q187 TIMESTAMP AS OF (Delta's `TIMESTAMP AS OF`): commit times are
+    // the commit files' mtimes, monotonized at claim time so resolution
+    // is well-defined even for same-millisecond neighbors; reading as of
+    // the FIRST commit's own timestamp sees exactly generation 0 — the
+    // appended generation is invisible. Oracle = the gen-0 aggregate.
+    Q("q187_time_travel_ts",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttts_", s"q187:$d")
+        if (TimeTravel.currentVersion(root) < 0) {
+          TimeTravel.commit(s, root, orders3(s, d))
+          TimeTravel.commit(s, root, orders3(s, d)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L)))
+        }
+        val ts0 = TimeTravel.commitTimes(root).head._2
+        prioAgg(TimeTravel.readAsOfTimestamp(s, root, ts0))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q188 DELETION VECTORS (Delta's merge-on-read row deletes): the
+    // q172 delete shape executed WITHOUT rewriting a single data file —
+    // matching row positions land in immutable sidecars (~1–2 bytes per
+    // deleted row), the commit references them per file, and the scan
+    // anti-joins the mask back in (spec: the snapshot's file names are
+    // unchanged; a second delete unions; compaction materializes).
+    // Oracle = orders minus the deleted key band.
+    Q("q188_deletion_vectors",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_orderkey NOT BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttdv_", s"q188:$d")
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        if (TimeTravel.currentVersion(root) < 1) {
+          val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+          TimeTravel.deleteVectorWhere(s, root, "o_orderkey", mx / 4, mx / 2)
+        }
+        prioAgg(TimeTravel.readAsOf(s, root, TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q189 CHECK constraints (Delta's ADD CONSTRAINT): two constraints
+    // logged as metadata commits; every later commit validates its rows
+    // in one combined pass BEFORE anything stages (spec: a violating
+    // commit fails loudly and the log is unchanged). The declared read
+    // proves constrained commits land normally. Oracle = the plain
+    // whole-table aggregate.
+    Q("q189_check_constraints",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttck_", s"q189:$d")
+        if (TimeTravel.currentVersion(root) < 0) {
+          TimeTravel.addConstraint(s, root, "pos_price", "o_totalprice > 0")
+          TimeTravel.addConstraint(s, root, "prio_known",
+            "o_orderpriority IS NOT NULL")
+          TimeTravel.commit(s, root,
+            orders3(s, d).filter(col("o_orderkey") % 2 === 0))
+          TimeTravel.commit(s, root,
+            orders3(s, d).filter(col("o_orderkey") % 2 === 1))
+        }
+        prioAgg(TimeTravel.readAsOf(s, root, TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q190 row-level UPDATE (Delta's UPDATE): doubles o_totalprice in
+    // the middle key band; stats-pruned to the overlapping files, the
+    // assignment folded into the rewrite as one codegen'd CASE, retired
+    // atomically. Oracle = the CASE'd aggregate over orders.
+    Q("q190_log_update",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN o_orderkey BETWEEN p.lo AND p.hi
+             |    THEN o_totalprice * 2 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttlu_", s"q190:$d")
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        if (TimeTravel.currentVersion(root) < 1) {
+          val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+          TimeTravel.updateWhere(s, root, "o_orderkey", mx / 4, mx / 2,
+            "o_totalprice", col("o_totalprice") * 2)
+        }
+        prioAgg(TimeTravel.readAsOf(s, root, TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
       })
   )
 }

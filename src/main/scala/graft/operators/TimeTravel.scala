@@ -171,12 +171,16 @@ object TimeTravel extends QueryModule {
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
         (v, parseArr(txt, "added"), parseArr(txt, "removed"),
-          parseArr(txt, "flags"))
+          parseArr(txt, "flags"), parseArr(txt, "dvs"))
       }
       .filterNot(_._4.contains("nodata"))
     require(range.forall(_._3.isEmpty),
       s"time travel: range ($fromGen, $toGen] contains remove-commits — " +
         "file-level change reads are append-only; diff snapshots instead")
+    require(range.forall(_._5.isEmpty),
+      s"time travel: range ($fromGen, $toGen] contains deletion-vector " +
+        "commits — a row delete is rewritten history to an append-only " +
+        "change consumer; diff snapshots instead")
     range.flatMap(_._2)
   }
 
@@ -204,6 +208,7 @@ object TimeTravel extends QueryModule {
   def commit(s: SparkSession, root: String, df: DataFrame,
       removed: Seq[String] = Nil, flags: Seq[String] = Nil,
       txn: Option[String] = None): Int = {
+    validateConstraints(s, root, df)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -267,6 +272,7 @@ object TimeTravel extends QueryModule {
     * pure function of the key, re-derived when needed. */
   def commitBucketed(s: SparkSession, root: String, df: DataFrame,
       keyCol: String, nBuckets: Int, removed: Seq[String] = Nil): Int = {
+    validateConstraints(s, root, df)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.withColumn("gb", pmod(hash(col(keyCol)), lit(nBuckets)))
       .repartition(nBuckets, col("gb"))
@@ -314,6 +320,7 @@ object TimeTravel extends QueryModule {
     * them back without a richer JSON layer. */
   def commitClustered(s: SparkSession, root: String, df: DataFrame,
       sortCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+    validateConstraints(s, root, df)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
@@ -355,6 +362,91 @@ object TimeTravel extends QueryModule {
       schemaDdl = Some(df.schema.toDDL))
   }
 
+  /** Commit `df` Z-ORDER-CLUSTERED on TWO columns, with per-file (min,
+    * max) stats for BOTH recorded in the commit: each column is affine-
+    * scaled to 16 bits (bounds from one narrow agg over the delta), the
+    * bits INTERLEAVED into a Morton code, and each file made EXACTLY one
+    * Z-prefix grid cell (`nFiles` a power of two → log₂ bits of prefix,
+    * a √n×√n tiling of the key plane) — so a range read on EITHER column
+    * prunes to ≈√ of the files, where single-column clustering serves
+    * only its own sort key. Cell assignment is a pure function of the
+    * keys, not sampled partition boundaries: the write hash-shuffles on
+    * the cell id and dynamic-partitions one file per cell (an empty cell
+    * writes nothing). The interleave is plain bitwise Catalyst
+    * expressions (32 shift/and/or terms — codegen'd, map-only); the Z
+    * columns are never stored. Delta's OPTIMIZE ZORDER BY, as a
+    * log-native commit. */
+  def commitZOrdered(s: SparkSession, root: String, df: DataFrame,
+      c1: String, c2: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+    require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
+      s"time travel: z-order nFiles must be a power of two, got $nFiles")
+    validateConstraints(s, root, df)
+    val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
+    val mm = df.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    require(!mm.anyNull, s"time travel: z-order bounds of ($c1, $c2) are null")
+    val (lo1, hi1, lo2, hi2) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    def scale16(c: String, lo: Long, hi: Long) =
+      ((col(c).cast("long") - lit(lo)) * lit(65535L) /
+        lit(math.max(1L, hi - lo))).cast("long")
+    val a16 = scale16(c1, lo1, hi1)
+    val b16 = scale16(c2, lo2, hi2)
+    val zval = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.withColumn("__z", zval)
+      .withColumn("__zcell", shiftright(col("__z"), 32 - prefixBits).cast("int"))
+      .repartition(nFiles, col("__zcell"))
+      .sortWithinPartitions("__zcell", "__z")
+      .drop("__z")
+      .write.partitionBy("__zcell").mode("overwrite").parquet(stage)
+    // per-file stats for BOTH dimensions — two lines per file; keys are
+    // the cell-dir-qualified path tail (bare part names repeat across
+    // cell dirs — the q181 collision)
+    val stats = s.read.parquet(stage)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min(col(c1)).as("lo1"), max(col(c1)).as("hi1"),
+        min(col(c2)).as("lo2"), max(col(c2)).as("hi2"))
+      .collect()
+      .map(r => r.getString(0).split('/').takeRight(2).mkString("/") ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zcell="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (s"${d.getPath.getName}/${f.getName}", d.getPath.getName, f))
+      }
+      .sortBy(_._1)
+      .filter(e => stats.contains(e._1)) // zero-row files: not committed
+      .map { case (key, dirName, f) =>
+        val cell = dirName.stripPrefix("__zcell=")
+        val name = s"$uid-z$cell-${f.getName}"
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
+        (key, name)
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val statLines = renamed.flatMap { case (staged, fin) =>
+      stats.get(staged).toSeq.flatMap {
+        case (Some(l1), Some(h1), Some(l2), Some(h2)) =>
+          Seq(s"$fin|$c1|$l1|$h1", s"$fin|$c2|$l2|$h2")
+        case _ => Nil
+      }
+    }
+    commitNames(s, root, renamed.map(_._2), removed, statLines,
+      schemaDdl = Some(df.schema.toDDL))
+  }
+
   /** AS-OF read pruned by the log's per-file stats: only files whose
     * recorded [min, max] of `statCol` overlaps [lo, hi] — plus files with
     * NO recorded stats (conservative: must scan) — enter the parquet
@@ -367,16 +459,16 @@ object TimeTravel extends QueryModule {
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
     val kept = files.filter { f =>
-      stats.get(f) match {
-        case Some((c, fLo, fHi)) if c == statCol => fHi >= lo && fLo <= hi
-        case _ => true // no stats for this file/column: cannot skip
+      stats.get((f, statCol)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // no stats for this file/column: cannot skip
       }
     }
+    val reader: Seq[String] => DataFrame =
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
     val base =
-      if (kept.isEmpty)
-        s.read.parquet(snapshotFiles(root, gen).map(f => dataPath(root, f)): _*)
-          .limit(0)
-      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
+      if (kept.isEmpty) reader(snapshotFiles(root, gen)).limit(0)
+      else readFilesWithDvs(s, root, gen, kept, reader)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
@@ -385,13 +477,14 @@ object TimeTravel extends QueryModule {
     * the fixture's key columns. Files resolved from a CHECKPOINT carry no
     * stats (checkpoints store file lists only) and simply stay
     * un-prunable — correct, just conservative. */
-  private def statsFor(root: String, gen: Int): Map[String, (String, Long, Long)] = {
+  private def statsFor(root: String, gen: Int)
+      : Map[(String, String), (Long, Long)] = {
     val (fs, commits, _) = listLog(root)
     commits.filter(_._1 <= gen).flatMap { case (_, f) =>
       parseArr(readBytes(fs, f), "stats").flatMap { line =>
         line.split('|') match {
           case Array(name, c, lo, hi) =>
-            try Some(name -> ((c, lo.toLong, hi.toLong)))
+            try Some((name, c) -> ((lo.toLong, hi.toLong)))
             catch { case _: NumberFormatException => None }
           case _ => None
         }
@@ -423,7 +516,8 @@ object TimeTravel extends QueryModule {
     }
     val existing =
       if (toRewrite.isEmpty) source.limit(0)
-      else s.read.parquet(toRewrite.map(f => dataPath(root, f)): _*)
+      else readFilesWithDvs(s, root, gen, toRewrite,
+        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
     val dataCols = source.columns.filter(_ != keyCol)
     require(existing.columns.sorted.sameElements(source.columns.sorted),
       s"time travel: merge source schema ${source.columns.toSeq} does not " +
@@ -454,16 +548,364 @@ object TimeTravel extends QueryModule {
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
     val touched = files.filter { f =>
-      stats.get(f) match {
-        case Some((c, fLo, fHi)) if c == statCol => fHi >= lo && fLo <= hi
-        case _ => true // no stats: may hold matching rows, must rewrite
+      stats.get((f, statCol)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // no stats: may hold matching rows, must rewrite
       }
     }
     if (touched.isEmpty) gen
     else {
-      val kept = s.read.parquet(touched.map(f => dataPath(root, f)): _*)
+      val kept = readFilesWithDvs(s, root, gen, touched,
+        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
         .filter(!col(statCol).between(lo, hi))
       commitClustered(s, root, kept, statCol, touched.size, removed = touched)
+    }
+  }
+
+  /** Row-level UPDATE of `setCol` to `setTo` where `statCol BETWEEN lo
+    * AND hi`, pruned by the log's per-file stats exactly like
+    * [[deleteWhere]]: only overlapping (or stat-less) files are read —
+    * with any deletion vectors applied, so vectored-away rows never
+    * resurrect — rewritten with the assignment folded in as a plain
+    * codegen'd CASE, and retired in one atomic commit. Untouched files
+    * keep their names; at 100 TB the update costs the overlapping files'
+    * bytes. CHECK constraints re-validate the rewrite (an update CAN
+    * break one — Delta enforces on update too). Delta's UPDATE. */
+  def updateWhere(s: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, setCol: String,
+      setTo: org.apache.spark.sql.Column): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot update empty table $root")
+    val files = snapshotFiles(root, gen)
+    val stats = statsFor(root, gen)
+    val touched = files.filter { f =>
+      stats.get((f, statCol)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // no stats: may hold matching rows, must rewrite
+      }
+    }
+    if (touched.isEmpty) gen
+    else {
+      val cur = readFilesWithDvs(s, root, gen, touched,
+        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      val rewritten = cur.withColumn(setCol,
+        when(col(statCol).between(lo, hi), setTo).otherwise(col(setCol)))
+      commitClustered(s, root, rewritten, statCol, touched.size,
+        removed = touched)
+    }
+  }
+
+  // ---- deletion vectors (Delta's DV / merge-on-read row deletes) ------
+
+  private def dvDir(root: String) = s"${logDir(root)}/dv"
+
+  /** DV payloads are SORTED row positions packed as varint (LEB128)
+    * deltas — first position absolute, the rest gaps ≥ 1 — so a vector
+    * costs ~1–2 bytes per deleted row for clustered deletes instead of 8.
+    * (Delta uses roaring bitmaps; the contract is the same: a compact,
+    * immutable, per-file positional delete mask stored BESIDE the log,
+    * never inside the commit json.) */
+  private[graft] def packPositions(sorted: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(sorted.length * 2)
+    var prev = 0L
+    var first = true
+    sorted.foreach { p =>
+      var d = if (first) p else p - prev
+      require(d >= (if (first) 0L else 1L),
+        s"time travel: DV positions must be sorted and distinct (at $p)")
+      first = false; prev = p
+      var done = false
+      while (!done) {
+        val b = (d & 0x7f).toInt
+        d >>>= 7
+        if (d != 0) out.write(b | 0x80) else { out.write(b); done = true }
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def unpackPositions(bytes: Array[Byte]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0; var acc = 0L; var shift = 0; var prev = 0L; var first = true
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      acc |= (b & 0x7fL) << shift; shift += 7
+      if ((b & 0x80) == 0) {
+        val v = if (first) acc else prev + acc
+        out += v; prev = v; first = false; acc = 0L; shift = 0
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private[graft] def readPositions(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      unpackPositions(b)
+    } finally in.close()
+  }
+
+  private def writePositions(path: String, pos: Array[Long],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // overwrite=true: the content is a deterministic function of the
+    // file's rows + the predicate, so a RETRIED task (speculation, lost
+    // executor) rewrites byte-identical content — idempotent, never torn
+    val out = fs.create(p, true)
+    try out.write(packPositions(pos)) finally out.close()
+  }
+
+  /** The deletion vectors in force at `gen`: file → (sidecar name,
+    * cardinality), newest commit's entry per file winning and the
+    * explicit clear marker (`file|-|0` — written by restore) dropping
+    * one. Resolved like [[resolveSnapshot]]: newest checkpoint ≤ gen as
+    * the base, then only the tail commits — O(tail) behind a checkpoint,
+    * never the whole log. Entries for files no longer in the snapshot
+    * are inert (readers intersect with the snapshot's file list). */
+  private[graft] def dvsFor(root: String, gen: Int)
+      : Map[String, (String, Long)] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    def fold(m: Map[String, (String, Long)], line: String) =
+      line.split('|') match {
+        case Array(fn, "-", _) => m - fn
+        case Array(fn, dv, card) =>
+          try m.updated(fn, (dv, card.toLong))
+          catch { case _: NumberFormatException => m }
+        case _ => m
+      }
+    val baseMap = base
+      .map { case (_, f) =>
+        parseArr(readBytes(fs, f), "dvs")
+          .foldLeft(Map.empty[String, (String, Long)])(fold)
+      }
+      .getOrElse(Map.empty)
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseMap) { case (m, (_, f)) =>
+        parseArr(readBytes(fs, f), "dvs").foldLeft(m)(fold)
+      }
+  }
+
+  /** Read `files` (a subset of generation `gen`'s snapshot) with that
+    * generation's deletion vectors applied: DV'd files are read with
+    * parquet's generated per-file row index and LEFT-ANTI-joined against
+    * the unpacked position sets — sidecars are read in EXECUTORS (the
+    * driver never materializes a vector), and the delete side is
+    * broadcast when the logged cardinalities say it fits. Clean files
+    * take the untouched plain path; with no DVs in force this is exactly
+    * `reader(files)` — zero overhead for the common case. */
+  private def readFilesWithDvs(s: SparkSession, root: String, gen: Int,
+      files: Seq[String],
+      reader: Seq[String] => DataFrame): DataFrame = {
+    val dvs = dvsFor(root, gen)
+    val dvFiles = files.filter(dvs.contains)
+    if (dvFiles.isEmpty) reader(files)
+    else {
+      val plain = files.filterNot(dvs.contains)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sessionState.newHadoopConf())
+      val dvRoot = dvDir(root)
+      import s.implicits._
+      val entries = dvFiles.map(f => (f, dvs(f)._1))
+      val deleted = s.createDataset(entries)
+        .repartition(math.min(entries.size, 8))
+        .flatMap { case (f, dv) =>
+          readPositions(s"$dvRoot/$dv", conf.value).map(i => (f, i))
+        }.toDF("__dvf", "__dvi")
+      val totalCard = dvFiles.map(dvs(_)._2).sum
+      val delSide =
+        if (totalCard <= 2000000L) broadcast(deleted) else deleted
+      val masked = reader(dvFiles)
+        .withColumn("__dvf",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__dvi", col("_metadata.row_index"))
+        .join(delSide, Seq("__dvf", "__dvi"), "left_anti")
+        .drop("__dvf", "__dvi")
+      if (plain.isEmpty) masked else reader(plain).unionByName(masked)
+    }
+  }
+
+  /** Row-level DELETE as a DELETION VECTOR (Delta's merge-on-read DVs):
+    * instead of rewriting the stats-overlapping files, record each one's
+    * matching ROW POSITIONS in an immutable sidecar and commit only the
+    * (file → vector) references — the data files are untouched, old
+    * snapshots read them unmasked, and the new snapshot anti-joins the
+    * mask back in at scan time. At 100 TB this turns a delete's cost
+    * from rewriting the overlapping files' bytes into writing ~1–2 bytes
+    * per deleted row, at a bounded read-side price the next OPTIMIZE
+    * [[compact]] materializes away (it reads through [[readAsOf]], which
+    * applies the vectors, and retires the masked files). Vectors for a
+    * file COMPOSE: a second delete unions its positions into a fresh
+    * sidecar (sidecars are immutable; the commit's `dvExpect` turns a
+    * racing re-delete or rewrite of the same file into an explicit
+    * conflict, never a lost delete). Change feeds refuse ranges crossing
+    * a DV commit — a row delete is rewritten history to an append-only
+    * consumer. Returns the committed version; the current one when
+    * nothing matches. */
+  def deleteVectorWhere(s: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot delete from empty table $root")
+    val files = snapshotFiles(root, gen)
+    val stats = statsFor(root, gen)
+    val touched = files.filter { f =>
+      stats.get((f, statCol)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // no stats: may hold matching rows
+      }
+    }
+    if (touched.isEmpty) return gen
+    val dvs = dvsFor(root, gen)
+    val oldByFile: Map[String, String] =
+      touched.flatMap(f => dvs.get(f).map(f -> _._1)).toMap
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val dvRoot = dvDir(root)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    import s.implicits._
+    // per-file matching positions, computed and written in EXECUTORS —
+    // one task buffers one file's deleted positions (bounded by the
+    // file's row count, the same per-task bound Delta's DV writer has);
+    // only (file, sidecar, cardinality) triples return to the driver
+    val written = s.read.parquet(touched.map(f => dataPath(root, f)): _*)
+      .filter(col(statCol).between(lo, hi))
+      .select(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("f"),
+        col("_metadata.row_index").as("i"))
+      .groupBy("f").agg(sort_array(collect_list(col("i"))).as("pos"))
+      .as[(String, Seq[Long])]
+      .map { case (f, pos) =>
+        val old = oldByFile.get(f)
+          .map(n => readPositions(s"$dvRoot/$n", conf.value))
+          .getOrElse(Array.empty[Long])
+        val union = (pos.toArray ++ old).distinct.sorted
+        val name = s"$uid-$f.dv"
+        writePositions(s"$dvRoot/$name", union, conf.value)
+        (f, name, union.length.toLong)
+      }
+      .collect().toSeq.sortBy(_._1)
+    if (written.isEmpty) gen
+    else commitNames(s, root, Nil, Nil,
+      flags = Seq("rowdelete"),
+      dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+      dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap))
+  }
+
+  // ---- TIMESTAMP AS OF ------------------------------------------------
+
+  /** Every commit's (version, timestamp): the commit file's modification
+    * time, strictly increasing by construction ([[commitNames]]
+    * monotonizes same-millisecond neighbors, Delta's in-commit-timestamp
+    * discipline). One name listing + one getFileStatus per commit. */
+  def commitTimes(root: String): Seq[(Int, Long)] = {
+    val (fs, commits, _) = listLog(root)
+    commits.map { case (v, f) =>
+      (v, fs.getFileStatus(f).getModificationTime)
+    }
+  }
+
+  /** The generation in force at `tsMillis`: the newest commit at or
+    * before it. A timestamp before the first commit is an error (the
+    * table did not exist — Delta refuses the same way); one at or past
+    * the newest commit resolves to the current version. */
+  def versionAtTime(root: String, tsMillis: Long): Int = {
+    val times = commitTimes(root)
+    require(times.nonEmpty, s"time travel: no commits under $root")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"time travel: timestamp $tsMillis predates the table's first " +
+        s"commit (${times.head._2}) under $root")
+    at.last._1
+  }
+
+  /** TIMESTAMP AS OF read (Delta's `TIMESTAMP AS OF`): resolve the
+    * generation in force at `tsMillis`, then read that snapshot. */
+  def readAsOfTimestamp(s: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    readAsOf(s, root, versionAtTime(root, tsMillis))
+
+  // ---- CHECK constraints ----------------------------------------------
+
+  /** The CHECK constraints in force at `gen`: (name, sql) pairs,
+    * accumulated across commits — a re-add under the same name replaces,
+    * the clear marker (`name|-`) drops. Resolved from the newest
+    * checkpoint ≤ gen + the tail commits, like [[dvsFor]]. */
+  def constraintsAsOf(root: String, gen: Int): Seq[(String, String)] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    def fold(acc: Vector[(String, String)], line: String) = {
+      val i = line.indexOf('|') // the expr may itself contain '|' (OR)
+      if (i < 0) acc
+      else {
+        val (n, e) = (line.substring(0, i), line.substring(i + 1))
+        if (e == "-") acc.filterNot(_._1 == n)
+        else acc.filterNot(_._1 == n) :+ ((n, e))
+      }
+    }
+    val baseCs = base
+      .map { case (_, f) =>
+        parseArr(readBytes(fs, f), "constraints")
+          .foldLeft(Vector.empty[(String, String)])(fold)
+      }
+      .getOrElse(Vector.empty)
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseCs) { case (acc, (_, f)) =>
+        parseArr(readBytes(fs, f), "constraints").foldLeft(acc)(fold)
+      }
+  }
+
+  /** ADD a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT): the
+    * CURRENT snapshot must already satisfy it (one scan, loud failure
+    * otherwise — with deletion vectors applied, masked rows don't
+    * count), then a metadata-only commit records it; every later commit
+    * validates its rows before anything lands. */
+  def addConstraint(s: SparkSession, root: String, name: String,
+      exprSql: String): Int = {
+    require(name.nonEmpty && !name.contains("|"),
+      s"time travel: bad constraint name '$name'")
+    val gen = currentVersion(root)
+    if (gen >= 0 && snapshotFiles(root, gen).nonEmpty) {
+      val bad = readAsOf(s, root, gen)
+        .filter(coalesce(!expr(exprSql), lit(false))).limit(1).count()
+      require(bad == 0,
+        s"time travel: existing rows under $root violate CHECK $name " +
+          s"($exprSql) — constraint not added")
+    }
+    commitNames(s, root, Nil, Nil, flags = Seq("constraint"),
+      constraints = Seq(s"$name|$exprSql"))
+  }
+
+  /** Enforce the active CHECK constraints on a commit's rows BEFORE
+    * anything stages: one combined pass (all constraints OR'd into one
+    * violation predicate — Delta pays the same single extra scan per
+    * write); the per-constraint re-check runs only on the failure path.
+    * SQL CHECK semantics: a NULL predicate passes. */
+  private def validateConstraints(s: SparkSession, root: String,
+      df: DataFrame): Unit = {
+    val gen = currentVersion(root)
+    if (gen < 0) return
+    val cs = constraintsAsOf(root, gen)
+    if (cs.isEmpty) return
+    val viol = cs.map(c => coalesce(!expr(c._2), lit(false))).reduce(_ || _)
+    if (!df.filter(viol).limit(1).isEmpty) {
+      val names = cs.filter(c =>
+        !df.filter(coalesce(!expr(c._2), lit(false))).limit(1).isEmpty)
+        .map(_._1)
+      throw new IllegalArgumentException(
+        s"time travel: commit violates CHECK constraint(s) " +
+          s"${names.mkString(", ")} under $root — nothing was committed")
     }
   }
 
@@ -498,11 +940,26 @@ object TimeTravel extends QueryModule {
       s"time travel: cannot restore $root to $toGen (latest: $cur)")
     val target = resolveSnapshot(root, toGen)._1
     val current = resolveSnapshot(root, cur)._1
+    // deletion-vector state rolls back with the data: for every file of
+    // the target snapshot whose DV differs between then and now, re-log
+    // the target's vector — or the explicit clear marker when it had
+    // none (a DV added after `toGen` must not keep masking restored rows)
+    val tgtDvs = dvsFor(root, toGen)
+    val curDvs = dvsFor(root, cur)
+    val dvLines = target.flatMap { f =>
+      (tgtDvs.get(f), curDvs.get(f)) match {
+        case (t, c) if t == c => None
+        case (Some((n, card)), _) => Some(s"$f|$n|$card")
+        case (None, Some(_)) => Some(s"$f|-|0")
+        case _ => None
+      }
+    }
     commitNames(s, root,
       added = target.filterNot(current.toSet),
       removed = current.filterNot(target.toSet),
       schemaDdl = schemaAsOf(root, toGen).map(_.toDDL),
-      flags = Seq("restore"))
+      flags = Seq("restore"),
+      dvs = dvLines)
   }
 
   /** Commit `df` HIVE-PARTITIONED on categorical `partCol`: files are
@@ -516,6 +973,7 @@ object TimeTravel extends QueryModule {
     * categorical-partitioning discipline. */
   def commitPartitioned(s: SparkSession, root: String, df: DataFrame,
       partCol: String, removed: Seq[String] = Nil): Int = {
+    validateConstraints(s, root, df)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.withColumn("__p", col(partCol))
       .repartition(col("__p"))
@@ -580,10 +1038,11 @@ object TimeTravel extends QueryModule {
         case _ => true // no partition value recorded: cannot skip
       }
     }
+    val reader: Seq[String] => DataFrame =
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
     val base =
-      if (kept.isEmpty)
-        s.read.parquet(files.map(f => dataPath(root, f)): _*).limit(0)
-      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
+      if (kept.isEmpty) reader(files).limit(0)
+      else readFilesWithDvs(s, root, gen, kept, reader)
     base.filter(col(partCol) === value)
   }
 
@@ -642,9 +1101,11 @@ object TimeTravel extends QueryModule {
       s"time travel: clone target $dst already has a commit log")
     val files = snapshotFiles(src, gen)
     val abs = files.map(f => dataPath(src, f))
-    val srcStats = statsFor(src, gen)
-    val stats = files.flatMap(f => srcStats.get(f).map { case (c, lo, hi) =>
-      s"${dataPath(src, f)}|$c|$lo|$hi" })
+    val fileSet = files.toSet
+    val stats = statsFor(src, gen).collect {
+      case ((f, c), (lo, hi)) if fileSet(f) =>
+        s"${dataPath(src, f)}|$c|$lo|$hi"
+    }.toSeq.sorted
     val srcBlooms = bloomsFor(src, gen)
     val blooms = files.flatMap(f => srcBlooms.get(f).map { case (c, m, k, bits) =>
       s"${dataPath(src, f)}|$c|$m|$k|${java.util.Base64.getEncoder.encodeToString(bits)}" })
@@ -741,6 +1202,7 @@ object TimeTravel extends QueryModule {
     * files carry. Integral keys only (the point-lookup shape). */
   def commitBloomed(s: SparkSession, root: String, df: DataFrame,
       keyCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+    validateConstraints(s, root, df)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(stage)
     val staged = s.read.parquet(stage)
@@ -819,10 +1281,11 @@ object TimeTravel extends QueryModule {
         case _ => true // no filter recorded: cannot skip
       }
     }
+    val reader: Seq[String] => DataFrame =
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
     val base =
-      if (kept.isEmpty)
-        s.read.parquet(files.map(f => dataPath(root, f)): _*).limit(0)
-      else s.read.parquet(kept.map(f => dataPath(root, f)): _*)
+      if (kept.isEmpty) reader(files).limit(0)
+      else readFilesWithDvs(s, root, gen, kept, reader)
     base.filter(col(keyCol).isin(keys: _*))
   }
 
@@ -848,7 +1311,10 @@ object TimeTravel extends QueryModule {
       stats: Seq[String] = Nil, schemaDdl: Option[String] = None,
       flags: Seq[String] = Nil, blooms: Seq[String] = Nil,
       txn: Option[String] = None,
-      nrowsIn: Option[Seq[String]] = None): Int = {
+      nrowsIn: Option[Seq[String]] = None,
+      constraints: Seq[String] = Nil,
+      dvs: Seq[String] = Nil,
+      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
@@ -867,6 +1333,10 @@ object TimeTravel extends QueryModule {
          else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (nrows.isEmpty) ""
          else s""","nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (constraints.isEmpty) ""
+         else s""","constraints":[${constraints.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (dvs.isEmpty) ""
+         else s""","dvs":[${dvs.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (txn.isEmpty) ""
          else s""","txn":["${jsonEsc(txn.get)}"]""") +
         (if (schemaDdl.isEmpty) "}"
@@ -887,12 +1357,47 @@ object TimeTravel extends QueryModule {
                 "(a concurrent commit already retired them, or they never " +
                 "existed); re-read the table and re-plan the rewrite")
         }
+        // a deletion-vector commit was planned against a specific DV state
+        // per file (the positions it unioned into the new vector): if a
+        // racing commit rewrote a target file or replaced its DV since,
+        // blind-landing would silently drop that racer's deletes — the
+        // same logical-conflict class as the remove validation above
+        dvExpect.filter(_.nonEmpty).foreach { exp =>
+          val live =
+            if (v == 0) Set.empty[String]
+            else resolveSnapshot(root, v - 1)._1.toSet
+          val cur =
+            if (v == 0) Map.empty[String, (String, Long)]
+            else dvsFor(root, v - 1)
+          val conflicts = exp.collect {
+            case (f, expect) if !live(f) || cur.get(f).map(_._1) != expect => f
+          }
+          if (conflicts.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"time travel: deletion-vector conflict under $root — files " +
+                s"${conflicts.mkString(", ")} were rewritten or re-deleted " +
+                "by a concurrent commit; re-read the table and re-plan")
+        }
         val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.c-$uid")
         writeBytes(fs, tmp, render(v))
         if (claimVersion(fs, tmp,
-            new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")))
+            new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json"))) {
           committed = true
-        else {
+          // TIMESTAMP AS OF needs commit times to be strictly increasing
+          // (Delta monotonizes in-commit timestamps for the same reason):
+          // same-millisecond neighbors get mtime(prev)+1. One extra
+          // getFileStatus of the previous commit per commit.
+          if (v > 0) {
+            val dst = new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")
+            val prev =
+              new org.apache.hadoop.fs.Path(s"${logDir(root)}/${v - 1}.json")
+            if (fs.exists(prev)) {
+              val pt = fs.getFileStatus(prev).getModificationTime
+              if (fs.getFileStatus(dst).getModificationTime <= pt)
+                fs.setTimes(dst, pt + 1, -1)
+            }
+          }
+        } else {
           fs.delete(tmp, false)
           val latest = currentVersion(root)
           require(latest >= v, s"commit $v failed but log has no $v")
@@ -923,8 +1428,20 @@ object TimeTravel extends QueryModule {
   def checkpoint(root: String, v: Int): Int = {
     val (fs, _, _) = listLog(root)
     val files = resolveSnapshot(root, v)._1
+    // the checkpoint carries the RESOLVED deletion-vector and constraint
+    // state too — after history retention the tail commits below it are
+    // gone, so anything not folded into the checkpoint would silently
+    // resurrect masked rows / drop enforcement
+    val dvLines = dvsFor(root, v).toSeq.sortBy(_._1)
+      .map { case (f, (n, c)) => s"$f|$n|$c" }
+    val csLines = constraintsAsOf(root, v).map { case (n, e) => s"$n|$e" }
     val txt =
-      s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
+        (if (dvLines.isEmpty) ""
+         else s""","dvs":[${dvLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (csLines.isEmpty) ""
+         else s""","constraints":[${csLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        "}"
     val tmp = new org.apache.hadoop.fs.Path(
       s"${logDir(root)}/.ck-${java.util.UUID.randomUUID().toString.take(8)}")
     writeBytes(fs, tmp, txt)
@@ -989,11 +1506,16 @@ object TimeTravel extends QueryModule {
     * projected away even though older files still store them — so every
     * snapshot presents its own generation's schema, stably. */
   def readAsOf(s: SparkSession, root: String, gen: Int): DataFrame = {
-    val paths = snapshotFiles(root, gen).map(f => dataPath(root, f))
-    schemaAsOf(root, gen) match {
-      case Some(schema) => s.read.schema(schema).parquet(paths: _*)
-      case None => s.read.parquet(paths: _*)
+    val reader: Seq[String] => DataFrame = fl => {
+      val paths = fl.map(f => dataPath(root, f))
+      schemaAsOf(root, gen) match {
+        case Some(schema) => s.read.schema(schema).parquet(paths: _*)
+        case None => s.read.parquet(paths: _*)
+      }
     }
+    // deletion vectors in force at `gen` mask their files' rows at scan
+    // time (no-op when none — the common case costs nothing extra)
+    readFilesWithDvs(s, root, gen, snapshotFiles(root, gen), reader)
   }
 
   /** Table-valued SQL surface (r12 verdict #7): `graft_asof(root, gen)`

@@ -139,6 +139,47 @@ class CdfSourceSpec extends SparkSpec {
       flagged.agg(sum("o_flag")).head().getLong(0))
   }
 
+  test("batch change reads prune columns into the parquet projection; count(*) is footer-only") {
+    import graft.sources.cdf.CdfMetrics
+    import scala.jdk.CollectionConverters._
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders) // 3 columns
+    TimeTravel.commit(spark, root,
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(1000000L)))
+    def batch = spark.read.format("graft.sources.cdf.CdfDataSource").load(root)
+    // the fully-drained batch read equals the table
+    assert(batch.count() === 2 * orders.count())
+    // a bounded range reads only its generation
+    val gen1 = spark.read.format("graft.sources.cdf.CdfDataSource")
+      .option("startingGen", 0).option("endingGen", 1).load(root)
+    assert(gen1.agg(min("o_orderkey")).head().getLong(0) ===
+      orders.agg(min("o_orderkey")).head().getLong(0) + 1000000L)
+    // a single-column aggregate: every split decodes exactly ONE field
+    CdfMetrics.decodedFieldCounts.clear()
+    assert(batch.agg(sum("o_orderkey")).head().getLong(0) ===
+      2 * orders.agg(sum("o_orderkey")).head().getLong(0)
+        + 1000000L * orders.count())
+    val counts1 = CdfMetrics.decodedFieldCounts.asScala.map(_.intValue).toSeq
+    assert(counts1.nonEmpty && counts1.forall(_ == 1),
+      s"pruned scan decoded $counts1 fields per split, expected all 1")
+    // count(*): ZERO fields decoded — the footer row count serves the scan
+    CdfMetrics.decodedFieldCounts.clear()
+    assert(batch.groupBy().count().head().getLong(0) === 2 * orders.count())
+    val counts0 = CdfMetrics.decodedFieldCounts.asScala.map(_.intValue).toSeq
+    assert(counts0.nonEmpty && counts0.forall(_ == 0),
+      s"count(*) scan decoded $counts0 fields per split, expected all 0")
+    // an endingGen beyond the log fails loudly (may arrive wrapped)
+    val ex = intercept[Throwable] {
+      spark.read.format("graft.sources.cdf.CdfDataSource")
+        .option("endingGen", 99).load(root).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("endingGen")),
+      s"expected a loud endingGen failure, got $ex")
+  }
+
   test("q176 declared query runs green at the spec's scale factor") {
     val df = SparkEntry.queries("q176_stream_changes")(spark, sf)
     assert(df.count() === 5)

@@ -303,10 +303,88 @@ class LakehouseOpsSpec extends SparkSpec {
       "a value-less appended file was skipped — pruning must be conservative")
   }
 
-  test("q172–q181 declared queries run green at the spec's scale factor") {
+  test("q185 z-order: BOTH dimensions prune; single-column clustering serves only its own") {
+    val ordersWide = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val zRoot = newRoot()
+    TimeTravel.commitZOrdered(spark, zRoot, ordersWide,
+      "o_orderkey", "o_custkey", 16)
+    val nFiles = filesOf(TimeTravel.readAsOf(spark, zRoot, 0)).size
+    assert(nFiles >= 12, s"z-order staged only $nFiles files")
+    val mxK = ordersWide.agg(max("o_orderkey")).head().getLong(0)
+    val mxC = ordersWide.agg(max("o_custkey")).head().getLong(0)
+    // a middle-band range on EACH dimension prunes
+    val byKey = TimeTravel.readAsOfWhere(spark, zRoot, 0, "o_orderkey",
+      mxK / 4, mxK / 2)
+    val byCust = TimeTravel.readAsOfWhere(spark, zRoot, 0, "o_custkey",
+      mxC / 4, mxC / 2)
+    assert(byKey.count() === ordersWide
+      .filter(col("o_orderkey").between(mxK / 4, mxK / 2)).count())
+    assert(byCust.count() === ordersWide
+      .filter(col("o_custkey").between(mxC / 4, mxC / 2)).count())
+    val scanKey = filesOf(byKey).size
+    val scanCust = filesOf(byCust).size
+    assert(scanKey < nFiles && scanKey <= 9,
+      s"z-order did not prune on dim 1: $scanKey of $nFiles")
+    assert(scanCust < nFiles && scanCust <= 9,
+      s"z-order did not prune on dim 2: $scanCust of $nFiles")
+    // contrast: clustering on o_orderkey ALONE cannot prune a custkey range
+    val linRoot = newRoot()
+    TimeTravel.commitClustered(spark, linRoot, ordersWide, "o_orderkey", 16)
+    val linCust = filesOf(TimeTravel.readAsOfWhere(spark, linRoot, 0,
+      "o_custkey", mxC / 4, mxC / 2)).size
+    assert(linCust > scanCust,
+      s"single-column clustering pruned a foreign range ($linCust vs $scanCust)")
+  }
+
+  test("q188 deletion vectors: no file rewrites, deletes union, compact materializes, restore rolls back") {
+    val o = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, o, "o_orderkey", 8)
+    val v0 = TimeTravel.resolveSnapshot(root, 0)._1
+    val mx = o.agg(max("o_orderkey")).head().getLong(0)
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", mx / 4, mx / 2)
+    // NOT ONE data file rewritten: the new snapshot lists the same names
+    assert(TimeTravel.resolveSnapshot(root, 1)._1 === v0)
+    val expect1 = o.filter(!col("o_orderkey").between(mx / 4, mx / 2)).count()
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === expect1)
+    // the pre-delete snapshot still reads unmasked
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === o.count())
+    // a second, overlapping delete UNIONS into fresh immutable sidecars
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      mx / 3, mx * 2 / 3)
+    val expect2 = o
+      .filter(!col("o_orderkey").between(mx / 4, mx / 2) &&
+        !col("o_orderkey").between(mx / 3, mx * 2 / 3)).count()
+    assert(TimeTravel.readAsOf(spark, root, 2).count() === expect2)
+    // the stats-pruned range read applies the mask too
+    assert(TimeTravel.readAsOfWhere(spark, root, 2, "o_orderkey", 0L, mx)
+      .count() === expect2)
+    // change feeds refuse a range crossing a DV commit (rewritten history)
+    val e = intercept[Exception] {
+      TimeTravel.readChangesSince(spark, root, 0, 2).count()
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    // OPTIMIZE reads THROUGH the vectors: the compacted snapshot has the
+    // masked rows materialized away and no live file carries a vector
+    val v3 = TimeTravel.compact(spark, root, 2)
+    assert(TimeTravel.readAsOf(spark, root, v3).count() === expect2)
+    val live = TimeTravel.resolveSnapshot(root, v3)._1.toSet
+    assert(TimeTravel.dvsFor(root, v3).keySet.intersect(live).isEmpty,
+      "compaction left live files masked")
+    // RESTORE to the unmasked generation brings every row back
+    val v4 = TimeTravel.restore(spark, root, 0)
+    assert(TimeTravel.readAsOf(spark, root, v4).count() === o.count())
+  }
+
+  test("q172–q190 declared queries run green at the spec's scale factor") {
     Seq("q172_log_delete", "q173_log_compaction", "q174_log_restore",
       "q175_log_bloom_lookup", "q178_log_txn_stream", "q179_shallow_clone",
-      "q180_log_history", "q181_log_partition_pruning").foreach { name =>
+      "q180_log_history", "q181_log_partition_pruning",
+      "q185_log_zorder", "q186_batch_changes", "q187_time_travel_ts",
+      "q188_deletion_vectors", "q189_check_constraints",
+      "q190_log_update").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
     }

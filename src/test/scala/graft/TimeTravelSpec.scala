@@ -396,4 +396,81 @@ class TimeTravelSpec extends SparkSpec {
     assert(!plans.contains("orphan-"),
       "a scan picked up the uncommitted orphan file")
   }
+
+  test("q187 TIMESTAMP AS OF: commit times strictly increase and resolve exactly") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(50))
+    TimeTravel.commit(spark, root, orders.limit(80))
+    TimeTravel.commit(spark, root, orders.limit(20))
+    val times = TimeTravel.commitTimes(root)
+    assert(times.map(_._1) === Seq(0, 1, 2))
+    assert(times.sliding(2).forall(p => p(0)._2 < p(1)._2),
+      s"commit times are not strictly increasing: $times")
+    // each commit's own timestamp resolves to that generation (boundary
+    // inclusive), a time between commits to the earlier one, and a time
+    // past the newest to the current version
+    times.foreach { case (v, ts) =>
+      assert(TimeTravel.versionAtTime(root, ts) === v)
+    }
+    assert(TimeTravel.versionAtTime(root, times(1)._2 - 1) === 0)
+    assert(TimeTravel.versionAtTime(root, times(2)._2 + 3600000L) === 2)
+    assert(TimeTravel.readAsOfTimestamp(spark, root, times(1)._2).count()
+      === 130)
+    // a timestamp before the table existed is an error, never a guess
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.versionAtTime(root, times(0)._2 - 1)
+    }
+    assert(e.getMessage.contains("predates"))
+  }
+
+  test("q189 CHECK constraints: violating commits refuse, the log is unchanged") {
+    val root = newRoot()
+    TimeTravel.addConstraint(spark, root, "pos_price", "o_totalprice > 0")
+    TimeTravel.commit(spark, root, orders.limit(100)) // satisfies
+    val before = TimeTravel.currentVersion(root)
+    val bad = orders.limit(10).withColumn("o_totalprice", lit(-1.0))
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commit(spark, root, bad)
+    }
+    assert(e.getMessage.contains("pos_price"))
+    assert(TimeTravel.currentVersion(root) === before,
+      "a constraint-violating commit landed")
+    assert(TimeTravel.readAsOf(spark, root, before).count() === 100)
+    // specialized commit paths enforce the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      TimeTravel.commitClustered(spark, root, bad, "o_orderkey", 2)
+    }
+    assert(e2.getMessage.contains("pos_price"))
+    // SQL CHECK semantics: a NULL predicate PASSES
+    TimeTravel.commit(spark, root,
+      orders.limit(5).withColumn("o_totalprice", lit(null).cast("double")))
+    // adding a constraint the existing rows violate refuses too
+    val e3 = intercept[IllegalArgumentException] {
+      TimeTravel.addConstraint(spark, root, "price_cap", "o_totalprice < 0")
+    }
+    assert(e3.getMessage.contains("price_cap"))
+    assert(TimeTravel.constraintsAsOf(root,
+      TimeTravel.currentVersion(root)).map(_._1) === Seq("pos_price"))
+  }
+
+  test("q190 UPDATE: only stats-overlapping files rewrite; values land exactly") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 8)
+    val v0 = TimeTravel.resolveSnapshot(root, 0)._1.toSet
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    TimeTravel.updateWhere(spark, root, "o_orderkey", mx / 4, mx / 2,
+      "o_totalprice", col("o_totalprice") * 2)
+    val v1 = TimeTravel.resolveSnapshot(root, 1)._1.toSet
+    assert((v0 intersect v1).nonEmpty,
+      "the update rewrote files outside the key range")
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === orders.count())
+    val expected = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").between(mx / 4, mx / 2),
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    val got = TimeTravel.readAsOf(spark, root, 1)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(got === expected)
+  }
 }
