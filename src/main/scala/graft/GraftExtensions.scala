@@ -51,7 +51,12 @@ object GraftFunctions {
       "graft_changes(root, from, to) - rows added by commits (from, to]"),
     ("graft_history", graft.operators.TimeTravel.historyPlan _,
       "graft_history(root) - one row per commit: version, file counts, " +
-        "rows added, flags"))
+        "rows added, flags"),
+    ("graft_asof_ts", graft.operators.TimeTravel.asOfTsPlan _,
+      "graft_asof_ts(root, tsMillis) - snapshot AS OF a commit timestamp"),
+    ("graft_row_changes", graft.operators.TimeTravel.rowChangesPlan _,
+      "graft_row_changes(root, from, to) - row-level change feed with " +
+        "_change_type/_commit_version over commits (from, to]"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

@@ -82,6 +82,44 @@ object LakehouseOps extends QueryModule {
     root
   }
 
+  /** q193's table: the q173 source replicated through the DSv2 commit-log
+    * SINK — CDF source (1 generation per trigger) → `writeStream.format
+    * (CdfDataSource)`, one txn-tagged generation per epoch. Built once
+    * per JVM, guarded on the destination log's existence. */
+  private[graft] def sinkTable(s: SparkSession, d: String): String = {
+    val src = compactedTable(s, d)
+    val dst = WorkDirs.cached("graft_ttsk_", s"q193:$d") + "/t"
+    if (TimeTravel.currentVersion(dst) < 0) {
+      val ckpt = WorkDirs.cached("graft_ttsk_", s"q193:$d") + "/ckpt"
+      val q = s.readStream.format("graft.sources.cdf.CdfDataSource")
+        .option("startingGen", -1).option("maxGensPerTrigger", 1)
+        .load(src)
+        .writeStream.format("graft.sources.cdf.CdfDataSource")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    dst
+  }
+
+  /** q191/q192's table: orders committed (v0), the change feed enabled
+    * (v1), a middle key band DELETED (v2) and the next band's price
+    * DOUBLED (v3) — both DML commits writing their affected rows as
+    * change files. Built once per JVM. */
+  private[graft] def cdfTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttcf_", s"q191:$d")
+    if (TimeTravel.currentVersion(root) < 0) {
+      TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+      TimeTravel.setProperty(s, root, "graft.enableChangeDataFeed", "true")
+      val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+      TimeTravel.deleteWhere(s, root, "o_orderkey", mx / 4, mx / 2)
+      TimeTravel.updateWhere(s, root, "o_orderkey",
+        mx / 2 + 1, 3 * mx / 4, "o_totalprice", col("o_totalprice") * 2)
+    }
+    root
+  }
+
   /** q178's table: the q173 fixture REPLICATED through one streaming
     * pipeline — CDF source over the source log, foreachBatch committing
     * each micro-batch into the destination log under a txn id (epoch =
@@ -507,6 +545,107 @@ object LakehouseOps extends QueryModule {
             "o_totalprice", col("o_totalprice") * 2)
         }
         prioAgg(TimeTravel.readAsOf(s, root, TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q191 ROW-LEVEL change feed (Delta's `table_changes` with
+    // `_change_type`): the table opts in via the enableChangeDataFeed
+    // property, then a DELETE and an UPDATE each write their affected
+    // rows as change files INSIDE the same commit (write-time CDC — the
+    // reader never reconstructs row diffs from file diffs); the feed
+    // replays inserts, deletes, and update pre/post-images over the
+    // whole history, reading exactly the range's added + change files.
+    // Oracle = the equivalent UNION ALL over orders.
+    Q("q191_row_change_feed",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS l1,
+             |                  max(o_orderkey)//2 AS h1,
+             |                  max(o_orderkey)//2+1 AS l2,
+             |                  3*max(o_orderkey)//4 AS h2 FROM orders),
+             |ch AS (
+             |  SELECT 'insert' AS change_type, o_totalprice FROM orders
+             |  UNION ALL SELECT 'delete', o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l1 AND p.h1
+             |  UNION ALL SELECT 'update_preimage', o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |  UNION ALL SELECT 'update_postimage', o_totalprice * 2
+             |    FROM orders, p WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin),
+      (s, d) => {
+        val root = cdfTable(s, d)
+        TimeTravel.readRowChanges(s, root, -1,
+            TimeTravel.currentVersion(root))
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("change_type")
+      }),
+
+    // Q192 STREAMING row-level change feed (Delta's
+    // `readChangeFeed` on readStream): the q191 history consumed
+    // through the DSv2 source with `readChangeFeed=true` — every split
+    // arrives tagged (`_change_type` constant-filled for plain data
+    // files, read from the change file otherwise; `_commit_version`
+    // always constant), per-generation offsets, AvailableNow drain.
+    // Same oracle as q191: the streamed feed IS the batch feed.
+    Q("q192_stream_row_changes",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS l1,
+             |                  max(o_orderkey)//2 AS h1,
+             |                  max(o_orderkey)//2+1 AS l2,
+             |                  3*max(o_orderkey)//4 AS h2 FROM orders),
+             |ch AS (
+             |  SELECT 'insert' AS change_type, o_totalprice FROM orders
+             |  UNION ALL SELECT 'delete', o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l1 AND p.h1
+             |  UNION ALL SELECT 'update_preimage', o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |  UNION ALL SELECT 'update_postimage', o_totalprice * 2
+             |    FROM orders, p WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin),
+      (s, d) => {
+        val root = cdfTable(s, d)
+        val agg = s.readStream
+          .format("graft.sources.cdf.CdfDataSource")
+          .option("startingGen", -1)
+          .option("readChangeFeed", "true")
+          .load(root)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = agg.writeStream.format("memory").queryName("q192_sink")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.table("q192_sink").orderBy("change_type")
+      }),
+
+    // Q193 STREAMING WRITE into the commit log (the table format's last
+    // quadrant): the q173 table replicated log-to-log through
+    // `writeStream.format(CdfDataSource)` — a REAL DSv2 sink committing
+    // one atomic generation per micro-batch, exactly-once by the q178
+    // txn contract (the commit records (queryId, epoch); a replayed
+    // epoch lands nothing — spec forces one). Readback through the
+    // ordinary AS-OF path. Oracle = the whole-table aggregate.
+    Q("q193_log_stream_sink",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val dst = sinkTable(s, d)
+        prioAgg(TimeTravel.readAsOf(s, dst, TimeTravel.currentVersion(dst)))
           .orderBy("o_orderpriority")
       })
   )

@@ -209,6 +209,7 @@ object TimeTravel extends QueryModule {
       removed: Seq[String] = Nil, flags: Seq[String] = Nil,
       txn: Option[String] = None): Int = {
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -271,8 +272,10 @@ object TimeTravel extends QueryModule {
     * keys hash into. The bucket column itself is not stored — it is a
     * pure function of the key, re-derived when needed. */
   def commitBucketed(s: SparkSession, root: String, df: DataFrame,
-      keyCol: String, nBuckets: Int, removed: Seq[String] = Nil): Int = {
+      keyCol: String, nBuckets: Int, removed: Seq[String] = Nil,
+      cdc: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.withColumn("gb", pmod(hash(col(keyCol)), lit(nBuckets)))
       .repartition(nBuckets, col("gb"))
@@ -301,7 +304,7 @@ object TimeTravel extends QueryModule {
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     commitNames(s, root, added, removed,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), cdc = cdc)
   }
 
   // Anchored to the exact commit-uid prefix: an embedded part-file UUID
@@ -319,8 +322,10 @@ object TimeTravel extends QueryModule {
     * as `file|col|min|max` strings — the tolerant array parser reads
     * them back without a richer JSON layer. */
   def commitClustered(s: SparkSession, root: String, df: DataFrame,
-      sortCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+      sortCol: String, nFiles: Int, removed: Seq[String] = Nil,
+      cdc: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
@@ -359,7 +364,7 @@ object TimeTravel extends QueryModule {
       }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), cdc = cdc)
   }
 
   /** Commit `df` Z-ORDER-CLUSTERED on TWO columns, with per-file (min,
@@ -377,10 +382,12 @@ object TimeTravel extends QueryModule {
     * columns are never stored. Delta's OPTIMIZE ZORDER BY, as a
     * log-native commit. */
   def commitZOrdered(s: SparkSession, root: String, df: DataFrame,
-      c1: String, c2: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
+      c1: String, c2: String, nFiles: Int, removed: Seq[String] = Nil,
+      flags: Seq[String] = Nil): Int = {
     require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
       s"time travel: z-order nFiles must be a power of two, got $nFiles")
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
     val mm = df.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
@@ -444,7 +451,7 @@ object TimeTravel extends QueryModule {
       }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), flags = flags)
   }
 
   /** AS-OF read pruned by the log's per-file stats: only files whose
@@ -527,7 +534,24 @@ object TimeTravel extends QueryModule {
       .select(col(keyCol) +:
         dataCols.map(c =>
           coalesce(col(s"s.$c"), col(s"b.$c")).as(c)): _*)
-    commitBucketed(s, root, merged, keyCol, nBuckets, removed = toRewrite)
+    // CDF on: matched keys emit pre/post images, unmatched source rows
+    // emit inserts; carried-over existing rows emit nothing
+    val cdc =
+      if (!cdfEnabled(root, gen)) Nil
+      else {
+        val srcKeys = source.select(keyCol).distinct()
+        val exKeys = existing.select(keyCol).distinct()
+        val pre = existing.join(srcKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = merged.join(srcKeys, Seq(keyCol), "left_semi")
+          .join(exKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = source.join(exKeys, Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        writeCdcFiles(s, root, pre.unionByName(post).unionByName(ins))
+      }
+    commitBucketed(s, root, merged, keyCol, nBuckets, removed = toRewrite,
+      cdc = cdc)
   }
 
   /** Row-level DELETE of `statCol BETWEEN lo AND hi`, pruned by the log's
@@ -555,10 +579,17 @@ object TimeTravel extends QueryModule {
     }
     if (touched.isEmpty) gen
     else {
-      val kept = readFilesWithDvs(s, root, gen, touched,
+      val cur = readFilesWithDvs(s, root, gen, touched,
         fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
-        .filter(!col(statCol).between(lo, hi))
-      commitClustered(s, root, kept, statCol, touched.size, removed = touched)
+      // CDF on: the DELETED rows (exactly the live matches) land as
+      // change files in the same commit — Delta's write-time CDC
+      val cdc =
+        if (!cdfEnabled(root, gen)) Nil
+        else writeCdcFiles(s, root, cur.filter(col(statCol).between(lo, hi))
+          .withColumn("_change_type", lit("delete")))
+      val kept = cur.filter(!col(statCol).between(lo, hi))
+      commitClustered(s, root, kept, statCol, touched.size,
+        removed = touched, cdc = cdc)
     }
   }
 
@@ -590,8 +621,19 @@ object TimeTravel extends QueryModule {
         fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
       val rewritten = cur.withColumn(setCol,
         when(col(statCol).between(lo, hi), setTo).otherwise(col(setCol)))
+      // CDF on: pre- and post-image of exactly the updated rows
+      val cdc =
+        if (!cdfEnabled(root, gen)) Nil
+        else {
+          val band = col(statCol).between(lo, hi)
+          writeCdcFiles(s, root,
+            cur.filter(band)
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(rewritten.filter(band)
+                .withColumn("_change_type", lit("update_postimage"))))
+        }
       commitClustered(s, root, rewritten, statCol, touched.size,
-        removed = touched)
+        removed = touched, cdc = cdc)
     }
   }
 
@@ -796,10 +838,70 @@ object TimeTravel extends QueryModule {
       }
       .collect().toSeq.sortBy(_._1)
     if (written.isEmpty) gen
-    else commitNames(s, root, Nil, Nil,
-      flags = Seq("rowdelete"),
-      dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
-      dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap))
+    else {
+      // CDF on: the newly-deleted LIVE rows (already-masked rows don't
+      // re-emit) land as change files beside the vectors
+      val cdc =
+        if (!cdfEnabled(root, gen)) Nil
+        else writeCdcFiles(s, root,
+          readFilesWithDvs(s, root, gen, touched,
+            fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+            .filter(col(statCol).between(lo, hi))
+            .withColumn("_change_type", lit("delete")))
+      commitNames(s, root, Nil, Nil,
+        flags = Seq("rowdelete"),
+        dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+        dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap),
+        cdc = cdc)
+    }
+  }
+
+  // ---- sink-side staged commits (the DSv2 writer's publish path) ------
+
+  /** Commit parquet files a DSv2 writer ALREADY staged (two-phase
+    * publish): validate CHECK constraints against the staged rows (one
+    * scan, the same price [[commit]] pays), rename into `data/` under
+    * commit-uid names, claim the next version. Callers drop zero-row
+    * temps before handing them here (they know the counts). */
+  private[graft] def commitStagedFiles(s: SparkSession, root: String,
+      temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
+      txn: Option[String] = None): Int = {
+    validateSchema(s, root,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    if (temps.nonEmpty)
+      validateConstraints(s, root, s.read.parquet(temps: _*))
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val added = temps.sorted.zipWithIndex.map { case (t, i) =>
+      val name = s"$uid-w$i.parquet"
+      require(fs.rename(new org.apache.hadoop.fs.Path(t),
+          new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+        s"time travel: staged rename of $t failed")
+      name
+    }
+    commitNames(s, root, added, removed,
+      schemaDdl = Some(schemaDdl), txn = txn)
+  }
+
+  /** The streaming-sink epoch commit: IDEMPOTENT under epoch replay via
+    * the q178 txn mechanism — a replayed (appId, epoch) deletes its
+    * re-staged temps and lands NOTHING (the log, not file replacement,
+    * is the exactly-once primitive: the claim is atomic, so no partial
+    * epoch is ever visible). Returns the committed (or current) version. */
+  private[graft] def commitStagedTxn(s: SparkSession, root: String,
+      temps: Seq[String], schemaDdl: String, appId: String,
+      version: Long): Int = {
+    require(!appId.contains("|"), "txn appId must not contain '|'")
+    lockFor(root).synchronized {
+      if (lastTxnVersion(root, appId).exists(_ >= version)) {
+        val (fs, _) = fsFor(root)
+        temps.foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(t), false))
+        currentVersion(root) // replayed epoch: idempotent skip
+      } else commitStagedFiles(s, root, temps, schemaDdl,
+        txn = Some(s"$appId|$version"))
+    }
   }
 
   // ---- TIMESTAMP AS OF ------------------------------------------------
@@ -909,6 +1011,177 @@ object TimeTravel extends QueryModule {
     }
   }
 
+  /** SCHEMA ENFORCEMENT on write (Delta's default, here opt-in via the
+    * `graft.enforceSchema=true` property so schema-on-read EVOLUTION —
+    * the q171 contract — stays the default): a commit whose columns
+    * (name, type) differ from the schema logged at the current
+    * generation refuses loudly, listing the drift. Nullability is not
+    * compared (parquet writers flip it freely). */
+  private def validateSchema(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val gen = currentVersion(root)
+    if (gen < 0) return
+    if (!propsAsOf(root, gen).get("graft.enforceSchema").contains("true"))
+      return
+    schemaAsOf(root, gen).foreach { logged =>
+      val want = logged.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (want != got)
+        throw new IllegalArgumentException(
+          s"time travel: commit schema ${got.mkString(", ")} does not " +
+            s"match the enforced table schema ${want.mkString(", ")} " +
+            s"under $root — drop graft.enforceSchema or align the writer")
+    }
+  }
+
+  // ---- table properties + row-level change feed (Delta's CDF) ---------
+
+  /** The table PROPERTIES in force at `gen` (Delta's TBLPROPERTIES):
+    * `key|value` lines, last write per key winning; resolved from the
+    * newest checkpoint ≤ gen + the tail commits like [[dvsFor]]. */
+  def propsAsOf(root: String, gen: Int): Map[String, String] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    def fold(m: Map[String, String], line: String) = {
+      val i = line.indexOf('|')
+      if (i < 0) m else m.updated(line.substring(0, i), line.substring(i + 1))
+    }
+    val baseMap = base
+      .map { case (_, f) =>
+        parseArr(readBytes(fs, f), "props")
+          .foldLeft(Map.empty[String, String])(fold)
+      }
+      .getOrElse(Map.empty)
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseMap) { case (m, (_, f)) =>
+        parseArr(readBytes(fs, f), "props").foldLeft(m)(fold)
+      }
+  }
+
+  /** SET a table property as a metadata-only commit (Delta's ALTER TABLE
+    * SET TBLPROPERTIES). `graft.enableChangeDataFeed=true` switches the
+    * DML paths below into writing row-level change files. */
+  def setProperty(s: SparkSession, root: String, key: String,
+      value: String): Int = {
+    require(key.nonEmpty && !key.contains("|"),
+      s"time travel: bad property key '$key'")
+    commitNames(s, root, Nil, Nil, flags = Seq("props"),
+      props = Seq(s"$key|$value"))
+  }
+
+  private[graft] def cdfEnabled(root: String, gen: Int): Boolean =
+    gen >= 0 &&
+      propsAsOf(root, gen).get("graft.enableChangeDataFeed")
+        .contains("true")
+
+  private def cdcDir(root: String) = s"$root/cdc"
+
+  /** Stage a change frame (table columns + `_change_type`) and publish
+    * its files under `<root>/cdc/` with commit-uid names; returns the
+    * committed names for the commit's `cdc` array. The write is
+    * distributed and sized like any other commit; when CDF is off this
+    * is never called — zero overhead (Delta's change-file discipline:
+    * DML pays one extra write of the AFFECTED rows only, when enabled). */
+  private def writeCdcFiles(s: SparkSession, root: String,
+      changes: DataFrame): Seq[String] = {
+    val stage = s"$root/stage-cdc-${java.util.UUID.randomUUID()}"
+    changes.write.mode("overwrite").parquet(stage)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(cdcDir(root)))
+    val named = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val name = s"$uid-${f.getName}"
+        require(fs.rename(f,
+            new org.apache.hadoop.fs.Path(s"${cdcDir(root)}/$name")),
+          s"time travel: cdc staging rename of $f failed")
+        name
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    named
+  }
+
+  /** ROW-LEVEL change feed (Delta's `table_changes` with `_change_type`):
+    * every row the commits in `(fromGen, toGen]` inserted, deleted, or
+    * updated, tagged `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and `_commit_version`. Plain appends read their
+    * added files as inserts; DML commits (delete/update/merge/DV-delete)
+    * read ONLY their write-time change files — their physical adds and
+    * removes are file reorganization, not row changes. `nodata`
+    * compactions and metadata commits contribute nothing. A rewrite
+    * commit with NO change files (CDF was off when it ran) is not
+    * row-reconstructible and fails loudly — same contract as
+    * [[readChangesSince]]. The scan reads exactly the range's added +
+    * change files: at 100 TB an incremental consumer pays for the
+    * delta's bytes, never the table's. */
+  /** The files backing the row-level feed over `(fromGen, toGen]`, per
+    * commit: (absolute path, isChangeFile, version). Plain appends
+    * contribute their data files (the reader constant-fills
+    * `_change_type = insert`); DML commits contribute ONLY their change
+    * files; nodata/metadata commits nothing; a CDF-off rewrite fails
+    * loudly. The planning backbone the DSv2 source shares with
+    * [[readRowChanges]]. */
+  private[graft] def rowChangeFiles(root: String, fromGen: Int, toGen: Int)
+      : Seq[(String, Boolean, Int)] = {
+    val (fs, commits, _) = listLog(root)
+    require(commits.exists(_._1 == toGen) && fromGen <= toGen,
+      s"time travel: bad change range ($fromGen, $toGen] under $root")
+    commits.filter(c => c._1 > fromGen && c._1 <= toGen)
+      .map { case (v, f) =>
+        val txt = readBytes(fs, f)
+        (v, parseArr(txt, "added"), parseArr(txt, "removed"),
+          parseArr(txt, "flags"), parseArr(txt, "dvs"),
+          parseArr(txt, "cdc"))
+      }
+      .filterNot(_._4.contains("nodata"))
+      .flatMap { case (v, added, removed, _, dvs, cdc) =>
+        if (cdc.nonEmpty) cdc.map(n => (s"${cdcDir(root)}/$n", true, v))
+        else if (removed.nonEmpty || dvs.nonEmpty)
+          throw new IllegalArgumentException(
+            s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
+              "row-deleted without change files (CDF was not enabled " +
+              "when it ran) — row-level changes are not reconstructible")
+        else added.map(f => (dataPath(root, f), false, v))
+      }
+  }
+
+  def readRowChanges(s: SparkSession, root: String,
+      fromGen: Int, toGen: Int): DataFrame = {
+    val (fs, commits, _) = listLog(root)
+    require(commits.exists(_._1 == toGen) && fromGen <= toGen,
+      s"time travel: bad change range ($fromGen, $toGen] under $root")
+    val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
+      .map { case (v, f) =>
+        val txt = readBytes(fs, f)
+        (v, parseArr(txt, "added"), parseArr(txt, "removed"),
+          parseArr(txt, "flags"), parseArr(txt, "dvs"),
+          parseArr(txt, "cdc"))
+      }
+      .filterNot(_._4.contains("nodata"))
+    val frames = range.flatMap { case (v, added, removed, _, dvs, cdc) =>
+      if (cdc.nonEmpty)
+        Some(s.read.parquet(cdc.map(n => s"${cdcDir(root)}/$n"): _*)
+          .withColumn("_commit_version", lit(v)))
+      else if (removed.nonEmpty || dvs.nonEmpty)
+        throw new IllegalArgumentException(
+          s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
+            "row-deleted without change files (CDF was not enabled when " +
+            "it ran) — row-level changes are not reconstructible; " +
+            "diff snapshots instead")
+      else if (added.nonEmpty)
+        Some(s.read.parquet(added.map(f => dataPath(root, f)): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else None // metadata-only commit (props/constraint)
+    }
+    require(frames.nonEmpty,
+      s"time travel: range ($fromGen, $toGen] has no row changes")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** OPTIMIZE: bin-pack the current snapshot into ~`targetFiles` files in
     * a `nodata`-flagged commit (Delta's dataChange=false) — the table's
     * rows are untouched, so change feeds SKIP this commit instead of
@@ -923,6 +1196,21 @@ object TimeTravel extends QueryModule {
     val files = snapshotFiles(root, gen)
     if (files.size <= targetFiles) gen
     else commit(s, root, readAsOf(s, root, gen).coalesce(targetFiles),
+      removed = files, flags = Seq("nodata"))
+  }
+
+  /** OPTIMIZE … ZORDER BY (Delta's clustering compaction): rewrite the
+    * whole current snapshot Z-ORDER-clustered on `(c1, c2)` in one
+    * `nodata` commit — rows unchanged (change feeds skip it), deletion
+    * vectors materialized away by the read-through, fresh two-dimensional
+    * per-file stats recorded, every prior file retired. The maintenance
+    * op that turns an append-accumulated table into the q185 layout. */
+  def compactZOrdered(s: SparkSession, root: String, c1: String,
+      c2: String, nFiles: Int): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot compact empty table $root")
+    val files = snapshotFiles(root, gen)
+    commitZOrdered(s, root, readAsOf(s, root, gen), c1, c2, nFiles,
       removed = files, flags = Seq("nodata"))
   }
 
@@ -974,6 +1262,7 @@ object TimeTravel extends QueryModule {
   def commitPartitioned(s: SparkSession, root: String, df: DataFrame,
       partCol: String, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.withColumn("__p", col(partCol))
       .repartition(col("__p"))
@@ -1203,6 +1492,7 @@ object TimeTravel extends QueryModule {
   def commitBloomed(s: SparkSession, root: String, df: DataFrame,
       keyCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(stage)
     val staged = s.read.parquet(stage)
@@ -1314,7 +1604,9 @@ object TimeTravel extends QueryModule {
       nrowsIn: Option[Seq[String]] = None,
       constraints: Seq[String] = Nil,
       dvs: Seq[String] = Nil,
-      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
+      dvExpect: Option[Map[String, Option[String]]] = None,
+      props: Seq[String] = Nil,
+      cdc: Seq[String] = Nil): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
@@ -1337,6 +1629,10 @@ object TimeTravel extends QueryModule {
          else s""","constraints":[${constraints.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (dvs.isEmpty) ""
          else s""","dvs":[${dvs.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (props.isEmpty) ""
+         else s""","props":[${props.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (cdc.isEmpty) ""
+         else s""","cdc":[${cdc.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (txn.isEmpty) ""
          else s""","txn":["${jsonEsc(txn.get)}"]""") +
         (if (schemaDdl.isEmpty) "}"
@@ -1435,12 +1731,15 @@ object TimeTravel extends QueryModule {
     val dvLines = dvsFor(root, v).toSeq.sortBy(_._1)
       .map { case (f, (n, c)) => s"$f|$n|$c" }
     val csLines = constraintsAsOf(root, v).map { case (n, e) => s"$n|$e" }
+    val prLines = propsAsOf(root, v).toSeq.sorted.map { case (k, w) => s"$k|$w" }
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
         (if (dvLines.isEmpty) ""
          else s""","dvs":[${dvLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (csLines.isEmpty) ""
          else s""","constraints":[${csLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (prLines.isEmpty) ""
+         else s""","props":[${prLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         "}"
     val tmp = new org.apache.hadoop.fs.Path(
       s"${logDir(root)}/.ck-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1543,6 +1842,15 @@ object TimeTravel extends QueryModule {
     case other => throw new IllegalArgumentException(
       s"graft TVF: $what must be an integer literal, got $other")
   }
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+        org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft TVF: $what must be an integer literal, got $other")
+  }
 
   /** `graft_asof(root, gen)` — the TVF plan builder. */
   def asOfPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -1557,6 +1865,23 @@ object TimeTravel extends QueryModule {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 3, "usage: graft_changes(root, from, to)")
     readChangesSince(SparkSession.active, litStr(exprs(0), "root"),
+      litInt(exprs(1), "from"), litInt(exprs(2), "to"))
+      .queryExecution.logical
+  }
+
+  /** `graft_asof_ts(root, tsMillis)` — TIMESTAMP AS OF from pure SQL. */
+  def asOfTsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_asof_ts(root, tsMillis)")
+    readAsOfTimestamp(SparkSession.active, litStr(exprs(0), "root"),
+      litLong(exprs(1), "tsMillis")).queryExecution.logical
+  }
+
+  /** `graft_row_changes(root, from, to)` — the row-level CDF from SQL. */
+  def rowChangesPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3, "usage: graft_row_changes(root, from, to)")
+    readRowChanges(SparkSession.active, litStr(exprs(0), "root"),
       litInt(exprs(1), "from"), litInt(exprs(2), "to"))
       .queryExecution.logical
   }
@@ -1600,15 +1925,23 @@ object TimeTravel extends QueryModule {
     // referenced = every surviving commit's adds PLUS every checkpoint's
     // resolved file list — after history expiry the oldest surviving
     // snapshot is backed by a checkpoint, not by the deleted commits
-    val (fsL, _, ckpts) = listLog(root)
+    val (fsL, commits, ckpts) = listLog(root)
     val referenced = (readLog(root).flatMap(_._2) ++
       ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet
     val (fs, _) = fsFor(root)
     val d = new org.apache.hadoop.fs.Path(s"$root/data")
-    (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
+    val dataGone = (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
       .filter(st => st.isFile && !referenced(st.getPath.getName))
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
-      .sorted
+    // change files referenced by no surviving commit (their commits were
+    // expired by retention — the range is unreadable anyway) go too
+    val cdcRef = commits
+      .flatMap { case (_, f) => parseArr(readBytes(fsL, f), "cdc") }.toSet
+    val cd = new org.apache.hadoop.fs.Path(cdcDir(root))
+    val cdcGone = (if (fs.exists(cd)) fs.listStatus(cd).toSeq else Seq.empty)
+      .filter(st => st.isFile && !cdcRef(st.getPath.getName))
+      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+    (dataGone ++ cdcGone).sorted
   }
 
   /** History RETENTION: delete commit files below `keepFrom` (and

@@ -53,11 +53,19 @@ class CdfDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = CdfDataSource.path(options)
     val gen = TimeTravel.currentVersion(root)
-    require(gen >= 0, s"cdf: no commit log under $root")
-    TimeTravel.schemaAsOf(root, gen).getOrElse(
+    // a missing log is fine for the SINK path (the first write creates
+    // it — the write schema arrives via LogicalWriteInfo); the scan
+    // paths below keep the loud no-log error
+    if (gen < 0) return new StructType()
+    val base = TimeTravel.schemaAsOf(root, gen).getOrElse(
       // pre-schema logs: fall back to the engine's parquet inference
       SparkSession.active.read
         .parquet(s"$root/data").schema)
+    // rowFeed mode (Delta's readChangeFeed): every row arrives tagged
+    // with its change type and the commit that produced it
+    if (CdfDataSource.rowFeed(options))
+      base.add("_change_type", StringType).add("_commit_version", IntegerType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -71,15 +79,31 @@ object CdfDataSource {
     require(p != null, "cdf: a 'path' (table root) option is required")
     p
   }
+  private[cdf] def rowFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  /** The constant-fill columns of one split in rowFeed mode: plain data
+    * files get both tags; change files carry `_change_type` themselves. */
+  private[cdf] def fillFor(isCdc: Boolean, v: Int): Map[String, String] =
+    if (isCdc) Map("_commit_version" -> v.toString)
+    else Map("_change_type" -> "insert", "_commit_version" -> v.toString)
 }
 
 final case class CdfTable(tableSchema: StructType, root: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"cdf:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CdfWriteBuilder(info.schema(), root, info.queryId())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -97,12 +121,15 @@ final case class CdfTable(tableSchema: StructType, root: String)
         override def description(): String = s"cdf change feed over $root"
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream = {
+          require(TimeTravel.currentVersion(root) >= 0,
+            s"cdf: no commit log under $root")
           val startingGen =
             Option(options.get("startingGen")).map(_.toInt).getOrElse(-1)
           val maxGens =
             Option(options.get("maxGensPerTrigger")).map(_.toInt)
           require(maxGens.forall(_ > 0), "cdf: maxGensPerTrigger must be > 0")
-          new CdfMicroBatchStream(required, root, startingGen, maxGens)
+          new CdfMicroBatchStream(required, root, startingGen, maxGens,
+            CdfDataSource.rowFeed(options))
         }
         // Delta's `table_changes(...)`: the same change-feed resolution
         // as one bounded batch over `(startingGen, endingGen]` —
@@ -114,6 +141,7 @@ final case class CdfTable(tableSchema: StructType, root: String)
           val from =
             Option(options.get("startingGen")).map(_.toInt).getOrElse(-1)
           val live = TimeTravel.currentVersion(root)
+          require(live >= 0, s"cdf: no commit log under $root")
           val to =
             Option(options.get("endingGen")).map(_.toInt).getOrElse(live)
           require(to <= live,
@@ -121,12 +149,19 @@ final case class CdfTable(tableSchema: StructType, root: String)
           val confB = new org.apache.spark.util.SerializableConfiguration(
             SparkSession.active.sessionState.newHadoopConf())
           val req = required
+          val rowFeed = CdfDataSource.rowFeed(options)
           new org.apache.spark.sql.connector.read.Batch {
             override def planInputPartitions(): Array[InputPartition] =
-              TimeTravel.changeFiles(root, from, to)
-                .map(f => CdfInputPartition(
-                  TimeTravel.dataPath(root, f)): InputPartition)
-                .toArray
+              if (rowFeed)
+                TimeTravel.rowChangeFiles(root, from, to)
+                  .map { case (p, isCdc, v) => CdfInputPartition(p,
+                    CdfDataSource.fillFor(isCdc, v)): InputPartition }
+                  .toArray
+              else
+                TimeTravel.changeFiles(root, from, to)
+                  .map(f => CdfInputPartition(
+                    TimeTravel.dataPath(root, f)): InputPartition)
+                  .toArray
             override def createReaderFactory(): PartitionReaderFactory =
               CdfReaderFactory(req, confB)
           }
@@ -148,10 +183,11 @@ object CdfOffset {
   }
 }
 
-final case class CdfInputPartition(file: String) extends InputPartition
+final case class CdfInputPartition(file: String,
+    fill: Map[String, String] = Map.empty) extends InputPartition
 
 final class CdfMicroBatchStream(schema: StructType, root: String,
-    startingGen: Int, maxGens: Option[Int])
+    startingGen: Int, maxGens: Option[Int], rowFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val confB = new org.apache.spark.util.SerializableConfiguration(
@@ -191,9 +227,15 @@ final class CdfMicroBatchStream(schema: StructType, root: String,
       : Array[InputPartition] = {
     val from = start.asInstanceOf[CdfOffset].gen
     val to = end.asInstanceOf[CdfOffset].gen
-    TimeTravel.changeFiles(root, from, to)
-      .map(f => CdfInputPartition(TimeTravel.dataPath(root, f)): InputPartition)
-      .toArray
+    if (rowFeed)
+      TimeTravel.rowChangeFiles(root, from, to)
+        .map { case (p, isCdc, v) => CdfInputPartition(p,
+          CdfDataSource.fillFor(isCdc, v)): InputPartition }
+        .toArray
+    else
+      TimeTravel.changeFiles(root, from, to)
+        .map(f => CdfInputPartition(TimeTravel.dataPath(root, f)): InputPartition)
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -207,9 +249,10 @@ final case class CdfReaderFactory(schema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] =
-    new CdfPartitionReader(
-      partition.asInstanceOf[CdfInputPartition].file, schema, conf.value)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfInputPartition]
+    new CdfPartitionReader(p.file, schema, conf.value, p.fill)
+  }
 }
 
 /** Per-JVM observability for the spec: how many parquet fields each
@@ -231,9 +274,25 @@ object CdfMetrics {
   * column types only (the engine's output canon:
   * BIGINT/INT/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE). */
 final class CdfPartitionReader(file: String, schema: StructType,
-    conf: Configuration) extends PartitionReader[InternalRow] {
+    conf: Configuration, fill: Map[String, String] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
+
+  // rowFeed constant columns, converted once to their Catalyst values:
+  // `_change_type = insert` for plain data files, `_commit_version` for
+  // every split — never read from disk, never part of the projection
+  private val fillVals: Array[Any] = schema.fields.map { f =>
+    fill.get(f.name).map { v =>
+      f.dataType match {
+        case StringType => UTF8String.fromString(v)
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"cdf: unsupported fill type $other for ${f.name}")
+      }
+    }.orNull
+  }
 
   private val (fileSchema, recordCount) = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -243,7 +302,7 @@ final class CdfPartitionReader(file: String, schema: StructType,
 
   private val projection: org.apache.parquet.schema.MessageType = {
     import scala.jdk.CollectionConverters._
-    val want = schema.fields.map(_.name).toSet
+    val want = schema.fields.map(_.name).toSet -- fill.keySet
     new org.apache.parquet.schema.MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => want(f.getName)).asJava)
   }
@@ -281,7 +340,8 @@ final class CdfPartitionReader(file: String, schema: StructType,
     while (i < schema.length) {
       val fi = fieldIdx(i)
       vals(i) =
-        if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
+        if (fillVals(i) != null) fillVals(i)
+        else if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
         else schema.fields(i).dataType match {
           case LongType => g.getLong(fi, 0)
           case IntegerType => g.getInteger(fi, 0)
@@ -299,10 +359,16 @@ final class CdfPartitionReader(file: String, schema: StructType,
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
+  // the constants-only row an empty-projection scan emits (plain
+  // count(*): all nulls and never materialized; rowFeed tag-only scans:
+  // the fill constants at their schema positions)
+  private lazy val constRow: InternalRow =
+    InternalRow.fromSeq(fillVals.toIndexedSeq)
+
   override def next(): Boolean =
     if (emptyRemaining >= 0) {
       if (emptyRemaining == 0) false
-      else { emptyRemaining -= 1; row = InternalRow.empty; true }
+      else { emptyRemaining -= 1; row = constRow; true }
     } else {
       val g = reader.read()
       if (g == null) false
@@ -311,4 +377,216 @@ final class CdfPartitionReader(file: String, schema: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Shared parquet plumbing for the SINK side: the engine's output canon
+  * (BIGINT/INT/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE) mapped to a parquet
+  * message type, written executor-side through parquet-java's example
+  * record API — the exact mirror of [[CdfPartitionReader]]'s read path. */
+private[cdf] object CdfParquet {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(INT64).named(f.name)
+        case IntegerType => b.optional(INT32).named(f.name)
+        case DoubleType => b.optional(DOUBLE).named(f.name)
+        case FloatType => b.optional(FLOAT).named(f.name)
+        case BooleanType => b.optional(BOOLEAN).named(f.name)
+        case StringType => b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case DateType => b.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"cdf sink: unsupported column type $other for ${f.name}")
+      }
+    }
+    b.named("graft_cdf")
+  }
+}
+
+final case class CdfWriteMsg(tmp: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The DSv2 WRITE path into the commit log — the table format's last
+  * quadrant (batch read q186 / stream read q176+q192 / batch write
+  * below / stream write [[CdfStreamingWrite]]). Executors stage plain
+  * parquet temps under `<root>/stage-stream/`; the DRIVER's commit
+  * validates CHECK constraints against the staged rows and publishes
+  * through the log's atomic claim — never a rename-in-place, never a
+  * partially-visible epoch. */
+final class CdfWriteBuilder(writeSchema: StructType, root: String,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new CdfBatchWrite(writeSchema, root, doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new CdfStreamingWrite(writeSchema, root, queryId)
+    }
+}
+
+final case class CdfWriterFactory(schema: StructType, root: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  // batch: (partition, task) keeps a retried attempt's temp distinct
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CdfDataWriter(schema,
+      s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value)
+  // streaming: the epoch joins the name — a replayed epoch's temps never
+  // collide with the failed attempt's
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CdfDataWriter(schema,
+      s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
+      conf.value)
+}
+
+final class CdfDataWriter(schema: StructType, tmp: String,
+    conf: Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val msgType = CdfParquet.messageType(schema)
+  private val writer = {
+    val c = new Configuration(conf)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, c)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new Path(tmp), c))
+      .withConf(c)
+      .withType(msgType)
+      .build()
+  }
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(i))
+        case IntegerType | DateType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i, org.apache.parquet.io.api.Binary
+          .fromString(row.getUTF8String(i).toString))
+        case other => throw new IllegalArgumentException(
+          s"cdf sink: unsupported column type $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+    n += 1
+  }
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    CdfWriteMsg(tmp, n)
+  }
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(tmp)
+    p.getFileSystem(conf).delete(p, false)
+    ()
+  }
+  override def close(): Unit = ()
+}
+
+/** Batch `df.write.format(...)` into the log: one atomic generation per
+  * save; truncate mode retires the whole current snapshot in the SAME
+  * commit (a log-native overwrite — old generations stay readable). */
+final class CdfBatchWrite(schema: StructType, root: String,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    CdfWriterFactory(schema, root, confB)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val (live, empty) = messages.collect { case m: CdfWriteMsg => m }
+      .partition(_.rows > 0)
+    val fs = new Path(root).getFileSystem(confB.value)
+    empty.foreach(m => fs.delete(new Path(m.tmp), false))
+    val removed =
+      if (!truncate) Nil
+      else {
+        val gen = TimeTravel.currentVersion(root)
+        if (gen < 0) Nil
+        else TimeTravel.resolveSnapshot(root, gen)._1
+      }
+    TimeTravel.commitStagedFiles(SparkSession.active, root,
+      live.map(_.tmp).toSeq, schema.toDDL, removed = removed)
+    ()
+  }
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(root).getFileSystem(confB.value)
+    messages.collect { case m: CdfWriteMsg =>
+      fs.delete(new Path(m.tmp), false)
+    }
+    ()
+  }
+}
+
+/** Streaming `writeStream.format(...)` into the log: one generation per
+  * micro-batch, EXACTLY-ONCE by the q178 txn contract — the commit
+  * records (queryId, epochId) and a replayed epoch (restart before the
+  * sink's commit was checkpointed) is detected in the log and lands
+  * NOTHING. The atomic version claim means no partial epoch is ever
+  * visible; contrast the glog sink, whose exactly-once is name-replace
+  * (this one's is the log itself). */
+final class CdfStreamingWrite(schema: StructType, root: String,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    CdfWriterFactory(schema, root, confB)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val (live, empty) = messages.collect { case m: CdfWriteMsg => m }
+      .partition(_.rows > 0)
+    val fs = new Path(root).getFileSystem(confB.value)
+    empty.foreach(m => fs.delete(new Path(m.tmp), false))
+    TimeTravel.commitStagedTxn(SparkSession.active, root,
+      live.map(_.tmp).toSeq, schema.toDDL, s"cdf-sink-$queryId", epochId)
+    ()
+  }
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(root).getFileSystem(confB.value)
+    messages.collect { case m: CdfWriteMsg =>
+      fs.delete(new Path(m.tmp), false)
+    }
+    ()
+  }
 }

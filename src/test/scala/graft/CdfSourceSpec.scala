@@ -180,6 +180,130 @@ class CdfSourceSpec extends SparkSpec {
       s"expected a loud endingGen failure, got $ex")
   }
 
+  test("rowFeed: streamed and batch feeds agree; tags are exact per commit") {
+    import graft.operators.LakehouseOps
+    val root = LakehouseOps.cdfTable(spark, sf)
+    // batch rowFeed through the SOURCE equals the library's feed
+    val viaSource = spark.read.format("graft.sources.cdf.CdfDataSource")
+      .option("readChangeFeed", "true").load(root)
+    val viaLib = TimeTravel.readRowChanges(spark, root, -1,
+      TimeTravel.currentVersion(root))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("_change_type", "_commit_version").count()
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    assert(key(viaSource) === key(viaLib))
+    // every insert is tagged with its producing commit, not a default
+    assert(viaSource.filter(col("_change_type") === "insert")
+      .select("_commit_version").distinct().head().getInt(0) === 0)
+    // streamed: per-generation micro-batches carry the same rows
+    val got = scala.collection.mutable.Map[(String, Int), Long]()
+    val q = spark.readStream.format("graft.sources.cdf.CdfDataSource")
+      .option("readChangeFeed", "true").option("maxGensPerTrigger", 1)
+      .load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy("_change_type", "_commit_version").count()
+          .collect().foreach { r =>
+            val k = (r.getString(0), r.getInt(1))
+            got(k) = got.getOrElse(k, 0L) + r.getLong(2)
+          }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.map { case ((t, v), n) => (t, v, n) }.toSet === key(viaLib))
+  }
+
+  test("q193 sink: log-to-log replication is exact; a forced epoch replay lands nothing") {
+    val src = newRoot()
+    val o = orders.limit(300)
+    TimeTravel.commit(spark, src, o.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.commit(spark, src, o.filter(col("o_orderkey") % 2 === 1))
+    val dst = newRoot()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdf_sink_ck_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.cdf.CdfDataSource")
+        .option("startingGen", -1).option("maxGensPerTrigger", 1)
+        .load(src)
+        .writeStream.format("graft.sources.cdf.CdfDataSource")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    val gen = TimeTravel.currentVersion(dst)
+    assert(gen === 1, s"expected one generation per source epoch, got $gen")
+    val back = TimeTravel.readAsOf(spark, dst, gen)
+    assert(back.count() === o.count())
+    assert(back.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+      .getDecimal(0) ===
+      o.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+        .getDecimal(0))
+    // a REPLAYED epoch lands nothing: re-drive the sink's own commit
+    // path (staged temps + the same (queryId, epoch) txn) — the q178
+    // replay discipline through the DSv2 writer's publish primitive
+    val queryId = {
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ckpt/metadata")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta).get.group(1)
+    }
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_cdf_replay_").toString
+    o.limit(5).write.mode("overwrite").parquet(stage)
+    val temps = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(temps.nonEmpty)
+    TimeTravel.commitStagedTxn(spark, dst, temps, o.schema.toDDL,
+      s"cdf-sink-$queryId", 0L)
+    assert(TimeTravel.currentVersion(dst) === gen,
+      "a replayed epoch committed a duplicate generation")
+    assert(temps.forall(t => !new java.io.File(t).exists()),
+      "the replayed epoch's re-staged temps were not cleaned up")
+    // the source grows; the restarted stream replicates ONLY the delta
+    TimeTravel.commit(spark, src, o.limit(40)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(5000000L)))
+    run()
+    assert(TimeTravel.currentVersion(dst) === gen + 1)
+    assert(TimeTravel.readAsOf(spark, dst, gen + 1).count() === o.count() + 40)
+  }
+
+  test("batch write into the log: append commits one generation; truncate overwrites") {
+    val root = newRoot()
+    val o = orders.limit(200)
+    o.write.format("graft.sources.cdf.CdfDataSource")
+      .mode("append").save(root)
+    assert(TimeTravel.currentVersion(root) === 0)
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === 200)
+    // append mode: a second save is a second generation
+    o.limit(50).write.format("graft.sources.cdf.CdfDataSource")
+      .mode("append").save(root)
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === 250)
+    // truncate: the whole snapshot retires in the same commit; history
+    // stays readable
+    o.limit(30).write.format("graft.sources.cdf.CdfDataSource")
+      .mode("overwrite").save(root)
+    assert(TimeTravel.readAsOf(spark, root, 2).count() === 30)
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === 250)
+    // CHECK constraints gate the DSv2 write path too
+    TimeTravel.addConstraint(spark, root, "pos_price", "o_totalprice > 0")
+    val bad = o.limit(10).withColumn("o_totalprice", lit(-1.0))
+    val before = TimeTravel.currentVersion(root)
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.cdf.CdfDataSource")
+        .mode("append").save(root)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pos_price")), s"got $e")
+    assert(TimeTravel.currentVersion(root) === before)
+  }
+
   test("q176 declared query runs green at the spec's scale factor") {
     val df = SparkEntry.queries("q176_stream_changes")(spark, sf)
     assert(df.count() === 5)

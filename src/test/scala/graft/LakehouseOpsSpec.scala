@@ -335,6 +335,17 @@ class LakehouseOpsSpec extends SparkSpec {
       "o_custkey", mxC / 4, mxC / 2)).size
     assert(linCust > scanCust,
       s"single-column clustering pruned a foreign range ($linCust vs $scanCust)")
+    // OPTIMIZE … ZORDER BY re-clusters that table in a nodata commit:
+    // rows unchanged, the custkey range now prunes, change feeds skip it
+    val zv = TimeTravel.compactZOrdered(spark, linRoot,
+      "o_orderkey", "o_custkey", 16)
+    assert(TimeTravel.readAsOf(spark, linRoot, zv).count()
+      === ordersWide.count())
+    val zCust = filesOf(TimeTravel.readAsOfWhere(spark, linRoot, zv,
+      "o_custkey", mxC / 4, mxC / 2)).size
+    assert(zCust <= 9, s"zorder compaction did not restore pruning: $zCust")
+    assert(TimeTravel.readChangesSince(spark, linRoot, 0, zv).count() === 0,
+      "the zorder compaction leaked into the change feed")
   }
 
   test("q188 deletion vectors: no file rewrites, deletes union, compact materializes, restore rolls back") {
@@ -378,13 +389,95 @@ class LakehouseOpsSpec extends SparkSpec {
     assert(TimeTravel.readAsOf(spark, root, v4).count() === o.count())
   }
 
-  test("q172–q190 declared queries run green at the spec's scale factor") {
+  test("q191 CDF: DML writes change files; the feed replays exactly; off-mode refuses") {
+    val o = orders.limit(400)
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, o, "o_orderkey", 4) // v0
+    val mx = o.agg(max("o_orderkey")).head().getLong(0)
+    // CDF OFF: a rewrite commit is not row-reconstructible — loud refusal
+    TimeTravel.deleteWhere(spark, root, "o_orderkey", 0L, mx / 8) // v1
+    val eOff = intercept[IllegalArgumentException] {
+      TimeTravel.readRowChanges(spark, root, -1,
+        TimeTravel.currentVersion(root)).count()
+    }
+    assert(eOff.getMessage.contains("CDF"))
+    // enable (v2), then DELETE (v3) and UPDATE (v4) under the feed
+    TimeTravel.setProperty(spark, root, "graft.enableChangeDataFeed", "true")
+    val nDel = TimeTravel.readAsOf(spark, root, 2)
+      .filter(col("o_orderkey").between(mx / 4, mx / 2)).count()
+    TimeTravel.deleteWhere(spark, root, "o_orderkey", mx / 4, mx / 2)
+    val nUpd = TimeTravel.readAsOf(spark, root, 3)
+      .filter(col("o_orderkey").between(mx / 2 + 1, 3 * mx / 4)).count()
+    TimeTravel.updateWhere(spark, root, "o_orderkey", mx / 2 + 1, 3 * mx / 4,
+      "o_totalprice", col("o_totalprice") * 2)
+    val feed = TimeTravel.readRowChanges(spark, root, 2, 4)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> nDel,
+      "update_preimage" -> nUpd, "update_postimage" -> nUpd))
+    // versions tag correctly and post-images carry the new values
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("_commit_version").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(3))
+    val preSum = feed.filter(col("_change_type") === "update_preimage")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    val postSum = feed.filter(col("_change_type") === "update_postimage")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(postSum === preSum.add(preSum))
+    // props fold: last write wins, earlier generations see earlier values
+    TimeTravel.setProperty(spark, root, "graft.enableChangeDataFeed", "false")
+    assert(!TimeTravel.cdfEnabled(root, TimeTravel.currentVersion(root)))
+    assert(TimeTravel.cdfEnabled(root, 4))
+    // live change files are never vacuumable
+    assert(TimeTravel.vacuum(root).isEmpty)
+  }
+
+  test("q191 CDF: merge emits pre/post/insert; DV deletes emit only newly-masked rows") {
+    val o = orders.limit(300)
+    // merge leg
+    val mroot = newRoot()
+    TimeTravel.commitBucketed(spark, mroot, o, "o_orderkey", 4)
+    TimeTravel.setProperty(spark, mroot, "graft.enableChangeDataFeed", "true")
+    val keys = o.select("o_orderkey").orderBy("o_orderkey").limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val mx = o.agg(max("o_orderkey")).head().getLong(0)
+    val source = o.filter(col("o_orderkey").isin(keys: _*))
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .unionByName(o.limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx + 1000)))
+    val mv = TimeTravel.mergeInto(spark, mroot, source, "o_orderkey", 4)
+    val mFeed = TimeTravel.readRowChanges(spark, mroot, mv - 1, mv)
+    val mTypes = mFeed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mTypes === Map("update_preimage" -> 10L,
+      "update_postimage" -> 10L, "insert" -> 5L))
+    // DV leg: a second overlapping vector delete emits ONLY the newly
+    // masked rows, never the already-deleted ones
+    val droot = newRoot()
+    TimeTravel.commitClustered(spark, droot, o, "o_orderkey", 4)
+    TimeTravel.setProperty(spark, droot, "graft.enableChangeDataFeed", "true")
+    val v1 = TimeTravel.deleteVectorWhere(spark, droot, "o_orderkey",
+      mx / 4, mx / 2)
+    val v2 = TimeTravel.deleteVectorWhere(spark, droot, "o_orderkey",
+      mx / 4, 3 * mx / 4)
+    val del1 = TimeTravel.readRowChanges(spark, droot, v1 - 1, v1)
+      .filter(col("_change_type") === "delete").count()
+    val del2 = TimeTravel.readRowChanges(spark, droot, v2 - 1, v2)
+      .filter(col("_change_type") === "delete").count()
+    assert(del1 === o.filter(col("o_orderkey").between(mx / 4, mx / 2)).count())
+    assert(del2 ===
+      o.filter(col("o_orderkey").between(mx / 2 + 1, 3 * mx / 4)).count(),
+      "the second vector delete re-emitted already-masked rows")
+  }
+
+  test("q172–q193 declared queries run green at the spec's scale factor") {
     Seq("q172_log_delete", "q173_log_compaction", "q174_log_restore",
       "q175_log_bloom_lookup", "q178_log_txn_stream", "q179_shallow_clone",
       "q180_log_history", "q181_log_partition_pruning",
       "q185_log_zorder", "q186_batch_changes", "q187_time_travel_ts",
       "q188_deletion_vectors", "q189_check_constraints",
-      "q190_log_update").foreach { name =>
+      "q190_log_update", "q191_row_change_feed",
+      "q192_stream_row_changes", "q193_log_stream_sink").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
     }

@@ -382,6 +382,20 @@ class TimeTravelSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_asof('$root', CAST(rand() * 2 AS INT))").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // TIMESTAMP AS OF from SQL: the first commit's own timestamp sees
+    // exactly generation 0
+    val ts0 = TimeTravel.commitTimes(root).head._2
+    val byTs = spark.sql(
+      s"SELECT count(*) FROM graft_asof_ts('$root', ${ts0}L)")
+      .head().getLong(0)
+    assert(byTs === asof0)
+    // the row-level feed from SQL: appends replay as tagged inserts
+    val rows = spark.sql(
+      s"""SELECT _change_type, _commit_version, count(*) AS n
+         |FROM graft_row_changes('$root', -1, 1)
+         |GROUP BY 1, 2 ORDER BY 2""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      === Seq(("insert", 0, asof0), ("insert", 1, asof1 - asof0)))
   }
 
   test("q157 plan reads exactly the snapshot's files — no directory listing") {
@@ -451,6 +465,34 @@ class TimeTravelSpec extends SparkSpec {
     assert(e3.getMessage.contains("price_cap"))
     assert(TimeTravel.constraintsAsOf(root,
       TimeTravel.currentVersion(root)).map(_._1) === Seq("pos_price"))
+  }
+
+  test("schema enforcement: graft.enforceSchema refuses drift; evolution stays the default") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(50))
+    // default: schema-on-read EVOLUTION (the q171 contract) — adding a
+    // column is a normal commit
+    TimeTravel.commit(spark, root,
+      orders.limit(5).withColumn("o_flag", lit(1L)))
+    TimeTravel.setProperty(spark, root, "graft.enforceSchema", "true")
+    val before = TimeTravel.currentVersion(root)
+    // a dropped column refuses, loudly and atomically
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commit(spark, root, orders.limit(5).drop("o_totalprice"))
+    }
+    assert(e.getMessage.contains("enforced"))
+    // a type change refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      TimeTravel.commit(spark, root,
+        orders.limit(5).withColumn("o_flag", lit("x")))
+    }
+    assert(e2.getMessage.contains("enforced"))
+    assert(TimeTravel.currentVersion(root) === before,
+      "a schema-drifted commit landed under enforcement")
+    // an exactly-matching commit still lands
+    TimeTravel.commit(spark, root,
+      orders.limit(5).withColumn("o_flag", lit(2L)))
+    assert(TimeTravel.currentVersion(root) === before + 1)
   }
 
   test("q190 UPDATE: only stats-overlapping files rewrite; values land exactly") {
