@@ -157,6 +157,69 @@ object LakehouseOps extends QueryModule {
     dst
   }
 
+  /** q194's table: the column-mapping lifecycle, one generation per step —
+    * 0: even keys committed under the original 4-column schema;
+    * 1: `o_totalprice` RENAMED to `total_usd` (metadata-only);
+    * 2: the odd keys appended THROUGH the mapping (stored under the old
+    *    physical name — one read schema serves files on both sides);
+    * 3: `o_custkey` DROPPED (metadata-only, bytes stay);
+    * 4: `o_custkey` RE-ADDED under a fresh physical name — so it must
+    *    read NULL everywhere, never resurrecting the dropped bytes. */
+  private[graft] def mappedTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttcm_", s"q194:$d")
+    val base = t(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commit(s, root, base.filter(col("o_orderkey") % 2 === 0))
+    if (TimeTravel.currentVersion(root) < 1)
+      TimeTravel.renameColumn(s, root, "o_totalprice", "total_usd")
+    if (TimeTravel.currentVersion(root) < 2)
+      TimeTravel.commitMapped(s, root,
+        base.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "total_usd"))
+    if (TimeTravel.currentVersion(root) < 3)
+      TimeTravel.dropColumnMapped(s, root, "o_custkey")
+    if (TimeTravel.currentVersion(root) < 4)
+      TimeTravel.addColumnMapped(s, root, "o_custkey", "BIGINT")
+    root
+  }
+
+  /** q195's table: orders committed through the GENERATED month partition
+    * key derived from the order date — one file per month, the derived
+    * value in the log, the column itself never stored. */
+  private[graft] def generatedTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttgp_", s"q195:$d")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commitPartitionedGeneratedMonth(s, root,
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderdate").cast("date").as("o_date")),
+        "o_date")
+    root
+  }
+
+  /** q196's table: an initially range-clustered layout (even keys), a
+    * plain append landing in the LOW 3/8 of the key range (odd keys ≤
+    * 3·max/8 — the realistic incremental shape: new data concentrated in
+    * one key region, no stats, un-prunable), then ONE incremental
+    * clustering pass folding the append into the layout — only the low
+    * cells rewrite; the high ones keep their physical files. */
+  private[graft] def incrClusteredTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_ttic_", s"q196:$d")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commitClustered(s, root,
+        orders3(s, d).filter(col("o_orderkey") % 2 === 0), "o_orderkey", 8)
+    if (TimeTravel.currentVersion(root) < 1) {
+      val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+      TimeTravel.commit(s, root,
+        orders3(s, d).filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") <= lit(3 * mx / 8)))
+    }
+    if (TimeTravel.currentVersion(root) < 2)
+      TimeTravel.compactClusteredIncremental(s, root, "o_orderkey")
+    root
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q172 log-native DELETE: the middle key range is deleted by
@@ -646,6 +709,106 @@ object LakehouseOps extends QueryModule {
       (s, d) => {
         val dst = sinkTable(s, d)
         prioAgg(TimeTravel.readAsOf(s, dst, TimeTravel.currentVersion(dst)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q194 COLUMN MAPPING (Delta's rename/drop-as-metadata): a rename and
+    // a drop move ZERO data bytes — the log maps logical names onto the
+    // physical parquet names (TimeTravelSpec pins: the rename commit adds
+    // no files, the raw files keep the old name, gen 0 still presents it,
+    // and a RE-ADDED dropped column reads NULL everywhere instead of
+    // resurrecting old bytes — the ncust=0 column the oracle pins).
+    // Oracle: gen-0 replays the even split with real o_custkey counts;
+    // the final generation aggregates the renamed total over ALL rows.
+    Q("q194_column_mapping",
+      Some("""SELECT CAST(0 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  count(o_custkey) AS ncust
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT) AS gen, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(0 AS BIGINT) AS ncust
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY gen, o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = mappedTable(s, d)
+        val leg0 = TimeTravel.readAsOf(s, root, 0)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"),
+            count(col("o_custkey")).as("ncust"))
+          .select(lit(0L).as("gen"), col("o_orderpriority"), col("n"),
+            col("total"), col("ncust"))
+        val leg4 = TimeTravel.readAsOfMapped(s, root, 4)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("total_usd").cast("decimal(18,2)"))
+              .cast("double").as("total"),
+            count(col("o_custkey")).as("ncust"))
+          .select(lit(4L).as("gen"), col("o_orderpriority"), col("n"),
+            col("total"), col("ncust"))
+        leg0.unionAll(leg4).orderBy("gen", "o_orderpriority")
+      }),
+
+    // Q195 GENERATED partition columns (Delta's generated-column partition
+    // pruning): the table is partitioned by a month key DERIVED from the
+    // order date — never stored, never mentioned by the reader — and a
+    // plain `o_date BETWEEN lo AND hi` filter is translated into month-
+    // interval pruning from log metadata alone (TimeTravelSpec counts the
+    // opened files: only the window's months). Oracle: the same date
+    // window over the source table, bounds derived identically.
+    Q("q195_generated_partitions",
+      Some("""WITH p AS (SELECT CAST(min(o_orderdate) AS DATE) + 120 AS lo,
+             |                  CAST(min(o_orderdate) AS DATE) + 300 AS hi
+             |           FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p
+             |WHERE CAST(o_orderdate AS DATE) BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = generatedTable(s, d)
+        val mn = t(s, d, "orders")
+          .agg(min(col("o_orderdate").cast("date"))).head()
+          .getDate(0).toLocalDate
+        val (lo, hi) = (mn.plusDays(120).toString, mn.plusDays(300).toString)
+        TimeTravel.readAsOfBetweenDates(s, root,
+          TimeTravel.currentVersion(root), "o_date", lo, hi)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q196 INCREMENTAL clustering (the liquid-clustering discipline): a
+    // plain append on a range-clustered table is folded into the layout
+    // by rewriting ONLY the cluster cells its keys land in — untouched
+    // cells keep their physical files (TimeTravelSpec pins it), cost ∝
+    // new data + touched cells, and range reads prune from log stats over
+    // the WHOLE table again. The queried range straddles the fold
+    // boundary (3·max/8), so the oracle covers folded odds, original
+    // evens, and the seam between them. Oracle: the same predicates over
+    // the source table.
+    Q("q196_incremental_clustering",
+      Some("""WITH p AS (SELECT 3*max(o_orderkey)//8 AS cap,
+             |                  max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p
+             |WHERE (o_orderkey % 2 = 0 OR o_orderkey <= p.cap)
+             |  AND o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = incrClusteredTable(s, d)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        prioAgg(TimeTravel.readAsOfWhere(s, root,
+          TimeTravel.currentVersion(root), "o_orderkey", mx / 4, mx / 2))
           .orderBy("o_orderpriority")
       })
   )

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables, WorkDirs}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot isolation / time travel over a plain parquet layout (r11
@@ -210,23 +210,7 @@ object TimeTravel extends QueryModule {
       txn: Option[String] = None): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
-    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(stage)
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val (fs, _) = fsFor(root)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
-    // collision-free physical names: files are live the moment the commit
-    // that lists them lands, and never renamed or rewritten afterwards
-    val added = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-      .map { f =>
-        val name = s"$uid-${f.getName}"
-        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
-          s"time travel: staging rename of $f failed")
-        name
-      }.toSeq
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val added = stagePlain(s, root, df)
     // Optimistic concurrency: claim version N with an atomically-refusing
     // rename (claimVersion); the loser of a race re-reads the log and
     // retries at N+1 — data files are immutable, so the retry is
@@ -239,6 +223,32 @@ object TimeTravel extends QueryModule {
     // commitNames.)
     commitNames(s, root, added, removed,
       schemaDdl = Some(df.schema.toDDL), flags = flags, txn = txn)
+  }
+
+  /** Stage `df` as plain parquet under `$root/data` and return the
+    * committed-to-be names — collision-free (uid-prefixed): files are
+    * live the moment the commit that lists them lands, and never renamed
+    * or rewritten afterwards. Shared by [[commit]] and [[commitMapped]]
+    * (which must NOT re-validate: its frame carries PHYSICAL names the
+    * logical-name constraints would not resolve against). */
+  private def stagePlain(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(stage)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        val name = s"$uid-${f.getName}"
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
+        name
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    added
   }
 
   /** The claim primitive: publish `tmp` as `dst` atomically, REFUSING an
@@ -1075,6 +1085,148 @@ object TimeTravel extends QueryModule {
       propsAsOf(root, gen).get("graft.enableChangeDataFeed")
         .contains("true")
 
+  // ---- column mapping (Delta's columnMapping: rename/drop as metadata) --
+
+  /** The LOGICAL → PHYSICAL column-name mapping in force at `gen`
+    * (Delta's columnMapping, name mode): `logical|physical` lines, last
+    * write per logical name winning, `logical|-` clearing one; resolved
+    * from the newest checkpoint ≤ gen + the tail commits like
+    * [[propsAsOf]]. Unmapped fields are identity — a table that never
+    * renamed anything has an empty map and pays nothing. */
+  def colmapAsOf(root: String, gen: Int): Map[String, String] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    def fold(m: Map[String, String], line: String) =
+      line.split('|') match {
+        case Array(l, "-") => m - l
+        case Array(l, p) => m.updated(l, p)
+        case _ => m
+      }
+    val baseMap = base
+      .map { case (_, f) =>
+        parseArr(readBytes(fs, f), "colmap")
+          .foldLeft(Map.empty[String, String])(fold)
+      }
+      .getOrElse(Map.empty)
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseMap) { case (m, (_, f)) =>
+        parseArr(readBytes(fs, f), "colmap").foldLeft(m)(fold)
+      }
+  }
+
+  private def logicalSchemaAt(root: String, gen: Int)
+      : org.apache.spark.sql.types.StructType =
+    schemaAsOf(root, gen).getOrElse(throw new IllegalStateException(
+      s"time travel: no logged schema under $root at generation $gen — " +
+        "column mapping needs one (every commit since schema logging " +
+        "writes it)"))
+
+  /** RENAME a column as a METADATA-ONLY commit (Delta's ALTER TABLE
+    * RENAME COLUMN under column mapping): not one data byte moves — the
+    * parquet files keep the old PHYSICAL name, the logged schema gains
+    * the new LOGICAL name, and a mapping line ties them together for
+    * every later read ([[readAsOfMapped]]) and write ([[commitMapped]]).
+    * At 100 TB this turns a schema refactor from a full-table rewrite
+    * into one commit write; older snapshots keep the old name, because
+    * the mapping is versioned with everything else in the log. */
+  def renameColumn(s: SparkSession, root: String, oldName: String,
+      newName: String): Int = {
+    require(!oldName.contains("|") && !newName.contains("|"),
+      "time travel: column names must not contain '|'")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot rename on empty table $root")
+    val logical = logicalSchemaAt(root, gen)
+    require(logical.fieldNames.contains(oldName),
+      s"time travel: no column $oldName under $root")
+    require(!logical.fieldNames.contains(newName),
+      s"time travel: column $newName already exists under $root")
+    val phys = colmapAsOf(root, gen).getOrElse(oldName, oldName)
+    val renamed = org.apache.spark.sql.types.StructType(logical.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitNames(s, root, Nil, Nil, flags = Seq("colmap"),
+      schemaDdl = Some(renamed.toDDL),
+      colmap = Seq(s"$newName|$phys", s"$oldName|-"))
+  }
+
+  /** DROP a column as a METADATA-ONLY commit: the physical bytes stay in
+    * the files (unreferenced — the next full rewrite sheds them), the
+    * logical schema loses the field, reads stop projecting it. */
+  def dropColumnMapped(s: SparkSession, root: String, name: String): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot drop on empty table $root")
+    val logical = logicalSchemaAt(root, gen)
+    require(logical.fieldNames.contains(name),
+      s"time travel: no column $name under $root")
+    val narrowed =
+      org.apache.spark.sql.types.StructType(logical.filterNot(_.name == name))
+    require(narrowed.nonEmpty, "time travel: cannot drop the last column")
+    commitNames(s, root, Nil, Nil, flags = Seq("colmap"),
+      schemaDdl = Some(narrowed.toDDL), colmap = Seq(s"$name|-"))
+  }
+
+  /** ADD a column to a mapped table — under a FRESH physical name, so a
+    * re-added logical name NEVER resurrects a dropped column's old bytes
+    * (the Delta column-mapping guarantee): no file has ever written the
+    * new physical name, so every existing row null-fills it, and only
+    * appends after this commit can carry values. */
+  def addColumnMapped(s: SparkSession, root: String, name: String,
+      typeDdl: String): Int = {
+    require(!name.contains("|"),
+      "time travel: column names must not contain '|'")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot add on empty table $root")
+    val logical = logicalSchemaAt(root, gen)
+    require(!logical.fieldNames.contains(name),
+      s"time travel: column $name already exists under $root")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val phys = s"${name}_p${java.util.UUID.randomUUID().toString.take(8)}"
+    val widened = org.apache.spark.sql.types.StructType(
+      logical :+ org.apache.spark.sql.types.StructField(name, dt))
+    commitNames(s, root, Nil, Nil, flags = Seq("colmap"),
+      schemaDdl = Some(widened.toDDL), colmap = Seq(s"$name|$phys"))
+  }
+
+  /** Append through the mapping: `df` arrives with the LOGICAL schema and
+    * is STORED under the physical names, so files written before and
+    * after a rename stay byte-compatible (one read schema serves all).
+    * Constraints and schema enforcement run against the logical frame —
+    * the names users wrote them in. */
+  def commitMapped(s: SparkSession, root: String, df: DataFrame): Int = {
+    validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
+    val gen = currentVersion(root)
+    val cmap = if (gen < 0) Map.empty[String, String]
+               else colmapAsOf(root, gen)
+    val physDf = df.select(df.schema.fieldNames.toSeq.map(n =>
+      col(n).as(cmap.getOrElse(n, n))): _*)
+    val added = stagePlain(s, root, physDf)
+    commitNames(s, root, added, Nil, schemaDdl = Some(df.schema.toDDL))
+  }
+
+  /** AS-OF read through the mapping: parquet is scanned under the
+    * PHYSICAL read schema (files that predate an added column null-fill
+    * its never-written physical name), deletion vectors apply on the
+    * physical frame, and one final projection renames to the LOGICAL
+    * schema in force at `gen` — so every snapshot presents its own
+    * generation's names, stably, without touching a data byte. */
+  def readAsOfMapped(s: SparkSession, root: String, gen: Int): DataFrame = {
+    val logical = logicalSchemaAt(root, gen)
+    val cmap = colmapAsOf(root, gen)
+    val physSchema = org.apache.spark.sql.types.StructType(logical.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val reader: Seq[String] => DataFrame = fl =>
+      s.read.schema(physSchema).parquet(fl.map(f => dataPath(root, f)): _*)
+    val files = snapshotFiles(root, gen)
+    val base =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          physSchema)
+      else readFilesWithDvs(s, root, gen, files, reader)
+    base.select(logical.map(f =>
+      col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+  }
+
   private def cdcDir(root: String) = s"$root/cdc"
 
   /** Stage a change frame (table columns + `_change_type`) and publish
@@ -1263,9 +1415,25 @@ object TimeTravel extends QueryModule {
       partCol: String, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    val renamed = stagePartitioned(s, root, df, col(partCol), None)
+    commitNames(s, root, renamed.map(_._1), removed,
+      stats = renamed.map { case (n, v) => s"$n|$partCol|=|$v" },
+      schemaDdl = Some(df.schema.toDDL))
+  }
+
+  /** Stage `df` hash-partitioned on the expression `p` (one file per
+    * distinct value — each value's rows land wholly in one shuffle task,
+    * and the dynamic-partition write splits the task's output by value),
+    * optionally sorted within files, and return (committed name, value)
+    * pairs. The partition expression itself is written away by
+    * `partitionBy`. Shared by [[commitPartitioned]],
+    * [[commitPartitionedGeneratedMonth]] and
+    * [[compactClusteredIncremental]]. */
+  private def stagePartitioned(s: SparkSession, root: String, df: DataFrame,
+      p: Column, sortWithin: Option[String]): Seq[(String, String)] = {
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.withColumn("__p", col(partCol))
-      .repartition(col("__p"))
+    val keyed = df.withColumn("__p", p).repartition(col("__p"))
+    sortWithin.fold(keyed)(c => keyed.sortWithinPartitions("__p", c))
       .write.mode("overwrite").partitionBy("__p").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val (fs, _) = fsFor(root)
@@ -1294,9 +1462,132 @@ object TimeTravel extends QueryModule {
       (name, value)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    renamed
+  }
+
+  /** Commit `df` partitioned by a GENERATED month key derived from the
+    * DATE column `baseCol` (Delta's generated partition columns,
+    * `date_format(col, 'yyyy-MM')` shape): one file per month, the
+    * derived value recorded per file in the commit as a `~month` stats
+    * line. The derived column is never stored and readers never mention
+    * it — [[readAsOfBetweenDates]] DERIVES the partition predicate from a
+    * plain range filter on the base column. At 100 TB this is what makes
+    * `WHERE d BETWEEN x AND y` a partition-pruned scan without the user
+    * materializing, filtering, or even knowing about a partition column. */
+  def commitPartitionedGeneratedMonth(s: SparkSession, root: String,
+      df: DataFrame, baseCol: String, removed: Seq[String] = Nil): Int = {
+    validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
+    val renamed = stagePartitioned(s, root, df,
+      date_format(col(baseCol), "yyyy-MM"), None)
     commitNames(s, root, renamed.map(_._1), removed,
-      stats = renamed.map { case (n, v) => s"$n|$partCol|=|$v" },
+      stats = renamed.map { case (n, v) => s"$n|$baseCol|~month|$v" },
       schemaDdl = Some(df.schema.toDDL))
+  }
+
+  /** The per-file GENERATED month values visible at `gen` — the `~month`
+    * stats lines [[commitPartitionedGeneratedMonth]] records. */
+  private def gvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
+    val (fs, commits, _) = listLog(root)
+    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
+      parseArr(readBytes(fs, f), "stats").flatMap { line =>
+        line.split('|') match {
+          case Array(name, c, "~month", v) => Some(name -> ((c, v)))
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** Date-range read pruned through the GENERATED partition key: the
+    * month prefix of an ISO date is ORDER-PRESERVING, so the filter
+    * `baseCol BETWEEN lo AND hi` maps exactly to the month interval
+    * [month(lo), month(hi)] — only files whose recorded month falls
+    * inside (plus files with no recorded month, conservatively) are
+    * opened, from log metadata alone; the residual date filter keeps
+    * exactness. This is Delta's generated-column partition-filter
+    * derivation: the user writes the natural predicate, the engine
+    * derives the partition one. */
+  def readAsOfBetweenDates(s: SparkSession, root: String, gen: Int,
+      baseCol: String, lo: String, hi: String): DataFrame = {
+    val (loM, hiM) = (lo.take(7), hi.take(7))
+    val files = snapshotFiles(root, gen)
+    val gvals = gvalsFor(root, gen)
+    val kept = files.filter { f =>
+      gvals.get(f) match {
+        case Some((c, v)) if c == baseCol => v >= loM && v <= hiM
+        case _ => true // no generated value recorded: cannot skip
+      }
+    }
+    val reader: Seq[String] => DataFrame =
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
+    val base =
+      if (kept.isEmpty) reader(files).limit(0)
+      else readFilesWithDvs(s, root, gen, kept, reader)
+    base.filter(col(baseCol) >= to_date(lit(lo)) &&
+      col(baseCol) <= to_date(lit(hi)))
+  }
+
+  /** INCREMENTAL clustering maintenance (the liquid-clustering
+    * discipline): fold the files carrying NO stats for `sortCol` — plain
+    * appends since the last clustering — into the existing range layout,
+    * rewriting ONLY the cluster files whose key range the new rows
+    * actually land in. Cost ∝ the new data plus the touched cells' bytes,
+    * never the table's; untouched cells keep their physical files
+    * (spec-pinned). At 100 TB a steady append stream is absorbed by
+    * rewriting a handful of cells per run instead of re-sorting the whole
+    * table (the full [[compact]]/[[commitClustered]] OPTIMIZE), while
+    * range reads keep pruning from log stats exactly as before: bin
+    * ranges stay disjoint by construction (keys below every boundary fold
+    * into the lowest bin, keys above into the highest), so repeated
+    * incremental passes compose. A `nodata` commit — rows unchanged,
+    * change feeds skip it. */
+  def compactClusteredIncremental(s: SparkSession, root: String,
+      sortCol: String): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: nothing to cluster under $root")
+    val files = snapshotFiles(root, gen)
+    val stats = statsFor(root, gen)
+    val clustered = files.filter(f => stats.contains((f, sortCol)))
+      .sortBy(f => stats((f, sortCol))._1)
+    val fresh = files.filterNot(f => stats.contains((f, sortCol)))
+    if (fresh.isEmpty) return gen // layout already fully clustered
+    require(clustered.nonEmpty,
+      s"time travel: no clustered base under $root — run commitClustered " +
+        "for the initial layout, then maintain incrementally")
+    // bin i owns [lo_i, lo_{i+1}); bin 0 also owns keys below lo_0, the
+    // last bin everything above its lo — O(#cells) boundary scan per row
+    // (cells are few; a binary-search expression is the next step if a
+    // deployment runs tens of thousands of cells)
+    val los = clustered.map(f => stats((f, sortCol))._1)
+    val boundArr = array(los.map(lit(_)): _*)
+    def binOf(c: Column): Column =
+      greatest(lit(0), size(filter(boundArr, b => b <= c)) - 1)
+    val reader: Seq[String] => DataFrame =
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
+    val freshDf = readFilesWithDvs(s, root, gen, fresh, reader)
+    val touched = freshDf.select(binOf(col(sortCol)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded by #cells
+    val touchedFiles = touched.map(clustered(_)).toSeq
+    val oldRows = // every fresh row fully DV-masked: nothing to fold in
+      if (touchedFiles.isEmpty) freshDf.limit(0)
+      else readFilesWithDvs(s, root, gen, touchedFiles, reader)
+    val rewrite = oldRows.unionByName(freshDf)
+    // combined per-bin stats: one narrow agg over the touched bytes only
+    val binStats = rewrite
+      .groupBy(binOf(col(sortCol)).as("__b"))
+      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
+      .collect()
+      .map(r => r.getInt(0).toString -> ((r.get(1), r.get(2)))).toMap
+    val renamed = stagePartitioned(s, root, rewrite,
+      binOf(col(sortCol)), Some(sortCol))
+    val statLines = renamed.flatMap { case (n, v) =>
+      binStats.get(v).map { case (l, h) => s"$n|$sortCol|$l|$h" }
+    }
+    commitNames(s, root, renamed.map(_._1),
+      removed = touchedFiles ++ fresh, stats = statLines,
+      flags = Seq("nodata"),
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL))
   }
 
   /** The per-file partition VALUES visible at `gen` — the `=`-tagged
@@ -1606,7 +1897,8 @@ object TimeTravel extends QueryModule {
       dvs: Seq[String] = Nil,
       dvExpect: Option[Map[String, Option[String]]] = None,
       props: Seq[String] = Nil,
-      cdc: Seq[String] = Nil): Int = {
+      cdc: Seq[String] = Nil,
+      colmap: Seq[String] = Nil): Int = {
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
@@ -1633,6 +1925,8 @@ object TimeTravel extends QueryModule {
          else s""","props":[${props.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (cdc.isEmpty) ""
          else s""","cdc":[${cdc.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (colmap.isEmpty) ""
+         else s""","colmap":[${colmap.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (txn.isEmpty) ""
          else s""","txn":["${jsonEsc(txn.get)}"]""") +
         (if (schemaDdl.isEmpty) "}"
@@ -1732,6 +2026,7 @@ object TimeTravel extends QueryModule {
       .map { case (f, (n, c)) => s"$f|$n|$c" }
     val csLines = constraintsAsOf(root, v).map { case (n, e) => s"$n|$e" }
     val prLines = propsAsOf(root, v).toSeq.sorted.map { case (k, w) => s"$k|$w" }
+    val cmLines = colmapAsOf(root, v).toSeq.sorted.map { case (l, p) => s"$l|$p" }
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
         (if (dvLines.isEmpty) ""
@@ -1740,6 +2035,8 @@ object TimeTravel extends QueryModule {
          else s""","constraints":[${csLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (prLines.isEmpty) ""
          else s""","props":[${prLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (cmLines.isEmpty) ""
+         else s""","colmap":[${cmLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         "}"
     val tmp = new org.apache.hadoop.fs.Path(
       s"${logDir(root)}/.ck-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -470,14 +470,148 @@ class LakehouseOpsSpec extends SparkSpec {
       "the second vector delete re-emitted already-masked rows")
   }
 
-  test("q172–q193 declared queries run green at the spec's scale factor") {
+  test("q194 column mapping: rename/drop move no bytes; a re-added column never resurrects") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+      .limit(400)
+    assert(TimeTravel.commit(spark, root, base) === 0)
+    val physBefore = filesOf(TimeTravel.readAsOf(spark, root, 0))
+    assert(TimeTravel.renameColumn(spark, root, "o_totalprice", "total_usd") === 1)
+    // metadata-only: the snapshot's physical files are IDENTICAL
+    assert(filesOf(TimeTravel.readAsOfMapped(spark, root, 1)) === physBefore)
+    // the raw parquet still stores the OLD physical name
+    val rawCols = spark.read
+      .parquet(s"$root/data/${physBefore.head}").columns.toSet
+    assert(rawCols.contains("o_totalprice") && !rawCols.contains("total_usd"))
+    // the mapped snapshot presents the new logical name, values intact
+    val m1 = TimeTravel.readAsOfMapped(spark, root, 1)
+    assert(m1.columns.toSeq ===
+      Seq("o_orderkey", "o_orderpriority", "o_custkey", "total_usd"))
+    assert(m1.agg(sum(col("total_usd").cast("decimal(18,2)"))).head().get(0)
+      === base.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // the OLD snapshot keeps the old name forever
+    assert(TimeTravel.readAsOf(spark, root, 0).columns.contains("o_totalprice"))
+    // appends go THROUGH the mapping: stored physical, read logical
+    val extra = base.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      .withColumnRenamed("o_totalprice", "total_usd")
+    assert(TimeTravel.commitMapped(spark, root, extra) === 2)
+    val newFiles =
+      filesOf(TimeTravel.readAsOfMapped(spark, root, 2)) -- physBefore
+    assert(newFiles.nonEmpty)
+    val newRaw = spark.read.parquet(s"$root/data/${newFiles.head}").columns.toSet
+    assert(newRaw.contains("o_totalprice") && !newRaw.contains("total_usd"))
+    assert(TimeTravel.readAsOfMapped(spark, root, 2).count() === 450)
+    // DROP is metadata-only too; the re-ADD must read NULL everywhere
+    assert(TimeTravel.dropColumnMapped(spark, root, "o_custkey") === 3)
+    assert(!TimeTravel.readAsOfMapped(spark, root, 3).columns.contains("o_custkey"))
+    assert(filesOf(TimeTravel.readAsOfMapped(spark, root, 3))
+      === physBefore ++ newFiles)
+    assert(TimeTravel.addColumnMapped(spark, root, "o_custkey", "BIGINT") === 4)
+    val m4 = TimeTravel.readAsOfMapped(spark, root, 4)
+    assert(m4.agg(count(col("o_custkey"))).head().getLong(0) === 0L,
+      "re-added column resurrected dropped bytes")
+    // new appends CAN carry the re-added column; only they show values
+    assert(TimeTravel.commitMapped(spark, root,
+      extra.limit(20).withColumn("o_orderkey", col("o_orderkey") + 1000L)
+        .withColumn("o_custkey", lit(7L))
+        .select("o_orderkey", "o_orderpriority", "total_usd", "o_custkey")) === 5)
+    assert(TimeTravel.readAsOfMapped(spark, root, 5)
+      .agg(count(col("o_custkey"))).head().getLong(0) === 20L)
+    // checkpoint folds the mapping: resolution from the ckpt base matches
+    val cmBefore = TimeTravel.colmapAsOf(root, 5)
+    assert(cmBefore.nonEmpty)
+    TimeTravel.checkpoint(root)
+    assert(TimeTravel.colmapAsOf(root, 5) === cmBefore)
+    assert(TimeTravel.readAsOfMapped(spark, root, 5).count() === 470)
+    // guards: duplicate target and missing source refuse loudly
+    intercept[IllegalArgumentException](
+      TimeTravel.renameColumn(spark, root, "total_usd", "o_orderkey"))
+    intercept[IllegalArgumentException](
+      TimeTravel.renameColumn(spark, root, "nope", "x"))
+  }
+
+  test("q195 generated partitions: a date-range filter prunes to its months from metadata") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .limit(2000)
+    TimeTravel.commitPartitionedGeneratedMonth(spark, root, base, "o_date")
+    val months = base.select(date_format(col("o_date"), "yyyy-MM"))
+      .distinct().count()
+    val allFiles = filesOf(TimeTravel.readAsOf(spark, root, 0))
+    assert(allFiles.size === months, "expected one file per month")
+    val mn = base.agg(min("o_date")).head().getDate(0).toLocalDate
+    val (lo, hi) = (mn.plusDays(40).toString, mn.plusDays(99).toString)
+    val pruned = TimeTravel.readAsOfBetweenDates(spark, root, 0, "o_date", lo, hi)
+    // a ≤60-day window touches at most 3 calendar months
+    assert(filesOf(pruned).size <= 3,
+      s"generated-partition pruning opened ${filesOf(pruned).size} files")
+    val expect = base.filter(col("o_date").between(lo, hi))
+    assert(pruned.count() === expect.count())
+    assert(pruned.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+  }
+
+  test("q196 incremental clustering: only the landed-in cells rewrite; pruning and rows survive") {
+    val root = newRoot()
+    val base = orders.limit(800)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val evens = base.filter(col("o_orderkey") % 2 === 0)
+    TimeTravel.commitClustered(spark, root, evens, "o_orderkey", 8)
+    val before = filesOf(TimeTravel.readAsOf(spark, root, 0))
+    assert(before.size === 8)
+    // the append lands in the LOW quarter of the key range only
+    val cap = keys(keys.length / 4)
+    val slice = base.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_orderkey") <= cap)
+    assert(slice.count() > 0)
+    TimeTravel.commit(spark, root, slice)
+    val v = TimeTravel.compactClusteredIncremental(spark, root, "o_orderkey")
+    assert(v === 2)
+    val after = TimeTravel.readAsOf(spark, root, v)
+    val expect = evens.unionByName(slice)
+    assert(after.count() === expect.count())
+    assert(after.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // untouched cells keep their physical files: a low-quarter append
+    // overlaps ≤3 of 8 cells (boundary slack)
+    val kept = before.intersect(filesOf(after))
+    assert(before.size - kept.size <= 3,
+      s"incremental pass rewrote ${before.size - kept.size} of 8 cells")
+    // the fold recorded fresh stats: a HIGH range read scans few files
+    // and sees no folded row (they are all low keys)
+    val hiRange = TimeTravel.readAsOfWhere(spark, root, v, "o_orderkey",
+      keys(keys.length / 2), keys(keys.length - 1))
+    assert(filesOf(hiRange).size <= 6)
+    // nothing fresh: a second pass is a metadata no-op
+    assert(TimeTravel.compactClusteredIncremental(spark, root, "o_orderkey") === v)
+    // passes COMPOSE: a second narrow append (high range) folds in too
+    val cap2 = keys(3 * keys.length / 4)
+    val slice2 = base.filter(col("o_orderkey") % 2 === 1 &&
+      col("o_orderkey") > cap2)
+    TimeTravel.commit(spark, root, slice2)
+    val v2 = TimeTravel.compactClusteredIncremental(spark, root, "o_orderkey")
+    val all2 = TimeTravel.readAsOf(spark, root, v2)
+    assert(all2.count() === expect.count() + slice2.count())
+    // the nodata fold is invisible to the change feed: the delta of
+    // (v, v2] is exactly the appended slice
+    assert(TimeTravel.readChangesSince(spark, root, v, v2).count()
+      === slice2.count())
+  }
+
+  test("q172–q196 declared queries run green at the spec's scale factor") {
     Seq("q172_log_delete", "q173_log_compaction", "q174_log_restore",
       "q175_log_bloom_lookup", "q178_log_txn_stream", "q179_shallow_clone",
       "q180_log_history", "q181_log_partition_pruning",
       "q185_log_zorder", "q186_batch_changes", "q187_time_travel_ts",
       "q188_deletion_vectors", "q189_check_constraints",
       "q190_log_update", "q191_row_change_feed",
-      "q192_stream_row_changes", "q193_log_stream_sink").foreach { name =>
+      "q192_stream_row_changes", "q193_log_stream_sink",
+      "q194_column_mapping", "q195_generated_partitions",
+      "q196_incremental_clustering").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
     }
