@@ -220,6 +220,61 @@ object LakehouseOps extends QueryModule {
     root
   }
 
+  /** q197's table: the full orders projection range-clustered into 8 key
+    * cells with per-file log stats — the DSv2 file-skipping fixture. */
+  private[graft] def dsvClusteredTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_tt97_", s"q197:$d")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+    root
+  }
+
+  /** q198/q200's table: orders partitioned by priority through the log
+    * (one file per value, `=` pvals recorded), with a DATE column and a
+    * derived nullable column so footer null-counts are exercised. */
+  private[graft] def dsvPartitionedTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_tt98_", s"q198:$d")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commitPartitioned(s, root,
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("alt")),
+        "o_orderpriority")
+    root
+  }
+
+  /** q199's two sides: even / odd orders, both partitioned by priority —
+    * the co-partitioned layout a storage-partitioned join consumes. */
+  private[graft] def dsvSideTable(s: SparkSession, d: String,
+      even: Boolean): String = {
+    val tag = if (even) "e" else "o"
+    val root = WorkDirs.cached(s"graft_tt99${tag}_", s"q199$tag:$d")
+    if (TimeTravel.currentVersion(root) < 0)
+      TimeTravel.commitPartitioned(s, root,
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"))
+          .filter(col("o_orderkey") % 2 === (if (even) 0 else 1)),
+        "o_orderpriority")
+    root
+  }
+
+  private def dsv(s: SparkSession, root: String): DataFrame =
+    s.read.format(graft.sources.table.TableDataSource.NAME).load(root)
+
+  /** Run `body` with `confs` set, restoring every key afterwards — the
+    * q145 discipline for queries whose plan needs session flags. */
+  private def withConfs[T](s: SparkSession, confs: (String, String)*)
+      (body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val qs: Seq[Q] = Seq(
 
     // Q172 log-native DELETE: the middle key range is deleted by
@@ -809,6 +864,148 @@ object LakehouseOps extends QueryModule {
         val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
         prioAgg(TimeTravel.readAsOfWhere(s, root,
           TimeTravel.currentVersion(root), "o_orderkey", mx / 4, mx / 2))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q197 DSv2 SNAPSHOT scan with stats-based FILE SKIPPING: the commit
+    // log's snapshot served through a full TableProvider whose
+    // ScanBuilder turns pushed range filters into file pruning from log
+    // min/max stats alone — skipped files are never opened, every filter
+    // stays a row-level residual so semantics never change
+    // (TableSourceSpec pins opened-file counts and the PushedFilters
+    // plan line). Oracle: the same key window over the source table.
+    Q("q197_dsv2_file_skipping",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = dsvClusteredTable(s, d)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        prioAgg(dsv(s, root)
+          .filter(col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx / 2))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q198 DSv2 AGGREGATE pushdown: partition-grouped COUNT(*) /
+    // COUNT(col) / MIN / MAX answered from PARQUET FOOTERS — per-file row
+    // counts, null counts, typed column min/max — without assembling one
+    // record (TableSourceSpec pins zero row-scanned files and the
+    // PushedAggregation plan line). Partial-pushdown contract: one
+    // pre-aggregated row per partition value, Spark's final aggregation
+    // merges — the merge is distributed, a 100k-file table needs no
+    // driver-side footer pass. Oracle: the same aggregates over the
+    // source table (`alt` replayed as the mod-3 CASE).
+    Q("q198_dsv2_agg_pushdown",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  min(o_orderkey) AS klo, max(o_orderkey) AS khi,
+             |  count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS nalt,
+             |  min(CAST(o_orderdate AS DATE)) AS dlo,
+             |  max(CAST(o_orderdate AS DATE)) AS dhi
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = dsvPartitionedTable(s, d)
+        dsv(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min("o_orderkey").as("klo"), max("o_orderkey").as("khi"),
+            count(col("alt")).as("nalt"),
+            min("o_date").as("dlo"), max("o_date").as("dhi"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q199 STORAGE-PARTITIONED JOIN: two log tables co-partitioned on
+    // priority report KeyGroupedPartitioning(identity(o_orderpriority)),
+    // so under spark.sql.sources.v2.bucketing.enabled the even⋈odd
+    // same-customer join — keys (custkey, priority) ⊇ the partition
+    // key — aligns partitions by VALUE and shuffles NEITHER side; the
+    // grouped aggregate on the partition key reuses the same
+    // partitioning, so the whole join+agg is exchange-free
+    // (TableSourceSpec asserts zero ShuffleExchange). Runs eagerly inside
+    // the scoped confs (the q145 discipline: broadcast disabled so the
+    // SPJ path is the one measured, flags restored before returning).
+    // Oracle: the same even⋈odd join over the source table.
+    Q("q199_dsv2_spj",
+      Some("""WITH e AS (SELECT o_custkey, o_orderpriority, o_totalprice
+             |           FROM orders WHERE o_orderkey % 2 = 0),
+             |     o AS (SELECT o_custkey, o_orderpriority, o_totalprice
+             |           FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT e.o_orderpriority, count(*) AS pairs,
+             |  CAST(sum(CAST(e.o_totalprice AS DECIMAL(18,2))
+             |         + CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM e JOIN o ON e.o_custkey = o.o_custkey
+             |  AND e.o_orderpriority = o.o_orderpriority
+             |GROUP BY e.o_orderpriority ORDER BY e.o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val ev = dsvSideTable(s, d, even = true)
+        val od = dsvSideTable(s, d, even = false)
+        val rows = withConfs(s,
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+          val e = dsv(s, ev).select(col("o_custkey").as("ck"),
+            col("o_orderpriority").as("pr"),
+            col("o_totalprice").cast("decimal(18,2)").as("et"))
+          val o = dsv(s, od).select(col("o_custkey").as("ck2"),
+            col("o_orderpriority").as("pr2"),
+            col("o_totalprice").cast("decimal(18,2)").as("ot"))
+          e.join(o, col("ck") === col("ck2") && col("pr") === col("pr2"))
+            .groupBy(col("pr"))
+            .agg(count(lit(1)).as("pairs"),
+              sum(col("et") + col("ot")).cast("double").as("total"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "pairs", "total")
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q200 RUNTIME FILE PRUNING (DSv2 dynamic partition pruning): the dim
+    // side's 2-priority selection — a window over md5, deliberately
+    // opaque to static optimization — reaches the fact scan at EXECUTION
+    // time as an IN-set runtime filter, and whole partition-value groups
+    // are dropped before any file is opened (TableSourceSpec pins that
+    // only the surviving values' files are row-scanned). Eager inside
+    // scoped DPP flags (stats-free benefit estimate), restored before
+    // returning. Oracle: the same md5-ranked dim subset join.
+    Q("q200_dsv2_runtime_pruning",
+      Some("""WITH pr AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+             |     d AS (SELECT p FROM (SELECT p,
+             |             row_number() OVER (ORDER BY md5(p)) AS r FROM pr)
+             |           WHERE r <= 2)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders JOIN d ON o_orderpriority = d.p
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val root = dsvPartitionedTable(s, d)
+        val rows = withConfs(s,
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+            -> "false",
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+            -> "10") {
+          val dim = t(s, d, "orders")
+            .select(col("o_orderpriority").as("p")).distinct()
+            .withColumn("r", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(md5(col("p").cast("binary")))))
+            .filter(col("r") <= 2).select("p")
+          dsv(s, root)
+            .join(dim, col("o_orderpriority") === col("p"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").as("total"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total")
           .orderBy("o_orderpriority")
       })
   )

@@ -494,7 +494,7 @@ object TimeTravel extends QueryModule {
     * the fixture's key columns. Files resolved from a CHECKPOINT carry no
     * stats (checkpoints store file lists only) and simply stay
     * un-prunable — correct, just conservative. */
-  private def statsFor(root: String, gen: Int)
+  private[graft] def statsFor(root: String, gen: Int)
       : Map[(String, String), (Long, Long)] = {
     val (fs, commits, _) = listLog(root)
     commits.filter(_._1 <= gen).flatMap { case (_, f) =>
@@ -1592,7 +1592,7 @@ object TimeTravel extends QueryModule {
 
   /** The per-file partition VALUES visible at `gen` — the `=`-tagged
     * stats lines [[commitPartitioned]] records. */
-  private def pvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
+  private[graft] def pvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
     val (fs, commits, _) = listLog(root)
     commits.filter(_._1 <= gen).flatMap { case (_, f) =>
       parseArr(readBytes(fs, f), "stats").flatMap { line =>
@@ -2075,7 +2075,7 @@ object TimeTravel extends QueryModule {
     (files, tail.size)
   }
 
-  private def snapshotFiles(root: String, gen: Int): Seq[String] =
+  private[graft] def snapshotFiles(root: String, gen: Int): Seq[String] =
     resolveSnapshot(root, gen)._1
 
   /** The schema in force at generation `gen`: the newest commit ≤ gen

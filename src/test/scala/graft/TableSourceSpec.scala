@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeTravel
+import graft.sources.table.{TableDataSource, TableMetrics}
+
+/** The q197–q200 DSv2 snapshot-table surface: stats-based file skipping,
+  * footer-only aggregate pushdown, storage-partitioned joins, and
+  * runtime (DPP) file pruning over the commit log. */
+class TableSourceSpec extends SparkSpec {
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_ts_spec_").toString + "/t"
+
+  private def orders = Tables.table(spark, sf, "orders")
+    .select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  private def dsv(root: String): DataFrame =
+    spark.read.format(TableDataSource.NAME).load(root)
+
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // force, so AQE's final plan is the one inspected
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+  }
+
+  test("q197 file skipping: a range filter opens only stats-overlapping files") {
+    val root = newRoot()
+    val base = orders.limit(800)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 2))
+
+    TableMetrics.reset()
+    val got = dsv(root)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    val expect = base.filter(col("o_orderkey").between(lo, hi))
+    assert(got.count() === expect.count())
+    // a quarter-range window over 8 cells overlaps at most 4
+    val opened = TableMetrics.openedDataFiles.size()
+    assert(opened > 0 && opened <= 4,
+      s"file skipping opened $opened of 8 files")
+    // the skip is visible in the plan, and the filter stays a residual
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+    // exactness: values, not just counts
+    assert(got.agg(sum("o_orderkey")).head().getLong(0)
+      === expect.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
+  test("q197 equality on the partition value prunes to one value's files") {
+    val root = newRoot()
+    TimeTravel.commitPartitioned(spark, root, orders.limit(600),
+      "o_orderpriority")
+    val v = orders.limit(600).select("o_orderpriority")
+      .distinct().orderBy("o_orderpriority").head().getString(0)
+    TableMetrics.reset()
+    val got = dsv(root).filter(col("o_orderpriority") === v)
+    val n = got.count()
+    assert(n === orders.limit(600).filter(col("o_orderpriority") === v).count())
+    assert(TableMetrics.openedDataFiles.size() === 1,
+      s"partition-value pruning opened ${TableMetrics.openedDataFiles.size()}")
+  }
+
+  test("q198 aggregate pushdown answers from footers: zero row-scanned files") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_date"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("alt"))
+      .limit(900)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+
+    TableMetrics.reset()
+    val got = dsv(root).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("klo"), max("o_orderkey").as("khi"),
+        count(col("alt")).as("nalt"),
+        min("o_date").as("dlo"), max("o_date").as("dhi"))
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("footer aggregate"),
+      s"aggregate was not pushed:\n$plan")
+    val rows = got.collect()
+    assert(TableMetrics.openedDataFiles.isEmpty,
+      "aggregate pushdown row-scanned " +
+        s"${TableMetrics.openedDataFiles.size()} files")
+    assert(!TableMetrics.footerOnlyFiles.isEmpty)
+    // exactness vs the frame the table was built from
+    val expect = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("klo"), max("o_orderkey").as("khi"),
+        count(col("alt")).as("nalt"),
+        min("o_date").as("dlo"), max("o_date").as("dhi"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    rows.foreach { r =>
+      assert(expect(r.getString(0)) === r.toSeq.tail,
+        s"footer aggregate mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("q198 global (ungrouped) aggregate pushes down too") {
+    val root = newRoot()
+    val base = orders.limit(500)
+    TimeTravel.commit(spark, root, base)
+    TableMetrics.reset()
+    val r = dsv(root)
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("klo"),
+        max("o_orderkey").as("khi"),
+        min("o_orderpriority").as("plo"), max("o_orderpriority").as("phi"))
+      .head()
+    assert(TableMetrics.openedDataFiles.isEmpty)
+    val e = base.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+      min("o_orderpriority"), max("o_orderpriority")).head()
+    assert(r.toSeq === e.toSeq)
+  }
+
+  test("q198 unsupported aggregates fall back to the row scan, correctly") {
+    val root = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commit(spark, root, base)
+    TableMetrics.reset()
+    // SUM has no footer statistic: the source must refuse and Spark
+    // must scan rows
+    val r = dsv(root)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s")).head()
+    assert(!TableMetrics.openedDataFiles.isEmpty,
+      "sum cannot be footer-answered; the row scan must run")
+    assert(r.getDecimal(0) === base
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0))
+  }
+
+  test("q199 storage-partitioned join: co-partitioned tables join and aggregate with no exchange") {
+    val evRoot = newRoot(); val odRoot = newRoot()
+    val four = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .limit(1000)
+    TimeTravel.commitPartitioned(spark, evRoot,
+      four.filter(col("o_orderkey") % 2 === 0), "o_orderpriority")
+    TimeTravel.commitPartitioned(spark, odRoot,
+      four.filter(col("o_orderkey") % 2 === 1), "o_orderpriority")
+
+    def joined: DataFrame = {
+      val e = dsv(evRoot).select(col("o_custkey").as("ck"),
+        col("o_orderpriority").as("pr"),
+        col("o_totalprice").cast("decimal(18,2)").as("et"))
+      val o = dsv(odRoot).select(col("o_custkey").as("ck2"),
+        col("o_orderpriority").as("pr2"),
+        col("o_totalprice").cast("decimal(18,2)").as("ot"))
+      e.join(o, col("ck") === col("ck2") && col("pr") === col("pr2"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("pairs"),
+          sum(col("et") + col("ot")).as("total"))
+    }
+
+    val (spjRows, spjShuffles) = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = joined
+      (df.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq, shuffles(df))
+    }
+    assert(spjShuffles === 0,
+      s"storage-partitioned join still shuffled ($spjShuffles exchanges)")
+
+    // same rows as the plain (shuffling) plan
+    val plainRows = withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      joined.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+    }
+    assert(spjRows === plainRows)
+    assert(spjRows.nonEmpty)
+  }
+
+  test("q200 runtime pruning: the DPP IN-set drops partition groups before any file opens") {
+    val root = newRoot()
+    TimeTravel.commitPartitioned(spark, root, orders.limit(1000),
+      "o_orderpriority")
+    val nVals = orders.limit(1000)
+      .select("o_orderpriority").distinct().count().toInt
+    assert(nVals >= 3)
+
+    def run(): (Seq[(String, Long)], Int) = {
+      TableMetrics.reset()
+      val dim = orders.limit(1000)
+        .select(col("o_orderpriority").as("p")).distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(md5(col("p").cast("binary")))))
+        .filter(col("r") <= 2).select("p")
+      val got = dsv(root).join(dim, col("o_orderpriority") === col("p"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      val openedVals = {
+        import scala.jdk.CollectionConverters._
+        TableMetrics.openedDataFiles.asScala.toSet.size
+      }
+      (got, openedVals)
+    }
+
+    val (rows, opened) = withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+        -> "10") { run() }
+    assert(rows.size === 2)
+    assert(opened === 2,
+      s"runtime pruning opened $opened files, expected the 2 selected values'")
+    // exactness vs the source frame
+    val expect = orders.limit(1000).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { case (p, n) => assert(expect(p) === n) }
+  }
+
+  test("q197–q200 declared queries run green at the spec's scale factor") {
+    Seq("q197_dsv2_file_skipping", "q198_dsv2_agg_pushdown",
+      "q199_dsv2_spj", "q200_dsv2_runtime_pruning").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("deletion-vector snapshots refuse the DSv2 scan loudly") {
+    val root = newRoot()
+    val base = orders.limit(300)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val k = base.select("o_orderkey").orderBy("o_orderkey").head().getLong(0)
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", k, k)
+    val e = intercept[Exception] { dsv(root).count() }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+}
