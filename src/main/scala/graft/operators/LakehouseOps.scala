@@ -263,6 +263,24 @@ object LakehouseOps extends QueryModule {
   private def dsv(s: SparkSession, root: String): DataFrame =
     s.read.format(graft.sources.table.TableDataSource.NAME).load(root)
 
+  /** q203's table: two partitioned commits, so every priority's value
+    * group chains TWO files — the shape that shows a pushed LIMIT
+    * stopping the chain before the second file opens. */
+  private[graft] def dsvTwoCommitTable(s: SparkSession, d: String): String = {
+    val root = WorkDirs.cached("graft_tt203_", s"q203:$d")
+    if (TimeTravel.currentVersion(root) < 0) {
+      val o = orders3(s, d)
+      TimeTravel.commitPartitioned(s, root,
+        o.filter(col("o_orderkey") % 2 === 0), "o_orderpriority")
+      TimeTravel.commitPartitioned(s, root,
+        o.filter(col("o_orderkey") % 2 === 1), "o_orderpriority")
+    }
+    root
+  }
+
+  private[graft] val CatalogClass =
+    "graft.sources.table.GraftCatalog"
+
   /** Run `body` with `confs` set, restoring every key afterwards — the
     * q145 discipline for queries whose plan needs session flags. */
   private def withConfs[T](s: SparkSession, confs: (String, String)*)
@@ -1007,6 +1025,131 @@ object LakehouseOps extends QueryModule {
         }
         rows.toDF("o_orderpriority", "n", "total")
           .orderBy("o_orderpriority")
+      }),
+
+    // Q201 SQL CATALOG: the commit log served as a TableCatalog — the
+    // table is built ENTIRELY through SQL (CREATE TABLE = schema-only
+    // gen 0; each INSERT INTO = one atomic generation through the q193
+    // staged-commit write path), then read back by NAME with `VERSION AS
+    // OF` resolving the q157 snapshot machinery in SQL. Catalog metadata
+    // IS the filesystem log — no second metastore to drift. Eager inside
+    // the scoped catalog confs (the q145 discipline). Oracle: the
+    // midpoint split replayed over the source table.
+    Q("q201_sql_catalog",
+      Some("""WITH src AS (SELECT o_orderkey,
+             |                    CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |     m AS (SELECT max(o_orderkey)//2 AS mid FROM src),
+             |     v1 AS (SELECT 'v1' AS tag, count(*) AS n,
+             |              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |                AS total
+             |            FROM src, m WHERE o_orderkey <= m.mid),
+             |     v2 AS (SELECT 'v2' AS tag, count(*) AS n,
+             |              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |                AS total
+             |            FROM src)
+             |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+             |ORDER BY tag""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat_", s"q201:$d")
+        val rows = withConfs(s,
+          "spark.sql.catalog.graft_cat" -> CatalogClass,
+          "spark.sql.catalog.graft_cat.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(s"$wh/orders_t") < 0) {
+            val mid =
+              t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0) / 2
+            orders3(s, d)
+              .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice").cast("double").as("o_totalprice"))
+              .createOrReplaceTempView("q201_src")
+            s.sql("""CREATE TABLE graft_cat.orders_t (
+                    |  o_orderkey BIGINT, o_orderpriority STRING,
+                    |  o_totalprice DOUBLE)""".stripMargin)
+            s.sql("INSERT INTO graft_cat.orders_t " +
+              s"SELECT * FROM q201_src WHERE o_orderkey <= $mid")
+            s.sql("INSERT INTO graft_cat.orders_t " +
+              s"SELECT * FROM q201_src WHERE o_orderkey > $mid")
+          }
+          s.sql(
+            """SELECT 'v1' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM graft_cat.orders_t VERSION AS OF 1
+              |UNION ALL
+              |SELECT 'v2' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM graft_cat.orders_t""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("tag", "n", "total").orderBy("tag")
+      }),
+
+    // Q202 REPORTED STATISTICS → automatic broadcast: the DSv2 scan
+    // reports its PRUNED byte size (one data-dir listing, per-file sizes
+    // summed over the surviving files), so Catalyst broadcasts the
+    // filtered window without a hint — a stats-less DSv2 scan defaults to
+    // "never broadcast", which at 100 TB turns every dim join into a
+    // full shuffle (TableSourceSpec pins the hint-free
+    // BroadcastHashJoin). Oracle: the same eighth-window self-join.
+    Q("q202_dsv2_stats_broadcast",
+      Some("""WITH p AS (SELECT max(o_orderkey)*3//8 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders),
+             |     w AS (SELECT o_orderkey, o_totalprice FROM orders, p
+             |           WHERE o_orderkey BETWEEN p.lo AND p.hi)
+             |SELECT o.o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(w.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS wtotal
+             |FROM orders o JOIN w ON o.o_orderkey = w.o_orderkey
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o.o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = dsvClusteredTable(s, d)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val w = dsv(s, root)
+          .filter(col("o_orderkey") >= mx * 3 / 8 &&
+            col("o_orderkey") <= mx / 2)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("wp"))
+        t(s, d, "orders").join(w, col("o_orderkey") === col("k"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("wp").cast("decimal(18,2)")).cast("double").as("wtotal"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q203 LIMIT pushdown: each split stops emitting — and stops OPENING
+    // files — once it has produced the pushed row count; Spark applies
+    // the global limit across splits (partial-pushdown contract, so
+    // semantics never change). On the two-commit fixture every value
+    // group chains two files and the second is never opened
+    // (TableSourceSpec pins opened ≤ one per group). Oracle: the only
+    // order-independent fact about a LIMIT — its row count.
+    Q("q203_dsv2_limit_pushdown",
+      Some("SELECT least(1000, count(*)) AS n FROM orders"),
+      (s, d) => {
+        val root = dsvTwoCommitTable(s, d)
+        dsv(s, root).limit(1000).agg(count(lit(1)).as("n"))
+      }),
+
+    // Q204 `_file` METADATA COLUMN: every row can name the committed
+    // file it came from (parquet's `_metadata.file_name`, served through
+    // `SupportsMetadataColumns`); it rides the reader's constant-fill
+    // path — never part of the parquet projection, zero extra IO. The
+    // clustered fixture has exactly 8 cells, so the distinct-file count
+    // is layout-pinned. Oracle: the pinned cell count + source row count.
+    Q("q204_dsv2_file_metadata",
+      Some("""SELECT CAST(8 AS BIGINT) AS nfiles, count(*) AS nrows
+             |FROM orders""".stripMargin),
+      (s, d) => {
+        val root = dsvClusteredTable(s, d)
+        dsv(s, root)
+          .select(col(graft.sources.table.FileMetaColumn.NAME),
+            col("o_orderkey"))
+          .agg(count_distinct(col(graft.sources.table.FileMetaColumn.NAME))
+            .as("nfiles"),
+            count(lit(1)).as("nrows"))
       })
   )
 }

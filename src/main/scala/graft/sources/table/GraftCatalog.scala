@@ -1,0 +1,176 @@
+package graft.sources.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TimeTravel
+import graft.sources.cdf.CdfWriteBuilder
+
+/** The commit log as a SQL CATALOG (`TableCatalog`): registered under
+  * `spark.sql.catalog.<name> = graft.sources.table.GraftCatalog` with a
+  * `.warehouse` directory, every commit-log table below that directory
+  * resolves by NAME —
+  *
+  * {{{
+  *   CREATE TABLE cat.orders_t (o_orderkey BIGINT, ...)   -- gen 0, schema-only
+  *   INSERT INTO cat.orders_t SELECT ...                  -- one atomic generation
+  *   SELECT ... FROM cat.orders_t                         -- current snapshot
+  *   SELECT ... FROM cat.orders_t VERSION AS OF 1         -- q157 time travel, in SQL
+  *   SELECT ... FROM cat.orders_t TIMESTAMP AS OF '...'   -- q187 resolution, in SQL
+  * }}}
+  *
+  * Reads resolve through [[GraftLogTable]] — file skipping, footer
+  * aggregates, SPJ, runtime pruning and the `_file` metadata column all
+  * apply to catalog-resolved tables unchanged. Writes go through the
+  * q193 staged-commit path ([[CdfWriteBuilder]]): executors stage plain
+  * parquet, the driver validates constraints and lands ONE atomic
+  * generation per save — so `INSERT INTO` is transactional and every
+  * earlier generation stays readable via `VERSION AS OF`. Time-traveled
+  * loads are read-only: writing to a historical snapshot is refused
+  * loudly (the log's history is immutable).
+  *
+  * Catalog metadata is the FILESYSTEM: a table exists iff its directory
+  * carries a `_graft_log`, so there is no second metastore to drift out
+  * of sync with the log, and `listTables` is one directory listing.
+  *
+  * Reference: Javier009/eCommerce_Data_Pipeline's Redshift_Queries
+  * SQL files address warehouse tables by NAME through a catalog; this
+  * is that resolution layer over the engine's own table format.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  /** Single flat namespace: `cat.tbl` (or the session's `USE cat`) —
+    * every table is a directory directly under the warehouse. */
+  private def rootFor(ident: Identifier): String = {
+    require(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("default")),
+      s"graft catalog '$catName': flat namespace only, got ${ident}")
+    require(!ident.name().contains("/") && !ident.name().startsWith("."),
+      s"graft catalog '$catName': bad table name ${ident.name()}")
+    s"$warehouse/${ident.name()}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(warehouse)
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).collect {
+      case st if st.isDirectory &&
+          TimeTravel.currentVersion(st.getPath.toString) >= 0 =>
+        Identifier.of(Array.empty, st.getPath.getName)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TimeTravel.currentVersion(rootFor(ident)) >= 0
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None)
+
+  /** `VERSION AS OF <g>` — the generation number, verbatim. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toInt))
+
+  /** `TIMESTAMP AS OF <ts>` — DSv2 hands MICROSECONDS since the epoch;
+    * resolution is the q187 contract (newest commit at-or-before). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Some(TimeTravel.versionAtTime(rootFor(ident),
+      timestamp / 1000L)))
+
+  private def load(ident: Identifier, gen: Option[Int]): Table = {
+    val root = rootFor(ident)
+    val live = TimeTravel.currentVersion(root)
+    if (live < 0) throw new NoSuchTableException(ident)
+    val g = gen.getOrElse(live)
+    require(g >= 0 && g <= live,
+      s"graft catalog: generation $g out of range [0, $live] for $ident")
+    val schema = TimeTravel.schemaAsOf(root, g).getOrElse(
+      SparkSession.active.read.parquet(s"$root/data").schema)
+    CatalogLogTable(schema, root, g, writable = gen.isEmpty)
+  }
+
+  /** CREATE TABLE: a schema-only generation 0 — the same commit shape as
+    * any other, so the log IS the table's existence. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported here — partition " +
+        "through the log's commitPartitioned/commitClustered layouts")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      Seq(catName, ident.name()))
+    TimeTravel.commitStagedFiles(SparkSession.active, rootFor(ident),
+      Nil, schema.toDDL)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is the log's schema-evolution commit " +
+        "path (TimeTravel.commit with a widened schema), not a catalog op")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = new Path(rootFor(ident))
+    val fs = root.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    TimeTravel.currentVersion(root.toString) >= 0 && fs.delete(root, true)
+  }
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: rename is not supported")
+}
+
+/** A catalog-resolved log table: [[GraftLogTable]]'s full read surface
+  * plus the q193 transactional write path. `writable = false` marks a
+  * time-traveled load — history is immutable, writes refuse. */
+final case class CatalogLogTable(tableSchema: StructType, root: String,
+    gen: Int, writable: Boolean)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
+
+  // scan-side state (file set, stats, partition values) resolves lazily:
+  // a pure INSERT never pays for it
+  private lazy val readSide = GraftLogTable(tableSchema, root, gen)
+
+  override def name(): String = s"graft:$root@$gen"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = readSide.partitioning()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
+  override def metadataColumns(): Array[MetadataColumn] =
+    readSide.metadataColumns()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    readSide.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"graft catalog: snapshot $gen of $root is a time-traveled read — " +
+        "history is immutable, write to the current table instead")
+    new CdfWriteBuilder(info.schema(), root, info.queryId())
+  }
+}

@@ -3,10 +3,10 @@ package graft.sources.table
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering, HasPartitionKey}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, HasPartitionKey}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -112,8 +112,18 @@ object TableMetrics {
   def reset(): Unit = { openedDataFiles.clear(); footerOnlyFiles.clear() }
 }
 
+/** The `_file` metadata column: the committed file name each row was
+  * read from — the DSv2 equivalent of parquet's `_metadata.file_name`. */
+object FileMetaColumn extends MetadataColumn {
+  val NAME = "_file"
+  override def name(): String = NAME
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "committed log file this row came from"
+}
+
 final case class GraftLogTable(tableSchema: StructType, root: String,
-    gen: Int) extends Table with SupportsRead {
+    gen: Int) extends Table with SupportsRead with SupportsMetadataColumns {
 
   // the snapshot's file set and its log metadata, resolved ONCE per table
   private[table] val files: Seq[String] = TimeTravel.snapshotFiles(root, gen)
@@ -121,6 +131,23 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     TimeTravel.statsFor(root, gen)
   private[table] val pvals: Map[String, (String, String)] =
     TimeTravel.pvalsFor(root, gen)
+
+  /** File sizes from ONE `listStatus` of the data directory (absolute
+    * shallow-clone references fall back to a per-file stat) — the
+    * [[SnapshotScan]]'s `estimateStatistics` source, so Catalyst sees the
+    * PRUNED scan size and broadcasts a small (or well-filtered) table
+    * without hints. */
+  private[table] lazy val fileSizes: Map[String, Long] = {
+    val dir = new Path(s"$root/data")
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val listed = fs.listStatus(dir)
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    files.map { f =>
+      f -> listed.getOrElse(f,
+        fs.getFileStatus(new Path(TimeTravel.dataPath(root, f))).getLen)
+    }.toMap
+  }
 
   require(TimeTravel.dvsFor(root, gen).isEmpty,
     s"table: snapshot $gen of $root carries live deletion vectors — " +
@@ -143,6 +170,8 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     partCol.map(c => Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(FileMetaColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableScanBuilder(this,
@@ -153,16 +182,25 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = table.tableSchema
   private var accepted: Array[Filter] = Array.empty
   private var aggSchema: Option[StructType] = None
   private var aggSpecs: Seq[AggSpec] = Nil
   private var aggGrouped: Boolean = false
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown, PARTIALLY: each split stops emitting — and stops
+    * OPENING files — once it has produced `n` rows; Spark still applies
+    * the global limit across splits. A `LIMIT 10` over a million-file
+    * table opens at most one file per surviving split. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept comparison filters usable for FILE skipping (long-typed
     * range stats; string equality on the partition value); return ALL
@@ -224,7 +262,7 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
     false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (!aggEnabled || accepted.nonEmpty) return false
+    if (!aggEnabled || accepted.nonEmpty || limit.isDefined) return false
     val grouped = aggregation.groupByExpressions() match {
       case Array() => false
       case Array(FieldRef(c)) if table.partCol.contains(c) => true
@@ -274,7 +312,9 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
   override def build(): Scan = aggSchema match {
     case Some(sch) =>
       new FooterAggScan(table, sch, aggSpecs, aggGrouped, keptFiles)
-    case None => new SnapshotScan(table, required, keptFiles)
+    case None =>
+      new SnapshotScan(table, required, keptFiles,
+        limit.getOrElse(Int.MaxValue))
   }
 }
 
@@ -312,9 +352,10 @@ final case class AggPartition(files: Seq[String], group: Option[String])
   * Runtime V2 filters (DPP IN-sets on the partition column) drop value
   * groups before planning. */
 final class SnapshotScan(table: GraftLogTable, required: StructType,
-    files0: Seq[String])
+    files0: Seq[String], limit: Int = Int.MaxValue)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
 
   @volatile private var files: Seq[String] = files0
 
@@ -322,6 +363,19 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft log snapshot ${table.root}@${table.gen}"
+
+  /** The PRUNED scan's byte size, from one data-dir listing — what lets
+    * Catalyst broadcast a dimension (or a well-filtered fact window)
+    * without hints. A DSv2 scan with no statistics defaults to
+    * `defaultSizeInBytes` = "never broadcast", which at 100 TB turns
+    * every dim join into a shuffle. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.iterator.map(table.fileSizes).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   /** Partition-value groups, sorted by value — stable split planning. */
   private def groups: Seq[(String, Seq[String])] =
@@ -389,12 +443,13 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory(required, table.root,
+    SnapshotReaderFactory(required, table.root, limit,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class SnapshotReaderFactory(schema: StructType, root: String,
+    limit: Int,
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
@@ -404,28 +459,36 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
       case KeyedPartition(fl, _) => fl
       case other => throw new IllegalArgumentException(s"table: $other")
     }
-    new ChainedReader(fs.map(f => TimeTravel.dataPath(root, f)), schema,
-      conf.value)
+    new ChainedReader(fs, schema, root, limit, conf.value)
   }
 }
 
 /** Sequential per-file readers (the q186 parquet record reader), chained
-  * over one split's files. */
-final class ChainedReader(paths: Seq[String], schema: StructType,
-    conf: org.apache.hadoop.conf.Configuration)
+  * over one split's files. A pushed LIMIT stops the chain — files past
+  * the limit are never opened. The `_file` metadata column, when
+  * requested, rides the reader's constant-fill path: it costs nothing
+  * and is never part of the parquet projection. */
+final class ChainedReader(names: Seq[String], schema: StructType,
+    root: String, limit: Int, conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
-  private val it = paths.iterator
+  private val wantsFile = schema.fieldNames.contains(FileMetaColumn.NAME)
+  private val it = names.iterator
   private var cur: CdfPartitionReader = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        val p = it.next()
+        val f = it.next()
+        val p = TimeTravel.dataPath(root, f)
         TableMetrics.openedDataFiles.add(p)
-        cur = new CdfPartitionReader(p, schema, conf)
+        val fill =
+          if (wantsFile) Map(FileMetaColumn.NAME -> f) else Map.empty[String, String]
+        cur = new CdfPartitionReader(p, schema, conf, fill)
       }
-      if (cur.next()) return true
+      if (cur.next()) { emitted += 1; return true }
       cur.close(); cur = null // fall through to the next file
     }
     false // unreachable

@@ -229,11 +229,111 @@ class TableSourceSpec extends SparkSpec {
     rows.foreach { case (p, n) => assert(expect(p) === n) }
   }
 
-  test("q197–q200 declared queries run green at the spec's scale factor") {
+  test("q197–q204 declared queries run green at the spec's scale factor") {
     Seq("q197_dsv2_file_skipping", "q198_dsv2_agg_pushdown",
-      "q199_dsv2_spj", "q200_dsv2_runtime_pruning").foreach { name =>
+      "q199_dsv2_spj", "q200_dsv2_runtime_pruning",
+      "q201_sql_catalog", "q202_dsv2_stats_broadcast",
+      "q203_dsv2_limit_pushdown", "q204_dsv2_file_metadata").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q201 catalog: SQL DDL round-trip, version + timestamp travel, immutable history") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec_").toString
+    withConfs(
+      "spark.sql.catalog.tcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.tcat.warehouse" -> wh) {
+      orders.limit(600).createOrReplaceTempView("cat_spec_src")
+      spark.sql("""CREATE TABLE tcat.t (o_orderkey BIGINT,
+                  |  o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+      spark.sql("INSERT INTO tcat.t SELECT * FROM cat_spec_src WHERE o_orderkey % 2 = 0")
+      spark.sql("INSERT INTO tcat.t SELECT * FROM cat_spec_src WHERE o_orderkey % 2 = 1")
+
+      val n0 = spark.sql("SELECT count(*) FROM tcat.t VERSION AS OF 0").head().getLong(0)
+      val n1 = spark.sql("SELECT count(*) FROM tcat.t VERSION AS OF 1").head().getLong(0)
+      val n2 = spark.sql("SELECT count(*) FROM tcat.t").head().getLong(0)
+      assert(n0 === 0L) // CREATE TABLE is a schema-only generation
+      assert(n1 > 0 && n2 === 600L && n1 < n2)
+
+      // TIMESTAMP AS OF resolves through versionAtTime (micros → gen)
+      val nts = spark.sql(
+        "SELECT count(*) FROM tcat.t TIMESTAMP AS OF '2100-01-01 00:00:00'")
+        .head().getLong(0)
+      assert(nts === n2)
+
+      // history is immutable: a time-traveled load refuses writes
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO tcat.t VERSION AS OF 1 SELECT * FROM cat_spec_src")
+      }
+      assert(e.getMessage.toLowerCase.contains("immutable")
+        || e.getMessage.toLowerCase.contains("version"))
+
+      // catalog metadata IS the filesystem: list + drop
+      assert(spark.sql("SHOW TABLES IN tcat").collect()
+        .map(_.getString(1)).contains("t"))
+      spark.sql("DROP TABLE tcat.t")
+      assert(spark.sql("SHOW TABLES IN tcat").collect().isEmpty)
+    }
+  }
+
+  test("q202 reported statistics: the pruned window broadcasts with no hint") {
+    val root = newRoot()
+    val base = orders.limit(1000)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(keys.length * 3 / 8), keys(keys.length / 2))
+    val w = dsv(root)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("wp"))
+    val joined = base.join(w, col("o_orderkey") === col("k"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reported statistics did not trigger a broadcast:\n$plan")
+  }
+
+  test("q203 limit pushdown: the chain stops before a group's later files open") {
+    val root = newRoot()
+    val base = orders.limit(800)
+    TimeTravel.commitPartitioned(spark, root,
+      base.filter(col("o_orderkey") % 2 === 0), "o_orderpriority")
+    TimeTravel.commitPartitioned(spark, root,
+      base.filter(col("o_orderkey") % 2 === 1), "o_orderpriority")
+    val nGroups = base.select("o_orderpriority").distinct().count().toInt
+    val total = base.count()
+
+    TableMetrics.reset()
+    val n = dsv(root).limit(5).count()
+    assert(n === 5L)
+    val opened = TableMetrics.openedDataFiles.size()
+    assert(opened <= nGroups,
+      s"limit pushdown opened $opened files; each of the $nGroups groups " +
+        "should stop after its first")
+
+    // a limit beyond the table is the full count (partial-push semantics)
+    assert(dsv(root).limit(100000).count() === total)
+  }
+
+  test("q204 _file metadata column: layout-pinned distinct count, hidden from star") {
+    val root = newRoot()
+    val base = orders.limit(640)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val df = dsv(root)
+    assert(!df.columns.contains("_file")) // hidden from SELECT *
+    val r = df.select(col("_file"), col("o_orderkey"))
+      .agg(count_distinct(col("_file")).as("nf"), count(lit(1)).as("n")).head()
+    assert(r.getLong(0) === 8L, s"expected 8 cells, got ${r.getLong(0)}")
+    assert(r.getLong(1) === 640L)
+    // per-file key ranges are disjoint (clustered layout), provable
+    // entirely from (_file, key) pairs
+    val ranges = df.select(col("_file"), col("o_orderkey"))
+      .groupBy("_file").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(x => (x.getLong(1), x.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, h1), (l2, _)) => assert(h1 < l2)
+      case _ => ()
     }
   }
 

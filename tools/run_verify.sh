@@ -8,4 +8,4 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do AO="$AO --add-opens $p=ALL-UNNAMED"; done
 exec java $AO -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
   -cp "/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*" \
-  graft.Verify "$1" "$2"
+  graft.Verify "$@"
