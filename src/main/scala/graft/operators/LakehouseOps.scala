@@ -1150,6 +1150,194 @@ object LakehouseOps extends QueryModule {
           .agg(count_distinct(col(graft.sources.table.FileMetaColumn.NAME))
             .as("nfiles"),
             count(lit(1)).as("nrows"))
+      }),
+
+    // Q205 SQL METADATA DELETE: `DELETE FROM cat.t WHERE p = min` on a
+    // partitioned log table cuts exactly along file boundaries, so the
+    // delete is ONE remove-only commit — zero rows scanned, zero bytes
+    // rewritten, old snapshots intact (Delta's partition delete;
+    // TableSourceSpec pins the zero-scan and the unaligned fallback).
+    // Oracle: the same aggregate excluding the min priority.
+    Q("q205_sql_metadata_delete",
+      Some("""WITH mp AS (SELECT min(o_orderpriority) AS p FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders, mp WHERE o_orderpriority <> mp.p
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat205_", s"q205:$d")
+        val root = s"$wh/pt"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitPartitioned(s, root, orders3(s, d),
+            "o_orderpriority")
+        val minP = t(s, d, "orders").agg(min("o_orderpriority"))
+          .head().getString(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat205" -> CatalogClass,
+          "spark.sql.catalog.gcat205.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql(s"DELETE FROM gcat205.pt WHERE o_orderpriority = '$minP'")
+          s.sql(
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat205.pt GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
+      }),
+
+    // Q206 SQL `INSERT OVERWRITE … PARTITION (…)`: a static-partition
+    // overwrite retires exactly the replaced value's files and adds the
+    // new rows in ONE atomic commit (`SupportsOverwrite` with the
+    // FileSkip alignment check) — other partitions' physical files are
+    // untouched (spec-pinned), a replaced partition is never absent from
+    // any readable snapshot. The min priority's prices are rewritten
+    // doubled. Oracle: the same CASE-doubled aggregate over the source.
+    Q("q206_sql_insert_overwrite",
+      Some("""WITH mp AS (SELECT min(o_orderpriority) AS p FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN o_orderpriority = mp.p
+             |                     THEN o_totalprice * 2
+             |                     ELSE o_totalprice END
+             |           AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, mp GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat206_", s"q206:$d")
+        val root = s"$wh/ot"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitPartitioned(s, root, orders3(s, d),
+            "o_orderpriority")
+        val minP = t(s, d, "orders").agg(min("o_orderpriority"))
+          .head().getString(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat206" -> CatalogClass,
+          "spark.sql.catalog.gcat206.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1) {
+            orders3(s, d).filter(col("o_orderpriority") === minP)
+              .select(col("o_orderkey"),
+                (col("o_totalprice") * 2).as("o_totalprice"))
+              .createOrReplaceTempView("q206_src")
+            s.sql("INSERT OVERWRITE gcat206.ot " +
+              s"PARTITION (o_orderpriority = '$minP') " +
+              "SELECT o_orderkey, o_totalprice FROM q206_src")
+          }
+          s.sql(
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat206.ot GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
+      }),
+
+    // Q207 SQL `MERGE INTO` (copy-on-write row-level op): matched keys in
+    // the quarter window update their price (+1000), keys shifted past
+    // the max insert as new rows — the runtime group filter (IN over
+    // `_file`) bounds the rewrite to the files the window actually
+    // touches, untouched cells keep their physical files (spec-pinned).
+    // Cost ∝ touched files, never the table. Oracle: the same
+    // update+insert replayed over the source.
+    Q("q207_sql_merge",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     upd AS (SELECT o_orderkey, o_orderpriority,
+             |               CASE WHEN o_orderkey BETWEEN mx//4 AND mx//2
+             |                    THEN o_totalprice + 1000
+             |                    ELSE o_totalprice END AS o_totalprice
+             |             FROM orders, p),
+             |     ins AS (SELECT o_orderkey + mx + 1 AS o_orderkey,
+             |               o_orderpriority, o_totalprice + 1000
+             |                 AS o_totalprice
+             |             FROM orders, p WHERE o_orderkey <= mx//16),
+             |     allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM allr GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat207_", s"q207:$d")
+        val root = s"$wh/mt"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat207" -> CatalogClass,
+          "spark.sql.catalog.gcat207.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1) {
+            val o = orders3(s, d)
+            o.filter(col("o_orderkey") >= mx / 4 &&
+                col("o_orderkey") <= mx / 2)
+              .select(col("o_orderkey").as("k"),
+                col("o_orderpriority").as("p"),
+                (col("o_totalprice") + 1000).as("price"))
+              .unionAll(o.filter(col("o_orderkey") <= mx / 16)
+                .select((col("o_orderkey") + mx + 1).as("k"),
+                  col("o_orderpriority").as("p"),
+                  (col("o_totalprice") + 1000).as("price")))
+              .createOrReplaceTempView("q207_src")
+            s.sql(
+              """MERGE INTO gcat207.mt t USING q207_src s
+                |ON t.o_orderkey = s.k
+                |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+                |WHEN NOT MATCHED THEN INSERT
+                |  (o_orderkey, o_orderpriority, o_totalprice)
+                |  VALUES (s.k, s.p, s.price)""".stripMargin)
+          }
+          s.sql(
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat207.mt GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
+      }),
+
+    // Q208 SQL `UPDATE` through the same copy-on-write path: the pushed
+    // range filter statically prunes non-overlapping cells, the rewrite
+    // commit retires only the touched files. Oracle: the CASE replay.
+    Q("q208_sql_update",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN o_orderkey BETWEEN mx//8 AND mx//4
+             |                     THEN o_totalprice + 500
+             |                     ELSE o_totalprice END
+             |           AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat208_", s"q208:$d")
+        val root = s"$wh/ut"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat208" -> CatalogClass,
+          "spark.sql.catalog.gcat208.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("UPDATE gcat208.ut SET o_totalprice = o_totalprice + 500 " +
+              s"WHERE o_orderkey BETWEEN ${mx / 8} AND ${mx / 4}")
+          s.sql(
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat208.ut GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
       })
   )
 }

@@ -417,21 +417,50 @@ final case class CdfWriteMsg(tmp: String, rows: Long)
   * parquet temps under `<root>/stage-stream/`; the DRIVER's commit
   * validates CHECK constraints against the staged rows and publishes
   * through the log's atomic claim — never a rename-in-place, never a
-  * partially-visible epoch. */
+  * partially-visible epoch.
+  *
+  * FILTERED OVERWRITE (`INSERT OVERWRITE … PARTITION (…)`, static mode):
+  * legal iff the filters cut exactly along file boundaries
+  * ([[graft.sources.table.FileSkip]] over the log's stats and partition
+  * values); the overwrite is then retire-the-full-files + add-the-new in
+  * ONE atomic commit — a replaced partition is never absent from any
+  * readable snapshot. Unaligned filters refuse at `canOverwrite`. The
+  * remove set is resolved at COMMIT time against the then-current
+  * generation, so a commit that raced in between is either honored or
+  * flagged as a remove-conflict by the claim — never silently dropped. */
 final class CdfWriteBuilder(writeSchema: StructType, root: String,
     queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var doTruncate = false
+  private var overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] =
+    None
+
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
+
+  override def canOverwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val gen = TimeTravel.currentVersion(root)
+    gen < 0 || graft.sources.table.FileSkip.aligned(
+      TimeTravel.snapshotFiles(root, gen), TimeTravel.statsFor(root, gen),
+      TimeTravel.pvalsFor(root, gen), filters.toSeq)
+  }
+
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwriteFilters = Some(filters.toSeq)
+    this
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
-        new CdfBatchWrite(writeSchema, root, doTruncate)
+        new CdfBatchWrite(writeSchema, root, doTruncate, overwriteFilters)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new CdfStreamingWrite(writeSchema, root, queryId)
@@ -512,7 +541,8 @@ final class CdfDataWriter(schema: StructType, tmp: String,
   * save; truncate mode retires the whole current snapshot in the SAME
   * commit (a log-native overwrite — old generations stay readable). */
 final class CdfBatchWrite(schema: StructType, root: String,
-    truncate: Boolean)
+    truncate: Boolean,
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -529,13 +559,24 @@ final class CdfBatchWrite(schema: StructType, root: String,
       .partition(_.rows > 0)
     val fs = new Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
-    val removed =
-      if (!truncate) Nil
-      else {
-        val gen = TimeTravel.currentVersion(root)
-        if (gen < 0) Nil
-        else TimeTravel.resolveSnapshot(root, gen)._1
-      }
+    val gen = TimeTravel.currentVersion(root)
+    val removed = overwriteFilters match {
+      case Some(flts) if gen >= 0 =>
+        // filtered overwrite: retire the files the (file-aligned)
+        // predicate fully covers, in the SAME commit that adds the
+        // replacements; AlwaysTrue degenerates to a full overwrite
+        val files = TimeTravel.snapshotFiles(root, gen)
+        val stats = TimeTravel.statsFor(root, gen)
+        val pvals = TimeTravel.pvalsFor(root, gen)
+        require(graft.sources.table.FileSkip.aligned(files, stats, pvals, flts),
+          s"cdf sink: overwrite filters $flts no longer cut along file " +
+            s"boundaries at generation $gen of $root")
+        graft.sources.table.FileSkip.full(files, stats, pvals, flts)
+      case Some(_) => Nil // first write into an empty log
+      case None if truncate && gen >= 0 =>
+        TimeTravel.resolveSnapshot(root, gen)._1
+      case None => Nil
+    }
     TimeTravel.commitStagedFiles(SparkSession.active, root,
       live.map(_.tmp).toSeq, schema.toDDL, removed = removed)
     ()

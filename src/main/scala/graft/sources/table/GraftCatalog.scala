@@ -3,10 +3,11 @@ package graft.sources.table
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -143,12 +144,16 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** A catalog-resolved log table: [[GraftLogTable]]'s full read surface
-  * plus the q193 transactional write path. `writable = false` marks a
-  * time-traveled load — history is immutable, writes refuse. */
+  * plus the q193 transactional write path, SQL `DELETE` (metadata-only
+  * when the predicate is file-aligned; copy-on-write otherwise),
+  * `UPDATE` and `MERGE INTO` (group-based row-level ops, see
+  * [[RowLevelOps]]). `writable = false` marks a time-traveled load —
+  * history is immutable, writes refuse. */
 final case class CatalogLogTable(tableSchema: StructType, root: String,
     gen: Int, writable: Boolean)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with SupportsDelete with SupportsRowLevelOperations {
 
   // scan-side state (file set, stats, partition values) resolves lazily:
   // a pure INSERT never pays for it
@@ -160,7 +165,7 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def metadataColumns(): Array[MetadataColumn] =
     readSide.metadataColumns()
 
@@ -168,9 +173,46 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
     readSide.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(writable,
-      s"graft catalog: snapshot $gen of $root is a time-traveled read — " +
-        "history is immutable, write to the current table instead")
+    requireWritable()
     new CdfWriteBuilder(info.schema(), root, info.queryId())
+  }
+
+  private def requireWritable(): Unit = require(writable,
+    s"graft catalog: snapshot $gen of $root is a time-traveled read — " +
+      "history is immutable, write to the current table instead")
+
+  /** METADATA-ONLY DELETE: legal iff the predicate cuts exactly along
+    * file boundaries ([[FileSkip.aligned]] over log stats and partition
+    * values — e.g. a whole partition value, or a key range covering
+    * whole clustered cells). The delete is then ONE remove-only commit:
+    * zero rows scanned, zero bytes rewritten, old snapshots intact —
+    * Delta's partition-delete. Anything unaligned refuses here and
+    * Spark falls back to the copy-on-write row-level path. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && FileSkip.aligned(readSide.files, readSide.stats,
+      readSide.pvals, filters.toSeq)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable()
+    val removed = FileSkip.full(readSide.files, readSide.stats,
+      readSide.pvals, filters.toSeq)
+    TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
+      tableSchema.toDDL, removed = removed)
+    ()
+  }
+
+  /** SQL `TRUNCATE TABLE`: retire the whole current snapshot in one
+    * commit — a metadata op; every prior generation stays readable. */
+  override def truncateTable(): Boolean = {
+    requireWritable()
+    TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
+      tableSchema.toDDL, removed = readSide.files)
+    true
+  }
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder = {
+    requireWritable()
+    new GraftRowLevelOperationBuilder(root, gen, tableSchema, info)
   }
 }

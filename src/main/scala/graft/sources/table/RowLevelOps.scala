@@ -1,0 +1,216 @@
+package graft.sources.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.TimeTravel
+import graft.sources.cdf.{CdfWriteMsg, CdfWriterFactory}
+
+/** COPY-ON-WRITE row-level SQL — `DELETE FROM` / `UPDATE` / `MERGE INTO`
+  * against a catalog log table, through Spark's group-based
+  * `SupportsRowLevelOperations`:
+  *
+  *  1. Spark SCANS the candidate files with [[RowOpScan]]. Static filter
+  *     pushdown prunes non-overlapping files from log stats
+  *     ([[FileSkip]]), and the runtime GROUP filter — an `IN` over the
+  *     `_file` metadata column, computed from the rows the condition
+  *     actually matches — drops every untouched file before one byte of
+  *     it is rewritten.
+  *  2. Spark rewrites the surviving groups' rows (carryover + updated +
+  *     merged + inserted) and hands them to [[ReplaceGroupsWrite]]:
+  *     executors stage plain parquet (the q193 writer) and the driver
+  *     lands ONE atomic commit that REMOVES exactly the files the scan
+  *     planned and ADDS the rewrites. Readers see the old snapshot or
+  *     the new one, never between; the remove set is conflict-checked at
+  *     claim time (r12), so a racing compaction cannot double-retire a
+  *     file; every earlier generation stays readable via `VERSION AS OF`.
+  *
+  * Rewrite cost is ∝ touched files, never the table: a MERGE whose keys
+  * land in 2 of 100k files rewrites 2 files. Aligned predicates never
+  * reach this path at all — `OptimizeMetadataOnlyDeleteFromTable`
+  * resolves them through [[CatalogLogTable]]'s metadata `deleteWhere`
+  * first, so copy-on-write is the fallback for predicates that cut
+  * through files, exactly Delta/Iceberg's split.
+  *
+  * Reference: Javier009/eCommerce_Data_Pipeline's nightly re-loads imply
+  * upsert-by-key into the warehouse — `MERGE INTO` is that operation's
+  * SQL form over the engine's own table format.
+  */
+final class GraftRowLevelOperationBuilder(root: String, gen: Int,
+    tableSchema: StructType, info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(root, gen, tableSchema, info.command())
+}
+
+final class GraftRowLevelOperation(root: String, gen: Int,
+    tableSchema: StructType, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** The files the (runtime-filtered) scan finally planned — what the
+    * write's commit retires. Written by [[RowOpScan.planInputPartitions]]
+    * (planning strictly precedes the write's commit); `null` means the
+    * scan never planned, which a commit must refuse. */
+  @volatile private[table] var planned: Seq[String] = _
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft copy-on-write $cmd $root@$gen"
+
+  /** `_file` is how Spark groups rows back to their file and what the
+    * runtime group filter filters on. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(FileMetaColumn.NAME))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RowOpScanBuilder(this, GraftLogTable(tableSchema, root, gen))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!info.schema().fieldNames.contains(FileMetaColumn.NAME),
+      "row-level write schema unexpectedly carries the _file metadata " +
+        "column — the replacement rows must be table-schema rows")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ReplaceGroupsWrite(GraftRowLevelOperation.this, root,
+            info.schema())
+      }
+    }
+  }
+}
+
+/** The candidate scan: filter pushdown for static file pruning, column
+  * pruning, per-FILE splits (the replace granularity), and the `_file`
+  * runtime group filter. */
+final class RowOpScanBuilder(op: GraftRowLevelOperation,
+    table: GraftLogTable)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = table.tableSchema
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def statable(c: String) = table.stats.keys.exists(_._2 == c)
+    def pvaled(c: String) = table.partCol.contains(c)
+    accepted = filters.filter {
+      case org.apache.spark.sql.sources.GreaterThan(c, _: java.lang.Long) =>
+        statable(c)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, _: java.lang.Long) =>
+        statable(c)
+      case org.apache.spark.sql.sources.LessThan(c, _: java.lang.Long) =>
+        statable(c)
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, _: java.lang.Long) =>
+        statable(c)
+      case org.apache.spark.sql.sources.EqualTo(c, _: java.lang.Long) =>
+        statable(c)
+      case org.apache.spark.sql.sources.EqualTo(c, _: String) => pvaled(c)
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        pvaled(c) && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters // all residual: pruning may never change row semantics
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new RowOpScan(op, table, required,
+    FileSkip.kept(table.files, table.stats, table.pvals, accepted.toSeq))
+}
+
+final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
+    required: StructType, files0: Seq[String])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[String] = files0
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft row-level candidate scan ${table.root}@${table.gen}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(FileMetaColumn.NAME))
+
+  /** The runtime GROUP filter: Spark evaluates the operation's condition
+    * once, collects the distinct `_file` values it touched, and hands
+    * them here as an IN-set — files outside it are neither rewritten nor
+    * even opened. Unrecognized predicates are ignored (the filter is an
+    * optimization; correctness is the rewrite's). */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(String.valueOf(l.value()))
+      case _ => None
+    }
+    predicates.foreach { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.length >= 2 &&
+            FieldRef.unapply(kids(0)).contains(FileMetaColumn.NAME) =>
+          val vals = kids.drop(1).flatMap(lit).toSet
+          if (vals.size == kids.length - 1)
+            files = files.filter(vals)
+        case "=" if kids.length == 2 =>
+          (FieldRef.unapply(kids(0)), lit(kids(1))) match {
+            case (Some(FileMetaColumn.NAME), Some(v)) =>
+              files = files.filter(_ == v)
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.planned = files // planning precedes the write's commit
+    files.sorted.map(f => FilePartition(Seq(f)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(required, table.root, Int.MaxValue,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** The replacement write: staged parquet from every task, ONE atomic
+  * commit retiring exactly the scanned files. */
+final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
+    schema: StructType) extends BatchWrite {
+
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = CdfWriterFactory(schema, root, confB)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val removed = Option(op.planned).getOrElse(throw new IllegalStateException(
+      "row-level commit before its candidate scan planned — nothing to replace"))
+    val (live, empty) = messages.collect { case m: CdfWriteMsg => m }
+      .partition(_.rows > 0)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
+    empty.foreach(m => fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false))
+    TimeTravel.commitStagedFiles(SparkSession.active, root,
+      live.map(_.tmp).toSeq, schema.toDDL, removed = removed)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
+    messages.collect { case m: CdfWriteMsg =>
+      fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false)
+    }
+    ()
+  }
+}

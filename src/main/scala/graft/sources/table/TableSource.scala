@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, HasPartitionKey}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -225,33 +225,10 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
   override def pushedFilters(): Array[Filter] = accepted
 
   /** The snapshot files surviving the accepted filters — resolved from
-    * log metadata alone. A file with no stats for a filtered column is
-    * kept, conservatively. */
-  private def keptFiles: Seq[String] = {
-    def overlap(f: String, c: String)(p: (Long, Long) => Boolean) =
-      table.stats.get((f, c)).forall { case (lo, hi) => p(lo, hi) }
-    def pv(f: String, c: String)(p: String => Boolean) =
-      table.pvals.get(f).forall { case (pc, v) => pc != c || p(v) }
-    accepted.foldLeft(table.files) { (fs, flt) =>
-      flt match {
-        case GreaterThan(c, v: java.lang.Long) =>
-          fs.filter(overlap(_, c)((_, hi) => hi > v))
-        case GreaterThanOrEqual(c, v: java.lang.Long) =>
-          fs.filter(overlap(_, c)((_, hi) => hi >= v))
-        case LessThan(c, v: java.lang.Long) =>
-          fs.filter(overlap(_, c)((lo, _) => lo < v))
-        case LessThanOrEqual(c, v: java.lang.Long) =>
-          fs.filter(overlap(_, c)((lo, _) => lo <= v))
-        case EqualTo(c, v: java.lang.Long) =>
-          fs.filter(overlap(_, c)((lo, hi) => lo <= v && v <= hi))
-        case EqualTo(c, v: String) => fs.filter(pv(_, c)(_ == v))
-        case In(c, vs) =>
-          val set = vs.collect { case s: String => s }.toSet
-          fs.filter(pv(_, c)(set))
-        case _ => fs
-      }
-    }
-  }
+    * log metadata alone ([[FileSkip]]). A file with no stats for a
+    * filtered column is kept, conservatively. */
+  private def keptFiles: Seq[String] =
+    FileSkip.kept(table.files, table.stats, table.pvals, accepted.toSeq)
 
   /** Partial aggregate pushdown from parquet footers. Supported: no
     * group-by, or group-by exactly the table's partition column;
@@ -315,6 +292,108 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
     case None =>
       new SnapshotScan(table, required, keptFiles,
         limit.getOrElse(Int.MaxValue))
+  }
+}
+
+/** Tri-state classification of a snapshot file against a conjunction of
+  * V1 filters, from LOG METADATA alone (per-file min-max stats and `=`
+  * partition values):
+  *
+  *  - `Full`: every row of the file satisfies every filter
+  *  - `None_`: no row can satisfy the conjunction
+  *  - `Partial`: mixed or unknown (missing stats, unsupported filter)
+  *
+  * One classification serves three consumers: scan-time FILE SKIPPING
+  * keeps everything ≠ `None_`; metadata DELETE / filtered OVERWRITE are
+  * legal only when NO file is `Partial` (file-aligned predicates) and
+  * then remove exactly the `Full` files; row-level copy-on-write uses
+  * `kept` to bound its candidate set. `Full` trusts the recorded stats
+  * to describe every row — the log's writers record stats for the
+  * layout KEY (range-cell or partition), which places each row by a
+  * non-null key, so a stat-covered column carries no nulls; a file with
+  * NO stats for a filtered column is `Partial`, never `Full`. */
+private[graft] object FileSkip {
+  sealed trait State
+  case object Full extends State
+  case object None_ extends State
+  case object Partial extends State
+
+  private def one(stats: Map[(String, String), (Long, Long)],
+      pvals: Map[String, (String, String)], f: String,
+      flt: Filter): State = {
+    def range(c: String)(full: (Long, Long) => Boolean)
+        (none: (Long, Long) => Boolean): State =
+      stats.get((f, c)) match {
+        case Some((lo, hi)) =>
+          if (full(lo, hi)) Full else if (none(lo, hi)) None_ else Partial
+        case None => Partial
+      }
+    def pv(c: String)(matches: String => Boolean): State =
+      pvals.get(f) match {
+        case Some((pc, v)) if pc == c => if (matches(v)) Full else None_
+        case _ => Partial
+      }
+    flt match {
+      case AlwaysTrue() => Full
+      case GreaterThan(c, v: java.lang.Long) =>
+        range(c)((lo, _) => lo > v)((_, hi) => hi <= v)
+      case GreaterThanOrEqual(c, v: java.lang.Long) =>
+        range(c)((lo, _) => lo >= v)((_, hi) => hi < v)
+      case LessThan(c, v: java.lang.Long) =>
+        range(c)((_, hi) => hi < v)((lo, _) => lo >= v)
+      case LessThanOrEqual(c, v: java.lang.Long) =>
+        range(c)((_, hi) => hi <= v)((lo, _) => lo > v)
+      case EqualTo(c, v: java.lang.Long) =>
+        range(c)((lo, hi) => lo == v && hi == v)((lo, hi) => v < lo || v > hi)
+      case EqualTo(c, v: String) => pv(c)(_ == v)
+      // a static PARTITION (c = 'x') overwrite arrives null-safe; for a
+      // non-null literal it is EqualTo (partition values are never null)
+      case EqualNullSafe(c, v: java.lang.Long) if v != null =>
+        range(c)((lo, hi) => lo == v && hi == v)((lo, hi) => v < lo || v > hi)
+      case EqualNullSafe(c, v: String) if v != null => pv(c)(_ == v)
+      case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.collect { case s: String => s }.toSet
+        pv(c)(set)
+      case _ => Partial
+    }
+  }
+
+  /** The conjunction's state per file: any `None_` conjunct kills the
+    * file; all-`Full` is `Full`; anything else is `Partial`. */
+  def classify(files: Seq[String],
+      stats: Map[(String, String), (Long, Long)],
+      pvals: Map[String, (String, String)],
+      filters: Seq[Filter]): Map[String, State] =
+    files.map { f =>
+      val states = filters.map(one(stats, pvals, f, _))
+      f -> (if (states.contains(None_)) None_
+            else if (states.forall(_ == Full)) Full
+            else Partial)
+    }.toMap
+
+  /** Scan-time skipping: every file the conjunction might touch. */
+  def kept(files: Seq[String], stats: Map[(String, String), (Long, Long)],
+      pvals: Map[String, (String, String)], filters: Seq[Filter])
+      : Seq[String] = {
+    val c = classify(files, stats, pvals, filters)
+    files.filter(c(_) != None_)
+  }
+
+  /** File-aligned iff no file is `Partial` — the metadata-DELETE /
+    * filtered-OVERWRITE legality test. */
+  def aligned(files: Seq[String],
+      stats: Map[(String, String), (Long, Long)],
+      pvals: Map[String, (String, String)], filters: Seq[Filter]): Boolean =
+    !classify(files, stats, pvals, filters).values.exists(_ == Partial)
+
+  /** The files every row of which matches — what an aligned DELETE or
+    * OVERWRITE retires. */
+  def full(files: Seq[String],
+      stats: Map[(String, String), (Long, Long)],
+      pvals: Map[String, (String, String)], filters: Seq[Filter])
+      : Seq[String] = {
+    val c = classify(files, stats, pvals, filters)
+    files.filter(c(_) == Full)
   }
 }
 

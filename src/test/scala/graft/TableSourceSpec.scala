@@ -337,6 +337,130 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("q205 metadata delete: remove-only commit, zero rows scanned; unaligned falls back to copy-on-write") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec2_").toString
+    val root = s"$wh/pt"
+    val base = orders.limit(800)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+    val before = TimeTravel.snapshotFiles(root, 0).toSet
+    val minP = base.agg(min("o_orderpriority")).head().getString(0)
+    withConfs(
+      "spark.sql.catalog.dcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.dcat.warehouse" -> wh) {
+
+      TableMetrics.reset()
+      spark.sql(s"DELETE FROM dcat.pt WHERE o_orderpriority = '$minP'")
+      assert(TableMetrics.openedDataFiles.isEmpty,
+        "an aligned DELETE must be metadata-only: " +
+          s"${TableMetrics.openedDataFiles.size()} files were row-scanned")
+      val afterAligned = TimeTravel.snapshotFiles(root, 1).toSet
+      assert(afterAligned.subsetOf(before), "metadata delete added files")
+      assert((before -- afterAligned).nonEmpty)
+      val n1 = spark.sql("SELECT count(*) FROM dcat.pt").head().getLong(0)
+      assert(n1 === base.filter(col("o_orderpriority") =!= minP).count())
+
+      // unaligned predicate (a key range cutting through files): the
+      // copy-on-write row-level path rewrites, result stays exact
+      val keys = base.filter(col("o_orderpriority") =!= minP)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val cut = keys(keys.length / 2)
+      spark.sql(s"DELETE FROM dcat.pt WHERE o_orderkey <= $cut")
+      val n2 = spark.sql("SELECT count(*) FROM dcat.pt").head().getLong(0)
+      assert(n2 === base.filter(col("o_orderpriority") =!= minP)
+        .filter(col("o_orderkey") > cut).count())
+      // old snapshots stayed readable through both deletes
+      assert(spark.sql("SELECT count(*) FROM dcat.pt VERSION AS OF 0")
+        .head().getLong(0) === base.count())
+
+      // TRUNCATE: one metadata commit, history intact
+      spark.sql("TRUNCATE TABLE dcat.pt")
+      assert(spark.sql("SELECT count(*) FROM dcat.pt").head().getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM dcat.pt VERSION AS OF 2")
+        .head().getLong(0) === n2)
+    }
+  }
+
+  test("q206 filtered INSERT OVERWRITE: replaced value's files retired, others' untouched") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec3_").toString
+    val root = s"$wh/ot"
+    val base = orders.limit(700)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+    val minP = base.agg(min("o_orderpriority")).head().getString(0)
+    val before = TimeTravel.snapshotFiles(root, 0).toSet
+    withConfs(
+      "spark.sql.catalog.ocat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.ocat.warehouse" -> wh) {
+      base.filter(col("o_orderpriority") === minP)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+        .createOrReplaceTempView("ow_spec_src")
+      spark.sql("INSERT OVERWRITE ocat.ot " +
+        s"PARTITION (o_orderpriority = '$minP') " +
+        "SELECT o_orderkey, o_totalprice FROM ow_spec_src")
+      val after = TimeTravel.snapshotFiles(root, 1).toSet
+      // exactly one file (the value's) retired; every other physical
+      // file survived; the replacement is new
+      assert((before -- after).size === 1)
+      assert((after & before).size === before.size - 1)
+      val got = spark.sql(
+        s"SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM ocat.ot " +
+          s"WHERE o_orderpriority = '$minP'").head().getDecimal(0)
+      val expect = base.filter(col("o_orderpriority") === minP)
+        .agg(sum((col("o_totalprice") * 2).cast("decimal(18,2)")))
+        .head().getDecimal(0)
+      assert(got === expect)
+    }
+  }
+
+  test("q207 MERGE INTO: the runtime group filter bounds the rewrite to touched cells") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec4_").toString
+    val root = s"$wh/mt"
+    val base = orders.limit(800)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length * 3 / 8))
+    val mx = keys.last
+    val before = TimeTravel.snapshotFiles(root, 0).toSet
+    withConfs(
+      "spark.sql.catalog.mcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.mcat.warehouse" -> wh) {
+      base.filter(col("o_orderkey").between(lo, hi))
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+          (col("o_totalprice") + 1000).as("price"))
+        .unionAll(base.limit(20)
+          .select((col("o_orderkey") + mx + 1).as("k"),
+            col("o_orderpriority").as("p"), col("o_totalprice").as("price")))
+        .createOrReplaceTempView("mg_spec_src")
+      spark.sql("""MERGE INTO mcat.mt t USING mg_spec_src s
+                  |ON t.o_orderkey = s.k
+                  |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+                  |WHEN NOT MATCHED THEN INSERT
+                  |  (o_orderkey, o_orderpriority, o_totalprice)
+                  |  VALUES (s.k, s.p, s.price)""".stripMargin)
+      val after = TimeTravel.snapshotFiles(root, 1).toSet
+      val rewritten = (before -- after).size
+      // an eighth-wide key window over 8 range cells touches at most 3
+      assert(rewritten >= 1 && rewritten <= 3,
+        s"merge rewrote $rewritten of ${before.size} files")
+      assert((after & before).size === before.size - rewritten,
+        "untouched cells must keep their physical files")
+      // exactness: updates landed, inserts landed, carryover intact
+      val n = spark.sql("SELECT count(*) FROM mcat.mt").head().getLong(0)
+      assert(n === base.count() + 20)
+      val bumped = spark.sql(
+        s"SELECT count(*) FROM mcat.mt WHERE o_orderkey BETWEEN $lo AND $hi")
+        .head().getLong(0)
+      assert(bumped === base.filter(col("o_orderkey").between(lo, hi)).count())
+    }
+  }
+
+  test("q205–q208 declared queries run green at the spec's scale factor") {
+    Seq("q205_sql_metadata_delete", "q206_sql_insert_overwrite",
+      "q207_sql_merge", "q208_sql_update").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
   test("deletion-vector snapshots refuse the DSv2 scan loudly") {
     val root = newRoot()
     val base = orders.limit(300)
