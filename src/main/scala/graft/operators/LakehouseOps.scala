@@ -1338,6 +1338,126 @@ object LakehouseOps extends QueryModule {
             .toSeq
         }
         rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
+      }),
+
+    // Q209 SQL `ALTER TABLE ADD COLUMNS` — schema evolution as a
+    // metadata-only commit: the column gets a FRESH physical name under
+    // the q194 mapping (a re-added name can never resurrect dropped
+    // bytes), pre-evolution files null-fill it (schema-on-read), and the
+    // post-evolution INSERT writes it through the mapping. Zero data
+    // bytes move at ALTER time. Oracle: first half bonus-less, second
+    // half bonus = price * 2 (exact in binary64), replayed over the
+    // source.
+    Q("q209_sql_alter_add_column",
+      Some("""WITH src AS (SELECT o_orderkey,
+             |               CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |     m AS (SELECT max(o_orderkey)//2 AS mid FROM src)
+             |SELECT count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  count(CASE WHEN o_orderkey > m.mid THEN 1 END) AS nbonus,
+             |  CAST(sum(CASE WHEN o_orderkey > m.mid
+             |                THEN CAST(price * 2 AS DECIMAL(18,2)) END)
+             |       AS DOUBLE) AS bonus_total
+             |FROM src, m""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat209_", s"q209:$d")
+        val root = s"$wh/et"
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat209" -> CatalogClass,
+          "spark.sql.catalog.gcat209.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            val mid =
+              t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0) / 2
+            t(s, d, "orders")
+              .select(col("o_orderkey"),
+                col("o_totalprice").cast("double").as("price"))
+              .createOrReplaceTempView("q209_src")
+            s.sql("CREATE TABLE gcat209.et (o_orderkey BIGINT, price DOUBLE)")
+            s.sql("INSERT INTO gcat209.et SELECT * FROM q209_src " +
+              s"WHERE o_orderkey <= $mid")
+            s.sql("ALTER TABLE gcat209.et ADD COLUMNS (bonus DOUBLE)")
+            s.sql("INSERT INTO gcat209.et " +
+              "SELECT o_orderkey, price, price * 2 FROM q209_src " +
+              s"WHERE o_orderkey > $mid")
+          }
+          s.sql(
+            """SELECT count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+              |  count(bonus) AS nbonus,
+              |  CAST(sum(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS bonus_total
+              |FROM gcat209.et""".stripMargin)
+            .collect().map(r =>
+              (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+            .toSeq
+        }
+        rows.toDF("n", "total", "nbonus", "bonus_total")
+      }),
+
+    // Q210 SQL `ALTER TABLE RENAME COLUMN` over the clustered layout —
+    // the q194 zero-movement rename, SQL-native and fully integrated:
+    // parquet keeps the physical name, reads project to the new logical
+    // name, the post-rename INSERT stores its bytes under the ORIGINAL
+    // physical name (files on both sides of the rename stay
+    // byte-compatible), file skipping on the untouched key column still
+    // prunes (spec pins it), and `VERSION AS OF 0` answers under the OLD
+    // name forever. Oracle: base + re-inserted low-key slice, +7.
+    Q("q210_sql_alter_rename",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     allr AS (SELECT o_orderkey,
+             |                CAST(o_totalprice AS DOUBLE) AS price
+             |              FROM orders
+             |              UNION ALL
+             |              SELECT o_orderkey + mx + 1,
+             |                CAST(o_totalprice AS DOUBLE) + 7
+             |              FROM orders, p WHERE o_orderkey <= mx//16),
+             |     cur AS (SELECT 'cur' AS tag, count(*) AS n,
+             |               CAST(sum(CAST(price AS DECIMAL(18,2)))
+             |                    AS DOUBLE) AS total
+             |             FROM allr),
+             |     v0 AS (SELECT 'v0' AS tag, count(*) AS n,
+             |              CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+             |                   AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |            FROM orders)
+             |SELECT * FROM cur UNION ALL SELECT * FROM v0
+             |ORDER BY tag""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat210_", s"q210:$d")
+        val root = s"$wh/rt"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root,
+            t(s, d, "orders").select(col("o_orderkey"),
+              col("o_totalprice").cast("double").as("o_totalprice")),
+            "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat210" -> CatalogClass,
+          "spark.sql.catalog.gcat210.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 2) {
+            s.sql("ALTER TABLE gcat210.rt RENAME COLUMN o_totalprice TO price")
+            t(s, d, "orders").filter(col("o_orderkey") <= mx / 16)
+              .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+                (col("o_totalprice").cast("double") + 7).as("price"))
+              .createOrReplaceTempView("q210_src")
+            s.sql("INSERT INTO gcat210.rt SELECT * FROM q210_src")
+          }
+          val cur = s.sql(
+            """SELECT 'cur' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat210.rt""".stripMargin)
+          val v0 = s.sql(
+            """SELECT 'v0' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat210.rt VERSION AS OF 0""".stripMargin)
+          cur.unionAll(v0)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("tag", "n", "total").orderBy("tag")
       })
   )
 }

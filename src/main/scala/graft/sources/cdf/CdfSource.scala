@@ -274,10 +274,16 @@ object CdfMetrics {
   * column types only (the engine's output canon:
   * BIGINT/INT/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE). */
 final class CdfPartitionReader(file: String, schema: StructType,
-    conf: Configuration, fill: Map[String, String] = Map.empty)
+    conf: Configuration, fill: Map[String, String] = Map.empty,
+    colmap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
+
+  // q194 column mapping: the requested schema is LOGICAL, the file's
+  // fields are PHYSICAL — project and look up under the physical name,
+  // emit under the logical position
+  private def physName(c: String): String = colmap.getOrElse(c, c)
 
   // rowFeed constant columns, converted once to their Catalyst values:
   // `_change_type = insert` for plain data files, `_commit_version` for
@@ -302,7 +308,8 @@ final class CdfPartitionReader(file: String, schema: StructType,
 
   private val projection: org.apache.parquet.schema.MessageType = {
     import scala.jdk.CollectionConverters._
-    val want = schema.fields.map(_.name).toSet -- fill.keySet
+    val want = schema.fields.map(_.name).filterNot(fill.contains)
+      .map(physName).toSet
     new org.apache.parquet.schema.MessageType(fileSchema.getName,
       fileSchema.getFields.asScala.filter(f => want(f.getName)).asJava)
   }
@@ -332,8 +339,10 @@ final class CdfPartitionReader(file: String, schema: StructType,
   private def convert(g: org.apache.parquet.example.data.Group): InternalRow = {
     if (fieldIdx == null) {
       val t = g.getType
-      fieldIdx = schema.fields.map(f =>
-        if (t.containsField(f.name)) t.getFieldIndex(f.name) else -1)
+      fieldIdx = schema.fields.map { f =>
+        val p = physName(f.name)
+        if (t.containsField(p)) t.getFieldIndex(p) else -1
+      }
     }
     val vals = new Array[Any](schema.length)
     var i = 0
@@ -383,28 +392,48 @@ final class CdfPartitionReader(file: String, schema: StructType,
   * (BIGINT/INT/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE) mapped to a parquet
   * message type, written executor-side through parquet-java's example
   * record API — the exact mirror of [[CdfPartitionReader]]'s read path. */
-private[cdf] object CdfParquet {
+private[sources] object CdfParquet {
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-  def messageType(schema: StructType): MessageType = {
+  /** The write schema with every field NULLABLE: the schema a write LOGS
+    * must describe the TABLE, and one insert's non-nullable literals
+    * (`INSERT … VALUES`) must never narrow it — a falsely-NOT-NULL
+    * column lets Catalyst rewrite `count(col)` into `count(*)` and
+    * breaks later null-filling appends. */
+  def nullable(schema: StructType): StructType =
+    StructType(schema.fields.map(_.copy(nullable = true)))
+
+  /** `colmap` (q194 column mapping, logical → physical): files are
+    * STORED under the physical names so bytes on both sides of a rename
+    * stay compatible; values are positional, only the field names map. */
+  def messageType(schema: StructType,
+      colmap: Map[String, String] = Map.empty): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
+      val n = colmap.getOrElse(f.name, f.name)
       f.dataType match {
-        case LongType => b.optional(INT64).named(f.name)
-        case IntegerType => b.optional(INT32).named(f.name)
-        case DoubleType => b.optional(DOUBLE).named(f.name)
-        case FloatType => b.optional(FLOAT).named(f.name)
-        case BooleanType => b.optional(BOOLEAN).named(f.name)
+        case LongType => b.optional(INT64).named(n)
+        case IntegerType => b.optional(INT32).named(n)
+        case DoubleType => b.optional(DOUBLE).named(n)
+        case FloatType => b.optional(FLOAT).named(n)
+        case BooleanType => b.optional(BOOLEAN).named(n)
         case StringType => b.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+          .as(LogicalTypeAnnotation.stringType()).named(n)
         case DateType => b.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+          .as(LogicalTypeAnnotation.dateType()).named(n)
         case other => throw new IllegalArgumentException(
           s"cdf sink: unsupported column type $other for ${f.name}")
       }
     }
     b.named("graft_cdf")
+  }
+
+  /** The current logical→physical mapping for a write into `root` —
+    * empty on unmapped tables and fresh logs. */
+  def writeColmap(root: String): Map[String, String] = {
+    val gen = TimeTravel.currentVersion(root)
+    if (gen < 0) Map.empty else TimeTravel.colmapAsOf(root, gen)
   }
 }
 
@@ -444,9 +473,14 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
   override def canOverwrite(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val gen = TimeTravel.currentVersion(root)
-    gen < 0 || graft.sources.table.FileSkip.aligned(
-      TimeTravel.snapshotFiles(root, gen), TimeTravel.statsFor(root, gen),
-      TimeTravel.pvalsFor(root, gen), filters.toSeq)
+    gen < 0 || {
+      val cm = TimeTravel.colmapAsOf(root, gen)
+      graft.sources.table.FileSkip.aligned(
+        TimeTravel.snapshotFiles(root, gen), TimeTravel.statsFor(root, gen),
+        TimeTravel.pvalsFor(root, gen),
+        graft.sources.table.FileSkip.mapCols(filters.toSeq,
+          c => cm.getOrElse(c, c)))
+    }
   }
 
   override def overwrite(
@@ -468,27 +502,29 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
 }
 
 final case class CdfWriterFactory(schema: StructType, root: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    colmap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // batch: (partition, task) keeps a retried attempt's temp distinct
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CdfDataWriter(schema,
-      s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value)
+      s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value,
+      colmap)
   // streaming: the epoch joins the name — a replayed epoch's temps never
   // collide with the failed attempt's
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CdfDataWriter(schema,
       s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
-      conf.value)
+      conf.value, colmap)
 }
 
 final class CdfDataWriter(schema: StructType, tmp: String,
-    conf: Configuration)
+    conf: Configuration, colmap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val msgType = CdfParquet.messageType(schema)
+  private val msgType = CdfParquet.messageType(schema, colmap)
   private val writer = {
     val c = new Configuration(conf)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msgType, c)
@@ -550,7 +586,7 @@ final class CdfBatchWrite(schema: StructType, root: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    CdfWriterFactory(schema, root, confB)
+    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root))
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -561,10 +597,13 @@ final class CdfBatchWrite(schema: StructType, root: String,
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
     val gen = TimeTravel.currentVersion(root)
     val removed = overwriteFilters match {
-      case Some(flts) if gen >= 0 =>
+      case Some(flts0) if gen >= 0 =>
         // filtered overwrite: retire the files the (file-aligned)
         // predicate fully covers, in the SAME commit that adds the
         // replacements; AlwaysTrue degenerates to a full overwrite
+        val cm = TimeTravel.colmapAsOf(root, gen)
+        val flts = graft.sources.table.FileSkip.mapCols(flts0,
+          c => cm.getOrElse(c, c))
         val files = TimeTravel.snapshotFiles(root, gen)
         val stats = TimeTravel.statsFor(root, gen)
         val pvals = TimeTravel.pvalsFor(root, gen)
@@ -578,7 +617,7 @@ final class CdfBatchWrite(schema: StructType, root: String,
       case None => Nil
     }
     TimeTravel.commitStagedFiles(SparkSession.active, root,
-      live.map(_.tmp).toSeq, schema.toDDL, removed = removed)
+      live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL, removed = removed)
     ()
   }
   override def abort(
@@ -608,7 +647,7 @@ final class CdfStreamingWrite(schema: StructType, root: String,
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    CdfWriterFactory(schema, root, confB)
+    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root))
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -618,7 +657,7 @@ final class CdfStreamingWrite(schema: StructType, root: String,
     val fs = new Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
     TimeTravel.commitStagedTxn(SparkSession.active, root,
-      live.map(_.tmp).toSeq, schema.toDDL, s"cdf-sink-$queryId", epochId)
+      live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL, s"cdf-sink-$queryId", epochId)
     ()
   }
   override def abort(epochId: Long,

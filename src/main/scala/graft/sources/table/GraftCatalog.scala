@@ -126,10 +126,42 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is the log's schema-evolution commit " +
-        "path (TimeTravel.commit with a widened schema), not a catalog op")
+  /** ALTER TABLE as METADATA-ONLY commits — zero data bytes move:
+    *
+    *  - `ADD COLUMNS`: a fresh PHYSICAL name under the q194 column
+    *    mapping, so a re-added name never resurrects a dropped column's
+    *    old bytes; existing files null-fill (schema-on-read).
+    *  - `RENAME COLUMN`: the parquet files keep the physical name, the
+    *    logged schema carries the new logical one; reads, writes, file
+    *    skipping and footer aggregates all run through the mapping.
+    *  - `DROP COLUMN`: the logical schema loses the field; the physical
+    *    bytes stay (unreferenced) until the next full rewrite sheds them.
+    *
+    * Old snapshots keep their own names forever (`VERSION AS OF`). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (TimeTravel.currentVersion(root) < 0)
+      throw new NoSuchTableException(ident)
+    val s = SparkSession.active
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN is not supported")
+        TimeTravel.addColumnMapped(s, root, a.fieldNames()(0),
+          a.dataType().sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported")
+        TimeTravel.renameColumn(s, root, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft catalog: nested DROP COLUMN is not supported")
+        TimeTravel.dropColumnMapped(s, root, d.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new Path(rootFor(ident))
@@ -190,12 +222,12 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
     * Spark falls back to the copy-on-write row-level path. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     writable && FileSkip.aligned(readSide.files, readSide.stats,
-      readSide.pvals, filters.toSeq)
+      readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable()
     val removed = FileSkip.full(readSide.files, readSide.stats,
-      readSide.pvals, filters.toSeq)
+      readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
     TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
       tableSchema.toDDL, removed = removed)
     ()

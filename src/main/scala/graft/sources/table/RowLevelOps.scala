@@ -98,8 +98,8 @@ final class RowOpScanBuilder(op: GraftRowLevelOperation,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def statable(c: String) = table.stats.keys.exists(_._2 == c)
-    def pvaled(c: String) = table.partCol.contains(c)
+    def statable(c: String) = table.stats.keys.exists(_._2 == table.phys(c))
+    def pvaled(c: String) = table.partCol.contains(table.phys(c))
     accepted = filters.filter {
       case org.apache.spark.sql.sources.GreaterThan(c, _: java.lang.Long) =>
         statable(c)
@@ -122,7 +122,8 @@ final class RowOpScanBuilder(op: GraftRowLevelOperation,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = new RowOpScan(op, table, required,
-    FileSkip.kept(table.files, table.stats, table.pvals, accepted.toSeq))
+    FileSkip.kept(table.files, table.stats, table.pvals,
+      FileSkip.mapCols(accepted.toSeq, table.phys)))
 }
 
 final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
@@ -192,7 +193,13 @@ final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
     SparkSession.active.sessionState.newHadoopConf())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = CdfWriterFactory(schema, root, confB)
+      : DataWriterFactory = {
+    // mapped tables store files under PHYSICAL names (q194)
+    val gen = TimeTravel.currentVersion(root)
+    val colmap = if (gen < 0) Map.empty[String, String]
+      else TimeTravel.colmapAsOf(root, gen)
+    CdfWriterFactory(schema, root, confB, colmap)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val removed = Option(op.planned).getOrElse(throw new IllegalStateException(
@@ -202,7 +209,7 @@ final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false))
     TimeTravel.commitStagedFiles(SparkSession.active, root,
-      live.map(_.tmp).toSeq, schema.toDDL, removed = removed)
+      live.map(_.tmp).toSeq, graft.sources.cdf.CdfParquet.nullable(schema).toDDL, removed = removed)
     ()
   }
 

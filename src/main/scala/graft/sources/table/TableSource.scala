@@ -132,6 +132,18 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   private[table] val pvals: Map[String, (String, String)] =
     TimeTravel.pvalsFor(root, gen)
 
+  /** LOGICAL → PHYSICAL column names at this snapshot (the q194 column
+    * mapping; empty on unmapped tables). The scan runs entirely under
+    * PHYSICAL names — parquet fields, footer statistics, log stats and
+    * partition values all carry them — and projects back to the logical
+    * schema, so an `ALTER TABLE RENAME COLUMN` moves zero data bytes and
+    * the table stays fully readable (and file-skippable) through this
+    * source. */
+  private[table] val colmap: Map[String, String] =
+    TimeTravel.colmapAsOf(root, gen)
+  private[table] def phys(c: String): String = colmap.getOrElse(c, c)
+  private[table] val logicalOf: Map[String, String] = colmap.map(_.swap)
+
   /** File sizes from ONE `listStatus` of the data directory (absolute
     * shallow-clone references fall back to a per-file stat) — the
     * [[SnapshotScan]]'s `estimateStatistics` source, so Catalyst sees the
@@ -156,18 +168,21 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
 
   /** The single column EVERY snapshot file carries a partition value
     * for — the table's reportable identity partitioning (None for
-    * unpartitioned / mixed layouts, which scan per-file). */
+    * unpartitioned / mixed layouts, which scan per-file). PHYSICAL name
+    * (what the log recorded); [[partColLogical]] is what Spark sees. */
   private[table] val partCol: Option[String] = {
     val cols = files.map(f => pvals.get(f).map(_._1))
     if (files.nonEmpty && cols.forall(_.isDefined) &&
         cols.flatten.distinct.size == 1) cols.head
     else None
   }
+  private[table] val partColLogical: Option[String] =
+    partCol.map(p => logicalOf.getOrElse(p, p))
 
   override def name(): String = s"graft:$root@$gen"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    partCol.map(c => Expressions.identity(c)).toArray
+    partColLogical.map(c => Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
@@ -205,10 +220,11 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
   /** Accept comparison filters usable for FILE skipping (long-typed
     * range stats; string equality on the partition value); return ALL
     * filters as residual — skipping whole files never changes row
-    * semantics, Spark re-applies every predicate. */
+    * semantics, Spark re-applies every predicate. Filters arrive in
+    * LOGICAL names; the log's stats carry PHYSICAL ones. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def statable(c: String) = table.stats.keys.exists(_._2 == c)
-    def pvaled(c: String) = table.partCol.contains(c)
+    def statable(c: String) = table.stats.keys.exists(_._2 == table.phys(c))
+    def pvaled(c: String) = table.partCol.contains(table.phys(c))
     accepted = filters.filter {
       case GreaterThan(c, _: java.lang.Long) => statable(c)
       case GreaterThanOrEqual(c, _: java.lang.Long) => statable(c)
@@ -225,10 +241,11 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
   override def pushedFilters(): Array[Filter] = accepted
 
   /** The snapshot files surviving the accepted filters — resolved from
-    * log metadata alone ([[FileSkip]]). A file with no stats for a
-    * filtered column is kept, conservatively. */
+    * log metadata alone ([[FileSkip]], under physical names). A file
+    * with no stats for a filtered column is kept, conservatively. */
   private def keptFiles: Seq[String] =
-    FileSkip.kept(table.files, table.stats, table.pvals, accepted.toSeq)
+    FileSkip.kept(table.files, table.stats, table.pvals,
+      FileSkip.mapCols(accepted.toSeq, table.phys))
 
   /** Partial aggregate pushdown from parquet footers. Supported: no
     * group-by, or group-by exactly the table's partition column;
@@ -242,7 +259,7 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
     if (!aggEnabled || accepted.nonEmpty || limit.isDefined) return false
     val grouped = aggregation.groupByExpressions() match {
       case Array() => false
-      case Array(FieldRef(c)) if table.partCol.contains(c) => true
+      case Array(FieldRef(c)) if table.partColLogical.contains(c) => true
       case _ => return false
     }
     def field(c: String): Option[StructField] =
@@ -252,28 +269,31 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
            StringType | DateType => true
       case _ => false
     }
+    // specs carry the PHYSICAL column name (the footer lookup key); the
+    // TYPE comes from the logical schema
     val specs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => CountStarSpec
       case cnt: Count if !cnt.isDistinct =>
         cnt.column() match {
-          case FieldRef(c) if field(c).isDefined => CountColSpec(c)
+          case FieldRef(c) if field(c).isDefined =>
+            CountColSpec(table.phys(c))
           case _ => return false
         }
       case mn: Min => mn.column() match {
         case FieldRef(c) if field(c).exists(f => statType(f.dataType)) =>
-          MinSpec(c, field(c).get.dataType)
+          MinSpec(table.phys(c), field(c).get.dataType)
         case _ => return false
       }
       case mx: Max => mx.column() match {
         case FieldRef(c) if field(c).exists(f => statType(f.dataType)) =>
-          MaxSpec(c, field(c).get.dataType)
+          MaxSpec(table.phys(c), field(c).get.dataType)
         case _ => return false
       }
       case _ => return false
     }
     val gFields = if (grouped)
-      Seq(StructField(table.partCol.get,
-        field(table.partCol.get).get.dataType)) else Nil
+      Seq(StructField(table.partColLogical.get,
+        field(table.partColLogical.get).get.dataType)) else Nil
     val aFields = specs.zipWithIndex.map {
       case (CountStarSpec, i) => StructField(s"agg_$i", LongType)
       case (CountColSpec(_), i) => StructField(s"agg_$i", LongType)
@@ -395,6 +415,22 @@ private[graft] object FileSkip {
     val c = classify(files, stats, pvals, filters)
     files.filter(c(_) == Full)
   }
+
+  /** Rewrite the filters' column names (logical → physical, for mapped
+    * tables) before classifying against the log's stored names. Shapes
+    * outside the supported set pass through — they classify `Partial`
+    * either way. */
+  def mapCols(filters: Seq[Filter], m: String => String): Seq[Filter] =
+    filters.map {
+      case GreaterThan(c, v) => GreaterThan(m(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(m(c), v)
+      case LessThan(c, v) => LessThan(m(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(m(c), v)
+      case EqualTo(c, v) => EqualTo(m(c), v)
+      case EqualNullSafe(c, v) => EqualNullSafe(m(c), v)
+      case In(c, vs) => In(m(c), vs)
+      case f => f
+    }
 }
 
 /** `FieldReference` with one name part — the only column shape the log
@@ -461,7 +497,7 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
     files.groupBy(f => table.pvals(f)._2).toSeq.sortBy(_._1)
 
   private def keyVal(v: String): Any =
-    table.tableSchema.fields.find(_.name == table.partCol.get)
+    table.tableSchema.fields.find(_.name == table.partColLogical.get)
       .map(_.dataType) match {
       case Some(StringType) => UTF8String.fromString(v)
       case Some(LongType) => v.toLong
@@ -480,14 +516,14 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
         FilePartition(Seq(f)): InputPartition).toArray
     }
 
-  override def outputPartitioning(): Partitioning = table.partCol match {
+  override def outputPartitioning(): Partitioning = table.partColLogical match {
     case Some(c) =>
       new KeyGroupedPartitioning(Array(Expressions.identity(c)), groups.size)
     case None => new UnknownPartitioning(files.size)
   }
 
   override def filterAttributes(): Array[NamedReference] =
-    table.partCol.map(c => Expressions.column(c)).toArray
+    table.partColLogical.map(c => Expressions.column(c)).toArray
 
   /** Runtime group filtering: the DPP subquery's IN-set (or equality)
     * on the partition column prunes value groups — files of an excluded
@@ -496,7 +532,7 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val c = table.partCol.getOrElse(return)
+    val c = table.partColLogical.getOrElse(return)
     def lit(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -524,12 +560,13 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required, table.root, limit,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), table.colmap)
 }
 
 final case class SnapshotReaderFactory(schema: StructType, root: String,
     limit: Int,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -538,7 +575,7 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
       case KeyedPartition(fl, _) => fl
       case other => throw new IllegalArgumentException(s"table: $other")
     }
-    new ChainedReader(fs, schema, root, limit, conf.value)
+    new ChainedReader(fs, schema, root, limit, conf.value, colmap)
   }
 }
 
@@ -548,7 +585,8 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
   * requested, rides the reader's constant-fill path: it costs nothing
   * and is never part of the parquet projection. */
 final class ChainedReader(names: Seq[String], schema: StructType,
-    root: String, limit: Int, conf: org.apache.hadoop.conf.Configuration)
+    root: String, limit: Int, conf: org.apache.hadoop.conf.Configuration,
+    colmap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val wantsFile = schema.fieldNames.contains(FileMetaColumn.NAME)
   private val it = names.iterator
@@ -565,7 +603,7 @@ final class ChainedReader(names: Seq[String], schema: StructType,
         TableMetrics.openedDataFiles.add(p)
         val fill =
           if (wantsFile) Map(FileMetaColumn.NAME -> f) else Map.empty[String, String]
-        cur = new CdfPartitionReader(p, schema, conf, fill)
+        cur = new CdfPartitionReader(p, schema, conf, fill, colmap)
       }
       if (cur.next()) { emitted += 1; return true }
       cur.close(); cur = null // fall through to the next file
