@@ -1458,6 +1458,103 @@ object LakehouseOps extends QueryModule {
             .toSeq
         }
         rows.toDF("tag", "n", "total").orderBy("tag")
+      }),
+
+    // Q211 ATOMIC CTAS / RTAS (`StagingTableCatalog`): the log's atomic
+    // version claim IS the publish, so `CREATE TABLE … AS SELECT` lands
+    // data + schema as ONE generation-0 commit — no reader ever sees an
+    // empty or half-written table — and `REPLACE TABLE … AS SELECT`
+    // retires the whole old snapshot in the SAME commit that adds the
+    // query's rows, with the replaced content still readable via
+    // `VERSION AS OF 0`. Oracle: both filters replayed over the source.
+    Q("q211_sql_ctas",
+      Some("""WITH src AS (SELECT o_orderkey,
+             |               CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |     cur AS (SELECT 'cur' AS tag, count(*) AS n,
+             |               CAST(sum(CAST(price AS DECIMAL(18,2)))
+             |                    AS DOUBLE) AS total
+             |             FROM src WHERE o_orderkey % 3 = 0),
+             |     v0 AS (SELECT 'v0' AS tag, count(*) AS n,
+             |              CAST(sum(CAST(price AS DECIMAL(18,2)))
+             |                   AS DOUBLE) AS total
+             |            FROM src WHERE o_orderkey % 2 = 0)
+             |SELECT * FROM cur UNION ALL SELECT * FROM v0
+             |ORDER BY tag""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat211_", s"q211:$d")
+        val root = s"$wh/ct"
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat211" -> CatalogClass,
+          "spark.sql.catalog.gcat211.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            t(s, d, "orders")
+              .select(col("o_orderkey"),
+                col("o_totalprice").cast("double").as("price"))
+              .createOrReplaceTempView("q211_src")
+            s.sql("CREATE TABLE gcat211.ct AS " +
+              "SELECT * FROM q211_src WHERE o_orderkey % 2 = 0")
+            s.sql("REPLACE TABLE gcat211.ct AS " +
+              "SELECT * FROM q211_src WHERE o_orderkey % 3 = 0")
+          }
+          val cur = s.sql(
+            """SELECT 'cur' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat211.ct""".stripMargin)
+          val v0 = s.sql(
+            """SELECT 'v0' AS tag, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat211.ct VERSION AS OF 0""".stripMargin)
+          cur.unionAll(v0)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("tag", "n", "total").orderBy("tag")
+      }),
+
+    // Q212 STREAMING read of a catalog table (`readStream.table`): the
+    // q176 change-feed machinery resolved by NAME through the catalog —
+    // offsets are generations, each micro-batch reads one delta's files,
+    // and `maxGensPerTrigger` bounds a catch-up (TableSourceSpec pins
+    // the ≥3-batch drain). A fully-drained stream must agree with the
+    // batch aggregate — the oracle.
+    Q("q212_stream_catalog_table",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_cat212_", s"q212:$d")
+        val root = s"$wh/st"
+        if (TimeTravel.currentVersion(root) < 0) {
+          val o = orders3(s, d)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 0))
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 1))
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 2))
+        }
+        withConfs(s,
+          "spark.sql.catalog.gcat212" -> CatalogClass,
+          "spark.sql.catalog.gcat212.warehouse" -> wh) {
+          val agg = s.readStream
+            .option("maxGensPerTrigger", "1")
+            .table("gcat212.st")
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").as("total"))
+          val prev = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          try {
+            val q = agg.writeStream.format("memory").queryName("q212_sink")
+              .outputMode("complete")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        s.table("q212_sink").orderBy("o_orderpriority")
       })
   )
 }

@@ -3,7 +3,7 @@ package graft.sources.table
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
@@ -45,7 +45,7 @@ import graft.sources.cdf.CdfWriteBuilder
   * SQL files address warehouse tables by NAME through a catalog; this
   * is that resolution layer over the engine's own table format.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -173,6 +173,79 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: rename is not supported")
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
+  //
+  // The log's atomic version claim IS the publish, so staging needs no
+  // extra machinery: a staged CREATE's write lands data + schema as ONE
+  // generation-0 commit — until that claim exists there is no log and
+  // the table is invisible (`loadTable` throws). A staged REPLACE's
+  // write retires the whole current snapshot in the SAME commit that
+  // adds the query's rows (truncate mode) — readers see the old table or
+  // the new one, never an empty or half-written in-between, and every
+  // earlier generation stays readable via VERSION AS OF.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported here")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      Seq(catName, ident.name()))
+    GraftStagedTable(schema, rootFor(ident), replace = false,
+      preExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported here")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftStagedTable(schema, rootFor(ident), replace = true,
+      preExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported here")
+    GraftStagedTable(schema, rootFor(ident), replace = true,
+      preExisting = tableExists(ident))
+  }
+}
+
+/** A staged CTAS/RTAS target: the q193 write path in truncate mode for
+  * REPLACE; `commitStagedChanges` is a no-op because the write's single
+  * log claim already published atomically. Abort cleans up — the whole
+  * directory for a CREATE that never existed, only the staging temps for
+  * a REPLACE (the live table must survive its failed replacement). */
+final case class GraftStagedTable(tableSchema: StructType, root: String,
+    replace: Boolean, preExisting: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  override def name(): String = s"graft:staged:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val b = new CdfWriteBuilder(info.schema(), root, info.queryId())
+    if (replace && preExisting) b.truncate()
+    b
+  }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(if (preExisting) s"$root/stage-stream" else root)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
 }
 
 /** A catalog-resolved log table: [[GraftLogTable]]'s full read surface
@@ -196,6 +269,7 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   override def partitioning(): Array[Transform] = readSide.partitioning()
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def metadataColumns(): Array[MetadataColumn] =

@@ -184,16 +184,19 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   override def partitioning(): Array[Transform] =
     partColLogical.map(c => Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetaColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableScanBuilder(this,
-      !Option(options.get("aggPushdown")).contains("false"))
+      !Option(options.get("aggPushdown")).contains("false"),
+      Option(options.get("maxGensPerTrigger")).map(_.toInt))
 }
 
-final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
+final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
+    maxGens: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -311,7 +314,7 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean)
       new FooterAggScan(table, sch, aggSpecs, aggGrouped, keptFiles)
     case None =>
       new SnapshotScan(table, required, keptFiles,
-        limit.getOrElse(Int.MaxValue))
+        limit.getOrElse(Int.MaxValue), maxGens)
   }
 }
 
@@ -467,7 +470,8 @@ final case class AggPartition(files: Seq[String], group: Option[String])
   * Runtime V2 filters (DPP IN-sets on the partition column) drop value
   * groups before planning. */
 final class SnapshotScan(table: GraftLogTable, required: StructType,
-    files0: Seq[String], limit: Int = Int.MaxValue)
+    files0: Seq[String], limit: Int = Int.MaxValue,
+    maxGens: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
@@ -478,6 +482,21 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft log snapshot ${table.root}@${table.gen}"
+
+  /** `spark.readStream.table(...)` on a catalog log table: the q176
+    * change-feed stream from the beginning of the log — offsets are
+    * generations, each micro-batch reads exactly one delta's files, and
+    * the `maxGensPerTrigger` read option bounds a catch-up batch (the
+    * glog admission-control contract). Unsupported pushdowns (limit,
+    * aggregates) never reach streaming plans, and metadata columns are
+    * a batch-only surface. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!required.fieldNames.contains(FileMetaColumn.NAME),
+      "table: the _file metadata column is batch-only")
+    new graft.sources.cdf.CdfMicroBatchStream(required, table.root,
+      -1, maxGens)
+  }
 
   /** The PRUNED scan's byte size, from one data-dir listing — what lets
     * Catalyst broadcast a dimension (or a well-filtered fact window)

@@ -522,6 +522,62 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("q211 atomic CTAS/RTAS: one commit each, replaced content stays readable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec6_").toString
+    val root = s"$wh/ct"
+    withConfs(
+      "spark.sql.catalog.scat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.scat.warehouse" -> wh) {
+      orders.limit(500).createOrReplaceTempView("ctas_spec_src")
+      spark.sql("CREATE TABLE scat.ct AS SELECT * FROM ctas_spec_src " +
+        "WHERE o_orderkey % 2 = 0")
+      // the CTAS landed as ONE generation (data + schema together)
+      assert(TimeTravel.currentVersion(root) === 0)
+      val n0 = spark.sql("SELECT count(*) FROM scat.ct").head().getLong(0)
+      assert(n0 === orders.limit(500)
+        .filter(col("o_orderkey") % 2 === 0).count())
+
+      spark.sql("REPLACE TABLE scat.ct AS SELECT * FROM ctas_spec_src " +
+        "WHERE o_orderkey % 5 = 0")
+      assert(TimeTravel.currentVersion(root) === 1) // one atomic replace
+      val n1 = spark.sql("SELECT count(*) FROM scat.ct").head().getLong(0)
+      assert(n1 === orders.limit(500)
+        .filter(col("o_orderkey") % 5 === 0).count())
+      // the replaced content is history, not gone
+      assert(spark.sql("SELECT count(*) FROM scat.ct VERSION AS OF 0")
+        .head().getLong(0) === n0)
+    }
+  }
+
+  test("q212 streaming catalog read: per-generation batches under admission control") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec7_").toString
+    val root = s"$wh/st"
+    val base = orders.limit(600)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 === 0))
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 === 1))
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 === 2))
+    withConfs(
+      "spark.sql.catalog.stcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.stcat.warehouse" -> wh) {
+      val q = spark.readStream
+        .option("maxGensPerTrigger", "1")
+        .table("stcat.st")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("cat_stream_spec")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      assert(fed >= 3, s"admission control fed $fed batches, expected ≥3")
+      val got = spark.table("cat_stream_spec")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expect = base.groupBy("o_orderpriority").agg(count(lit(1)))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === expect)
+    }
+  }
+
   test("deletion-vector snapshots refuse the DSv2 scan loudly") {
     val root = newRoot()
     val base = orders.limit(300)
