@@ -1700,7 +1700,7 @@ object TimeTravel extends QueryModule {
   }
 
   /** Per-file recorded row counts visible at `gen` (commit metadata). */
-  private def nrowsFor(root: String, gen: Int): Map[String, Long] = {
+  private[graft] def nrowsFor(root: String, gen: Int): Map[String, Long] = {
     val (fs, commits, _) = listLog(root)
     commits.filter(_._1 <= gen).flatMap { case (_, f) =>
       parseArr(readBytes(fs, f), "nrows").flatMap(_.split('|') match {

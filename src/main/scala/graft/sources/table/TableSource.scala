@@ -144,6 +144,12 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   private[table] def phys(c: String): String = colmap.getOrElse(c, c)
   private[table] val logicalOf: Map[String, String] = colmap.map(_.swap)
 
+  /** Per-file row counts from the commit log's `nrows` lines (empty map
+    * entries for pre-nrows commits) — `estimateStatistics`' rowCount
+    * source. */
+  private[table] lazy val fileRows: Map[String, Long] =
+    TimeTravel.nrowsFor(root, gen)
+
   /** File sizes from ONE `listStatus` of the data directory (absolute
     * shallow-clone references fall back to a per-file stat) — the
     * [[SnapshotScan]]'s `estimateStatistics` source, so Catalyst sees the
@@ -505,10 +511,17 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
     * every dim join into a shuffle. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.iterator.map(table.fileSizes).sum
+    // rowCount is exact when every kept file has a logged `nrows` line;
+    // any pre-nrows file makes it unknown rather than under-counted
+    private val rows: Option[Long] = {
+      val counts = files.map(table.fileRows.get)
+      if (files.nonEmpty && counts.forall(_.isDefined))
+        Some(counts.flatten.sum) else None
+    }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
   }
 
   /** Partition-value groups, sorted by value — stable split planning. */

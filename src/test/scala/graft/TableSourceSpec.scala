@@ -578,6 +578,45 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("two-dimensional file skipping on a Z-ordered table; exact numRows statistic") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice").limit(1024)
+    TimeTravel.commitZOrdered(spark, root, base, "o_orderkey", "o_custkey", 16)
+    val nFiles = TimeTravel.snapshotFiles(root, 0).size
+    assert(nFiles >= 8, s"z-order produced only $nFiles files")
+
+    val ks = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val cs = base.select("o_custkey").collect().map(_.getLong(0)).sorted
+    val (klo, khi) = (ks(ks.length / 4), ks(ks.length / 2))
+    val (clo, chi) = (cs(cs.length / 4), cs(cs.length / 2))
+
+    TableMetrics.reset()
+    val got = dsv(root).filter(
+      col("o_orderkey").between(klo, khi) &&
+        col("o_custkey").between(clo, chi))
+    val n = got.count()
+    assert(n === base.filter(col("o_orderkey").between(klo, khi) &&
+      col("o_custkey").between(clo, chi)).count())
+    val opened = TableMetrics.openedDataFiles.size()
+    // a quarter×quarter box over a Z-ordered 2-d layout: both pushed
+    // conjuncts prune via the per-file 2-dim log stats — the box must
+    // skip most of the table, which ONE dimension alone cannot ensure
+    assert(opened < nFiles,
+      s"2-dim skipping opened all $nFiles files")
+    assert(opened <= (nFiles * 3) / 4,
+      s"2-dim skipping opened $opened of $nFiles files")
+
+    // the reported statistics carry the EXACT row count from the log
+    val scan = dsv(root).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    val st = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === base.count())
+  }
+
   test("deletion-vector snapshots refuse the DSv2 scan loudly") {
     val root = newRoot()
     val base = orders.limit(300)
