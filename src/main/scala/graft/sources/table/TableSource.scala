@@ -1,5 +1,7 @@
 package graft.sources.table
 
+import scala.language.existentials // parquet's Statistics<?> in the footer fold
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
