@@ -162,8 +162,12 @@ final case class CdfTable(tableSchema: StructType, root: String)
                   .map(f => CdfInputPartition(
                     TimeTravel.dataPath(root, f)): InputPartition)
                   .toArray
+            // q194 column mapping: the stream's schema carries LOGICAL
+            // names, the committed parquet carries PHYSICAL ones —
+            // without the mapping every renamed column null-fills
+            // silently (ADVICE r13)
             override def createReaderFactory(): PartitionReaderFactory =
-              CdfReaderFactory(req, confB)
+              CdfReaderFactory(req, confB, TimeTravel.colmapAsOf(root, to))
           }
         }
       }
@@ -238,20 +242,30 @@ final class CdfMicroBatchStream(schema: StructType, root: String,
         .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    CdfReaderFactory(schema, confB)
+  /** Resolved PER BATCH (Spark builds a fresh reader factory for every
+    * micro-batch's physical plan), so a mid-stream RENAME COLUMN picks
+    * up the new mapping at the next trigger. Physical names are stable
+    * across renames (that is column mapping's point), so the current
+    * mapping is correct for every older generation's files too. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val gen = TimeTravel.currentVersion(root)
+    val cm = if (gen < 0) Map.empty[String, String]
+             else TimeTravel.colmapAsOf(root, gen)
+    CdfReaderFactory(schema, confB, cm)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 final case class CdfReaderFactory(schema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdfInputPartition]
-    new CdfPartitionReader(p.file, schema, conf.value, p.fill)
+    new CdfPartitionReader(p.file, schema, conf.value, p.fill, colmap)
   }
 }
 

@@ -178,10 +178,14 @@ final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
     files.sorted.map(f => FilePartition(Seq(f)): InputPartition).toArray
   }
 
+  // table.colmap rides along: on a column-mapped table the candidate
+  // rows live under PHYSICAL parquet names, and a reader resolving the
+  // LOGICAL names would null-fill every mapped column — the rewrite
+  // would then persist those nulls (ADVICE r13).
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required, table.root, Int.MaxValue,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()), table.colmap)
 }
 
 /** The replacement write: staged parquet from every task, ONE atomic

@@ -308,4 +308,34 @@ class CdfSourceSpec extends SparkSpec {
     val df = SparkEntry.queries("q176_stream_changes")(spark, sf)
     assert(df.count() === 5)
   }
+
+  test("CDF batch + streaming reads resolve renamed columns (ADVICE r13)") {
+    val root = newRoot()
+    val base = orders.limit(200)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.renameColumn(spark, root, "o_totalprice", "price")
+    // post-rename append: stored under the ORIGINAL physical name
+    TimeTravel.commitMapped(spark, root, base
+      .filter(col("o_orderkey") % 2 === 1)
+      .withColumnRenamed("o_totalprice", "price"))
+    val expect = base.agg(
+      sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+
+    // batch: the r13 bug read `price` as all-null → sum 0.0
+    val batch = spark.read.format("graft.sources.cdf.CdfDataSource").load(root)
+    assert(batch.columns.contains("price"))
+    assert(batch.agg(sum(col("price").cast("decimal(18,2)")))
+      .head().getDecimal(0) === expect, "batch CDF lost renamed column")
+
+    // streaming: same mapping through the micro-batch reader factory
+    val q = stream(root).load(root)
+      .writeStream.format("memory").queryName("cdf_cm")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("cdf_cm")
+      .agg(sum(col("price").cast("decimal(18,2)"))).head().getDecimal(0)
+      === expect, "streamed CDF lost renamed column")
+  }
 }

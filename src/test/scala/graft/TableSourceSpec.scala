@@ -617,6 +617,63 @@ class TableSourceSpec extends SparkSpec {
     assert(st.numRows().getAsLong === base.count())
   }
 
+  test("row-level SQL DML after RENAME COLUMN reads physical names (ADVICE r13)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cm_dml_").toString
+    val root = s"$wh/rt"
+    val base = orders.limit(400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    withConfs(
+      "spark.sql.catalog.cmcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.cmcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE cmcat.rt RENAME COLUMN o_totalprice TO price")
+      val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val (lo, hi) = (keys(10), keys(30))
+
+      // UPDATE through the renamed name: carried-over rows must KEEP
+      // their values (the r13 corruption zeroed them), updated rows get
+      // old value + 500 (the corruption left exactly 500.0)
+      spark.sql(s"UPDATE cmcat.rt SET price = price + 500 " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi")
+      val expectSum = base
+        .withColumn("o_totalprice",
+          when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 500)
+            .otherwise(col("o_totalprice")))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+      val gotSum = spark.sql(
+        "SELECT sum(CAST(price AS DECIMAL(18,2))) FROM cmcat.rt")
+        .head().getDecimal(0)
+      assert(gotSum === expectSum, "UPDATE after rename corrupted carryover")
+      assert(spark.sql("SELECT count(*) FROM cmcat.rt WHERE price = 500.0D")
+        .head().getLong(0) === base
+          .filter(col("o_orderkey").between(lo, hi) &&
+            col("o_totalprice") === 0.0).count(),
+        "updated rows lost their base value")
+
+      // copy-on-write DELETE through the renamed name
+      val cut = base.agg(max(col("o_totalprice"))).head().getDouble(0)
+      spark.sql(s"DELETE FROM cmcat.rt WHERE price > ${cut + 400}")
+      val kept = spark.sql("SELECT count(*) FROM cmcat.rt").head().getLong(0)
+      val expectKept = base
+        .withColumn("p",
+          when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 500)
+            .otherwise(col("o_totalprice")))
+        .filter(col("p") <= cut + 400).count()
+      assert(kept === expectKept, "DELETE after rename matched wrong rows")
+
+      // MERGE through the renamed name: matched rows take source values
+      spark.createDataFrame(Seq((keys(0), 12345.0)))
+        .toDF("k", "v").createOrReplaceTempView("cm_merge_src")
+      spark.sql("""MERGE INTO cmcat.rt t USING cm_merge_src s
+                  |ON t.o_orderkey = s.k
+                  |WHEN MATCHED THEN UPDATE SET price = s.v""".stripMargin)
+      assert(spark.sql(
+        s"SELECT price FROM cmcat.rt WHERE o_orderkey = ${keys(0)}")
+        .head().getDouble(0) === 12345.0)
+    }
+  }
+
   test("deletion-vector snapshots refuse the DSv2 scan loudly") {
     val root = newRoot()
     val base = orders.limit(300)
