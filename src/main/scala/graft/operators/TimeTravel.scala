@@ -489,25 +489,42 @@ object TimeTravel extends QueryModule {
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
-  /** The per-file (col, min, max) stats visible at generation `gen`,
-    * folded from the commits ≤ gen. Numeric (long-valued) columns only —
-    * the fixture's key columns. Files resolved from a CHECKPOINT carry no
-    * stats (checkpoints store file lists only) and simply stay
-    * un-prunable — correct, just conservative. */
-  private[graft] def statsFor(root: String, gen: Int)
-      : Map[(String, String), (Long, Long)] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "stats").flatMap { line =>
-        line.split('|') match {
-          case Array(name, c, lo, hi) =>
-            try Some((name, c) -> ((lo.toLong, hi.toLong)))
-            catch { case _: NumberFormatException => None }
-          case _ => None
-        }
+  /** Fold the `key` array lines of the newest checkpoint ≤ `gen` (the
+    * base) plus the tail commits (ckpt, gen] — the shared resolution
+    * shape of every per-file metadata reader, so retention
+    * ([[expireHistory]]) never silently degrades stats/bloom/nrows
+    * pruning or txn idempotence: checkpoints carry the RESOLVED state
+    * (r13 ADVICE). Checkpoints written before an array existed simply
+    * contribute nothing for it — conservative, never wrong. */
+  private def foldCkptTail[T](root: String, gen: Int, key: String,
+      empty: T)(fold: (T, String) => T): T = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    val baseAcc = base
+      .map { case (_, f) => parseArr(readBytes(fs, f), key).foldLeft(empty)(fold) }
+      .getOrElse(empty)
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseAcc) { case (acc, (_, f)) =>
+        parseArr(readBytes(fs, f), key).foldLeft(acc)(fold)
       }
-    }.toMap
   }
+
+  /** The per-file (col, min, max) stats visible at generation `gen`:
+    * newest checkpoint ≤ gen (whose `stats` array carries the resolved
+    * lines for its snapshot's files) plus the tail commits. Numeric
+    * (long-valued) columns only — the fixture's key columns. */
+  private[graft] def statsFor(root: String, gen: Int)
+      : Map[(String, String), (Long, Long)] =
+    foldCkptTail(root, gen, "stats",
+      Map.empty[(String, String), (Long, Long)]) { (m, line) =>
+      line.split('|') match {
+        case Array(name, c, lo, hi) =>
+          try m.updated((name, c), (lo.toLong, hi.toLong))
+          catch { case _: NumberFormatException => m }
+        case _ => m
+      }
+    }
 
   /** Row-level MERGE (upsert) into a [[commitBucketed]] table, pruned to
     * the TOUCHED buckets: source keys hash to a bucket set, only the
@@ -539,11 +556,26 @@ object TimeTravel extends QueryModule {
     require(existing.columns.sorted.sameElements(source.columns.sorted),
       s"time travel: merge source schema ${source.columns.toSeq} does not " +
         s"match table schema ${existing.columns.toSeq}")
+    // two source rows with the same key are an ambiguous upsert — the
+    // full_outer join would fan the match out into duplicates. Delta
+    // raises its multiple-match error at merge time; the guard is one
+    // small agg over the DELTA (never the table). (r13 ADVICE)
+    require(source.groupBy(keyCol).count()
+        .filter(col("count") > 1).limit(1).isEmpty,
+      s"time travel: merge source carries duplicate $keyCol values — " +
+        "an upsert needs one row per key; de-duplicate the source")
+    // matched rows take the source value UNCONDITIONALLY — a source row
+    // carrying NULL in a data column updates the table to NULL (MERGE
+    // UPDATE semantics, and what the CDF update_postimage already
+    // claims). Matches are tracked by a marker column, not value
+    // coalescing (r13 ADVICE: coalesce silently kept old values).
     val merged = existing.as("b")
-      .join(source.as("s"), Seq(keyCol), "full_outer")
+      .join(source.withColumn("__smark", lit(1)).as("s"),
+        Seq(keyCol), "full_outer")
       .select(col(keyCol) +:
         dataCols.map(c =>
-          coalesce(col(s"s.$c"), col(s"b.$c")).as(c)): _*)
+          when(col("s.__smark").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"b.$c")).as(c)): _*)
     // CDF on: matched keys emit pre/post images, unmatched source rows
     // emit inserts; carried-over existing rows emit nothing
     val cdc =
@@ -1487,17 +1519,14 @@ object TimeTravel extends QueryModule {
 
   /** The per-file GENERATED month values visible at `gen` — the `~month`
     * stats lines [[commitPartitionedGeneratedMonth]] records. */
-  private def gvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "stats").flatMap { line =>
-        line.split('|') match {
-          case Array(name, c, "~month", v) => Some(name -> ((c, v)))
-          case _ => None
-        }
+  private def gvalsFor(root: String, gen: Int): Map[String, (String, String)] =
+    foldCkptTail(root, gen, "stats",
+      Map.empty[String, (String, String)]) { (m, line) =>
+      line.split('|') match {
+        case Array(name, c, "~month", v) => m.updated(name, (c, v))
+        case _ => m
       }
-    }.toMap
-  }
+    }
 
   /** Date-range read pruned through the GENERATED partition key: the
     * month prefix of an ISO date is ORDER-PRESERVING, so the filter
@@ -1592,17 +1621,14 @@ object TimeTravel extends QueryModule {
 
   /** The per-file partition VALUES visible at `gen` — the `=`-tagged
     * stats lines [[commitPartitioned]] records. */
-  private[graft] def pvalsFor(root: String, gen: Int): Map[String, (String, String)] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "stats").flatMap { line =>
-        line.split('|') match {
-          case Array(name, c, "=", v) => Some(name -> ((c, v)))
-          case _ => None
-        }
+  private[graft] def pvalsFor(root: String, gen: Int): Map[String, (String, String)] =
+    foldCkptTail(root, gen, "stats",
+      Map.empty[String, (String, String)]) { (m, line) =>
+      line.split('|') match {
+        case Array(name, c, "=", v) => m.updated(name, (c, v))
+        case _ => m
       }
-    }.toMap
-  }
+    }
 
   /** Equality read pruned by the log's partition values: only files whose
     * recorded value matches — plus files with NO recorded value,
@@ -1626,20 +1652,32 @@ object TimeTravel extends QueryModule {
     base.filter(col(partCol) === value)
   }
 
-  /** The newest transaction version committed under `appId` — the read
-    * half of [[commitTxn]]'s idempotence contract. Scans the surviving
-    * commits' txn records (O(history depth) metadata reads, the same
-    * bound Delta's setTransaction lookup has under retention). */
-  def lastTxnVersion(root: String, appId: String): Option[Long] = {
-    val (fs, commits, _) = listLog(root)
-    val vs: Seq[Long] = commits.flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "txn").flatMap(_.split('|') match {
-        case Array(a, v) if a == appId =>
-          try Some(v.toLong) catch { case _: NumberFormatException => None }
-        case _ => None
-      })
+  /** The resolved appId → newest-txn-version map at `gen`: newest
+    * checkpoint ≤ gen (whose `txn` array carries the folded map — Delta
+    * persists setTransactions in checkpoints for the same reason) plus
+    * the tail commits. Without the checkpoint fold, [[expireHistory]]
+    * would erase a streaming writer's txn records and a restart would
+    * REPLAY an already-committed epoch as a duplicate generation
+    * (r13 ADVICE). */
+  private[graft] def txnsAsOf(root: String, gen: Int): Map[String, Long] =
+    foldCkptTail(root, gen, "txn", Map.empty[String, Long]) { (m, line) =>
+      line.split('|') match {
+        case Array(a, v) =>
+          try {
+            val ver = v.toLong
+            if (m.get(a).forall(_ < ver)) m.updated(a, ver) else m
+          } catch { case _: NumberFormatException => m }
+        case _ => m
+      }
     }
-    vs.maxOption
+
+  /** The newest transaction version committed under `appId` — the read
+    * half of [[commitTxn]]'s idempotence contract. O(checkpoint + tail)
+    * metadata reads, and retention-proof: the resolved txn map rides
+    * every checkpoint. */
+  def lastTxnVersion(root: String, appId: String): Option[Long] = {
+    val cur = currentVersion(root)
+    if (cur < 0) None else txnsAsOf(root, cur).get(appId)
   }
 
   /** IDEMPOTENT commit (Delta's txnAppId/txnVersion): the commit records
@@ -1699,18 +1737,17 @@ object TimeTravel extends QueryModule {
       nrowsIn = if (nrows.size == files.size) Some(nrows) else None)
   }
 
-  /** Per-file recorded row counts visible at `gen` (commit metadata). */
-  private[graft] def nrowsFor(root: String, gen: Int): Map[String, Long] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "nrows").flatMap(_.split('|') match {
+  /** Per-file recorded row counts visible at `gen` (commit metadata),
+    * checkpoint-based like [[statsFor]]. */
+  private[graft] def nrowsFor(root: String, gen: Int): Map[String, Long] =
+    foldCkptTail(root, gen, "nrows", Map.empty[String, Long]) { (m, line) =>
+      line.split('|') match {
         case Array(name, n) =>
-          try Some(name -> n.toLong)
-          catch { case _: NumberFormatException => None }
-        case _ => None
-      })
-    }.toMap
-  }
+          try m.updated(name, n.toLong)
+          catch { case _: NumberFormatException => m }
+        case _ => m
+      }
+    }
 
   /** The table's commit HISTORY as a DataFrame (Delta's DESCRIBE
     * HISTORY): one row per commit — version, file add/remove counts, the
@@ -1828,22 +1865,20 @@ object TimeTravel extends QueryModule {
       schemaDdl = Some(df.schema.toDDL), blooms = bloomLines)
   }
 
-  /** The per-file bloom filters visible at generation `gen`. */
+  /** The per-file bloom filters visible at generation `gen`,
+    * checkpoint-based like [[statsFor]]. */
   private def bloomsFor(root: String, gen: Int)
-      : Map[String, (String, Int, Int, Array[Byte])] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).flatMap { case (_, f) =>
-      parseArr(readBytes(fs, f), "blooms").flatMap { line =>
-        line.split('|') match {
-          case Array(name, c, m, k, b64) =>
-            try Some(name -> ((c, m.toInt, k.toInt,
-              java.util.Base64.getDecoder.decode(b64))))
-            catch { case _: IllegalArgumentException => None }
-          case _ => None
-        }
+      : Map[String, (String, Int, Int, Array[Byte])] =
+    foldCkptTail(root, gen, "blooms",
+      Map.empty[String, (String, Int, Int, Array[Byte])]) { (acc, line) =>
+      line.split('|') match {
+        case Array(name, c, m, k, b64) =>
+          try acc.updated(name, (c, m.toInt, k.toInt,
+            java.util.Base64.getDecoder.decode(b64)))
+          catch { case _: IllegalArgumentException => acc }
+        case _ => acc
       }
-    }.toMap
-  }
+    }
 
   /** Point lookup pruned by the log's bloom filters: only files whose
     * filter claims at least one of `keys` — plus filter-less files,
@@ -2018,15 +2053,40 @@ object TimeTravel extends QueryModule {
   def checkpoint(root: String, v: Int): Int = {
     val (fs, _, _) = listLog(root)
     val files = resolveSnapshot(root, v)._1
-    // the checkpoint carries the RESOLVED deletion-vector and constraint
-    // state too — after history retention the tail commits below it are
-    // gone, so anything not folded into the checkpoint would silently
-    // resurrect masked rows / drop enforcement
+    val fileSet = files.toSet
+    // the checkpoint carries the RESOLVED deletion-vector, constraint,
+    // txn, schema and per-file stats/bloom/nrows state too — after
+    // history retention the tail commits below it are gone, so anything
+    // not folded into the checkpoint would silently resurrect masked
+    // rows, drop enforcement, replay committed epochs (broken
+    // exactly-once), fall back to parquet schema inference, or lose
+    // file-skipping forever (r13 ADVICE). Per-file lines are kept only
+    // for the snapshot's files — retired files' metadata is inert.
     val dvLines = dvsFor(root, v).toSeq.sortBy(_._1)
       .map { case (f, (n, c)) => s"$f|$n|$c" }
     val csLines = constraintsAsOf(root, v).map { case (n, e) => s"$n|$e" }
     val prLines = propsAsOf(root, v).toSeq.sorted.map { case (k, w) => s"$k|$w" }
     val cmLines = colmapAsOf(root, v).toSeq.sorted.map { case (l, p) => s"$l|$p" }
+    val statLines = (
+      statsFor(root, v).collect {
+        case ((f, c), (lo, hi)) if fileSet(f) => s"$f|$c|$lo|$hi"
+      }.toSeq ++
+      pvalsFor(root, v).collect {
+        case (f, (c, pv)) if fileSet(f) => s"$f|$c|=|$pv"
+      } ++
+      gvalsFor(root, v).collect {
+        case (f, (c, gv)) if fileSet(f) => s"$f|$c|~month|$gv"
+      }).sorted
+    val bloomLines = bloomsFor(root, v).collect {
+      case (f, (c, m, k, bits)) if fileSet(f) =>
+        s"$f|$c|$m|$k|${java.util.Base64.getEncoder.encodeToString(bits)}"
+    }.toSeq.sorted
+    val nrowLines = nrowsFor(root, v).collect {
+      case (f, n) if fileSet(f) => s"$f|$n"
+    }.toSeq.sorted
+    val txnLines = txnsAsOf(root, v).toSeq.sorted
+      .map { case (a, ver) => s"$a|$ver" }
+    val schemaDdl = schemaAsOf(root, v).map(_.toDDL)
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
         (if (dvLines.isEmpty) ""
@@ -2037,6 +2097,16 @@ object TimeTravel extends QueryModule {
          else s""","props":[${prLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (cmLines.isEmpty) ""
          else s""","colmap":[${cmLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (statLines.isEmpty) ""
+         else s""","stats":[${statLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (bloomLines.isEmpty) ""
+         else s""","blooms":[${bloomLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (nrowLines.isEmpty) ""
+         else s""","nrows":[${nrowLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (txnLines.isEmpty) ""
+         else s""","txn":[${txnLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (schemaDdl.isEmpty) ""
+         else s""","schemav":["${jsonEsc(schemaDdl.get)}"]""") +
         "}"
     val tmp = new org.apache.hadoop.fs.Path(
       s"${logDir(root)}/.ck-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -2086,12 +2156,29 @@ object TimeTravel extends QueryModule {
     * reads; content scan is the tolerant array parser. */
   private[graft] def schemaAsOf(root: String, gen: Int)
       : Option[org.apache.spark.sql.types.StructType] = {
-    val (fs, commits, _) = listLog(root)
-    commits.filter(_._1 <= gen).reverseIterator
-      .map(c => parseArr(readBytes(fs, c._2), "schemav"))
-      .collectFirst { case Seq(ddl) =>
-        org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      }
+    val (fs, commits, ckpts) = listLog(root)
+    def fromDdl(lines: Seq[String]) = lines match {
+      case Seq(ddl) =>
+        Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case _ => None
+    }
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    val baseV = base.map(_._1).getOrElse(-1)
+    // tail commits override the checkpoint's resolved schema; commits
+    // below the checkpoint back-fill pre-schemav checkpoints only —
+    // after retention the checkpoint alone answers (r13 ADVICE: without
+    // this fold, expiry could drop the only schemav-carrying commit and
+    // readers would fall back to parquet inference, resurrecting
+    // dropped/renamed physical names)
+    commits.filter(c => c._1 > baseV && c._1 <= gen).reverseIterator
+      .map(c => fromDdl(parseArr(readBytes(fs, c._2), "schemav")))
+      .collectFirst { case Some(st) => st }
+      .orElse(base.flatMap { case (_, f) =>
+        fromDdl(parseArr(readBytes(fs, f), "schemav"))
+      })
+      .orElse(commits.filter(_._1 <= baseV).reverseIterator
+        .map(c => fromDdl(parseArr(readBytes(fs, c._2), "schemav")))
+        .collectFirst { case Some(st) => st })
   }
 
   /** Read the table AS OF generation `gen` — the snapshot the log defines,

@@ -495,6 +495,79 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.currentVersion(root) === before + 1)
   }
 
+  test("checkpoints fold txn/schema/stats — retention keeps exactly-once and pruning") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 4) // gen 0
+    TimeTravel.commitTxn(spark, root, orders.limit(10), "ckpt-app", 7L) // gen 1
+    TimeTravel.checkpoint(root, 1)
+    // gen 2 is METADATA-ONLY (no schemav, no stats): after expiry the
+    // checkpoint is the only carrier of the resolved state
+    TimeTravel.setProperty(spark, root, "graft.retention", "test")
+    val dropped = TimeTravel.expireHistory(root, 2)
+    assert(dropped.contains("0.json") && dropped.contains("1.json"))
+    // txn records survive retention: a replayed epoch is still a skip
+    assert(TimeTravel.lastTxnVersion(root, "ckpt-app") === Some(7L))
+    val before = TimeTravel.currentVersion(root)
+    TimeTravel.commitTxn(spark, root, orders.limit(5), "ckpt-app", 7L)
+    assert(TimeTravel.currentVersion(root) === before,
+      "a replayed txn epoch landed after history retention")
+    // the logged schema survives retention — no parquet-inference fallback
+    assert(TimeTravel.schemaAsOf(root, before).map(_.fieldNames.toSeq)
+      === Some(Seq("o_orderkey", "o_orderpriority", "o_totalprice")))
+    // per-file stats and row counts survive: range reads keep pruning
+    assert(TimeTravel.statsFor(root, before).nonEmpty,
+      "clustered stats lost by retention")
+    assert(TimeTravel.nrowsFor(root, before).nonEmpty,
+      "recorded row counts lost by retention")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val expect = orders.unionAll(orders.limit(10))
+      .filter(col("o_orderkey").between(mx / 4, mx / 2)).count()
+    assert(TimeTravel.readAsOfWhere(spark, root, before, "o_orderkey",
+      mx / 4, mx / 2).count() === expect)
+  }
+
+  test("blooms and generated-month values ride checkpoints through retention") {
+    val root = newRoot()
+    TimeTravel.commitBloomed(spark, root, orders, "o_orderkey", 4)
+    TimeTravel.checkpoint(root, 0)
+    TimeTravel.setProperty(spark, root, "graft.retention", "test")
+    TimeTravel.expireHistory(root, 1)
+    val key = orders.agg(min("o_orderkey")).head().getLong(0)
+    val hit = TimeTravel.readAsOfKeys(spark, root, 1, "o_orderkey", Seq(key))
+    assert(hit.count() === orders.filter(col("o_orderkey") === key).count())
+    // the lookup still PRUNES from the checkpoint's blooms: the key lives
+    // in 1 of 4 files (≤2 with a ~1% false positive allowance)
+    assert(hit.inputFiles.length <= 2,
+      s"bloom pruning lost by retention: scanned ${hit.inputFiles.length} of 4")
+    // an absent key still answers empty
+    assert(TimeTravel.readAsOfKeys(spark, root, 1, "o_orderkey",
+      Seq(-12345L)).count() === 0)
+  }
+
+  test("merge takes source values unconditionally and refuses duplicate keys") {
+    val root = newRoot()
+    TimeTravel.commitBucketed(spark, root, orders.limit(100), "o_orderkey", 4)
+    val k = orders.limit(1).head().getLong(0)
+    // matched row carrying NULL in a data column → the table updates to
+    // NULL (MERGE UPDATE semantics), never silently keeps the old value
+    val src = orders.filter(col("o_orderkey") === k)
+      .withColumn("o_totalprice", lit(null).cast("double"))
+    TimeTravel.mergeInto(spark, root, src, "o_orderkey", 4)
+    val got = TimeTravel.readAsOf(spark, root,
+      TimeTravel.currentVersion(root))
+      .filter(col("o_orderkey") === k).collect()
+    assert(got.length === 1 && got(0).isNullAt(got(0).fieldIndex("o_totalprice")),
+      s"matched NULL update kept the old value: ${got.toSeq}")
+    // duplicate source keys are an ambiguous upsert: loud error, no commit
+    val before = TimeTravel.currentVersion(root)
+    val dup = orders.limit(1).unionAll(orders.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.mergeInto(spark, root, dup, "o_orderkey", 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(TimeTravel.currentVersion(root) === before)
+  }
+
   test("q190 UPDATE: only stats-overlapping files rewrite; values land exactly") {
     val root = newRoot()
     TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 8)
