@@ -97,7 +97,15 @@ object GlogDataSource {
     listFilesWithSize(path, conf).map(_._1)
 
   private[glog] def listFilesWithSize(path: String,
-      conf: Configuration): Seq[(String, Long)] = {
+      conf: Configuration): Seq[(String, Long)] =
+    listFilesWithMeta(path, conf).map(m => (m._1, m._2))
+
+  /** (path, size, mtime) per visible file — the stream's offset cache is
+    * keyed on (size, mtime), so a same-size in-place rewrite is detected
+    * instead of silently served from stale cached offsets (r13 verdict
+    * #5). */
+  private[glog] def listFilesWithMeta(path: String,
+      conf: Configuration): Seq[(String, Long, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
@@ -107,7 +115,8 @@ object GlogDataSource {
           !c.getPath.getName.startsWith("_") &&
           !c.getPath.getName.startsWith(".")).toSeq
       else Seq(st)
-    files.map(c => (c.getPath.toString, c.getLen)).sortBy(_._1)
+    files.map(c => (c.getPath.toString, c.getLen, c.getModificationTime))
+      .sortBy(_._1)
   }
 }
 
@@ -690,10 +699,20 @@ final class GlogMicroBatchStream(fullSchema: StructType,
 
   private def computeLatest(): GlogStreamOffset =
     GlogStreamOffset(
-      GlogDataSource.listFilesWithSize(path, conf).map { case (f, size) =>
+      GlogDataSource.listFilesWithMeta(path, conf).map { case (f, size, mtime) =>
         val cached = lineCache.get(f)
         val counted =
-          if (cached != null && cached.bytes == size) cached
+          if (cached != null && cached.bytes == size &&
+              cached.mtime == mtime) cached
+          else if (cached != null && cached.bytes == size)
+            // Same size, new mtime: an EQUAL-SIZE in-place rewrite —
+            // undetectable by size alone (r13 verdict #5), and cached
+            // offsets would silently serve the old content's line map.
+            // The same append-only violation as a shrink: fail loudly.
+            throw new IllegalStateException(
+              s"glog stream: $f changed (mtime ${cached.mtime} → $mtime) " +
+                s"at an unchanged size $size — an in-place rewrite; the " +
+                "source directory must be append-only")
           else if (cached != null && cached.bytes > size)
             // The append-only contract is broken: a shrunk file means an
             // in-place rewrite, and already-logged offsets would silently
@@ -704,7 +723,7 @@ final class GlogMicroBatchStream(fullSchema: StructType,
           else {
             val from = if (cached == null) 0L else cached.bytes
             val (delta, endsNl) = countNewlines(f, from, size)
-            val c = GlogMicroBatchStream.Counted(size,
+            val c = GlogMicroBatchStream.Counted(size, mtime,
               (if (cached == null) 0L else cached.newlines) + delta,
               if (size == from) cached != null && cached.endsWithNewline
               else endsNl)
@@ -809,8 +828,8 @@ object GlogMicroBatchStream {
   private[graft] val driverBytesScanned =
     new java.util.concurrent.atomic.AtomicLong()
 
-  private[glog] final case class Counted(bytes: Long, newlines: Long,
-      endsWithNewline: Boolean) {
+  private[glog] final case class Counted(bytes: Long, mtime: Long,
+      newlines: Long, endsWithNewline: Boolean) {
     // an unterminated trailing fragment is one (partial) line — the same
     // count BufferedReader.readLine produces
     def lines: Long = newlines + (if (bytes > 0 && !endsWithNewline) 1 else 0)

@@ -411,6 +411,29 @@ class GlogSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("glog streaming source fails loudly on a SAME-SIZE in-place rewrite (r13 verdict #5)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = java.nio.file.Files.createTempDirectory("graft_glog_samesz").toString
+    val f = java.nio.file.Paths.get(root, "a.glog")
+    java.nio.file.Files.write(f, "1|x|1.0\n2|y|2.0\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, s STRING, v DOUBLE")
+    val stream = new GlogMicroBatchStream(schema, Array(0, 1, 2), Nil, root)
+    val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    // rewrite with BYTE-IDENTICAL length but different content — size
+    // alone cannot see it; the (size, mtime) cache key must (the mtime
+    // bump is explicit: filesystem mtime granularity can swallow a
+    // fast rewrite)
+    java.nio.file.Files.write(f, "3|a|3.0\n4|b|4.0\n".getBytes("UTF-8"))
+    val mt = java.nio.file.Files.getLastModifiedTime(f).toMillis
+    f.toFile.setLastModified(mt + 2000)
+    val e = intercept[IllegalStateException] {
+      stream.latestOffset(o1, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(e.getMessage.contains("unchanged size"), e.getMessage)
+  }
+
   test("glog streaming sink: a replayed epoch with fewer partitions removes the wider attempt's files") {
     // ADVICE r12: if the failed attempt wrote part-0..part-3 and the
     // replay commits only part-0..part-1, the stale part-2/part-3 files
