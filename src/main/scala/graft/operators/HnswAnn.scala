@@ -58,8 +58,33 @@ object HnswAnn extends QueryModule {
   val M0 = 16 // layer-0 degree bound (2M, the paper's default)
   val EfConstruction = 64
   val EfSearch = 48
-  val NShards = 4
+  val NShards = 4 // the FLOOR — shardsFor scales above it with the corpus
   private val MaxLevel = 8
+
+  /** Target SOURCE bytes per shard — the knob that makes the shard count
+    * TRACK the corpus (r13 verdict #7) instead of a constant: per-task
+    * build memory is one shard's vectors + degree-bounded adjacency, so
+    * holding shard BYTES constant holds task residency constant as the
+    * corpus grows to 100 TB (the Lucene-segment-size discipline). */
+  val TargetShardBytes: Long = 64L << 20
+
+  /** Shard count for a corpus: ceil(source bytes / target), floored at
+    * [[NShards]] (small corpora keep the fixed fan-out the byte-stable
+    * rebuild spec pins). Pure FILESYSTEM METADATA — one file/dir status
+    * of the embeddings table, no data IO, no count scan (the q115
+    * pattern). */
+  private[graft] def shardsFor(s: SparkSession, dir: String,
+      targetBytes: Long = TargetShardBytes): Int = {
+    require(targetBytes > 0, s"hnsw: bad target shard bytes $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val bytes =
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      else st.getLen
+    math.max(NShards, ((bytes + targetBytes - 1) / targetBytes).toInt)
+  }
 
   /** Deterministic uniform in (0, 1] from the id — the shared LCG mix. */
   private def hashUnit(id: Long): Double = {
@@ -246,7 +271,7 @@ object HnswAnn extends QueryModule {
     g
   }
 
-  private def unitVectors(emb: DataFrame): DataFrame =
+  private[graft] def unitVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v0"),
         l2Norm(col("embedding").cast("array<double>")).as("nrm"))
@@ -261,18 +286,28 @@ object HnswAnn extends QueryModule {
   def buildHnswIndex(s: SparkSession, dir: String): String =
     indexCache.computeIfAbsent(dir, _ => buildIndexInto(s, dir))
 
+  /** Spec hook: build an uncached instance with an explicit shard-size
+    * target, proving the derivation end-to-end. */
+  private[graft] def buildHnswIndexWith(s: SparkSession, dir: String,
+      targetBytes: Long): String = buildIndexInto(s, dir, targetBytes)
+
   /** Build + persist one index instance into a fresh work dir (shared by
-    * the build-once path and q168's private appended instance). */
-  private def buildIndexInto(s: SparkSession, dir: String): String = {
+    * the build-once path and q168's private appended instance). The
+    * shard count is SIZE-DERIVED ([[shardsFor]]) and recorded in params —
+    * query fan-out and append hashing read it from there, never a
+    * constant. */
+  private def buildIndexInto(s: SparkSession, dir: String,
+      targetBytes: Long = TargetShardBytes): String = {
       import s.implicits._
+      val nShards = shardsFor(s, dir, targetBytes)
       val p = java.nio.file.Files.createTempDirectory("graft_hnsw_idx_")
       sys.addShutdownHook(graft.WorkDirs.deleteTree(p))
-      Seq((M, M0, EfConstruction, NShards)).toDF("m", "m0", "efc", "nshards")
+      Seq((M, M0, EfConstruction, nShards)).toDF("m", "m0", "efc", "nshards")
         .coalesce(1).write.mode("overwrite").parquet(s"$p/params")
       unitVectors(t(s, dir, "embeddings"))
-        .select(pmod(hash(col("vec_id")), lit(NShards)).as("shard"),
+        .select(pmod(hash(col("vec_id")), lit(nShards)).as("shard"),
           col("vec_id"), col("v"))
-        .repartition(NShards, col("shard"))
+        .repartition(nShards, col("shard"))
         .as[(Int, Long, Array[Double])]
         .mapPartitions { it =>
           // a partition may carry several shards (hash collisions): build

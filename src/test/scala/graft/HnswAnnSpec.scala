@@ -94,6 +94,36 @@ class HnswAnnSpec extends SparkSpec {
       .filter(col("layer") === 0).count() === 2 * n)
   }
 
+  test("shard count is size-derived: shards = max(floor, ceil(bytes/target)); recall holds") {
+    import graft.operators.Similarity
+    // the derivation is pure filesystem metadata
+    val bytes = new java.io.File(s"$sf/embeddings.parquet").length()
+    val target = math.max(1L, bytes / 10)
+    val expect = math.max(HnswAnn.NShards,
+      ((bytes + target - 1) / target).toInt)
+    assert(HnswAnn.shardsFor(spark, sf, target) === expect)
+    // a corpus under one target stays at the floor
+    assert(HnswAnn.shardsFor(spark, sf, bytes * 2) === HnswAnn.NShards)
+    // build with the small target: params record the derived count, the
+    // graph lands that many shard directories, recall is unchanged
+    val idx = HnswAnn.buildHnswIndexWith(spark, sf, target)
+    assert(spark.read.parquet(s"$idx/params").head().getInt(3) === expect)
+    val shardDirs = spark.read.parquet(s"$idx/graph")
+      .select("shard").distinct().count()
+    assert(shardDirs === expect.toLong,
+      s"built $shardDirs shard dirs for a $expect-shard derivation")
+    val brute = Similarity.bruteForceTopK(emb, 3)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = HnswAnn.hnswTopK(spark, idx,
+      HnswAnn.unitVectors(emb), 3)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(f"recall@3 at $expect shards = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9 at $expect shards")
+  }
+
   test("q165 serves from the persisted index — the plan reads the graph dir") {
     HnswAnn.buildHnswIndex(spark, sf)
     val out = SparkEntry.queries("q165_hnsw_ann")(spark, sf)
