@@ -464,6 +464,104 @@ object TimeTravel extends QueryModule {
       schemaDdl = Some(df.schema.toDDL), flags = flags)
   }
 
+  /** Commit `df` Z-ORDER-CLUSTERED on N COLUMNS (2 ≤ n ≤ 4) with
+    * per-file (min, max) stats for EVERY clustered column recorded in
+    * the commit — the r13 #6 generalization of [[commitZOrdered]]'s
+    * pinned 2×16-bit interleave. Each column is affine-scaled to a
+    * 16-bit budget (n·16 ≤ 64 keeps the code in one long), the bits
+    * interleaved ROUND-ROBIN from the most significant down — so the
+    * top `log₂ nFiles` prefix bits cycle through the dimensions and a
+    * range read on ANY clustered column (secondary, tertiary, …) prunes
+    * from log metadata, which a single-column sort gives only its own
+    * key. Cell assignment stays a pure function of the keys; the
+    * interleave is 16·n codegen'd shift/and/or terms; Z columns are
+    * never stored. */
+  def commitZOrderedN(s: SparkSession, root: String, df: DataFrame,
+      cols: Seq[String], nFiles: Int, removed: Seq[String] = Nil,
+      flags: Seq[String] = Nil): Int = {
+    val n = cols.size
+    require(n >= 2 && n <= 4,
+      s"time travel: z-order takes 2–4 columns, got $n")
+    require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
+      s"time travel: z-order nFiles must be a power of two, got $nFiles")
+    validateConstraints(s, root, df)
+    validateSchema(s, root, df.schema)
+    val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
+    require(prefixBits <= 16 * n,
+      s"time travel: nFiles $nFiles exceeds the ${16 * n}-bit code")
+    val mmExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = df.agg(mmExprs.head, mmExprs.tail: _*).head()
+    require(!mm.anyNull,
+      s"time travel: z-order bounds of ${cols.mkString(", ")} are null")
+    val bounds = cols.indices.map(j => (mm.getLong(2 * j), mm.getLong(2 * j + 1)))
+    def scale16(c: String, lo: Long, hi: Long) =
+      ((col(c).cast("long") - lit(lo)) * lit(65535L) /
+        lit(math.max(1L, hi - lo))).cast("long")
+    val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      scale16(c, lo, hi)
+    }
+    // bit b (0-based from LSB) of dim j lands at position b·n + (n−1−j):
+    // the MSB group (b = 15) fills the code's top n bits with one bit
+    // per dimension, dim 0 most significant — round-robin from the top
+    val zval = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(sc, b).bitwiseAND(lit(1L)),
+          b * n + (n - 1 - j)))
+      }
+    }
+    val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
+    df.withColumn("__z", zval)
+      .withColumn("__zcell",
+        shiftright(col("__z"), 16 * n - prefixBits).cast("int"))
+      .repartition(nFiles, col("__zcell"))
+      .sortWithinPartitions("__zcell", "__z")
+      .drop("__z")
+      .write.partitionBy("__zcell").mode("overwrite").parquet(stage)
+    // per-file stats for EVERY dimension — n lines per file; keys are
+    // the cell-dir-qualified path tail (bare part names repeat across
+    // cell dirs — the q181 collision)
+    val statExprs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+    }
+    val stats = s.read.parquet(stage)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(statExprs.head, statExprs.tail: _*)
+      .collect()
+      .map(r => r.getString(0).split('/').takeRight(2).mkString("/") ->
+        cols.indices.map(j =>
+          (Option(r.get(1 + 2 * j)), Option(r.get(2 + 2 * j)))))
+      .toMap
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zcell="))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (s"${d.getPath.getName}/${f.getName}", d.getPath.getName, f))
+      }
+      .sortBy(_._1)
+      .filter(e => stats.contains(e._1)) // zero-row files: not committed
+      .map { case (key, dirName, f) =>
+        val cell = dirName.stripPrefix("__zcell=")
+        val name = s"$uid-z$cell-${f.getName}"
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staging rename of $f failed")
+        (key, name)
+      }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val statLines = renamed.flatMap { case (staged, fin) =>
+      stats(staged).zip(cols).flatMap {
+        case ((Some(lo), Some(hi)), c) => Some(s"$fin|$c|$lo|$hi")
+        case _ => None
+      }
+    }
+    commitNames(s, root, renamed.map(_._2), removed, statLines,
+      schemaDdl = Some(df.schema.toDDL), flags = flags)
+  }
+
   /** AS-OF read pruned by the log's per-file stats: only files whose
     * recorded [min, max] of `statCol` overlaps [lo, hi] — plus files with
     * NO recorded stats (conservative: must scan) — enter the parquet
@@ -682,6 +780,11 @@ object TimeTravel extends QueryModule {
   // ---- deletion vectors (Delta's DV / merge-on-read row deletes) ------
 
   private def dvDir(root: String) = s"${logDir(root)}/dv"
+
+  /** Absolute path of a DV sidecar — the DSv2 scan's executor-side
+    * readers resolve their masks through this. */
+  private[graft] def dvSidecarPath(root: String, name: String): String =
+    s"${dvDir(root)}/$name"
 
   /** DV payloads are SORTED row positions packed as varint (LEB128)
     * deltas — first position absolute, the rest gaps ≥ 1 — so a vector
@@ -907,7 +1010,9 @@ object TimeTravel extends QueryModule {
     * temps before handing them here (they know the counts). */
   private[graft] def commitStagedFiles(s: SparkSession, root: String,
       temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None,
+      dvExpect: Option[Map[String, Option[String]]] = None,
+      props: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -923,7 +1028,36 @@ object TimeTravel extends QueryModule {
       name
     }
     commitNames(s, root, added, removed,
-      schemaDdl = Some(schemaDdl), txn = txn)
+      schemaDdl = Some(schemaDdl), txn = txn, dvExpect = dvExpect,
+      props = props)
+  }
+
+  /** Commit staged parquet a PARTITIONED DSv2 writer produced — each
+    * temp carries its partition VALUE, recorded per committed file as a
+    * `=` stats line, so a catalog `INSERT INTO` on a `PARTITIONED BY`
+    * table lands with the same log metadata [[commitPartitioned]]
+    * writes: equality reads prune files, the table reports
+    * KeyGroupedPartitioning, DPP drops value groups (r13 verdict #2). */
+  private[graft] def commitStagedPartitioned(s: SparkSession, root: String,
+      temps: Seq[(String, String)], schemaDdl: String, partCol: String,
+      removed: Seq[String] = Nil): Int = {
+    validateSchema(s, root,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    if (temps.nonEmpty)
+      validateConstraints(s, root, s.read.parquet(temps.map(_._1): _*))
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val named = temps.sortBy(_._1).zipWithIndex.map { case ((t, v), i) =>
+      val name = s"$uid-w$i.parquet"
+      require(fs.rename(new org.apache.hadoop.fs.Path(t),
+          new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+        s"time travel: staged rename of $t failed")
+      (name, v)
+    }
+    commitNames(s, root, named.map(_._1), removed,
+      stats = named.map { case (n, v) => s"$n|$partCol|=|$v" },
+      schemaDdl = Some(schemaDdl))
   }
 
   /** The streaming-sink epoch commit: IDEMPOTENT under epoch replay via
@@ -2268,6 +2402,60 @@ object TimeTravel extends QueryModule {
     readRowChanges(SparkSession.active, litStr(exprs(0), "root"),
       litInt(exprs(1), "from"), litInt(exprs(2), "to"))
       .queryExecution.logical
+  }
+
+  // ---- SQL maintenance verbs (r13 verdict #3): OPTIMIZE / ZORDER /
+  // VACUUM as table-valued functions — the maintenance op runs when the
+  // statement ANALYZES (the same literal-argument contract as
+  // graft_asof) and the returned row reports what it did. Delta's
+  // `OPTIMIZE t` / `VACUUM t` statements likewise execute-and-report. --
+
+  private def oneRowPlan(s: SparkSession, names: Seq[String],
+      vals: Seq[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import s.implicits._
+    Seq(vals).toDF().select(names.zipWithIndex.map { case (n, i) =>
+      element_at(col("value"), i + 1).as(n) }: _*)
+      .queryExecution.logical
+  }
+
+  /** `graft_optimize(root, targetFiles)` — the q173 nodata bin-pack from
+    * pure SQL; idempotent once within target (re-running a maintenance
+    * statement must not grow the log). Returns (version, files_before,
+    * files_after). */
+  def optimizePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_optimize(root, targetFiles)")
+    val s = SparkSession.active
+    val root = litStr(exprs(0), "root")
+    val before = snapshotFiles(root, currentVersion(root)).size
+    val v = compact(s, root, litInt(exprs(1), "targetFiles"))
+    oneRowPlan(s, Seq("version", "files_before", "files_after"),
+      Seq(v.toLong, before.toLong, snapshotFiles(root, v).size.toLong))
+  }
+
+  /** `graft_zorder(root, c1, c2, nFiles)` — OPTIMIZE ZORDER BY from pure
+    * SQL (the q185b compaction). Every call rewrites the snapshot into
+    * the Z-layout (Delta's OPTIMIZE ZORDER is likewise re-runnable); the
+    * commit is `nodata`, so change feeds skip it. */
+  def zorderPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4, "usage: graft_zorder(root, c1, c2, nFiles)")
+    val s = SparkSession.active
+    val root = litStr(exprs(0), "root")
+    val v = compactZOrdered(s, root, litStr(exprs(1), "c1"),
+      litStr(exprs(2), "c2"), litInt(exprs(3), "nFiles"))
+    oneRowPlan(s, Seq("version", "files_after"),
+      Seq(v.toLong, snapshotFiles(root, v).size.toLong))
+  }
+
+  /** `graft_vacuum(root)` — delete unreferenced data/change files from
+    * pure SQL; idempotent. Returns the deleted-file count. */
+  def vacuumPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_vacuum(root)")
+    val s = SparkSession.active
+    oneRowPlan(s, Seq("n_deleted"),
+      Seq(vacuum(litStr(exprs(0), "root")).size.toLong))
   }
 
   /** Incremental read: the rows ADDED between two snapshots, resolved

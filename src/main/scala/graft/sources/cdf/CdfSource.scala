@@ -472,7 +472,7 @@ final case class CdfWriteMsg(tmp: String, rows: Long)
   * generation, so a commit that raced in between is either honored or
   * flagged as a remove-conflict by the claim — never silently dropped. */
 final class CdfWriteBuilder(writeSchema: StructType, root: String,
-    queryId: String)
+    queryId: String, partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var doTruncate = false
@@ -504,28 +504,67 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
     this
   }
 
+  /** The PARTITIONED write (a `CREATE TABLE … PARTITIONED BY` catalog
+    * table, r13 verdict #2) REQUIRES a clustered distribution + ordering
+    * on the partition column: Spark shuffles each value's rows into one
+    * task and sorts within it, so the writer rotates exactly one file
+    * per value — the hive-partitioned layout, landed by the engine, not
+    * hoped for from the incoming partitioning. */
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.Write {
-      override def toBatch
-          : org.apache.spark.sql.connector.write.BatchWrite =
-        new CdfBatchWrite(writeSchema, root, doTruncate, overwriteFilters)
-      override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new CdfStreamingWrite(writeSchema, root, queryId)
+    partCol match {
+      case None =>
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new CdfBatchWrite(writeSchema, root, doTruncate, overwriteFilters)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new CdfStreamingWrite(writeSchema, root, queryId)
+        }
+      case Some(pc) =>
+        new org.apache.spark.sql.connector.write.Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(
+                org.apache.spark.sql.connector.expressions.Expressions.column(pc)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(pc),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new CdfBatchWrite(writeSchema, root, doTruncate,
+              overwriteFilters, Some(pc))
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            throw new UnsupportedOperationException(
+              "cdf sink: streaming writes into a PARTITIONED BY table are " +
+                "not supported — stream into an unpartitioned table and " +
+                "OPTIMIZE into the layout")
+        }
     }
 }
 
 final case class CdfWriterFactory(schema: StructType, root: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // batch: (partition, task) keeps a retried attempt's temp distinct
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CdfDataWriter(schema,
-      s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value,
-      colmap)
+    partCol match {
+      case Some(pc) => new PartitionedCdfDataWriter(schema,
+        s"$root/stage-stream/b-p$partitionId-t$taskId", conf.value,
+        colmap, pc)
+      case None => new CdfDataWriter(schema,
+        s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value,
+        colmap)
+    }
   // streaming: the epoch joins the name — a replayed epoch's temps never
   // collide with the failed attempt's
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
@@ -533,6 +572,78 @@ final case class CdfWriterFactory(schema: StructType, root: String,
     new CdfDataWriter(schema,
       s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
       conf.value, colmap)
+}
+
+/** One staged temp and its rows + partition value — the partitioned
+  * writer's per-file unit inside [[CdfPartedMsg]]. */
+final case class CdfPartedMsg(parts: Seq[(String, Long, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The PARTITIONED task writer: rows arrive CLUSTERED AND SORTED on the
+  * partition column (the Write required that distribution), so one open
+  * file suffices — the writer ROTATES to a fresh temp when the value
+  * changes and reports (temp, rows, value) triples for the commit's
+  * per-file partition-value lines. NULL partition values refuse loudly
+  * (hive partitioning has no null directory in this engine). */
+final class PartitionedCdfDataWriter(schema: StructType, tmpPrefix: String,
+    conf: Configuration, colmap: Map[String, String], partCol: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val partIdx = schema.fieldIndex(partCol)
+  private val partDt = schema.fields(partIdx).dataType
+
+  private var cur: CdfDataWriter = _
+  private var curValue: String = _
+  private var seq = 0
+  private val done = Seq.newBuilder[(String, Long, String)]
+
+  private def valueOf(row: InternalRow): String = {
+    require(!row.isNullAt(partIdx),
+      s"cdf sink: NULL partition value for $partCol — hive partitioning " +
+        "requires non-null partition keys")
+    partDt match {
+      case StringType => row.getUTF8String(partIdx).toString
+      case LongType => row.getLong(partIdx).toString
+      case IntegerType | DateType => row.getInt(partIdx).toString
+      case other => throw new IllegalArgumentException(
+        s"cdf sink: unsupported partition column type $other")
+    }
+  }
+
+  private def roll(): Unit = if (cur != null) {
+    val m = cur.commit().asInstanceOf[CdfWriteMsg]
+    done += ((m.tmp, m.rows, curValue))
+    cur = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val v = valueOf(row)
+    if (cur == null || v != curValue) {
+      roll()
+      cur = new CdfDataWriter(schema, s"$tmpPrefix-v$seq.parquet", conf,
+        colmap)
+      seq += 1
+      curValue = v
+    }
+    cur.write(row)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    roll()
+    CdfPartedMsg(done.result())
+  }
+
+  override def abort(): Unit = {
+    if (cur != null) cur.abort()
+    val fs = new Path(tmpPrefix).getFileSystem(conf)
+    done.result().foreach { case (t, _, _) =>
+      fs.delete(new Path(t), false)
+    }
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 final class CdfDataWriter(schema: StructType, tmp: String,
@@ -592,7 +703,8 @@ final class CdfDataWriter(schema: StructType, tmp: String,
   * commit (a log-native overwrite — old generations stay readable). */
 final class CdfBatchWrite(schema: StructType, root: String,
     truncate: Boolean,
-    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None)
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -600,15 +712,20 @@ final class CdfBatchWrite(schema: StructType, root: String,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root))
+    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root),
+      partCol)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
     val (live, empty) = messages.collect { case m: CdfWriteMsg => m }
       .partition(_.rows > 0)
+    val parted = messages.collect { case m: CdfPartedMsg => m }
+      .flatMap(_.parts)
+    val (plive, pempty) = parted.partition(_._2 > 0)
     val fs = new Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
+    pempty.foreach(p => fs.delete(new Path(p._1), false))
     val gen = TimeTravel.currentVersion(root)
     val removed = overwriteFilters match {
       case Some(flts0) if gen >= 0 =>
@@ -630,8 +747,17 @@ final class CdfBatchWrite(schema: StructType, root: String,
         TimeTravel.resolveSnapshot(root, gen)._1
       case None => Nil
     }
-    TimeTravel.commitStagedFiles(SparkSession.active, root,
-      live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL, removed = removed)
+    partCol match {
+      case Some(pc) =>
+        require(live.isEmpty, "cdf sink: mixed partitioned and plain temps")
+        TimeTravel.commitStagedPartitioned(SparkSession.active, root,
+          plive.map(p => (p._1, p._3)).toSeq,
+          CdfParquet.nullable(schema).toDDL, pc, removed = removed)
+      case None =>
+        TimeTravel.commitStagedFiles(SparkSession.active, root,
+          live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL,
+          removed = removed)
+    }
     ()
   }
   override def abort(
@@ -640,6 +766,9 @@ final class CdfBatchWrite(schema: StructType, root: String,
     val fs = new Path(root).getFileSystem(confB.value)
     messages.collect { case m: CdfWriteMsg =>
       fs.delete(new Path(m.tmp), false)
+    }
+    messages.collect { case m: CdfPartedMsg =>
+      m.parts.foreach(p => fs.delete(new Path(p._1), false))
     }
     ()
   }

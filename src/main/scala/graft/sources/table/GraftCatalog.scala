@@ -112,18 +112,42 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   /** CREATE TABLE: a schema-only generation 0 — the same commit shape as
-    * any other, so the log IS the table's existence. */
+    * any other, so the log IS the table's existence.
+    *
+    * `PARTITIONED BY (col)` (ONE identity transform, r13 verdict #2)
+    * records the column as the `graft.partitionCol` table property in
+    * that same commit: every later `INSERT INTO` then requires a
+    * clustered+sorted distribution on it, lands one file per value, and
+    * writes the partition values into the commit — so catalog-created
+    * tables get q197-style equality pruning, storage-partitioned joins
+    * and DPP without a single library call. Reference: the warehouse
+    * layout itself is hive-partitioned (transactions_mock_data.py:85-91). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported here — partition " +
-        "through the log's commitPartitioned/commitClustered layouts")
+    val pcol = partitionColOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     TimeTravel.commitStagedFiles(SparkSession.active, rootFor(ident),
-      Nil, schema.toDDL)
+      Nil, schema.toDDL,
+      props = pcol.map(c => s"graft.partitionCol|$c").toSeq)
     loadTable(ident)
+  }
+
+  /** The single identity partition transform, or None. Anything richer
+    * (buckets, multi-column, function transforms) refuses loudly. */
+  private def partitionColOf(partitions: Array[Transform],
+      schema: StructType): Option[String] = partitions match {
+    case Array() => None
+    case Array(t) if t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1 =>
+      val c = t.references()(0).fieldNames()(0)
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: partition column $c is not in the table schema")
+      Some(c)
+    case other => throw new UnsupportedOperationException(
+      "graft catalog: PARTITIONED BY supports exactly one identity " +
+        s"column, got ${other.mkString(", ")}")
   }
 
   /** ALTER TABLE as METADATA-ONLY commits — zero data bytes move:
@@ -170,9 +194,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     TimeTravel.currentVersion(root.toString) >= 0 && fs.delete(root, true)
   }
 
-  override def renameTable(old: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: rename is not supported")
+  /** ALTER TABLE RENAME (r13 verdict #4): ONE filesystem rename of the
+    * table directory — the commit log, data files, DV sidecars and
+    * change files all travel together because every in-log reference is
+    * RELATIVE to the root (absolute references are only ever to OTHER
+    * tables' files — shallow clones — and stay valid). The rename is
+    * atomic on HDFS and POSIX: readers resolve either the old name or
+    * the new one, never both and never a half-table. History, stats,
+    * constraints and time travel are untouched — the log's content
+    * never mentions its own root. */
+  override def renameTable(old: Identifier, to: Identifier): Unit = {
+    val src = new Path(rootFor(old))
+    val dst = new Path(rootFor(to))
+    val fs = src.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (TimeTravel.currentVersion(src.toString) < 0)
+      throw new NoSuchTableException(old)
+    if (TimeTravel.currentVersion(dst.toString) >= 0 || fs.exists(dst))
+      throw new TableAlreadyExistsException(Seq(catName, to.name()))
+    require(fs.rename(src, dst),
+      s"graft catalog: rename of ${old.name()} to ${to.name()} failed")
+    ()
+  }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) -----------------------
   //
@@ -264,9 +307,18 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   // a pure INSERT never pays for it
   private lazy val readSide = GraftLogTable(tableSchema, root, gen)
 
+  /** The declared partition column (`CREATE TABLE … PARTITIONED BY`),
+    * from the table property the create commit recorded. */
+  private lazy val declaredPartCol: Option[String] =
+    TimeTravel.propsAsOf(root, gen).get("graft.partitionCol")
+
   override def name(): String = s"graft:$root@$gen"
   override def schema(): StructType = tableSchema
-  override def partitioning(): Array[Transform] = readSide.partitioning()
+  override def partitioning(): Array[Transform] = declaredPartCol match {
+    case Some(c) => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    case None => readSide.partitioning()
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -280,7 +332,8 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
-    new CdfWriteBuilder(info.schema(), root, info.queryId())
+    new CdfWriteBuilder(info.schema(), root, info.queryId(),
+      declaredPartCol)
   }
 
   private def requireWritable(): Unit = require(writable,

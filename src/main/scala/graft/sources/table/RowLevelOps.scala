@@ -48,7 +48,8 @@ final class GraftRowLevelOperationBuilder(root: String, gen: Int,
     new GraftRowLevelOperation(root, gen, tableSchema, info.command())
 }
 
-final class GraftRowLevelOperation(root: String, gen: Int,
+final class GraftRowLevelOperation(root: String,
+    private[table] val gen: Int,
     tableSchema: StructType, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
@@ -181,11 +182,15 @@ final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
   // table.colmap rides along: on a column-mapped table the candidate
   // rows live under PHYSICAL parquet names, and a reader resolving the
   // LOGICAL names would null-fill every mapped column — the rewrite
-  // would then persist those nulls (ADVICE r13).
+  // would then persist those nulls (ADVICE r13). table.dvs rides along
+  // too: the candidate scan must read THROUGH live deletion vectors, or
+  // the copy-on-write rewrite would RESURRECT the masked rows into the
+  // new generation.
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required, table.root, Int.MaxValue,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()), table.colmap)
+        SparkSession.active.sessionState.newHadoopConf()), table.colmap,
+      table.dvPaths(files))
 }
 
 /** The replacement write: staged parquet from every task, ONE atomic
@@ -212,8 +217,16 @@ final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
       .partition(_.rows > 0)
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false))
+    // the rewrite read each candidate file through the DV state at the
+    // scanned generation — if a racing DV-delete re-masked one of them
+    // since, blind-landing would resurrect that racer's deletes into the
+    // rewritten rows; dvExpect turns that into an explicit conflict (the
+    // same guard deleteVectorWhere carries in the other direction)
+    val dvAtScan = TimeTravel.dvsFor(root, op.gen)
     TimeTravel.commitStagedFiles(SparkSession.active, root,
-      live.map(_.tmp).toSeq, graft.sources.cdf.CdfParquet.nullable(schema).toDDL, removed = removed)
+      live.map(_.tmp).toSeq, graft.sources.cdf.CdfParquet.nullable(schema).toDDL,
+      removed = removed,
+      dvExpect = Some(removed.map(f => f -> dvAtScan.get(f).map(_._1)).toMap))
     ()
   }
 

@@ -53,10 +53,12 @@ import graft.sources.cdf.CdfPartitionReader
   *    before any file is opened — the DSv2 form of Delta/Iceberg dynamic
   *    file skipping.
   *
-  * Snapshots with live DELETION VECTORS refuse this scan loudly (the DV
-  * anti-join belongs to `readAsOf`'s DataFrame path); OPTIMIZE
-  * materializes vectors away, after which the table is DSv2-scannable
-  * again.
+  * Snapshots with live DELETION VECTORS read straight through them:
+  * each split's reader loads its file's sidecar executor-side and skips
+  * the masked positions (r13 verdict #1), so a q188 merge-on-read
+  * delete composes with every catalog read. Footer-aggregate pushdown
+  * refuses under live DVs — footer statistics can't see row masks —
+  * and falls back to the (masked) row scan.
   *
   * Reference: Javier009/eCommerce_Data_Pipeline's warehouse queries
   * (Redshift_Queries/&#42;.sql) run against exactly this kind of loaded
@@ -169,10 +171,22 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     }.toMap
   }
 
-  require(TimeTravel.dvsFor(root, gen).isEmpty,
-    s"table: snapshot $gen of $root carries live deletion vectors — " +
-      "OPTIMIZE (compact) materializes them away, or read through " +
-      "TimeTravel.readAsOf")
+  /** Deletion vectors in force at this snapshot, restricted to its
+    * files: file → (sidecar name, cardinality). Scans READ THROUGH the
+    * vectors (r13 verdict #1): each split's reader loads its file's
+    * sidecar executor-side and skips the masked row positions — so a
+    * merge-on-read DV delete (q188) composes with every catalog read,
+    * Delta's contract. Empty on DV-free tables: zero overhead. */
+  private[table] val dvs: Map[String, (String, Long)] = {
+    val all = TimeTravel.dvsFor(root, gen)
+    files.flatMap(f => all.get(f).map(f -> _)).toMap
+  }
+
+  /** file → absolute sidecar path, the executor-side mask source. */
+  private[table] def dvPaths(of: Seq[String]): Map[String, String] =
+    of.flatMap(f => dvs.get(f).map { case (n, _) =>
+      f -> TimeTravel.dvSidecarPath(root, n)
+    }).toMap
 
   /** The single column EVERY snapshot file carries a partition value
     * for — the table's reportable identity partitioning (None for
@@ -268,6 +282,11 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!aggEnabled || accepted.nonEmpty || limit.isDefined) return false
+    // live deletion vectors: footer statistics describe the FILE's rows,
+    // not the mask's survivors — a footer answer would count/extreme
+    // deleted rows. Refuse; Spark falls back to the row scan, which
+    // reads through the vectors.
+    if (table.dvs.nonEmpty) return false
     val grouped = aggregation.groupByExpressions() match {
       case Array() => false
       case Array(FieldRef(c)) if table.partColLogical.contains(c) => true
@@ -514,11 +533,14 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.iterator.map(table.fileSizes).sum
     // rowCount is exact when every kept file has a logged `nrows` line;
-    // any pre-nrows file makes it unknown rather than under-counted
+    // any pre-nrows file makes it unknown rather than under-counted.
+    // DV-masked rows never surface, so the logged cardinalities come off
     private val rows: Option[Long] = {
       val counts = files.map(table.fileRows.get)
       if (files.nonEmpty && counts.forall(_.isDefined))
-        Some(counts.flatten.sum) else None
+        Some(counts.flatten.sum -
+          files.iterator.flatMap(table.dvs.get).map(_._2).sum)
+      else None
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
@@ -594,13 +616,15 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required, table.root, limit,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()), table.colmap)
+        SparkSession.active.sessionState.newHadoopConf()), table.colmap,
+      table.dvPaths(files))
 }
 
 final case class SnapshotReaderFactory(schema: StructType, root: String,
     limit: Int,
     conf: org.apache.spark.util.SerializableConfiguration,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    dvs: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -609,7 +633,7 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
       case KeyedPartition(fl, _) => fl
       case other => throw new IllegalArgumentException(s"table: $other")
     }
-    new ChainedReader(fs, schema, root, limit, conf.value, colmap)
+    new ChainedReader(fs, schema, root, limit, conf.value, colmap, dvs)
   }
 }
 
@@ -617,15 +641,28 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
   * over one split's files. A pushed LIMIT stops the chain — files past
   * the limit are never opened. The `_file` metadata column, when
   * requested, rides the reader's constant-fill path: it costs nothing
-  * and is never part of the parquet projection. */
+  * and is never part of the parquet projection.
+  *
+  * DELETION VECTORS read through here (r13 verdict #1): a file with a
+  * live DV loads its sidecar ONCE, executor-side (per-task memory = one
+  * file's positions, the bound Delta's DV reader has), and the chain
+  * skips masked row positions as it pulls — records arrive in file
+  * order, so one forward pointer over the sorted positions masks in
+  * O(rows + deletes). The empty-projection (count-star) path is
+  * positionally uniform, so skipping any |mask| rows is exact there
+  * too. */
 final class ChainedReader(names: Seq[String], schema: StructType,
     root: String, limit: Int, conf: org.apache.hadoop.conf.Configuration,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    dvs: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val wantsFile = schema.fieldNames.contains(FileMetaColumn.NAME)
   private val it = names.iterator
   private var cur: CdfPartitionReader = _
   private var emitted = 0L
+  private var mask: Array[Long] = _ // sorted deleted positions, or null
+  private var maskIdx = 0
+  private var rowPos = 0L
 
   override def next(): Boolean = {
     if (emitted >= limit) return false
@@ -638,9 +675,19 @@ final class ChainedReader(names: Seq[String], schema: StructType,
         val fill =
           if (wantsFile) Map(FileMetaColumn.NAME -> f) else Map.empty[String, String]
         cur = new CdfPartitionReader(p, schema, conf, fill, colmap)
+        mask = dvs.get(f).map(TimeTravel.readPositions(_, conf)).orNull
+        maskIdx = 0
+        rowPos = 0L
       }
-      if (cur.next()) { emitted += 1; return true }
-      cur.close(); cur = null // fall through to the next file
+      if (cur.next()) {
+        val pos = rowPos
+        rowPos += 1
+        if (mask == null) { emitted += 1; return true }
+        while (maskIdx < mask.length && mask(maskIdx) < pos) maskIdx += 1
+        if (maskIdx < mask.length && mask(maskIdx) == pos) {
+          maskIdx += 1 // masked row: skip, keep pulling
+        } else { emitted += 1; return true }
+      } else { cur.close(); cur = null } // fall through to the next file
     }
     false // unreachable
   }

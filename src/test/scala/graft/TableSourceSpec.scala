@@ -674,13 +674,260 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
-  test("deletion-vector snapshots refuse the DSv2 scan loudly") {
+  test("q213 deletion vectors read through the DSv2 scan: masked rows never surface") {
     val root = newRoot()
-    val base = orders.limit(300)
+    val base = orders.limit(400)
     TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
-    val k = base.select("o_orderkey").orderBy("o_orderkey").head().getLong(0)
-    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", k, k)
-    val e = intercept[Exception] { dsv(root).count() }
-    assert(e.getMessage.contains("deletion vectors"))
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(100), keys(220))
+    val filesBefore = TimeTravel.snapshotFiles(root, 0).toSet
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", lo, hi)
+    // merge-on-read: not one data file moved
+    assert(TimeTravel.snapshotFiles(root, 1).toSet === filesBefore)
+    val expect = base.filter(!col("o_orderkey").between(lo, hi))
+    val got = dsv(root)
+    assert(got.count() === expect.count(),
+      "DV mask not applied by the DSv2 scan")
+    assert(got.filter(col("o_orderkey").between(lo, hi)).count() === 0,
+      "masked rows surfaced through the DSv2 scan")
+    assert(got.agg(sum("o_orderkey")).head().getLong(0)
+      === expect.agg(sum("o_orderkey")).head().getLong(0))
+    // the reported numRows statistic is mask-exact (nrows − cardinality)
+    val scan = dsv(root).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    val st = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === expect.count(),
+      "numRows statistic ignores the DV cardinalities")
+    // a second delete COMPOSES (union into a fresh sidecar)
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(0), keys(0))
+    assert(dsv(root).count() === expect.count() - 1)
+  }
+
+  test("footer-aggregate pushdown refuses under live DVs; the masked row scan answers") {
+    val root = newRoot()
+    val base = orders.limit(500)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(0), keys(49)) // the 50 smallest keys
+    TableMetrics.reset()
+    val got = dsv(root).agg(count(lit(1)).as("n"),
+      min("o_orderkey").as("klo"), max("o_orderkey").as("khi"))
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("footer aggregate"),
+      s"footer aggregate pushed down over a DV'd snapshot:\n$plan")
+    val r = got.head()
+    assert(!TableMetrics.openedDataFiles.isEmpty,
+      "no row scan ran — the footer path cannot see DV masks")
+    val expect = base.filter(col("o_orderkey") > keys(49))
+    assert(r.getLong(0) === expect.count())
+    // min would be keys(0) if footers answered — the mask moves it
+    assert(r.getLong(1) === keys(50))
+    assert(r.getLong(2) === keys.last)
+  }
+
+  test("q214 CREATE TABLE PARTITIONED BY: inserts land one file per value, equality reads prune") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cpart_").toString
+    val base = orders.limit(600)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    withConfs(
+      "spark.sql.catalog.cpcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.cpcat.warehouse" -> wh) {
+      spark.sql("""CREATE TABLE cpcat.pt (
+                  |  o_orderkey BIGINT, o_orderpriority STRING,
+                  |  o_totalprice DOUBLE)
+                  |PARTITIONED BY (o_orderpriority)""".stripMargin)
+      base.createOrReplaceTempView("cpart_src")
+      spark.sql("INSERT INTO cpcat.pt SELECT * FROM cpart_src")
+      val root = s"$wh/pt"
+      val nVals = base.select("o_orderpriority").distinct().count()
+
+      // one file per value, each with its partition value in the commit
+      val files = TimeTravel.snapshotFiles(root, TimeTravel.currentVersion(root))
+      assert(files.size === nVals,
+        s"partitioned insert wrote ${files.size} files for $nVals values")
+      val pvals = TimeTravel.pvalsFor(root, TimeTravel.currentVersion(root))
+      assert(files.forall(pvals.contains), "a committed file has no pval")
+
+      // equality read: only that value's file opens
+      val v = base.select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority").head().getString(0)
+      TableMetrics.reset()
+      val got = spark.sql(
+        s"SELECT count(*) FROM cpcat.pt WHERE o_orderpriority = '$v'")
+        .head().getLong(0)
+      assert(got === base.filter(col("o_orderpriority") === v).count())
+      assert(TableMetrics.openedDataFiles.size() === 1,
+        s"equality read opened ${TableMetrics.openedDataFiles.size()} of $nVals")
+
+      // a second INSERT appends one more file per inserted value
+      spark.sql(s"INSERT INTO cpcat.pt SELECT o_orderkey + 9000000, " +
+        s"o_orderpriority, o_totalprice FROM cpart_src WHERE o_orderpriority = '$v'")
+      assert(spark.sql(
+        s"SELECT count(*) FROM cpcat.pt WHERE o_orderpriority = '$v'")
+        .head().getLong(0)
+        === 2 * base.filter(col("o_orderpriority") === v).count())
+
+      // the declared partitioning reports even on the empty table and
+      // NULL partition keys refuse loudly
+      spark.sql("""CREATE TABLE cpcat.pt2 (k BIGINT, p STRING)
+                  |PARTITIONED BY (p)""".stripMargin)
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO cpcat.pt2 VALUES (1, CAST(NULL AS STRING))")
+      }
+      assert(e.getMessage.contains("NULL partition value") ||
+        Option(e.getCause).exists(_.getMessage.contains("NULL partition value")),
+        s"null partition key did not refuse: ${e.getMessage}")
+    }
+  }
+
+  test("ALTER TABLE RENAME TO: one atomic move; history, stats and pruning intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_rn_").toString
+    val base = orders.limit(400)
+    TimeTravel.commitClustered(spark, s"$wh/rn1", base, "o_orderkey", 4)
+    TimeTravel.commit(spark, s"$wh/rn1",
+      base.withColumn("o_orderkey", col("o_orderkey") + 7000000L))
+    TimeTravel.commitStagedFiles(spark, s"$wh/other", Nil,
+      "k BIGINT") // an occupied target name
+    withConfs(
+      "spark.sql.catalog.rncat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.rncat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE rncat.rn1 RENAME TO rn2")
+      // the old name is gone, the new one serves the same table
+      intercept[Exception] {
+        spark.sql("SELECT count(*) FROM rncat.rn1").collect()
+      }
+      assert(spark.sql("SELECT count(*) FROM rncat.rn2").head().getLong(0)
+        === 2 * base.count())
+      // time travel and log stats crossed the rename intact
+      assert(spark.sql("SELECT count(*) FROM rncat.rn2 VERSION AS OF 0")
+        .head().getLong(0) === base.count())
+      val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val pruned = TimeTravel.readAsOfWhere(spark, s"$wh/rn2", 1,
+        "o_orderkey", keys(0), keys(99))
+      assert(pruned.count() === base
+        .filter(col("o_orderkey").between(keys(0), keys(99))).count())
+      assert(pruned.inputFiles.length < 4,
+        "stats pruning lost by the rename")
+      // renaming onto an occupied name refuses; the source survives
+      intercept[Exception] {
+        spark.sql("ALTER TABLE rncat.rn2 RENAME TO other")
+      }
+      assert(spark.sql("SELECT count(*) FROM rncat.rn2").head().getLong(0)
+        === 2 * base.count())
+    }
+  }
+
+  test("concurrent SQL writers: racing INSERTs both land, racing UPDATEs resolve one-winner") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_race_").toString
+    val base = orders.limit(400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    withConfs(
+      "spark.sql.catalog.rcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.rcat.warehouse" -> wh) {
+      spark.sql("CREATE TABLE rcat.ct (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      base.createOrReplaceTempView("race_src")
+      // two INSERT INTO from two threads: the optimistic claim makes the
+      // loser retry at the next version — BOTH must land, exactly once
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val inserts = Seq(
+        "INSERT INTO rcat.ct SELECT * FROM race_src WHERE o_orderkey % 2 = 0",
+        "INSERT INTO rcat.ct SELECT * FROM race_src WHERE o_orderkey % 2 = 1")
+        .map(q => new Thread(() =>
+          try { spark.sql(q); () } catch { case t: Throwable => errs.add(t); () }))
+      inserts.foreach(_.start()); inserts.foreach(_.join())
+      assert(errs.isEmpty, s"a racing INSERT failed: ${errs.peek()}")
+      assert(TimeTravel.currentVersion(s"$wh/ct") === 2,
+        "the racing INSERTs did not claim distinct versions")
+      assert(spark.sql("SELECT count(*) FROM rcat.ct").head().getLong(0)
+        === base.count())
+      assert(spark.sql(
+        "SELECT count(*) FROM (SELECT o_orderkey FROM rcat.ct " +
+          "GROUP BY o_orderkey HAVING count(*) > 1)").head().getLong(0)
+        === 0L, "a retried INSERT duplicated rows")
+
+      // two copy-on-write UPDATEs racing over the SAME rows: the commit's
+      // remove-set validation makes this one-winner-plus-explicit-conflict
+      // (or clean serialization) — never a silent lost update
+      val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val (lo, hi) = (keys(10), keys(40))
+      val uerrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val updates = Seq(100, 10000).map(add => new Thread(() =>
+        try {
+          spark.sql(s"UPDATE rcat.ct SET o_totalprice = o_totalprice + $add " +
+            s"WHERE o_orderkey BETWEEN $lo AND $hi")
+          ()
+        } catch { case t: Throwable => uerrs.add(t); () }))
+      updates.foreach(_.start()); updates.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val conflicts = uerrs.asScala.toSeq
+      assert(conflicts.size <= 1, s"both racing UPDATEs failed: $conflicts")
+      conflicts.foreach { t =>
+        def chain(x: Throwable): Seq[Throwable] =
+          if (x == null) Nil else x +: chain(x.getCause)
+        assert(chain(t).exists(
+          _.isInstanceOf[java.util.ConcurrentModificationException]),
+          s"racing UPDATE failed with a non-conflict error: $t")
+      }
+      // the surviving band sum must be exactly the successful
+      // statements' effects — any other value is a lost or torn update
+      val inBand = base.filter(col("o_orderkey").between(lo, hi))
+      val nBand = inBand.count()
+      val baseSum = inBand
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
+      val legalAdds: Seq[Long] =
+        if (conflicts.isEmpty) Seq(10100L) else Seq(100L, 10000L)
+      val legal = legalAdds.map(a => baseSum.add(
+        new java.math.BigDecimal(a * nBand).setScale(2)))
+      val gotSum = spark.sql(
+        s"SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM rcat.ct " +
+          s"WHERE o_orderkey BETWEEN $lo AND $hi").head().getDecimal(0)
+      assert(legal.exists(_.compareTo(gotSum) == 0),
+        s"update effects inconsistent: got $gotSum, legal $legal " +
+          s"(${conflicts.size} conflicts)")
+    }
+  }
+
+  test("SQL UPDATE after a DV delete never resurrects masked rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_dml_").toString
+    val root = s"$wh/dt"
+    val base = orders.limit(400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (dlo, dhi) = (keys(50), keys(149))   // DV-deleted band
+    val (ulo, uhi) = (keys(200), keys(299))  // updated band, disjoint
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", dlo, dhi)
+    withConfs(
+      "spark.sql.catalog.dvcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.dvcat.warehouse" -> wh) {
+      spark.sql(s"UPDATE dvcat.dt SET o_totalprice = o_totalprice + 500 " +
+        s"WHERE o_orderkey BETWEEN $ulo AND $uhi")
+      // the copy-on-write rewrite read its candidates THROUGH the mask:
+      // the DV-deleted band must still be absent, updates exact
+      val live = base.filter(!col("o_orderkey").between(dlo, dhi))
+      val expect = live.withColumn("o_totalprice",
+        when(col("o_orderkey").between(ulo, uhi), col("o_totalprice") + 500)
+          .otherwise(col("o_totalprice")))
+      assert(spark.sql("SELECT count(*) FROM dvcat.dt").head().getLong(0)
+        === expect.count())
+      assert(spark.sql(
+        s"SELECT count(*) FROM dvcat.dt WHERE o_orderkey BETWEEN $dlo AND $dhi")
+        .head().getLong(0) === 0,
+        "copy-on-write UPDATE resurrected DV-masked rows")
+      assert(spark.sql(
+        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM dvcat.dt")
+        .head().getDecimal(0)
+        === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+          .head().getDecimal(0))
+    }
   }
 }

@@ -568,6 +568,77 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.currentVersion(root) === before)
   }
 
+  test("SQL maintenance verbs: graft_zorder lands the Z layout, graft_vacuum reclaims orphans") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .limit(1024)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 2 === 1))
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_zorder('$root', 'o_orderkey', 'o_custkey', 8)")
+      .head()
+    assert(r.getLong(0) === 2L, "SQL ZORDER did not land as generation 2")
+    // the compaction is nodata: the change feed across it still reads
+    // ONLY the real append (commit 1), never the rewritten files
+    assert(TimeTravel.readChangesSince(spark, root, 0, 2).count()
+      === base.filter(col("o_orderkey") % 2 === 1).count())
+    // both dimensions carry per-file stats now: a secondary-dim range
+    // read prunes from log metadata
+    val cs = base.select("o_custkey").collect().map(_.getLong(0)).sorted
+    val pruned = TimeTravel.readAsOfWhere(spark, root, 2, "o_custkey",
+      cs(cs.length / 4), cs(cs.length / 2))
+    assert(pruned.count() === base
+      .filter(col("o_custkey").between(cs(cs.length / 4), cs(cs.length / 2)))
+      .count())
+    assert(pruned.inputFiles.length < TimeTravel.snapshotFiles(root, 2).size,
+      "SQL ZORDER recorded no secondary-dimension stats")
+    // plant an orphan; SQL VACUUM deletes exactly it
+    val orphan = java.nio.file.Paths.get(s"$root/data/orphan-x.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    assert(spark.sql(s"SELECT * FROM graft_vacuum('$root')")
+      .head().getLong(0) === 1L)
+    assert(!java.nio.file.Files.exists(orphan))
+    // every committed snapshot still reads
+    assert(TimeTravel.readAsOf(spark, root, 2).count() === base.count())
+    assert(TimeTravel.readAsOf(spark, root, 0).count()
+      === base.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("q216 3-dim z-order: secondary AND tertiary range reads prune files") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("pl"),
+        col("o_totalprice"))
+      .limit(2048)
+    TimeTravel.commitZOrderedN(spark, root, base,
+      Seq("o_orderkey", "o_custkey", "pl"), 16)
+    val nFiles = TimeTravel.snapshotFiles(root, 0).size
+    assert(nFiles >= 8, s"3-dim z-order produced only $nFiles files")
+    // every clustered column carries stats on every file
+    val stats = TimeTravel.statsFor(root, 0)
+    Seq("o_orderkey", "o_custkey", "pl").foreach { c =>
+      assert(TimeTravel.snapshotFiles(root, 0)
+        .forall(f => stats.contains((f, c))), s"missing stats for $c")
+    }
+    def prunedCount(c: String): Int = {
+      val vs = base.select(c).collect().map(_.getLong(0)).sorted
+      val (lo, hi) = (vs(vs.length / 4), vs(vs.length / 2))
+      val df = TimeTravel.readAsOfWhere(spark, root, 0, c, lo, hi)
+      assert(df.count() === base.filter(col(c).between(lo, hi)).count())
+      df.inputFiles.length
+    }
+    // a quarter-range box on EACH dimension must skip files — the
+    // round-robin prefix gives every dimension cell locality
+    Seq("o_orderkey", "o_custkey", "pl").foreach { c =>
+      val opened = prunedCount(c)
+      assert(opened < nFiles,
+        s"$c range read opened all $nFiles files — no $c locality")
+    }
+  }
+
   test("q190 UPDATE: only stats-overlapping files rewrite; values land exactly") {
     val root = newRoot()
     TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 8)
