@@ -1040,7 +1040,7 @@ object TimeTravel extends QueryModule {
     * KeyGroupedPartitioning, DPP drops value groups (r13 verdict #2). */
   private[graft] def commitStagedPartitioned(s: SparkSession, root: String,
       temps: Seq[(String, String)], schemaDdl: String, partCol: String,
-      removed: Seq[String] = Nil): Int = {
+      removed: Seq[String] = Nil, props: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -1057,7 +1057,7 @@ object TimeTravel extends QueryModule {
     }
     commitNames(s, root, named.map(_._1), removed,
       stats = named.map { case (n, v) => s"$n|$partCol|=|$v" },
-      schemaDdl = Some(schemaDdl))
+      schemaDdl = Some(schemaDdl), props = props)
   }
 
   /** The streaming-sink epoch commit: IDEMPOTENT under epoch replay via

@@ -472,7 +472,8 @@ final case class CdfWriteMsg(tmp: String, rows: Long)
   * generation, so a commit that raced in between is either honored or
   * flagged as a remove-conflict by the claim — never silently dropped. */
 final class CdfWriteBuilder(writeSchema: StructType, root: String,
-    queryId: String, partCol: Option[String] = None)
+    queryId: String, partCol: Option[String] = None,
+    createProps: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var doTruncate = false
@@ -516,7 +517,8 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new CdfBatchWrite(writeSchema, root, doTruncate, overwriteFilters)
+            new CdfBatchWrite(writeSchema, root, doTruncate,
+              overwriteFilters, None, createProps)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new CdfStreamingWrite(writeSchema, root, queryId)
@@ -537,7 +539,7 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new CdfBatchWrite(writeSchema, root, doTruncate,
-              overwriteFilters, Some(pc))
+              overwriteFilters, Some(pc), createProps)
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             throw new UnsupportedOperationException(
@@ -704,7 +706,8 @@ final class CdfDataWriter(schema: StructType, tmp: String,
 final class CdfBatchWrite(schema: StructType, root: String,
     truncate: Boolean,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    partCol: Option[String] = None)
+    partCol: Option[String] = None,
+    createProps: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -752,11 +755,12 @@ final class CdfBatchWrite(schema: StructType, root: String,
         require(live.isEmpty, "cdf sink: mixed partitioned and plain temps")
         TimeTravel.commitStagedPartitioned(SparkSession.active, root,
           plive.map(p => (p._1, p._3)).toSeq,
-          CdfParquet.nullable(schema).toDDL, pc, removed = removed)
+          CdfParquet.nullable(schema).toDDL, pc, removed = removed,
+          props = createProps)
       case None =>
         TimeTravel.commitStagedFiles(SparkSession.active, root,
           live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL,
-          removed = removed)
+          removed = removed, props = createProps)
     }
     ()
   }

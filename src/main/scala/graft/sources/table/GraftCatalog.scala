@@ -181,6 +181,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         require(d.fieldNames().length == 1,
           "graft catalog: nested DROP COLUMN is not supported")
         TimeTravel.dropColumnMapped(s, root, d.fieldNames()(0))
+      // SQL `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only commit —
+      // the SQL route into graft.enableChangeDataFeed /
+      // graft.enforceSchema and friends
+      case p: TableChange.SetProperty =>
+        TimeTravel.setProperty(s, root, p.property(), p.value())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }
@@ -231,31 +236,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported here")
+    val pcol = partitionColOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     GraftStagedTable(schema, rootFor(ident), replace = false,
-      preExisting = false)
+      preExisting = false, partCol = pcol)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported here")
+    val pcol = partitionColOf(partitions, schema)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = true)
+      preExisting = true, partCol = pcol)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported here")
+    val pcol = partitionColOf(partitions, schema)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = tableExists(ident))
+      preExisting = tableExists(ident), partCol = pcol)
   }
 }
 
@@ -265,7 +267,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   * directory for a CREATE that never existed, only the staging temps for
   * a REPLACE (the live table must survive its failed replacement). */
 final case class GraftStagedTable(tableSchema: StructType, root: String,
-    replace: Boolean, preExisting: Boolean)
+    replace: Boolean, preExisting: Boolean,
+    partCol: Option[String] = None)
     extends StagedTable with SupportsWrite {
 
   override def name(): String = s"graft:staged:$root"
@@ -275,7 +278,15 @@ final case class GraftStagedTable(tableSchema: StructType, root: String,
       TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val b = new CdfWriteBuilder(info.schema(), root, info.queryId())
+    // a partitioned CTAS/RTAS records (or a repartitioning RTAS clears)
+    // the partition column IN the same single commit its data lands as —
+    // later INSERTs pick it up from the table property
+    val props =
+      if (partCol.isDefined) Seq(s"graft.partitionCol|${partCol.get}")
+      else if (replace && preExisting) Seq("graft.partitionCol|")
+      else Nil
+    val b = new CdfWriteBuilder(info.schema(), root, info.queryId(),
+      partCol, createProps = props)
     if (replace && preExisting) b.truncate()
     b
   }
@@ -308,9 +319,11 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   private lazy val readSide = GraftLogTable(tableSchema, root, gen)
 
   /** The declared partition column (`CREATE TABLE … PARTITIONED BY`),
-    * from the table property the create commit recorded. */
+    * from the table property the create commit recorded; an empty value
+    * is the clear marker a repartitioning RTAS writes. */
   private lazy val declaredPartCol: Option[String] =
     TimeTravel.propsAsOf(root, gen).get("graft.partitionCol")
+      .filter(_.nonEmpty)
 
   override def name(): String = s"graft:$root@$gen"
   override def schema(): StructType = tableSchema

@@ -824,6 +824,81 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("CTAS PARTITIONED BY: data, schema and partition column land as ONE commit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ctasp_").toString
+    val base = orders.limit(500)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    withConfs(
+      "spark.sql.catalog.ctcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.ctcat.warehouse" -> wh) {
+      base.createOrReplaceTempView("ctasp_src")
+      spark.sql("""CREATE TABLE ctcat.pt PARTITIONED BY (o_orderpriority)
+                  |AS SELECT * FROM ctasp_src""".stripMargin)
+      val root = s"$wh/pt"
+      // ONE atomic commit: generation 0 holds data + partition property
+      assert(TimeTravel.currentVersion(root) === 0)
+      val nVals = base.select("o_orderpriority").distinct().count()
+      assert(TimeTravel.snapshotFiles(root, 0).size === nVals)
+      // a later INSERT picks the column up from the property
+      spark.sql("INSERT INTO ctcat.pt SELECT o_orderkey + 5000000, " +
+        "o_orderpriority, o_totalprice FROM ctasp_src")
+      val v = base.select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority").head().getString(0)
+      TableMetrics.reset()
+      assert(spark.sql(
+        s"SELECT count(*) FROM ctcat.pt WHERE o_orderpriority = '$v'")
+        .head().getLong(0)
+        === 2 * base.filter(col("o_orderpriority") === v).count())
+      assert(TableMetrics.openedDataFiles.size() === 2,
+        s"pruning opened ${TableMetrics.openedDataFiles.size()} files")
+      // RTAS without PARTITIONED BY clears the property: the replacement
+      // write is unpartitioned and later reads still answer
+      spark.sql("REPLACE TABLE ctcat.pt AS " +
+        "SELECT * FROM ctasp_src WHERE o_orderkey % 2 = 0")
+      assert(spark.sql("SELECT count(*) FROM ctcat.pt").head().getLong(0)
+        === base.filter(col("o_orderkey") % 2 === 0).count())
+    }
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES: SQL route into CDF enablement") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_props_").toString
+    val base = orders.limit(300)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, s"$wh/pt", base, "o_orderkey", 4)
+    withConfs(
+      "spark.sql.catalog.prcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.prcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE prcat.pt SET TBLPROPERTIES (" +
+        "'graft.enableChangeDataFeed' = 'true')")
+      val root = s"$wh/pt"
+      assert(TimeTravel.propsAsOf(root, TimeTravel.currentVersion(root))
+        .get("graft.enableChangeDataFeed").contains("true"))
+      // library DML after the SQL enablement writes row-level change
+      // files — the property set through SQL drives the same machinery
+      val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val vBefore = TimeTravel.currentVersion(root)
+      TimeTravel.deleteWhere(spark, root, "o_orderkey", keys(10), keys(60))
+      val changes = TimeTravel.readRowChanges(spark, root, vBefore,
+        TimeTravel.currentVersion(root))
+      assert(changes.filter(col("_change_type") === "delete").count()
+        === base.filter(col("o_orderkey").between(keys(10), keys(60))).count())
+      // the SQL copy-on-write DML path does NOT emit change files
+      // (Spark's group-based rewrite surfaces replacement rows, not the
+      // deleted ones) — a row-level feed across it must refuse loudly,
+      // never answer wrong
+      val v2 = TimeTravel.currentVersion(root)
+      spark.sql(s"DELETE FROM prcat.pt WHERE o_orderkey BETWEEN " +
+        s"${keys(100)} AND ${keys(120)}")
+      val e = intercept[IllegalArgumentException] {
+        TimeTravel.readRowChanges(spark, root, v2,
+          TimeTravel.currentVersion(root)).count()
+      }
+      assert(e.getMessage.contains("not reconstructible"))
+    }
+  }
+
   test("concurrent SQL writers: racing INSERTs both land, racing UPDATEs resolve one-winner") {
     val wh = java.nio.file.Files.createTempDirectory("graft_race_").toString
     val base = orders.limit(400)
