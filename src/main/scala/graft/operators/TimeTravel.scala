@@ -1012,7 +1012,7 @@ object TimeTravel extends QueryModule {
       temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
       txn: Option[String] = None,
       dvExpect: Option[Map[String, Option[String]]] = None,
-      props: Seq[String] = Nil): Int = {
+      props: Seq[String] = Nil, cdc: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -1029,8 +1029,25 @@ object TimeTravel extends QueryModule {
     }
     commitNames(s, root, added, removed,
       schemaDdl = Some(schemaDdl), txn = txn, dvExpect = dvExpect,
-      props = props)
+      props = props, cdc = cdc)
   }
+
+  /** Change files for a METADATA delete (SQL `DELETE` on a file-aligned
+    * predicate, or `TRUNCATE`): the deleted rows are exactly the removed
+    * files' LIVE contents (DV masks applied), so the row-level feed
+    * stays reconstructible across the commit — Delta's write-time CDC
+    * for partition deletes. Empty when CDF is off (zero overhead) or on
+    * a column-mapped table (change files carry logical names; a
+    * physical-named emission would lie to the feed — the conservative
+    * loud-refusal path keeps correctness there). */
+  private[graft] def cdcForRemovedFiles(s: SparkSession, root: String,
+      gen: Int, removed: Seq[String]): Seq[String] =
+    if (gen < 0 || removed.isEmpty || !cdfEnabled(root, gen) ||
+        colmapAsOf(root, gen).nonEmpty) Nil
+    else writeCdcFiles(s, root,
+      readFilesWithDvs(s, root, gen, removed,
+        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+        .withColumn("_change_type", lit("delete")))
 
   /** Commit staged parquet a PARTITIONED DSv2 writer produced — each
     * temp carries its partition VALUE, recorded per committed file as a
@@ -1040,7 +1057,8 @@ object TimeTravel extends QueryModule {
     * KeyGroupedPartitioning, DPP drops value groups (r13 verdict #2). */
   private[graft] def commitStagedPartitioned(s: SparkSession, root: String,
       temps: Seq[(String, String)], schemaDdl: String, partCol: String,
-      removed: Seq[String] = Nil, props: Seq[String] = Nil): Int = {
+      removed: Seq[String] = Nil, props: Seq[String] = Nil,
+      txn: Option[String] = None): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -1057,7 +1075,26 @@ object TimeTravel extends QueryModule {
     }
     commitNames(s, root, named.map(_._1), removed,
       stats = named.map { case (n, v) => s"$n|$partCol|=|$v" },
-      schemaDdl = Some(schemaDdl), props = props)
+      schemaDdl = Some(schemaDdl), props = props, txn = txn)
+  }
+
+  /** The PARTITIONED streaming-sink epoch commit: [[commitStagedTxn]]'s
+    * exactly-once contract with per-file partition values recorded —
+    * `writeStream.toTable` on a `PARTITIONED BY` catalog table lands one
+    * pruned-readable generation per epoch, replayed epochs land nothing. */
+  private[graft] def commitStagedPartitionedTxn(s: SparkSession,
+      root: String, temps: Seq[(String, String)], schemaDdl: String,
+      partCol: String, appId: String, version: Long): Int = {
+    require(!appId.contains("|"), "txn appId must not contain '|'")
+    lockFor(root).synchronized {
+      if (lastTxnVersion(root, appId).exists(_ >= version)) {
+        val (fs, _) = fsFor(root)
+        temps.foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(t._1), false))
+        currentVersion(root) // replayed epoch: idempotent skip
+      } else commitStagedPartitioned(s, root, temps, schemaDdl, partCol,
+        txn = Some(s"$appId|$version"))
+    }
   }
 
   /** The streaming-sink epoch commit: IDEMPOTENT under epoch replay via

@@ -540,12 +540,11 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
               : org.apache.spark.sql.connector.write.BatchWrite =
             new CdfBatchWrite(writeSchema, root, doTruncate,
               overwriteFilters, Some(pc), createProps)
+          // micro-batch writes honor the distribution requirement too:
+          // each epoch lands hive-partitioned with pvals in its commit
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            throw new UnsupportedOperationException(
-              "cdf sink: streaming writes into a PARTITIONED BY table are " +
-                "not supported — stream into an unpartitioned table and " +
-                "OPTIMIZE into the layout")
+            new CdfStreamingWrite(writeSchema, root, queryId, Some(pc))
         }
     }
 }
@@ -571,9 +570,14 @@ final case class CdfWriterFactory(schema: StructType, root: String,
   // collide with the failed attempt's
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CdfDataWriter(schema,
-      s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
-      conf.value, colmap)
+    partCol match {
+      case Some(pc) => new PartitionedCdfDataWriter(schema,
+        s"$root/stage-stream/e$epochId-p$partitionId-t$taskId",
+        conf.value, colmap, pc)
+      case None => new CdfDataWriter(schema,
+        s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
+        conf.value, colmap)
+    }
 }
 
 /** One staged temp and its rows + partition value — the partitioned
@@ -786,7 +790,7 @@ final class CdfBatchWrite(schema: StructType, root: String,
   * visible; contrast the glog sink, whose exactly-once is name-replace
   * (this one's is the log itself). */
 final class CdfStreamingWrite(schema: StructType, root: String,
-    queryId: String)
+    queryId: String, partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -794,17 +798,32 @@ final class CdfStreamingWrite(schema: StructType, root: String,
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root))
+    CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root),
+      partCol)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
     val (live, empty) = messages.collect { case m: CdfWriteMsg => m }
       .partition(_.rows > 0)
+    val parted = messages.collect { case m: CdfPartedMsg => m }
+      .flatMap(_.parts)
+    val (plive, pempty) = parted.partition(_._2 > 0)
     val fs = new Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
-    TimeTravel.commitStagedTxn(SparkSession.active, root,
-      live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL, s"cdf-sink-$queryId", epochId)
+    pempty.foreach(p => fs.delete(new Path(p._1), false))
+    partCol match {
+      case Some(pc) =>
+        require(live.isEmpty, "cdf sink: mixed partitioned and plain temps")
+        TimeTravel.commitStagedPartitionedTxn(SparkSession.active, root,
+          plive.map(p => (p._1, p._3)).toSeq,
+          CdfParquet.nullable(schema).toDDL, pc,
+          s"cdf-sink-$queryId", epochId)
+      case None =>
+        TimeTravel.commitStagedTxn(SparkSession.active, root,
+          live.map(_.tmp).toSeq, CdfParquet.nullable(schema).toDDL,
+          s"cdf-sink-$queryId", epochId)
+    }
     ()
   }
   override def abort(epochId: Long,
@@ -813,6 +832,9 @@ final class CdfStreamingWrite(schema: StructType, root: String,
     val fs = new Path(root).getFileSystem(confB.value)
     messages.collect { case m: CdfWriteMsg =>
       fs.delete(new Path(m.tmp), false)
+    }
+    messages.collect { case m: CdfPartedMsg =>
+      m.parts.foreach(p => fs.delete(new Path(p._1), false))
     }
     ()
   }

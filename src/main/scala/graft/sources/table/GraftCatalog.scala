@@ -368,8 +368,12 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
     requireWritable()
     val removed = FileSkip.full(readSide.files, readSide.stats,
       readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
+    // CDF on: the deleted rows are exactly the removed files' live
+    // contents — emit them so the row-level feed crosses the commit
     TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
-      tableSchema.toDDL, removed = removed)
+      tableSchema.toDDL, removed = removed,
+      cdc = TimeTravel.cdcForRemovedFiles(SparkSession.active, root, gen,
+        removed))
     ()
   }
 
@@ -378,7 +382,9 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   override def truncateTable(): Boolean = {
     requireWritable()
     TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
-      tableSchema.toDDL, removed = readSide.files)
+      tableSchema.toDDL, removed = readSide.files,
+      cdc = TimeTravel.cdcForRemovedFiles(SparkSession.active, root, gen,
+        readSide.files))
     true
   }
 

@@ -29,6 +29,14 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  /** Opened-file count scoped to one table root — [[TableMetrics]] is
+    * JVM-global and suites run in parallel, so exact-count assertions
+    * must not see other suites' concurrent DSv2 scans. */
+  private def openedUnder(root: String): Int = {
+    import scala.jdk.CollectionConverters._
+    TableMetrics.openedDataFiles.asScala.count(_.startsWith(root))
+  }
+
   private def shuffles(df: DataFrame): Int = {
     df.collect() // force, so AQE's final plan is the one inspected
     df.queryExecution.executedPlan.toString
@@ -763,8 +771,8 @@ class TableSourceSpec extends SparkSpec {
         s"SELECT count(*) FROM cpcat.pt WHERE o_orderpriority = '$v'")
         .head().getLong(0)
       assert(got === base.filter(col("o_orderpriority") === v).count())
-      assert(TableMetrics.openedDataFiles.size() === 1,
-        s"equality read opened ${TableMetrics.openedDataFiles.size()} of $nVals")
+      assert(openedUnder(root) === 1,
+        s"equality read opened ${openedUnder(root)} of $nVals")
 
       // a second INSERT appends one more file per inserted value
       spark.sql(s"INSERT INTO cpcat.pt SELECT o_orderkey + 9000000, " +
@@ -850,8 +858,8 @@ class TableSourceSpec extends SparkSpec {
         s"SELECT count(*) FROM ctcat.pt WHERE o_orderpriority = '$v'")
         .head().getLong(0)
         === 2 * base.filter(col("o_orderpriority") === v).count())
-      assert(TableMetrics.openedDataFiles.size() === 2,
-        s"pruning opened ${TableMetrics.openedDataFiles.size()} files")
+      assert(openedUnder(root) === 2,
+        s"pruning opened ${openedUnder(root)} files")
       // RTAS without PARTITIONED BY clears the property: the replacement
       // write is unpartitioned and later reads still answer
       spark.sql("REPLACE TABLE ctcat.pt AS " +
@@ -896,6 +904,93 @@ class TableSourceSpec extends SparkSpec {
           TimeTravel.currentVersion(root)).count()
       }
       assert(e.getMessage.contains("not reconstructible"))
+    }
+  }
+
+  test("metadata DELETE and TRUNCATE emit row-level change files when CDF is on") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mdcdf_").toString
+    val root = s"$wh/mt"
+    val base = orders.limit(500)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+    TimeTravel.setProperty(spark, root, "graft.enableChangeDataFeed", "true")
+    withConfs(
+      "spark.sql.catalog.mdcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.mdcat.warehouse" -> wh) {
+      val v = base.select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority").head().getString(0)
+      val vBefore = TimeTravel.currentVersion(root)
+      spark.sql(s"DELETE FROM mdcat.mt WHERE o_orderpriority = '$v'")
+      // the feed across the metadata delete reconstructs exactly the
+      // dropped partition's rows
+      val changes = TimeTravel.readRowChanges(spark, root, vBefore,
+        TimeTravel.currentVersion(root))
+      assert(changes.filter(col("_change_type") === "delete").count()
+        === base.filter(col("o_orderpriority") === v).count())
+      // TRUNCATE emits the whole surviving snapshot as deletes
+      val v2 = TimeTravel.currentVersion(root)
+      spark.sql("TRUNCATE TABLE mdcat.mt")
+      val trunc = TimeTravel.readRowChanges(spark, root, v2,
+        TimeTravel.currentVersion(root))
+      assert(trunc.filter(col("_change_type") === "delete").count()
+        === base.filter(col("o_orderpriority") =!= v).count())
+    }
+  }
+
+  test("streaming writes into a PARTITIONED BY catalog table land pruned-readable epochs") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_stpt_").toString
+    val src = s"$wh/src"
+    val ckpt = s"$wh/ckpt"
+    val base = orders.limit(400)
+    TimeTravel.commit(spark, src, base.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.commit(spark, src, base.filter(col("o_orderkey") % 2 === 1))
+    withConfs(
+      "spark.sql.catalog.spwcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.spwcat.warehouse" -> wh) {
+      spark.sql("""CREATE TABLE spwcat.pt (
+                  |  o_orderkey BIGINT, o_orderpriority STRING,
+                  |  o_totalprice DOUBLE)
+                  |PARTITIONED BY (o_orderpriority)""".stripMargin)
+      assert(TimeTravel.currentVersion(s"$wh/pt") === 0,
+        s"CREATE TABLE landed nothing under $wh/pt")
+      def drain(): Unit = {
+        val q = spark.readStream
+          .format("graft.sources.cdf.CdfDataSource")
+          .option("startingGen", -1).option("maxGensPerTrigger", 1)
+          .load(src)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("spwcat.pt")
+        q.awaitTermination()
+      }
+      drain()
+      val root = s"$wh/pt"
+      // one generation per epoch beyond the schema-only create
+      assert(TimeTravel.currentVersion(root) === 2)
+      // every committed file carries its partition value
+      val files = TimeTravel.snapshotFiles(root, 2)
+      val pvals = TimeTravel.pvalsFor(root, 2)
+      assert(files.nonEmpty && files.forall(pvals.contains),
+        "a streamed file landed without a partition value")
+      assert(spark.sql("SELECT count(*) FROM spwcat.pt").head().getLong(0)
+        === base.count())
+      // equality reads prune to the value's files, from log metadata
+      val v = base.select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority").head().getString(0)
+      TableMetrics.reset()
+      assert(spark.sql(
+        s"SELECT count(*) FROM spwcat.pt WHERE o_orderpriority = '$v'")
+        .head().getLong(0) === base.filter(col("o_orderpriority") === v).count())
+      val vFiles = files.count(f => pvals(f)._2 == v)
+      assert(openedUnder(root) === vFiles,
+        s"opened ${openedUnder(root)} files, " +
+          s"value owns $vFiles of ${files.size}")
+      // a restart from the same checkpoint replays nothing (exactly-once)
+      drain()
+      assert(TimeTravel.currentVersion(root) === 2,
+        "a restarted drained stream landed a duplicate generation")
     }
   }
 
