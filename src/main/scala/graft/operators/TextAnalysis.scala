@@ -615,6 +615,65 @@ object TextAnalysis extends QueryModule {
           .select(col("rnk"), col("token"), col("exact_cnt"), col("est_cnt"),
             (col("est_cnt") - col("exact_cnt")).as("overcount"))
           .orderBy("rnk")
+      }),
+
+    // Q217 PII SCRUB — the redaction stage every LLM training pipeline
+    // runs before text ships: detect emails/phone patterns, count them,
+    // MASK them, and prove the masked corpus carries zero residual
+    // matches. The fixture PLANTS deterministic PII derived from doc_id
+    // (the synthetic corpus has none), built by the IDENTICAL string
+    // expression on both engines so the oracle replays detection,
+    // masking and the residual audit exactly. Map-only codegen'd regex
+    // work — the shape that scales by adding executors; the patterns
+    // stay inside the Java-regex ∩ RE2 common subset (no lookarounds,
+    // no backrefs), so both engines agree match-for-match.
+    Q("q217_pii_scrub",
+      Some("""WITH p AS (SELECT source,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             |      '@example.com or 555-' ||
+             |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+             |  FROM documents),
+             |m AS (SELECT source,
+             |    len(regexp_extract_all(t2,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+             |    len(regexp_extract_all(t2, '\d{3}-\d{4}')) AS phones,
+             |    regexp_replace(regexp_replace(t2,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g') AS mm
+             |  FROM p)
+             |SELECT source, count(*) AS docs,
+             |  CAST(sum(emails) AS BIGINT) AS emails,
+             |  CAST(sum(phones) AS BIGINT) AS phones,
+             |  CAST(sum(length(mm)) AS BIGINT) AS masked_chars,
+             |  CAST(sum(
+             |    len(regexp_extract_all(mm,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+             |    len(regexp_extract_all(mm, '\d{3}-\d{4}'))) AS BIGINT)
+             |    AS residual
+             |FROM m GROUP BY source ORDER BY source""".stripMargin),
+      (s, d) => {
+        val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phone = """\d{3}-\d{4}"""
+        def matches(c: Column, pat: String): Column =
+          size(regexp_extract_all(c, lit(pat), lit(0)))
+        val planted = t(s, d, "documents").withColumn("t2",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        val masked = planted
+          .withColumn("emails", matches(col("t2"), email))
+          .withColumn("phones", matches(col("t2"), phone))
+          .withColumn("mm", regexp_replace(
+            regexp_replace(col("t2"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")))
+        masked.groupBy("source").agg(
+            count(lit(1)).as("docs"),
+            sum("emails").as("emails"),
+            sum("phones").as("phones"),
+            sum(length(col("mm"))).as("masked_chars"),
+            sum(matches(col("mm"), email) + matches(col("mm"), phone))
+              .as("residual"))
+          .orderBy("source")
       })
   )
 }

@@ -95,6 +95,10 @@ object TimeTravel extends QueryModule {
   private val CommitName = """(\d+)\.json""".r
   private val CkptName = """(\d+)\.ckpt\.json""".r
 
+  /** Auto-checkpoint cadence: every Nth generation writes its resolved
+    * checkpoint in the committing writer (Delta's checkpointInterval). */
+  val AutoCheckpointEvery = 10
+
   /** Log-dir listing by NAME only — version discovery costs a listing,
     * never a content read. Returns (commits, checkpoints), each sorted. */
   private def listLog(root: String): (org.apache.hadoop.fs.FileSystem,
@@ -2193,6 +2197,17 @@ object TimeTravel extends QueryModule {
                 fs.setTimes(dst, pt + 1, -1)
             }
           }
+          // AUTO-CHECKPOINT every 10 generations (Delta's
+          // checkpointInterval default): without it a one-commit-per-
+          // micro-batch table makes every reader fold an ever-growing
+          // commit tail — the metadata cost a 100 TB deployment feels
+          // first. The write is deterministic (racing writers produce
+          // identical bytes) and resolution from then on reads one
+          // checkpoint + ≤10 tail commits.
+          if (v > 0 && v % AutoCheckpointEvery == 0)
+            try checkpoint(root, v)
+            catch { case scala.util.control.NonFatal(_) =>
+              () } // best-effort: a failed checkpoint never fails a commit
         } else {
           fs.delete(tmp, false)
           val latest = currentVersion(root)

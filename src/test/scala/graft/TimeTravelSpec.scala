@@ -639,6 +639,26 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("auto-checkpoint: every 10th commit writes one; resolution stays O(tail)") {
+    val root = newRoot()
+    val slice = orders.limit(20)
+    (0 until 25).foreach { i =>
+      TimeTravel.commit(spark, root,
+        slice.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000L)))
+    }
+    val d = new java.io.File(s"$root/_graft_log")
+    val ckpts = d.listFiles().map(_.getName).filter(_.endsWith(".ckpt.json"))
+    assert(ckpts.toSet === Set("10.ckpt.json", "20.ckpt.json"),
+      s"auto-checkpoints: ${ckpts.toSeq.sorted}")
+    // resolution of the head reads the newest checkpoint + ≤5 commits
+    val (files, parsed) = TimeTravel.resolveSnapshot(root, 24)
+    assert(parsed <= 5, s"resolved 24 by parsing $parsed commits")
+    assert(files.nonEmpty)
+    assert(TimeTravel.readAsOf(spark, root, 24).count() === 25 * 20)
+    // generations below the checkpoints still resolve exactly
+    assert(TimeTravel.readAsOf(spark, root, 7).count() === 8 * 20)
+  }
+
   test("q190 UPDATE: only stats-overlapping files rewrite; values land exactly") {
     val root = newRoot()
     TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 8)
