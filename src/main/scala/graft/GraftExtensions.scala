@@ -67,7 +67,10 @@ object GraftFunctions {
       "graft_zorder(root, c1, c2, nFiles) - OPTIMIZE ZORDER BY from SQL; " +
         "returns (version, files_after)"),
     ("graft_vacuum", graft.operators.TimeTravel.vacuumPlan _,
-      "graft_vacuum(root) - delete unreferenced files; returns n_deleted"))
+      "graft_vacuum(root) - delete unreferenced files; returns n_deleted"),
+    ("graft_expire", graft.operators.TimeTravel.expirePlan _,
+      "graft_expire(root, keepFrom) - retention: drop commits below " +
+        "keepFrom (needs an anchor checkpoint); returns n_dropped"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

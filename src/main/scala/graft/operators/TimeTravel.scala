@@ -2510,6 +2510,20 @@ object TimeTravel extends QueryModule {
       Seq(vacuum(litStr(exprs(0), "root")).size.toLong))
   }
 
+  /** `graft_expire(root, keepFrom)` — history retention from pure SQL:
+    * delete commits below `keepFrom` (anchor-checkpoint rules of
+    * [[expireHistory]] apply — refuses without one); idempotent
+    * (already-expired commits drop nothing). Returns the dropped-file
+    * count; pair with `graft_vacuum` to reclaim the data bytes. */
+  def expirePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_expire(root, keepFrom)")
+    val s = SparkSession.active
+    oneRowPlan(s, Seq("n_dropped"),
+      Seq(expireHistory(litStr(exprs(0), "root"),
+        litInt(exprs(1), "keepFrom")).size.toLong))
+  }
+
   /** Incremental read: the rows ADDED between two snapshots, resolved
     * from the commit log alone — the files commits (fromGen, toGen]
     * added are exactly the delta, so the scan reads ONLY those files

@@ -604,6 +604,20 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.readAsOf(spark, root, 2).count() === base.count())
     assert(TimeTravel.readAsOf(spark, root, 0).count()
       === base.filter(col("o_orderkey") % 2 === 0).count())
+    // retention from SQL: needs its anchor checkpoint, drops the expired
+    // commits, and is idempotent; the surviving head keeps reading
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_expire('$root', 2)").collect()
+    } // no checkpoint at 1 or 2 yet — loud refusal
+    TimeTravel.checkpoint(root, 2)
+    assert(spark.sql(s"SELECT * FROM graft_expire('$root', 2)")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT * FROM graft_expire('$root', 2)")
+      .head().getLong(0) === 0L) // idempotent
+    assert(TimeTravel.readAsOf(spark, root, 2).count() === base.count())
+    intercept[IllegalArgumentException] {
+      TimeTravel.readAsOf(spark, root, 0).count() // expired: loud
+    }
   }
 
   test("q216 3-dim z-order: secondary AND tertiary range reads prune files") {
