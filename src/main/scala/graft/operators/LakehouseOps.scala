@@ -1732,6 +1732,71 @@ object LakehouseOps extends QueryModule {
         prioAgg(TimeTravel.readAsOfWhere(s, root,
           TimeTravel.currentVersion(root), "pl", mx / 4, mx / 2))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q218 SQL TABLE LIFECYCLE — this round's catalog surface composed
+    // end-to-end in pure SQL: a PARTITIONED CTAS (data + schema +
+    // partition column in ONE generation-0 commit), `ALTER TABLE SET
+    // TBLPROPERTIES` enabling the change feed, a METADATA DELETE of one
+    // partition (remove-only commit that EMITS the dropped partition's
+    // rows as change files), and the row-level feed read back through
+    // the graft_row_changes TVF. The CUR leg is the surviving table,
+    // the CHG leg reconstructs exactly the deleted partition — both
+    // hash-checked. Oracle: the partition split replayed over orders.
+    Q("q218_sql_lifecycle",
+      Some("""WITH src AS (SELECT o_orderkey, o_orderpriority,
+             |                    CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |cur AS (SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+             |          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |            AS total
+             |        FROM src WHERE o_orderpriority <> '1-URGENT'
+             |        GROUP BY o_orderpriority),
+             |chg AS (SELECT 'del' AS leg, o_orderpriority, count(*) AS n,
+             |          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |            AS total
+             |        FROM src WHERE o_orderpriority = '1-URGENT'
+             |        GROUP BY o_orderpriority)
+             |SELECT * FROM cur UNION ALL SELECT * FROM chg
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat218_", s"q218:$d")
+        val root = s"$wh/lc"
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat218" -> CatalogClass,
+          "spark.sql.catalog.gcat218.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            orders3(s, d)
+              .select(col("o_orderkey"), col("o_orderpriority"),
+                col("o_totalprice").cast("double").as("price"))
+              .createOrReplaceTempView("q218_src")
+            s.sql("""CREATE TABLE gcat218.lc
+                    |PARTITIONED BY (o_orderpriority)
+                    |AS SELECT * FROM q218_src""".stripMargin)
+          }
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat218.lc SET TBLPROPERTIES (" +
+              "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("DELETE FROM gcat218.lc WHERE o_orderpriority = '1-URGENT'")
+          s.sql(
+            s"""SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat218.lc GROUP BY o_orderpriority
+               |UNION ALL
+               |SELECT 'del' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM graft_row_changes('$root', 1, 2)
+               |WHERE _change_type = 'delete' GROUP BY o_orderpriority
+               |ORDER BY leg, o_orderpriority""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
       })
   )
 }
