@@ -59,6 +59,46 @@ object Bench {
     md.digest(normalized.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
   }
 
+  /** Fixed-cost CANARY (r14 verdict #5): a code-independent workload —
+    * pure Spark built-ins over `range`, no graft operator — timed
+    * beside the suite so host drift is MEASURED, not guessed. A 19%
+    * box slowdown moves the canary 19% too; a real plan regression
+    * moves its query and not the canary. The detail line carries the
+    * canary, the previous round's canary (read from the committed
+    * BENCH_DETAIL.json before overwriting it), and the canary-
+    * NORMALIZED per-query ratios that exceed 1.5× — the self-
+    * attributing regression list. */
+  private def canaryRun(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 30000000L, 1L, 32)
+      .selectExpr("sum(xxhash64(id)) AS s", "count(1) AS n").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Minimal extractor over the bench's OWN detail format: the numeric
+    * `"k":v` pairs inside the named top-level object, plus a top-level
+    * numeric field — enough to read last round's queries and canary. */
+  private[graft] def parsePrevDetail(txt: String)
+      : (Map[String, Double], Option[Double]) = {
+    def objOf(name: String): Option[String] = {
+      val i = txt.indexOf(s""""$name":{""")
+      if (i < 0) None
+      else {
+        val start = txt.indexOf('{', i)
+        val end = txt.indexOf('}', start)
+        if (end < 0) None else Some(txt.substring(start + 1, end))
+      }
+    }
+    val pair = """"([^"]+)":(-?[0-9.]+)""".r
+    val queries = objOf("queries").map { body =>
+      pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    }.getOrElse(Map.empty)
+    val canary = """"canary":(-?[0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+    (queries, canary)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -85,6 +125,20 @@ object Bench {
     // Local-dev subset knob (unset on the driver): comma-separated name
     // substrings — time just the queries under the knife without paying
     // the full 160-query suite per iteration.
+    // last round's detail (committed as BENCH_DETAIL.json) BEFORE this
+    // run overwrites it — the canary-normalization baseline
+    val (prevQueries, prevCanary) = (try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      if (java.nio.file.Files.exists(p))
+        parsePrevDetail(new String(java.nio.file.Files.readAllBytes(p),
+          "UTF-8"))
+      else (Map.empty[String, Double], None)
+    } catch { case _: Throwable => (Map.empty[String, Double], None) })
+    // canary: warm once, then sample; more samples land AFTER the suite
+    // so a mid-run load spike shows up as canary spread too
+    canaryRun(spark)
+    val canaryPre = (1 to 2).map(_ => canaryRun(spark))
     val onlySubstr = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val queriesSorted = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -200,10 +254,32 @@ object Bench {
     val respreadField =
       if (respreads.isEmpty) ""
       else s""","respread":${renderMap(respreads, identity)}"""
+    // canary close-out: min across pre+post samples = the box's best
+    // capability this run; the drift factor vs last round is
+    // canary/canary_prev, and per-query ratios are judged AFTER
+    // dividing both rounds by their canaries (r14 verdict #5)
+    val canaryPost = (1 to 2).map(_ => canaryRun(spark))
+    val canary = (canaryPre ++ canaryPost).min
+    val canaryField = f""","canary":$canary%.3f""" +
+      prevCanary.map(c => f""","canary_prev":$c%.3f""").getOrElse("")
+    // canary-normalized regressions: (cur/canary) / (prev/canary_prev)
+    // > 1.5 on a ≥0.3 s query — host drift divides out, so survivors
+    // are real plan/code changes worth a look
+    val normRegress: Seq[(String, Double)] = prevCanary match {
+      case Some(pc) if pc > 0 && canary > 0 =>
+        results.collect {
+          case (name, cur) if cur >= 0.3 && prevQueries.get(name).exists(_ > 0) =>
+            name -> (cur / canary) / (prevQueries(name) / pc)
+        }.filter(_._2 > 1.5).sortBy(-_._2)
+      case _ => Nil
+    }
+    val normField =
+      if (normRegress.isEmpty) ""
+      else s""","norm_regress":${renderMap(normRegress, identity)}"""
     val detail =
-      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, identity)},"spread":${renderMap(spreads, identity)}$respreadField,"plan_fp":${renderStrMap(planFps, identity)}${renderErr(identity)},"sf":"$sfDir"}"""
+      f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs$canaryField$normField,"queries":${renderMap(results, identity)},"spread":${renderMap(spreads, identity)}$respreadField,"plan_fp":${renderStrMap(planFps, identity)}${renderErr(identity)},"sf":"$sfDir"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs,"queries":${renderMap(results, key)}${renderErr(key)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","state":"warm","agg":"min","runs":$runs$canaryField,"queries":${renderMap(results, key)}${renderErr(key)},"sf":"$sfDir"}"""
     // Best-effort durable copy of the detail line (plan_fp included): the
     // harness's 2000-char capture may truncate the detail printed to
     // stdout, but the file survives for round-over-round plan diffs.

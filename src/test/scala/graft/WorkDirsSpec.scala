@@ -116,4 +116,23 @@ class WorkDirsSpec extends SparkSpec {
     assert(System.currentTimeMillis() - mt < 60000,
       "resolution did not refresh the generation's mtime")
   }
+
+  test("bench canary baseline parser reads last round's detail line (r14 verdict #5)") {
+    // the shape Bench itself writes: queries object + top-level canary
+    val detail = """{"metric":"total_detail","value":176.042,"unit":"sec",""" +
+      """"queries":{"q01_scan_project":0.061,"q33_pipeline_e2e":4.271},""" +
+      """"spread":{"q01_scan_project":0.01},"canary":1.234,"sf":"x"}"""
+    val (qs, canary) = Bench.parsePrevDetail(detail)
+    assert(qs === Map("q01_scan_project" -> 0.061,
+      "q33_pipeline_e2e" -> 4.271))
+    assert(canary === Some(1.234))
+    // pre-canary rounds (r14 and earlier) parse with no canary — the
+    // normalizer then reports nothing instead of guessing
+    val old = """{"metric":"total_detail","value":1.0,""" +
+      """"queries":{"q01_scan_project":0.5},"sf":"x"}"""
+    val (qs2, c2) = Bench.parsePrevDetail(old)
+    assert(qs2 === Map("q01_scan_project" -> 0.5) && c2.isEmpty)
+    // garbage stays harmless
+    assert(Bench.parsePrevDetail("not json") === (Map.empty, None))
+  }
 }
