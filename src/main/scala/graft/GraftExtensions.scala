@@ -57,8 +57,10 @@ object GraftFunctions {
     ("graft_row_changes", graft.operators.TimeTravel.rowChangesPlan _,
       "graft_row_changes(root, from, to) - row-level change feed with " +
         "_change_type/_commit_version over commits (from, to]"),
-    // maintenance verbs (r13 verdict #3): the op runs when the statement
-    // analyzes, the returned row reports what it did (Delta's
+    // maintenance verbs (r13 verdict #3): the builder resolves at
+    // analysis, but the op itself runs at EXECUTION (lazy
+    // MaintenanceNode — EXPLAIN and schema probes are side-effect-free,
+    // r14 ADVICE); the returned row reports what it did (Delta's
     // OPTIMIZE/VACUUM statements execute-and-report the same way)
     ("graft_optimize", graft.operators.TimeTravel.optimizePlan _,
       "graft_optimize(root, targetFiles) - bin-pack the snapshot into a " +
@@ -70,7 +72,13 @@ object GraftFunctions {
       "graft_vacuum(root) - delete unreferenced files; returns n_deleted"),
     ("graft_expire", graft.operators.TimeTravel.expirePlan _,
       "graft_expire(root, keepFrom) - retention: drop commits below " +
-        "keepFrom (needs an anchor checkpoint); returns n_dropped"))
+        "keepFrom (needs an anchor checkpoint); returns n_dropped"),
+    ("graft_files", graft.operators.TimeTravel.filesPlan _,
+      "graft_files(root) - one row per current-snapshot file: bytes, " +
+        "logged rows, live DV rows, partition value lines, stat coverage"),
+    ("graft_clone", graft.operators.TimeTravel.clonePlan _,
+      "graft_clone(src, dst) - zero-copy shallow clone (runs at " +
+        "execution); returns (version, n_files)"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>
@@ -97,6 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.extensions=graft.GraftExtensions plan KnnTopKNode without
     // touching the experimental-methods API.
     e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+    // Maintenance TVFs plan lazily (side effects gated on execution —
+    // r14 ADVICE): the strategy that plans their report nodes.
+    e.injectPlannerStrategy(_ => graft.plans.MaintenanceStrategy)
     // Opt-in accelerator rule: count(DISTINCT x) → HLL sketch when
     // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite).
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)

@@ -1797,6 +1797,478 @@ object LakehouseOps extends QueryModule {
         }
         rows.toDF("leg", "o_orderpriority", "n", "total")
           .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q219 SQL PARTITIONED BY TRANSFORMS + MULTI-COLUMN (r14 verdict
+    // #1): `CREATE TABLE … PARTITIONED BY (months(d), bucket(4, k))` —
+    // the Delta/Iceberg transform-partition DDL. The INSERT's required
+    // distribution clusters on the DERIVED expressions (bucket/months
+    // resolve through the catalog's FunctionCatalog — the Iceberg write
+    // pattern), the writer records one tagged value line per term per
+    // file, and the declared reads prune from those lines: the month
+    // leg (d >= first-of-max-month) keeps only the last month's files,
+    // the key leg (o_orderkey = max) keeps one bucket per month
+    // (TableSourceSpec pins both opened-file counts). Reference: the
+    // reference's own warehouse layout is a MULTI-LEVEL hive partition
+    // tree (transactions_mock_data.py:85-91) — this is that layout's
+    // declarative SQL form. Oracle: the same two predicates replayed
+    // over orders with identically-derived bounds.
+    Q("q219_sql_partition_transforms",
+      Some("""WITH src AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             |                    o_orderpriority,
+             |                    CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |p AS (SELECT CAST(date_trunc('month', max(d)) AS DATE) AS lo
+             |      FROM src),
+             |k AS (SELECT max(o_orderkey) AS kk FROM src)
+             |SELECT 'm' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src, p WHERE d >= p.lo GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'k' AS leg, 'key' AS o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src, k WHERE o_orderkey = k.kk
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat219_", s"q219:$d")
+        val root = s"$wh/tp"
+        val src = t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat219" -> CatalogClass,
+          "spark.sql.catalog.gcat219.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            src.createOrReplaceTempView("q219_src")
+            s.sql("""CREATE TABLE gcat219.tp (
+                    |  o_orderkey BIGINT, d DATE, o_orderpriority STRING,
+                    |  price DOUBLE)
+                    |PARTITIONED BY (months(d), bucket(4, o_orderkey))"""
+              .stripMargin)
+            s.sql("INSERT INTO gcat219.tp SELECT * FROM q219_src")
+          }
+          val mm = src.agg(max("d"), max("o_orderkey")).head()
+          val lo = mm.getDate(0).toLocalDate.withDayOfMonth(1)
+          val kk = mm.getLong(1)
+          s.sql(
+            s"""SELECT 'm' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat219.tp WHERE d >= DATE'$lo'
+               |GROUP BY o_orderpriority
+               |UNION ALL
+               |SELECT 'k' AS leg, 'key' AS o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat219.tp WHERE o_orderkey = ${kk}L
+               |ORDER BY leg, o_orderpriority""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q220 MERGE INTO FULL CLAUSE MATRIX (r14 verdict #2): one SQL
+    // MERGE exercising `WHEN MATCHED [AND cond] THEN DELETE`,
+    // conditional `WHEN MATCHED THEN UPDATE`, `WHEN NOT MATCHED THEN
+    // INSERT` AND `WHEN NOT MATCHED BY SOURCE THEN DELETE` — the SCD-
+    // maintenance shape the reference's nightly warehouse re-load
+    // implies (transactions_mock_data.py:17). Spark's group-based
+    // row-level rewrite drives the clause semantics; the connector
+    // replaces the touched files atomically and, with CDF on, emits
+    // the DIFF-FORM row feed (deletes + inserts; updates appear as a
+    // pair). THREE hash-checked legs: the post-merge state, and the
+    // CDC delete/insert legs read back through graft_row_changes.
+    // Oracle: the clause matrix replayed as a FULL JOIN + CASE.
+    Q("q220_sql_merge_matrix",
+      Some("""WITH t AS (SELECT o_orderkey, o_orderpriority,
+             |                 CAST(o_totalprice AS DOUBLE) AS price
+             |           FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (SELECT o_orderkey, o_orderpriority,
+             |             CAST(o_totalprice AS DOUBLE) * 2 AS price
+             |      FROM orders WHERE o_orderkey % 2 = 0),
+             |j AS (SELECT t.o_orderkey AS tk, t.o_orderpriority AS tp,
+             |             t.price AS tprice, s.o_orderkey AS sk,
+             |             s.o_orderpriority AS sp, s.price AS sprice
+             |      FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey),
+             |post AS (SELECT CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+             |                     THEN sp ELSE COALESCE(sp, tp) END AS pr,
+             |                CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+             |                     THEN sprice
+             |                     ELSE COALESCE(sprice, tprice) END AS price
+             |         FROM j
+             |         WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
+             |                    AND sprice < 100000.0)
+             |           AND NOT (tk IS NOT NULL AND sk IS NULL
+             |                    AND tprice > 200000.0)),
+             |dels AS (SELECT tp AS pr, tprice AS price FROM j
+             |         WHERE tk IS NOT NULL
+             |           AND (sk IS NOT NULL OR tprice > 200000.0)),
+             |ins AS (SELECT sp AS pr, sprice AS price FROM j
+             |        WHERE sk IS NOT NULL
+             |          AND (tk IS NULL OR sprice >= 100000.0))
+             |SELECT 'cdc_delete' AS leg, pr AS o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM dels GROUP BY pr
+             |UNION ALL
+             |SELECT 'cdc_insert' AS leg, pr AS o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM ins GROUP BY pr
+             |UNION ALL
+             |SELECT 'state' AS leg, pr AS o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM post GROUP BY pr
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat220_", s"q220:$d")
+        val root = s"$wh/mm"
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        val base = orders3(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("price"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat220" -> CatalogClass,
+          "spark.sql.catalog.gcat220.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            base.filter(col("o_orderkey") % 3 =!= 0)
+              .createOrReplaceTempView("q220_tgt")
+            s.sql("CREATE TABLE gcat220.mm AS SELECT * FROM q220_tgt")
+          }
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat220.mm SET TBLPROPERTIES (" +
+              "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(root) < 2) {
+            base.filter(col("o_orderkey") % 2 === 0)
+              .withColumn("price", col("price") * 2)
+              .createOrReplaceTempView("q220_src")
+            s.sql(
+              """MERGE INTO gcat220.mm t USING q220_src s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED AND s.price < 100000.0D THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET
+                |  o_orderpriority = s.o_orderpriority, price = s.price
+                |WHEN NOT MATCHED THEN INSERT
+                |  (o_orderkey, o_orderpriority, price)
+                |  VALUES (s.o_orderkey, s.o_orderpriority, s.price)
+                |WHEN NOT MATCHED BY SOURCE AND t.price > 200000.0D
+                |  THEN DELETE""".stripMargin)
+          }
+          s.sql(
+            s"""SELECT concat('cdc_', _change_type) AS leg,
+               |  o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM graft_row_changes('$root', 1, 2)
+               |GROUP BY _change_type, o_orderpriority
+               |UNION ALL
+               |SELECT 'state' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat220.mm GROUP BY o_orderpriority
+               |ORDER BY leg, o_orderpriority""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q221 ALTER TABLE ADD COLUMN … DEFAULT (r14 verdict #3, Delta's
+    // column defaults): a metadata-only commit records the rendered
+    // literal beside the fresh physical name; files that PREDATE the
+    // column read the default through the DSv2 scan (never NULL),
+    // post-evolution inserts store their values explicitly, and the
+    // VERSION AS OF 1 leg proves the pre-insert snapshot reads
+    // all-default. Footer-aggregate pushdown refuses on defaulted
+    // columns (footer stats can't see them — TableSourceSpec pins it).
+    // Oracle: the default/stored split replayed over orders.
+    Q("q221_sql_add_column_default",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |                 CAST(o_totalprice AS DOUBLE) AS price
+             |          FROM orders),
+             |u AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+             |             ELSE concat('seg-', o_orderpriority) END
+             |        AS segment, price FROM o),
+             |v1 AS (SELECT 'v1:legacy' AS segment, price FROM o
+             |       WHERE o_orderkey % 2 = 0)
+             |SELECT segment, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM u GROUP BY segment
+             |UNION ALL
+             |SELECT segment, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM v1 GROUP BY segment
+             |ORDER BY segment""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat221_", s"q221:$d")
+        val root = s"$wh/dc"
+        val base = orders3(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("double").as("price"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat221" -> CatalogClass,
+          "spark.sql.catalog.gcat221.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            base.filter(col("o_orderkey") % 2 === 0)
+              .createOrReplaceTempView("q221_old")
+            s.sql("CREATE TABLE gcat221.dc AS SELECT * FROM q221_old")
+          }
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat221.dc ADD COLUMN segment STRING " +
+              "DEFAULT 'legacy'")
+          if (TimeTravel.currentVersion(root) < 2) {
+            base.filter(col("o_orderkey") % 2 === 1)
+              .withColumn("segment",
+                concat(lit("seg-"), col("o_orderpriority")))
+              .createOrReplaceTempView("q221_new")
+            s.sql("INSERT INTO gcat221.dc SELECT * FROM q221_new")
+          }
+          s.sql(
+            """SELECT segment, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat221.dc GROUP BY segment
+              |UNION ALL
+              |SELECT concat('v1:', segment) AS segment, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat221.dc VERSION AS OF 1 GROUP BY segment
+              |ORDER BY segment""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
+        rows.toDF("segment", "n", "total").orderBy("segment")
+      }),
+
+    // Q222 STREAMING WRITE INTO A COLUMN-MAPPED TABLE (r14 verdict #7):
+    // `ALTER TABLE … RENAME COLUMN` then `writeStream.toTable` — the
+    // epoch's rows arrive under the LOGICAL post-rename name and the
+    // sink stores them under the PHYSICAL parquet name (the q194
+    // mapping), so files written before and after the rename stay
+    // byte-compatible. Both read-backs are hash-checked: the CURRENT
+    // table (old + streamed halves under one logical schema) and the
+    // ROW-LEVEL change feed of the streamed epochs, read through the
+    // mapping. TableSourceSpec adds the restart leg (a replayed epoch
+    // lands nothing) and pins the physical field name in the files.
+    Q("q222_stream_write_renamed",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+             |                 CAST(o_totalprice AS DOUBLE) AS price
+             |          FROM orders)
+             |SELECT 'chg' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM o WHERE o_orderkey % 2 = 1 GROUP BY prio
+             |UNION ALL
+             |SELECT 'cur' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM o GROUP BY prio
+             |ORDER BY leg, prio""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat222_", s"q222:$d")
+        val root = s"$wh/rn"
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        val base = orders3(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            col("o_totalprice").cast("double").as("amount"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat222" -> CatalogClass,
+          "spark.sql.catalog.gcat222.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0)
+            s.sql("CREATE TABLE gcat222.rn (o_orderkey BIGINT, " +
+              "prio STRING, amount DOUBLE)")
+          if (TimeTravel.currentVersion(root) < 1) {
+            base.filter(col("o_orderkey") % 2 === 0)
+              .createOrReplaceTempView("q222_old")
+            s.sql("INSERT INTO gcat222.rn SELECT * FROM q222_old")
+          }
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("ALTER TABLE gcat222.rn RENAME COLUMN amount TO price")
+          if (TimeTravel.currentVersion(root) < 3)
+            s.sql("ALTER TABLE gcat222.rn SET TBLPROPERTIES (" +
+              "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(root) < 4) {
+            // the streamed half arrives under the LOGICAL names
+            val stage = s"$wh/stage_src"
+            base.filter(col("o_orderkey") % 2 === 1)
+              .withColumnRenamed("amount", "price")
+              .repartition(1)
+              .write.mode("overwrite").parquet(stage)
+            val q = s.readStream
+              .schema("o_orderkey BIGINT, prio STRING, price DOUBLE")
+              .parquet(stage)
+              .writeStream
+              .option("checkpointLocation", s"$wh/ckpt")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .toTable("gcat222.rn")
+            q.awaitTermination()
+          }
+          val cur = TimeTravel.currentVersion(root)
+          s.sql(
+            s"""SELECT 'chg' AS leg, prio, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM graft_row_changes('$root', 3, $cur)
+               |WHERE _change_type = 'insert' GROUP BY prio
+               |UNION ALL
+               |SELECT 'cur' AS leg, prio, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat222.rn GROUP BY prio
+               |ORDER BY leg, prio""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "prio", "n", "total").orderBy("leg", "prio")
+      }),
+
+    // Q225 PARTITION-SPEC EVOLUTION (Iceberg's evolve-in-place): a table
+    // CREATEd `PARTITIONED BY (prio)` ingests an identity era, then
+    // `ALTER TABLE … SET TBLPROPERTIES('graft.partitionSpec' =
+    // 'months:d,bucket:4:o_orderkey')` re-partitions FUTURE writes only —
+    // era-2 INSERTs cluster and tag by month+bucket while era-1 files
+    // keep their prio lines. Reads prune each file by ITS OWN lines:
+    // the month leg prunes era-2 to the last month but keeps every
+    // era-1 file (no ~month tag → conservative keep), the prio leg
+    // prunes era-1 to one value group but keeps era-2, the key leg
+    // drops 3 of 4 era-2 buckets (TableSourceSpec pins all three
+    // opened-file mixes). The spec string validates against the schema
+    // AT ALTER — a typo fails the evolution, never a later INSERT.
+    // Oracle: all three predicates replayed over the full row set.
+    Q("q225_partition_evolution",
+      Some("""WITH src AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             |                    o_orderpriority AS prio,
+             |                    CAST(o_totalprice AS DOUBLE) AS price
+             |             FROM orders),
+             |p AS (SELECT CAST(date_trunc('month', max(d)) AS DATE) AS lo
+             |      FROM src),
+             |k AS (SELECT max(o_orderkey) AS kk FROM src)
+             |SELECT 'm' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src, p WHERE d >= p.lo GROUP BY prio
+             |UNION ALL
+             |SELECT 'p' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src WHERE prio = '1-URGENT' GROUP BY prio
+             |UNION ALL
+             |SELECT 'k' AS leg, 'key' AS prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM src, k WHERE o_orderkey = k.kk
+             |ORDER BY leg, prio""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat225_", s"q225:$d")
+        val root = s"$wh/pe"
+        val src = t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").cast("double").as("price"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat225" -> CatalogClass,
+          "spark.sql.catalog.gcat225.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            src.filter(col("o_orderkey") % 2 === 0)
+              .createOrReplaceTempView("q225_era1")
+            s.sql("""CREATE TABLE gcat225.pe (
+                    |  o_orderkey BIGINT, d DATE, prio STRING, price DOUBLE)
+                    |PARTITIONED BY (prio)""".stripMargin)
+            s.sql("INSERT INTO gcat225.pe SELECT * FROM q225_era1")
+          }
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("ALTER TABLE gcat225.pe SET TBLPROPERTIES (" +
+              "'graft.partitionSpec' = 'months:d,bucket:4:o_orderkey')")
+          if (TimeTravel.currentVersion(root) < 3) {
+            src.filter(col("o_orderkey") % 2 === 1)
+              .createOrReplaceTempView("q225_era2")
+            s.sql("INSERT INTO gcat225.pe SELECT * FROM q225_era2")
+          }
+          val mm = src.agg(max("d"), max("o_orderkey")).head()
+          val lo = mm.getDate(0).toLocalDate.withDayOfMonth(1)
+          val kk = mm.getLong(1)
+          s.sql(
+            s"""SELECT 'm' AS leg, prio, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat225.pe WHERE d >= DATE'$lo' GROUP BY prio
+               |UNION ALL
+               |SELECT 'p' AS leg, prio, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat225.pe WHERE prio = '1-URGENT' GROUP BY prio
+               |UNION ALL
+               |SELECT 'k' AS leg, 'key' AS prio, count(*) AS n,
+               |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM gcat225.pe WHERE o_orderkey = ${kk}L
+               |ORDER BY leg, prio""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "prio", "n", "total").orderBy("leg", "prio")
+      }),
+
+    // Q226 SQL SHALLOW CLONE lifecycle (Delta's CREATE TABLE … SHALLOW
+    // CLONE, as the graft_clone TVF): clone a live table zero-copy,
+    // keep writing to the SOURCE, and prove the clone still reads the
+    // exact snapshot it froze — while the source serves its full,
+    // newer state through the same catalog. The clone executes at
+    // EXECUTION (lazy MaintenanceNode) and plants the r14-verdict-#4
+    // back-reference marker, so source vacuums can never strand it
+    // (TimeTravelSpec pins that). Oracle: the frozen half vs the full
+    // set, replayed over orders.
+    Q("q226_sql_clone",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+             |                 CAST(o_totalprice AS DOUBLE) AS price
+             |          FROM orders)
+             |SELECT 'clone' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM o WHERE o_orderkey % 2 = 0 GROUP BY prio
+             |UNION ALL
+             |SELECT 'src' AS leg, prio, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM o GROUP BY prio
+             |ORDER BY leg, prio""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat226_", s"q226:$d")
+        val (srcRoot, dstRoot) = (s"$wh/sr", s"$wh/cl")
+        graft.GraftFunctions.register(s) // graft_clone TVF
+        val base = orders3(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            col("o_totalprice").cast("double").as("price"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat226" -> CatalogClass,
+          "spark.sql.catalog.gcat226.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(srcRoot) < 0) {
+            base.filter(col("o_orderkey") % 2 === 0)
+              .createOrReplaceTempView("q226_half")
+            s.sql("CREATE TABLE gcat226.sr AS SELECT * FROM q226_half")
+          }
+          if (TimeTravel.currentVersion(dstRoot) < 0) {
+            val rep = s.sql(
+              s"SELECT * FROM graft_clone('$srcRoot', '$dstRoot')").head()
+            require(rep.getLong(1) > 0, "q226: clone referenced no files")
+          }
+          if (TimeTravel.currentVersion(srcRoot) < 1) {
+            base.filter(col("o_orderkey") % 2 === 1)
+              .createOrReplaceTempView("q226_rest")
+            s.sql("INSERT INTO gcat226.sr SELECT * FROM q226_rest")
+          }
+          s.sql(
+            """SELECT 'clone' AS leg, prio, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat226.cl GROUP BY prio
+              |UNION ALL
+              |SELECT 'src' AS leg, prio, count(*) AS n,
+              |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM gcat226.sr GROUP BY prio
+              |ORDER BY leg, prio""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "prio", "n", "total").orderBy("leg", "prio")
       })
   )
 }

@@ -409,9 +409,14 @@ object TimeTravel extends QueryModule {
     require(!mm.anyNull, s"time travel: z-order bounds of ($c1, $c2) are null")
     val (lo1, hi1, lo2, hi2) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    // scale via a DOUBLE factor: (col-lo)*65535 in long arithmetic
+    // overflows for ranges wider than ~1.4e14 and scrambles the z-codes
+    // (pruning silently degrades to nothing — r14 ADVICE). The double
+    // product is monotonic in (col-lo), which is all cell assignment
+    // needs; the per-file stats stay exact longs either way.
     def scale16(c: String, lo: Long, hi: Long) =
-      ((col(c).cast("long") - lit(lo)) * lit(65535L) /
-        lit(math.max(1L, hi - lo))).cast("long")
+      least(lit(65535L), ((col(c).cast("long") - lit(lo)) *
+        lit(65535.0 / math.max(1L, hi - lo))).cast("long"))
     val a16 = scale16(c1, lo1, hi1)
     val b16 = scale16(c2, lo2, hi2)
     val zval = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
@@ -499,9 +504,14 @@ object TimeTravel extends QueryModule {
     require(!mm.anyNull,
       s"time travel: z-order bounds of ${cols.mkString(", ")} are null")
     val bounds = cols.indices.map(j => (mm.getLong(2 * j), mm.getLong(2 * j + 1)))
+    // scale via a DOUBLE factor: (col-lo)*65535 in long arithmetic
+    // overflows for ranges wider than ~1.4e14 and scrambles the z-codes
+    // (pruning silently degrades to nothing — r14 ADVICE). The double
+    // product is monotonic in (col-lo), which is all cell assignment
+    // needs; the per-file stats stay exact longs either way.
     def scale16(c: String, lo: Long, hi: Long) =
-      ((col(c).cast("long") - lit(lo)) * lit(65535L) /
-        lit(math.max(1L, hi - lo))).cast("long")
+      least(lit(65535L), ((col(c).cast("long") - lit(lo)) *
+        lit(65535.0 / math.max(1L, hi - lo))).cast("long"))
     val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
       scale16(c, lo, hi)
     }
@@ -602,11 +612,28 @@ object TimeTravel extends QueryModule {
       empty: T)(fold: (T, String) => T): T = {
     val (fs, commits, ckpts) = listLog(root)
     val base = ckpts.filter(_._1 <= gen).lastOption
-    val baseAcc = base
-      .map { case (_, f) => parseArr(readBytes(fs, f), key).foldLeft(empty)(fold) }
-      .getOrElse(empty)
+    val baseV = base.map(_._1).getOrElse(-1)
+    // A checkpoint written before `key` existed carries NO such array —
+    // it must not shadow the commits below it (r14 ADVICE: an old
+    // checkpoint silently erased txn records, so a restarted streaming
+    // writer would replay a committed epoch). Back-fill from the commits
+    // below the checkpoint in that case. A current-code checkpoint whose
+    // resolved array was EMPTY also omits the key, but then the commits
+    // below carry nothing the checkpoint's snapshot still references —
+    // the back-fill is at worst extra inert lines for retired files.
+    val baseAcc = base match {
+      case Some((_, f)) =>
+        val txt = readBytes(fs, f)
+        if (txt.contains(s""""$key":"""))
+          parseArr(txt, key).foldLeft(empty)(fold)
+        else commits.filter(_._1 <= baseV)
+          .foldLeft(empty) { case (acc, (_, cf)) =>
+            parseArr(readBytes(fs, cf), key).foldLeft(acc)(fold)
+          }
+      case None => empty
+    }
     commits
-      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .filter(c => c._1 > baseV && c._1 <= gen)
       .foldLeft(baseAcc) { case (acc, (_, f)) =>
         parseArr(readBytes(fs, f), key).foldLeft(acc)(fold)
       }
@@ -1053,6 +1080,43 @@ object TimeTravel extends QueryModule {
         fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
         .withColumn("_change_type", lit("delete")))
 
+  /** DIFF-FORM row-level CDC for a copy-on-write group replacement
+    * (SQL DELETE / UPDATE / MERGE through [[graft.sources.table
+    * .ReplaceGroupsWrite]], r14 verdict #2): the feed emits the exact
+    * multiset difference between the replaced files' live rows and
+    * their rewrites — removed rows as `delete`, added rows as
+    * `insert`. An UPDATE therefore appears as a delete/insert PAIR
+    * (this group-based path rewrites whole files and cannot know
+    * per-row clause attribution, unlike Delta's delta-based writers);
+    * state reconstruction across the commit is identical, and rows a
+    * MERGE carried over unchanged emit NOTHING (they cancel in the
+    * diff). Cost: one extra pass over the TOUCHED files only, and only
+    * when CDF is on. Column-mapped tables refuse conservatively (the
+    * same [[cdcForRemovedFiles]] discipline — change files carry
+    * logical names). */
+  private[graft] def cdcDiffForReplace(s: SparkSession, root: String,
+      gen: Int, removed: Seq[String], temps: Seq[String],
+      cols: Seq[String]): Seq[String] =
+    if (gen < 0 || !cdfEnabled(root, gen) ||
+        colmapAsOf(root, gen).nonEmpty ||
+        (removed.isEmpty && temps.isEmpty)) Nil
+    else {
+      val sel = cols.map(col)
+      val after =
+        if (temps.isEmpty) None
+        else Some(s.read.parquet(temps: _*).select(sel: _*))
+      val before =
+        if (removed.isEmpty) after.get.limit(0)
+        else readFilesWithDvs(s, root, gen, removed,
+          fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+          .select(sel: _*)
+      val post = after.getOrElse(before.limit(0))
+      writeCdcFiles(s, root,
+        before.exceptAll(post).withColumn("_change_type", lit("delete"))
+          .unionByName(
+            post.exceptAll(before).withColumn("_change_type", lit("insert"))))
+    }
+
   /** Commit staged parquet a PARTITIONED DSv2 writer produced — each
     * temp carries its partition VALUE, recorded per committed file as a
     * `=` stats line, so a catalog `INSERT INTO` on a `PARTITIONED BY`
@@ -1062,7 +1126,21 @@ object TimeTravel extends QueryModule {
   private[graft] def commitStagedPartitioned(s: SparkSession, root: String,
       temps: Seq[(String, String)], schemaDdl: String, partCol: String,
       removed: Seq[String] = Nil, props: Seq[String] = Nil,
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None): Int =
+    commitStagedPartitionedSpec(s, root,
+      temps.map { case (t, v) => (t, Seq(v)) }, schemaDdl,
+      Seq(IdentityTerm(partCol)), removed, props, txn)
+
+  /** The GENERAL form (r14 verdict #1): each staged temp carries one
+    * derived value PER SPEC TERM, recorded as that term's tagged stats
+    * line — identity `=` lines keep the q214 equality-pruning/SPJ/DPP
+    * machinery, `~month`/`~day`/`~year` lines the q195 generated-column
+    * derivation, `#bucket:n` lines hash-bucket pruning. One commit shape
+    * serves `PARTITIONED BY (months(d), bucket(8, k), region)` whole. */
+  private[graft] def commitStagedPartitionedSpec(s: SparkSession,
+      root: String, temps: Seq[(String, Seq[String])], schemaDdl: String,
+      spec: Seq[PartTerm], removed: Seq[String] = Nil,
+      props: Seq[String] = Nil, txn: Option[String] = None): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -1070,15 +1148,20 @@ object TimeTravel extends QueryModule {
     val (fs, _) = fsFor(root)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val named = temps.sortBy(_._1).zipWithIndex.map { case ((t, v), i) =>
+    val named = temps.sortBy(_._1).zipWithIndex.map { case ((t, vs), i) =>
       val name = s"$uid-w$i.parquet"
       require(fs.rename(new org.apache.hadoop.fs.Path(t),
           new org.apache.hadoop.fs.Path(s"$root/data/$name")),
         s"time travel: staged rename of $t failed")
-      (name, v)
+      (name, vs)
     }
     commitNames(s, root, named.map(_._1), removed,
-      stats = named.map { case (n, v) => s"$n|$partCol|=|$v" },
+      stats = named.flatMap { case (n, vs) =>
+        require(vs.length == spec.length,
+          s"time travel: ${vs.length} partition values for a " +
+            s"${spec.length}-term spec")
+        spec.zip(vs).map { case (t, v) => s"$n|${t.col}|${t.tag}|$v" }
+      },
       schemaDdl = Some(schemaDdl), props = props, txn = txn)
   }
 
@@ -1087,8 +1170,8 @@ object TimeTravel extends QueryModule {
     * `writeStream.toTable` on a `PARTITIONED BY` catalog table lands one
     * pruned-readable generation per epoch, replayed epochs land nothing. */
   private[graft] def commitStagedPartitionedTxn(s: SparkSession,
-      root: String, temps: Seq[(String, String)], schemaDdl: String,
-      partCol: String, appId: String, version: Long): Int = {
+      root: String, temps: Seq[(String, Seq[String])], schemaDdl: String,
+      spec: Seq[PartTerm], appId: String, version: Long): Int = {
     require(!appId.contains("|"), "txn appId must not contain '|'")
     lockFor(root).synchronized {
       if (lastTxnVersion(root, appId).exists(_ >= version)) {
@@ -1096,7 +1179,7 @@ object TimeTravel extends QueryModule {
         temps.foreach(t =>
           fs.delete(new org.apache.hadoop.fs.Path(t._1), false))
         currentVersion(root) // replayed epoch: idempotent skip
-      } else commitStagedPartitioned(s, root, temps, schemaDdl, partCol,
+      } else commitStagedPartitionedSpec(s, root, temps, schemaDdl, spec,
         txn = Some(s"$appId|$version"))
     }
   }
@@ -1376,11 +1459,23 @@ object TimeTravel extends QueryModule {
     * re-added logical name NEVER resurrects a dropped column's old bytes
     * (the Delta column-mapping guarantee): no file has ever written the
     * new physical name, so every existing row null-fills it, and only
-    * appends after this commit can carry values. */
+    * appends after this commit can carry values.
+    *
+    * With `default` (r14 verdict #3, Delta's `ADD COLUMN … DEFAULT`):
+    * the rendered literal is recorded as a `graft.default.<phys>` table
+    * property in the SAME commit, and every file that PREDATES the
+    * column (its parquet schema lacks the physical field) reads the
+    * default instead of NULL through the DSv2 snapshot scan —
+    * post-evolution writes store values (including explicit NULLs,
+    * which stay NULL: a present-but-null field is stored data, never
+    * re-defaulted). Metadata-only: zero data bytes move. */
   def addColumnMapped(s: SparkSession, root: String, name: String,
-      typeDdl: String): Int = {
+      typeDdl: String, default: Option[String] = None): Int = {
     require(!name.contains("|"),
       "time travel: column names must not contain '|'")
+    default.foreach(v => require(!v.contains("|"),
+      "time travel: a default value must not contain '|' — the log's " +
+        "props-line separator"))
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot add on empty table $root")
     val logical = logicalSchemaAt(root, gen)
@@ -1391,8 +1486,19 @@ object TimeTravel extends QueryModule {
     val widened = org.apache.spark.sql.types.StructType(
       logical :+ org.apache.spark.sql.types.StructField(name, dt))
     commitNames(s, root, Nil, Nil, flags = Seq("colmap"),
-      schemaDdl = Some(widened.toDDL), colmap = Seq(s"$name|$phys"))
+      schemaDdl = Some(widened.toDDL), colmap = Seq(s"$name|$phys"),
+      props = default.map(v => s"graft.default.$phys|$v").toSeq)
   }
+
+  /** Rendered column defaults in force at `gen`, keyed by PHYSICAL
+    * name — the `graft.default.<phys>` properties [[addColumnMapped]]
+    * records. Values are the canonical string renderings the DSv2
+    * reader converts by the logical column type. */
+  private[graft] def defaultsFor(root: String, gen: Int): Map[String, String] =
+    propsAsOf(root, gen).collect {
+      case (k, v) if k.startsWith("graft.default.") && v.nonEmpty =>
+        k.stripPrefix("graft.default.") -> v
+    }
 
   /** Append through the mapping: `df` arrives with the LOGICAL schema and
     * is STORED under the physical names, so files written before and
@@ -1538,7 +1644,27 @@ object TimeTravel extends QueryModule {
     }
     require(frames.nonEmpty,
       s"time travel: range ($fromGen, $toGen] has no row changes")
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val raw = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // Column-mapped tables (r14 verdict #7): every frame carries PHYSICAL
+    // names — data files by construction, and change files too (they are
+    // only ever written while the colmap is empty, when logical ==
+    // physical). One projection to the logical schema in force at `toGen`
+    // presents the whole range under the names the caller's generation
+    // uses — same discipline as [[readAsOfMapped]]. A logical column whose
+    // physical name no frame carries (added after every file in range)
+    // null-fills, like the snapshot read of a pre-evolution file.
+    val cmap = colmapAsOf(root, toGen)
+    if (cmap.isEmpty) raw
+    else {
+      val present = raw.columns.toSet
+      val mapped = logicalSchemaAt(root, toGen).map { f =>
+        val phys = cmap.getOrElse(f.name, f.name)
+        if (present.contains(phys)) col(phys).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      raw.select(mapped ++ Seq(col("_change_type"),
+        col("_commit_version")): _*)
+    }
   }
 
   /** OPTIMIZE: bin-pack the current snapshot into ~`targetFiles` files in
@@ -1623,6 +1749,12 @@ object TimeTravel extends QueryModule {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val renamed = stagePartitioned(s, root, df, col(partCol), None)
+    // '|' is the stats-line separator: a value carrying it would lose
+    // its pruning line silently at read resolution (r14 ADVICE) — refuse
+    renamed.collectFirst { case (_, v) if v.contains("|") => v }.foreach(v =>
+      throw new IllegalArgumentException(
+        s"time travel: partition value '$v' contains '|' — the log's " +
+          "stats-line separator; partition on a clean column"))
     commitNames(s, root, renamed.map(_._1), removed,
       stats = renamed.map { case (n, v) => s"$n|$partCol|=|$v" },
       schemaDdl = Some(df.schema.toDDL))
@@ -1805,6 +1937,26 @@ object TimeTravel extends QueryModule {
       }
     }
 
+  /** EVERY tagged per-file partition value visible at `gen`, keyed
+    * (file, column) → (tag, value): identity `=` lines, generated
+    * `~month`/`~day`/`~year` lines and `#bucket:n` lines — the
+    * multi-term spec's read-side pruning source ([[FileSkip]] derives
+    * the filter literal's value per tag and drops non-matching files).
+    * Plain 4-field min/max stats lines never collide: their third field
+    * is a number, not a tag. */
+  private[graft] def tvalsFor(root: String, gen: Int)
+      : Map[(String, String), (String, String)] =
+    foldCkptTail(root, gen, "stats",
+      Map.empty[(String, String), (String, String)]) { (m, line) =>
+      line.split('|') match {
+        case Array(name, c, tag, v)
+            if tag == "=" || tag.startsWith("~") ||
+              tag.startsWith("#bucket:") =>
+          m.updated((name, c), (tag, v))
+        case _ => m
+      }
+    }
+
   /** Equality read pruned by the log's partition values: only files whose
     * recorded value matches — plus files with NO recorded value,
     * conservatively — are opened; the residual filter keeps exactness.
@@ -1883,10 +2035,13 @@ object TimeTravel extends QueryModule {
     * blooms, and schema (re-keyed to the absolute names), so pruned
     * reads keep pruning; from then on the two logs are independent —
     * appends/deletes on either side never touch the other (spec-proven
-    * both directions). Caveat (Delta's too): vacuum/retention on the
-    * SOURCE can delete files a clone still references — cloned tables
-    * pin their source's files only as long as the source's history
-    * keeps them referenced. */
+    * both directions). Source-side retention is CLONE-AWARE (r14
+    * verdict #4, closing the Delta-parity caveat): the clone plants a
+    * back-reference marker in the source's log, and [[vacuum]] keeps
+    * every file a live clone still references even after the source's
+    * own history expired past it. A clone that is DELETED releases its
+    * pins at the source's next vacuum (the marker self-cleans); a clone
+    * that is MOVED must be re-cloned — the marker records its root. */
   def shallowClone(s: SparkSession, src: String, dst: String): Int = {
     val gen = currentVersion(src)
     require(gen >= 0, s"time travel: cannot clone empty table $src")
@@ -1905,11 +2060,52 @@ object TimeTravel extends QueryModule {
     val srcRows = nrowsFor(src, gen)
     val nrows = files.flatMap(f => srcRows.get(f).map(n =>
       s"${dataPath(src, f)}|$n"))
-    commitNames(s, dst, abs, Nil, stats,
+    val v = commitNames(s, dst, abs, Nil, stats,
       schemaDdl = schemaAsOf(src, gen).map(_.toDDL), blooms = blooms,
       // carry the source's recorded counts when complete; else re-read
       // the footers (still metadata-only)
       nrowsIn = if (nrows.size == files.size) Some(nrows) else None)
+    // BACK-REFERENCE marker (r14 verdict #4, closing the q179 Delta-
+    // parity caveat): the source remembers where its clones live, so a
+    // source-side vacuum after history retention can fold each live
+    // clone's absolute references back into its keep set instead of
+    // deleting files the clone still reads. One tiny file per clone;
+    // a deleted clone's marker self-cleans at the next vacuum.
+    val (fs, _) = fsFor(src)
+    val markers = new org.apache.hadoop.fs.Path(cloneMarkerDir(src))
+    fs.mkdirs(markers)
+    val id = java.util.UUID.nameUUIDFromBytes(
+      dst.getBytes("UTF-8")).toString.take(16)
+    writeBytes(fs, new org.apache.hadoop.fs.Path(markers, s"$id.clone"), dst)
+    v
+  }
+
+  private def cloneMarkerDir(root: String) = s"${logDir(root)}/clones"
+
+  /** Absolute references LIVE CLONES hold into `root`'s data directory
+    * — resolved from the back-reference markers [[shallowClone]] plants.
+    * Markers whose clone directory no longer exists are deleted (self-
+    * cleaning) and contribute nothing. */
+  private def cloneReferencedNames(root: String): Set[String] = {
+    val (fs, _) = fsFor(root)
+    val dir = new org.apache.hadoop.fs.Path(cloneMarkerDir(root))
+    if (!fs.exists(dir)) return Set.empty
+    val prefix = s"$root/data/"
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".clone"))
+      .flatMap { st =>
+        val dst = readBytes(fs, st.getPath).trim
+        if (currentVersion(dst) < 0) { // clone gone: marker self-cleans
+          fs.delete(st.getPath, false)
+          Nil
+        } else {
+          val (cfs, commits, ckpts) = listLog(dst)
+          (commits.flatMap { case (_, f) =>
+            parseArr(readBytes(cfs, f), "added")
+          } ++ ckpts.flatMap { case (_, f) =>
+            parseArr(readBytes(cfs, f), "files")
+          }).filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        }
+      }.toSet
   }
 
   /** Per-file recorded row counts visible at `gen` (commit metadata),
@@ -1956,6 +2152,75 @@ object TimeTravel extends QueryModule {
     require(exprs.length == 1, "usage: graft_history(root)")
     history(SparkSession.active, litStr(exprs(0), "root"))
       .queryExecution.logical
+  }
+
+  /** Delta's `DESCRIBE DETAIL` / Iceberg's `files` metadata table: one
+    * row per CURRENT-snapshot file with its log-recorded economics —
+    * bytes, logged row count (NULL for pre-`nrows` commits), live
+    * DV-masked rows, the partition/transform value lines
+    * (`col|tag|value`, comma-joined, sorted), and how many columns carry
+    * range stats. Everything resolves from commit-log metadata plus ONE
+    * directory listing — zero parquet footers open, so the TVF costs the
+    * same at 100 TB as at 100 MB. The operational surface a table owner
+    * sizes compactions and audits layout with. */
+  def filesMeta(s: SparkSession, root: String): DataFrame = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: no table at $root")
+    val files = snapshotFiles(root, gen)
+    val nrows = nrowsFor(root, gen)
+    val dvs = dvsFor(root, gen)
+    val stats = statsFor(root, gen)
+    val pv = pvalsFor(root, gen)
+    val tv = tvalsFor(root, gen)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    val listed =
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(st => st.getPath.getName -> st.getLen).toMap
+      else Map.empty[String, Long]
+    val statCols = stats.keys.groupBy(_._1)
+      .map { case (f, ks) => f -> ks.size.toLong }
+    val rows = files.sorted.map { f =>
+      val parts = (pv.get(f).map { case (c, v) => (c, "=", v) }.toSeq ++
+        tv.collect { case ((`f`, c), (tag, v)) => (c, tag, v) })
+        .distinct.sorted.map { case (c, tag, v) => s"$c|$tag|$v" }
+        .mkString(",")
+      (f,
+        listed.getOrElse(f, fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(dataPath(root, f))).getLen),
+        nrows.get(f).map(java.lang.Long.valueOf).orNull,
+        dvs.get(f).map(d => java.lang.Long.valueOf(d._2)).orNull,
+        parts, statCols.getOrElse(f, 0L))
+    }
+    import s.implicits._
+    rows.toDF("file", "bytes", "rows", "dv_rows", "part", "stat_cols")
+  }
+
+  /** `graft_files(root)` — the files metadata TVF (read-only, so the
+    * graft_asof analysis-time contract applies directly). */
+  def filesPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_files(root)")
+    filesMeta(SparkSession.active, litStr(exprs(0), "root"))
+      .queryExecution.logical
+  }
+
+  /** `graft_clone(src, dst)` — the q179 zero-copy shallow clone from
+    * pure SQL (Delta's `CREATE TABLE … SHALLOW CLONE`). The clone runs
+    * at EXECUTION (lazy MaintenanceNode — EXPLAIN creates nothing);
+    * the report row carries the cloned generation and its file count.
+    * The clone marker (r14 verdict #4) lands with it, so a later source
+    * vacuum keeps every file this clone still references. */
+  def clonePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_clone(src, dst)")
+    val src = litStr(exprs(0), "src")
+    val dst = litStr(exprs(1), "dst")
+    graft.plans.MaintenanceNode.ensureStrategy(SparkSession.active)
+    graft.plans.MaintenanceNode("clone", Seq("version", "n_files"), () => {
+      val v = shallowClone(SparkSession.active, src, dst)
+      Seq(v.toLong, snapshotFiles(dst, v).size.toLong)
+    })
   }
 
   // ---- per-file Bloom point-lookup index (Delta's bloom filter index,
@@ -2257,11 +2522,11 @@ object TimeTravel extends QueryModule {
       statsFor(root, v).collect {
         case ((f, c), (lo, hi)) if fileSet(f) => s"$f|$c|$lo|$hi"
       }.toSeq ++
-      pvalsFor(root, v).collect {
-        case (f, (c, pv)) if fileSet(f) => s"$f|$c|=|$pv"
-      } ++
-      gvalsFor(root, v).collect {
-        case (f, (c, gv)) if fileSet(f) => s"$f|$c|~month|$gv"
+      // every TAGGED value line (identity =, generated ~month/~day/
+      // ~year, #bucket:n) folds in — retention must not lose any
+      // term's pruning (tvals subsumes the old pvals+gvals collects)
+      tvalsFor(root, v).collect {
+        case ((f, c), (tag, tv)) if fileSet(f) => s"$f|$c|$tag|$tv"
       }).sorted
     val bloomLines = bloomsFor(root, v).collect {
       case (f, (c, m, k, bits)) if fileSet(f) =>
@@ -2457,17 +2722,18 @@ object TimeTravel extends QueryModule {
   }
 
   // ---- SQL maintenance verbs (r13 verdict #3): OPTIMIZE / ZORDER /
-  // VACUUM as table-valued functions — the maintenance op runs when the
-  // statement ANALYZES (the same literal-argument contract as
-  // graft_asof) and the returned row reports what it did. Delta's
-  // `OPTIMIZE t` / `VACUUM t` statements likewise execute-and-report. --
+  // VACUUM as table-valued functions. The BUILDER runs at analysis time
+  // (the graft_asof literal-argument contract) but the maintenance op
+  // itself is gated on EXECUTION through a lazy MaintenanceNode — so
+  // EXPLAIN, schema probes and never-reached script statements delete
+  // nothing (r14 ADVICE); the executed row reports what the op did.
+  // Delta's `OPTIMIZE t` / `VACUUM t` statements execute-and-report the
+  // same way. ----------------------------------------------------------
 
-  private def oneRowPlan(s: SparkSession, names: Seq[String],
-      vals: Seq[Long]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    import s.implicits._
-    Seq(vals).toDF().select(names.zipWithIndex.map { case (n, i) =>
-      element_at(col("value"), i + 1).as(n) }: _*)
-      .queryExecution.logical
+  private def maintPlan(verb: String, cols: Seq[String])(run: => Seq[Long])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    graft.plans.MaintenanceNode.ensureStrategy(SparkSession.active)
+    graft.plans.MaintenanceNode(verb, cols, () => run)
   }
 
   /** `graft_optimize(root, targetFiles)` — the q173 nodata bin-pack from
@@ -2477,12 +2743,14 @@ object TimeTravel extends QueryModule {
   def optimizePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 2, "usage: graft_optimize(root, targetFiles)")
-    val s = SparkSession.active
     val root = litStr(exprs(0), "root")
-    val before = snapshotFiles(root, currentVersion(root)).size
-    val v = compact(s, root, litInt(exprs(1), "targetFiles"))
-    oneRowPlan(s, Seq("version", "files_before", "files_after"),
-      Seq(v.toLong, before.toLong, snapshotFiles(root, v).size.toLong))
+    val target = litInt(exprs(1), "targetFiles")
+    maintPlan("optimize", Seq("version", "files_before", "files_after")) {
+      val s = SparkSession.active
+      val before = snapshotFiles(root, currentVersion(root)).size
+      val v = compact(s, root, target)
+      Seq(v.toLong, before.toLong, snapshotFiles(root, v).size.toLong)
+    }
   }
 
   /** `graft_zorder(root, c1, c2, nFiles)` — OPTIMIZE ZORDER BY from pure
@@ -2492,36 +2760,42 @@ object TimeTravel extends QueryModule {
   def zorderPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 4, "usage: graft_zorder(root, c1, c2, nFiles)")
-    val s = SparkSession.active
     val root = litStr(exprs(0), "root")
-    val v = compactZOrdered(s, root, litStr(exprs(1), "c1"),
-      litStr(exprs(2), "c2"), litInt(exprs(3), "nFiles"))
-    oneRowPlan(s, Seq("version", "files_after"),
-      Seq(v.toLong, snapshotFiles(root, v).size.toLong))
+    val (c1, c2) = (litStr(exprs(1), "c1"), litStr(exprs(2), "c2"))
+    val nFiles = litInt(exprs(3), "nFiles")
+    maintPlan("zorder", Seq("version", "files_after")) {
+      val s = SparkSession.active
+      val v = compactZOrdered(s, root, c1, c2, nFiles)
+      Seq(v.toLong, snapshotFiles(root, v).size.toLong)
+    }
   }
 
   /** `graft_vacuum(root)` — delete unreferenced data/change files from
-    * pure SQL; idempotent. Returns the deleted-file count. */
+    * pure SQL; idempotent. Returns the deleted-file count. Destructive,
+    * so the delete runs at EXECUTION, never under EXPLAIN. */
   def vacuumPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 1, "usage: graft_vacuum(root)")
-    val s = SparkSession.active
-    oneRowPlan(s, Seq("n_deleted"),
-      Seq(vacuum(litStr(exprs(0), "root")).size.toLong))
+    val root = litStr(exprs(0), "root")
+    maintPlan("vacuum", Seq("n_deleted")) {
+      Seq(vacuum(root).size.toLong)
+    }
   }
 
   /** `graft_expire(root, keepFrom)` — history retention from pure SQL:
     * delete commits below `keepFrom` (anchor-checkpoint rules of
     * [[expireHistory]] apply — refuses without one); idempotent
     * (already-expired commits drop nothing). Returns the dropped-file
-    * count; pair with `graft_vacuum` to reclaim the data bytes. */
+    * count; pair with `graft_vacuum` to reclaim the data bytes.
+    * Destructive, so the drop runs at EXECUTION, never under EXPLAIN. */
   def expirePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 2, "usage: graft_expire(root, keepFrom)")
-    val s = SparkSession.active
-    oneRowPlan(s, Seq("n_dropped"),
-      Seq(expireHistory(litStr(exprs(0), "root"),
-        litInt(exprs(1), "keepFrom")).size.toLong))
+    val root = litStr(exprs(0), "root")
+    val keepFrom = litInt(exprs(1), "keepFrom")
+    maintPlan("expire", Seq("n_dropped")) {
+      Seq(expireHistory(root, keepFrom).size.toLong)
+    }
   }
 
   /** Incremental read: the rows ADDED between two snapshots, resolved
@@ -2562,10 +2836,13 @@ object TimeTravel extends QueryModule {
   def vacuum(root: String): Seq[String] = {
     // referenced = every surviving commit's adds PLUS every checkpoint's
     // resolved file list — after history expiry the oldest surviving
-    // snapshot is backed by a checkpoint, not by the deleted commits
+    // snapshot is backed by a checkpoint, not by the deleted commits —
+    // PLUS every live clone's absolute references into this table
+    // (r14 verdict #4: source retention must not break shallow clones)
     val (fsL, commits, ckpts) = listLog(root)
     val referenced = (readLog(root).flatMap(_._2) ++
-      ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet
+      ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet ++
+      cloneReferencedNames(root)
     val (fs, _) = fsFor(root)
     val d = new org.apache.hadoop.fs.Path(s"$root/data")
     val dataGone = (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)

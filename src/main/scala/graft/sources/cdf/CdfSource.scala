@@ -289,7 +289,8 @@ object CdfMetrics {
   * BIGINT/INT/DOUBLE/FLOAT/VARCHAR/BOOLEAN/DATE). */
 final class CdfPartitionReader(file: String, schema: StructType,
     conf: Configuration, fill: Map[String, String] = Map.empty,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -319,6 +320,19 @@ final class CdfPartitionReader(file: String, schema: StructType,
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
     try (r.getFileMetaData.getSchema, r.getRecordCount) finally r.close()
   }
+
+  // COLUMN DEFAULTS (r14 verdict #3): a requested field whose physical
+  // name is absent from THIS file's schema — the file predates the
+  // column — reads its recorded default. A present-but-null value is
+  // stored data and stays NULL (the writer's schema always carries
+  // every column, so absence is exactly "pre-evolution file").
+  private val defaultVals: Array[Any] =
+    if (defaults.isEmpty) null
+    else schema.fields.map { f =>
+      val p = physName(f.name)
+      if (!fileSchema.containsField(p)) defaults.getOrElse(p, null)
+      else null
+    }
 
   private val projection: org.apache.parquet.schema.MessageType = {
     import scala.jdk.CollectionConverters._
@@ -364,7 +378,9 @@ final class CdfPartitionReader(file: String, schema: StructType,
       val fi = fieldIdx(i)
       vals(i) =
         if (fillVals(i) != null) fillVals(i)
-        else if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) null
+        else if (fi < 0)
+          (if (defaultVals != null) defaultVals(i) else null)
+        else if (g.getFieldRepetitionCount(fi) == 0) null
         else schema.fields(i).dataType match {
           case LongType => g.getLong(fi, 0)
           case IntegerType => g.getInteger(fi, 0)
@@ -384,9 +400,13 @@ final class CdfPartitionReader(file: String, schema: StructType,
 
   // the constants-only row an empty-projection scan emits (plain
   // count(*): all nulls and never materialized; rowFeed tag-only scans:
-  // the fill constants at their schema positions)
+  // the fill constants; a pre-evolution file whose ONLY requested
+  // fields are defaulted: the defaults at their schema positions)
   private lazy val constRow: InternalRow =
-    InternalRow.fromSeq(fillVals.toIndexedSeq)
+    InternalRow.fromSeq(schema.indices.map { i =>
+      if (fillVals(i) != null) fillVals(i)
+      else if (defaultVals != null) defaultVals(i) else null
+    })
 
   override def next(): Boolean =
     if (emptyRemaining >= 0) {
@@ -472,7 +492,7 @@ final case class CdfWriteMsg(tmp: String, rows: Long)
   * generation, so a commit that raced in between is either honored or
   * flagged as a remove-conflict by the claim — never silently dropped. */
 final class CdfWriteBuilder(writeSchema: StructType, root: String,
-    queryId: String, partCol: Option[String] = None,
+    queryId: String, partSpec: Option[Seq[graft.operators.PartTerm]] = None,
     createProps: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -506,13 +526,16 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
   }
 
   /** The PARTITIONED write (a `CREATE TABLE … PARTITIONED BY` catalog
-    * table, r13 verdict #2) REQUIRES a clustered distribution + ordering
-    * on the partition column: Spark shuffles each value's rows into one
-    * task and sorts within it, so the writer rotates exactly one file
-    * per value — the hive-partitioned layout, landed by the engine, not
+    * table, r13 verdict #2 / r14 verdict #1) REQUIRES a clustered
+    * distribution + ordering on the spec's DERIVED expressions —
+    * identity columns verbatim, `bucket(n, k)` / `months(d)` / `days` /
+    * `years` through the catalog's FunctionCatalog (the Iceberg write
+    * pattern): Spark shuffles each derived tuple's rows into one task
+    * and sorts within it, so the writer rotates exactly one file per
+    * tuple — the multi-level hive layout, landed by the engine, not
     * hoped for from the incoming partitioning. */
   override def build(): org.apache.spark.sql.connector.write.Write =
-    partCol match {
+    partSpec match {
       case None =>
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
@@ -523,28 +546,37 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new CdfStreamingWrite(writeSchema, root, queryId)
         }
-      case Some(pc) =>
+      case Some(spec) =>
         new org.apache.spark.sql.connector.write.Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.expressions.Expressions
+          private def derivedExprs
+              : Seq[org.apache.spark.sql.connector.expressions.Expression] =
+            spec.map {
+              case graft.operators.IdentityTerm(c) => Expressions.column(c)
+              case graft.operators.BucketTerm(n, c) => Expressions.bucket(n, c)
+              case graft.operators.MonthsTerm(c) => Expressions.months(c)
+              case graft.operators.DaysTerm(c) => Expressions.days(c)
+              case graft.operators.YearsTerm(c) => Expressions.years(c)
+            }
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(Array(
-                org.apache.spark.sql.connector.expressions.Expressions.column(pc)))
+              .clustered(derivedExprs.toArray)
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-              org.apache.spark.sql.connector.expressions.Expressions.column(pc),
-              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+            derivedExprs.map(e => Expressions.sort(e,
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING)).toArray
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new CdfBatchWrite(writeSchema, root, doTruncate,
-              overwriteFilters, Some(pc), createProps)
+              overwriteFilters, Some(spec), createProps)
           // micro-batch writes honor the distribution requirement too:
           // each epoch lands hive-partitioned with pvals in its commit
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new CdfStreamingWrite(writeSchema, root, queryId, Some(pc))
+            new CdfStreamingWrite(writeSchema, root, queryId, Some(spec))
         }
     }
 }
@@ -552,16 +584,16 @@ final class CdfWriteBuilder(writeSchema: StructType, root: String,
 final case class CdfWriterFactory(schema: StructType, root: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     colmap: Map[String, String] = Map.empty,
-    partCol: Option[String] = None)
+    partSpec: Option[Seq[graft.operators.PartTerm]] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // batch: (partition, task) keeps a retried attempt's temp distinct
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    partCol match {
-      case Some(pc) => new PartitionedCdfDataWriter(schema,
+    partSpec match {
+      case Some(spec) => new PartitionedCdfDataWriter(schema,
         s"$root/stage-stream/b-p$partitionId-t$taskId", conf.value,
-        colmap, pc)
+        colmap, spec)
       case None => new CdfDataWriter(schema,
         s"$root/stage-stream/b-p$partitionId-t$taskId.parquet", conf.value,
         colmap)
@@ -570,66 +602,75 @@ final case class CdfWriterFactory(schema: StructType, root: String,
   // collide with the failed attempt's
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    partCol match {
-      case Some(pc) => new PartitionedCdfDataWriter(schema,
+    partSpec match {
+      case Some(spec) => new PartitionedCdfDataWriter(schema,
         s"$root/stage-stream/e$epochId-p$partitionId-t$taskId",
-        conf.value, colmap, pc)
+        conf.value, colmap, spec)
       case None => new CdfDataWriter(schema,
         s"$root/stage-stream/e$epochId-p$partitionId-t$taskId.parquet",
         conf.value, colmap)
     }
 }
 
-/** One staged temp and its rows + partition value — the partitioned
-  * writer's per-file unit inside [[CdfPartedMsg]]. */
-final case class CdfPartedMsg(parts: Seq[(String, Long, String)])
+/** One staged temp, its rows, and one derived value PER SPEC TERM —
+  * the partitioned writer's per-file unit inside [[CdfPartedMsg]]. */
+final case class CdfPartedMsg(parts: Seq[(String, Long, Seq[String])])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** The PARTITIONED task writer: rows arrive CLUSTERED AND SORTED on the
-  * partition column (the Write required that distribution), so one open
-  * file suffices — the writer ROTATES to a fresh temp when the value
-  * changes and reports (temp, rows, value) triples for the commit's
-  * per-file partition-value lines. NULL partition values refuse loudly
-  * (hive partitioning has no null directory in this engine). */
+  * spec's derived expressions (the Write required that distribution),
+  * so one open file suffices — the writer ROTATES to a fresh temp when
+  * the derived tuple changes and reports (temp, rows, values) triples
+  * for the commit's per-file tagged value lines. Derivation is
+  * [[graft.operators.PartTransforms]] — the same functions the shuffle
+  * clustered on, so a tuple's rows are always contiguous here. NULL
+  * partition values refuse loudly (hive partitioning has no null
+  * directory in this engine). */
 final class PartitionedCdfDataWriter(schema: StructType, tmpPrefix: String,
-    conf: Configuration, colmap: Map[String, String], partCol: String)
+    conf: Configuration, colmap: Map[String, String],
+    spec: Seq[graft.operators.PartTerm])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val partIdx = schema.fieldIndex(partCol)
-  private val partDt = schema.fields(partIdx).dataType
+  private val partIdx = spec.map(t => schema.fieldIndex(t.col)).toArray
+  private val partDt = partIdx.map(i => schema.fields(i).dataType)
 
   private var cur: CdfDataWriter = _
-  private var curValue: String = _
+  private var curValues: Seq[String] = _
   private var seq = 0
-  private val done = Seq.newBuilder[(String, Long, String)]
+  private val done = Seq.newBuilder[(String, Long, Seq[String])]
 
-  private def valueOf(row: InternalRow): String = {
-    require(!row.isNullAt(partIdx),
-      s"cdf sink: NULL partition value for $partCol — hive partitioning " +
-        "requires non-null partition keys")
-    partDt match {
-      case StringType => row.getUTF8String(partIdx).toString
-      case LongType => row.getLong(partIdx).toString
-      case IntegerType | DateType => row.getInt(partIdx).toString
-      case other => throw new IllegalArgumentException(
-        s"cdf sink: unsupported partition column type $other")
+  private def valuesOf(row: InternalRow): Seq[String] =
+    spec.indices.map { j =>
+      val i = partIdx(j)
+      require(!row.isNullAt(i),
+        s"cdf sink: NULL partition value for ${spec(j).col} — hive " +
+          "partitioning requires non-null partition keys")
+      val raw: Any = partDt(j) match {
+        // '|'-carrying string values refuse inside IdentityTerm.derive
+        // (r14 ADVICE — the log's stats-line separator)
+        case StringType => row.getUTF8String(i).toString
+        case LongType => row.getLong(i)
+        case IntegerType | DateType => row.getInt(i)
+        case other => throw new IllegalArgumentException(
+          s"cdf sink: unsupported partition column type $other")
+      }
+      spec(j).derive(raw)
     }
-  }
 
   private def roll(): Unit = if (cur != null) {
     val m = cur.commit().asInstanceOf[CdfWriteMsg]
-    done += ((m.tmp, m.rows, curValue))
+    done += ((m.tmp, m.rows, curValues))
     cur = null
   }
 
   override def write(row: InternalRow): Unit = {
-    val v = valueOf(row)
-    if (cur == null || v != curValue) {
+    val v = valuesOf(row)
+    if (cur == null || v != curValues) {
       roll()
       cur = new CdfDataWriter(schema, s"$tmpPrefix-v$seq.parquet", conf,
         colmap)
       seq += 1
-      curValue = v
+      curValues = v
     }
     cur.write(row)
   }
@@ -710,7 +751,7 @@ final class CdfDataWriter(schema: StructType, tmp: String,
 final class CdfBatchWrite(schema: StructType, root: String,
     truncate: Boolean,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    partCol: Option[String] = None,
+    partSpec: Option[Seq[graft.operators.PartTerm]] = None,
     createProps: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
@@ -720,7 +761,7 @@ final class CdfBatchWrite(schema: StructType, root: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root),
-      partCol)
+      partSpec)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -754,12 +795,12 @@ final class CdfBatchWrite(schema: StructType, root: String,
         TimeTravel.resolveSnapshot(root, gen)._1
       case None => Nil
     }
-    partCol match {
-      case Some(pc) =>
+    partSpec match {
+      case Some(spec) =>
         require(live.isEmpty, "cdf sink: mixed partitioned and plain temps")
-        TimeTravel.commitStagedPartitioned(SparkSession.active, root,
+        TimeTravel.commitStagedPartitionedSpec(SparkSession.active, root,
           plive.map(p => (p._1, p._3)).toSeq,
-          CdfParquet.nullable(schema).toDDL, pc, removed = removed,
+          CdfParquet.nullable(schema).toDDL, spec, removed = removed,
           props = createProps)
       case None =>
         TimeTravel.commitStagedFiles(SparkSession.active, root,
@@ -790,7 +831,7 @@ final class CdfBatchWrite(schema: StructType, root: String,
   * visible; contrast the glog sink, whose exactly-once is name-replace
   * (this one's is the log itself). */
 final class CdfStreamingWrite(schema: StructType, root: String,
-    queryId: String, partCol: Option[String] = None)
+    queryId: String, partSpec: Option[Seq[graft.operators.PartTerm]] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -799,7 +840,7 @@ final class CdfStreamingWrite(schema: StructType, root: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     CdfWriterFactory(schema, root, confB, CdfParquet.writeColmap(root),
-      partCol)
+      partSpec)
 
   override def commit(epochId: Long,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -812,12 +853,12 @@ final class CdfStreamingWrite(schema: StructType, root: String,
     val fs = new Path(root).getFileSystem(confB.value)
     empty.foreach(m => fs.delete(new Path(m.tmp), false))
     pempty.foreach(p => fs.delete(new Path(p._1), false))
-    partCol match {
-      case Some(pc) =>
+    partSpec match {
+      case Some(spec) =>
         require(live.isEmpty, "cdf sink: mixed partitioned and plain temps")
         TimeTravel.commitStagedPartitionedTxn(SparkSession.active, root,
           plive.map(p => (p._1, p._3)).toSeq,
-          CdfParquet.nullable(schema).toDDL, pc,
+          CdfParquet.nullable(schema).toDDL, spec,
           s"cdf-sink-$queryId", epochId)
       case None =>
         TimeTravel.commitStagedTxn(SparkSession.active, root,

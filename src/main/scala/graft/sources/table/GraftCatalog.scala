@@ -3,15 +3,16 @@ package graft.sources.table
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, WriteBuilder}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.operators.TimeTravel
+import graft.operators.{BucketTerm, DaysTerm, IdentityTerm, MonthsTerm, PartSpec, PartTerm, TimeTravel, YearsTerm}
 import graft.sources.cdf.CdfWriteBuilder
 
 /** The commit log as a SQL CATALOG (`TableCatalog`): registered under
@@ -45,7 +46,8 @@ import graft.sources.cdf.CdfWriteBuilder
   * SQL files address warehouse tables by NAME through a catalog; this
   * is that resolution layer over the engine's own table format.
   */
-class GraftCatalog extends TableCatalog with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -59,6 +61,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   override def name(): String = catName
+
+  /** Spark gates `ALTER TABLE … ADD COLUMN … DEFAULT` on this catalog
+    * capability (r14 verdict #3). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Single flat namespace: `cat.tbl` (or the session's `USE cat`) —
     * every table is a directory directly under the warehouse. */
@@ -125,30 +134,126 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val pcol = partitionColOf(partitions, schema)
+    val spec = partSpecOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     TimeTravel.commitStagedFiles(SparkSession.active, rootFor(ident),
-      Nil, schema.toDDL,
-      props = pcol.map(c => s"graft.partitionCol|$c").toSeq)
+      Nil, schema.toDDL, props = specProps(spec))
     loadTable(ident)
   }
 
-  /** The single identity partition transform, or None. Anything richer
-    * (buckets, multi-column, function transforms) refuses loudly. */
-  private def partitionColOf(partitions: Array[Transform],
-      schema: StructType): Option[String] = partitions match {
-    case Array() => None
-    case Array(t) if t.name() == "identity" && t.references().length == 1 &&
-        t.references()(0).fieldNames().length == 1 =>
-      val c = t.references()(0).fieldNames()(0)
+  /** The declared spec's table-property lines: a single identity column
+    * keeps the legacy `graft.partitionCol` key (every existing reader —
+    * SPJ reporting, DPP, streaming writes — resolves it unchanged);
+    * anything richer records the r14-verdict-#1 `graft.partitionSpec`. */
+  private def specProps(spec: Seq[PartTerm]): Seq[String] = spec match {
+    case Nil => Nil
+    case Seq(IdentityTerm(c)) => Seq(s"graft.partitionCol|$c")
+    case terms => Seq(s"graft.partitionSpec|${PartSpec.format(terms)}")
+  }
+
+  /** Term-level spec validation — shared by CREATE's transform parsing
+    * and the SET TBLPROPERTIES evolution route, so both fail the same
+    * way: every column exists in the logical schema, date transforms
+    * need DATE, identity/bucket need the supported key types. */
+  private def validateTerms(terms: Seq[PartTerm],
+      schema: StructType): Unit = terms.foreach { term =>
+    require(schema.fieldNames.contains(term.col),
+      s"graft catalog: partition column ${term.col} is not in the " +
+        "table schema")
+    val dt = schema.fields(schema.fieldIndex(term.col)).dataType
+    term match {
+      case IdentityTerm(c) => dt match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: identity partition on $other column $c")
+      }
+      case BucketTerm(_, c) => dt match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: bucket over $other column $c")
+      }
+      case _ => require(dt == org.apache.spark.sql.types.DateType,
+        s"graft catalog: ${term.tag} transform on ${term.col} needs a " +
+          s"DATE column, got $dt")
+    }
+  }
+
+  /** `PARTITIONED BY` transforms → [[PartTerm]]s (r14 verdict #1):
+    * identity columns (any number), `bucket(n, col)` over
+    * BIGINT/INT/STRING keys, and `months`/`days`/`years` over DATE
+    * columns. Anything else refuses loudly at CREATE. */
+  private def partSpecOf(partitions: Array[Transform],
+      schema: StructType): Seq[PartTerm] = partitions.toSeq.map { t =>
+    def ref: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"graft catalog: partition transform $t must reference exactly " +
+          "one top-level column")
+      val c = refs(0).fieldNames()(0)
       require(schema.fieldNames.contains(c),
         s"graft catalog: partition column $c is not in the table schema")
-      Some(c)
-    case other => throw new UnsupportedOperationException(
-      "graft catalog: PARTITIONED BY supports exactly one identity " +
-        s"column, got ${other.mkString(", ")}")
+      c
+    }
+    def colType(c: String) =
+      schema.fields(schema.fieldIndex(c)).dataType
+    def requireDate(c: String): String = {
+      require(colType(c) == org.apache.spark.sql.types.DateType,
+        s"graft catalog: ${t.name()}($c) needs a DATE column, " +
+          s"got ${colType(c)}")
+      c
+    }
+    t.name() match {
+      case "identity" =>
+        val c = ref
+        colType(c) match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType => IdentityTerm(c)
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: identity partition on $other column $c")
+        }
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft catalog: bucket transform $t carries no bucket count"))
+        val c = ref
+        colType(c) match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.StringType => BucketTerm(n, c)
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: bucket over $other column $c")
+        }
+      case "months" => MonthsTerm(requireDate(ref))
+      case "days" => DaysTerm(requireDate(ref))
+      case "years" => YearsTerm(requireDate(ref))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $other — " +
+          "use identity columns, bucket(n, col), months/days/years(col)")
   }
+  }
+
+  // ---- FunctionCatalog: the partition-transform functions the write
+  // distribution binds (the Iceberg pattern — see GraftPartFunctions) --
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftPartFunctions.load(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftPartFunctions.exists(ident)
 
   /** ALTER TABLE as METADATA-ONLY commits — zero data bytes move:
     *
@@ -171,8 +276,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
+        // `DEFAULT <literal>` (r14 verdict #3): existing rows read the
+        // default, post-evolution writes store explicitly — the value
+        // is rendered canonically here and recorded with the colmap
+        // commit (TimeTravel.addColumnMapped)
+        val dflt = Option(a.defaultValue()).map { dv =>
+          val lit = dv.getValue
+          require(lit != null, "graft catalog: ADD COLUMN DEFAULT must " +
+            "be a foldable literal")
+          require(lit.value() != null, "graft catalog: a NULL default " +
+            "is the schema-on-read behavior already — omit DEFAULT")
+          a.dataType() match {
+            case org.apache.spark.sql.types.DateType =>
+              lit.value().toString // epoch-day int
+            case _ => lit.value().toString
+          }
+        }
         TimeTravel.addColumnMapped(s, root, a.fieldNames()(0),
-          a.dataType().sql)
+          a.dataType().sql, dflt)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
@@ -183,8 +304,27 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         TimeTravel.dropColumnMapped(s, root, d.fieldNames()(0))
       // SQL `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only commit —
       // the SQL route into graft.enableChangeDataFeed /
-      // graft.enforceSchema and friends
+      // graft.enforceSchema and friends. Setting
+      // `graft.partitionSpec` (or the legacy `graft.partitionCol`) here
+      // is PARTITION-SPEC EVOLUTION (Iceberg's evolve-in-place): the
+      // new spec governs every later INSERT's clustering + value lines
+      // while files written under the old spec keep their own tags —
+      // reads prune each file by ITS OWN lines (old files simply never
+      // prune on new-spec predicates), and SPJ reporting already
+      // degrades to per-file scans on mixed layouts. The spec string is
+      // VALIDATED against the current logical schema before it lands, so
+      // a typo fails the ALTER, not some later INSERT.
       case p: TableChange.SetProperty =>
+        if (p.property() == "graft.partitionSpec" && p.value().nonEmpty)
+          validateTerms(PartSpec.parse(p.value()),
+            TimeTravel.schemaAsOf(root, TimeTravel.currentVersion(root))
+              .getOrElse(throw new IllegalStateException(
+                s"graft catalog: no logged schema under $root")))
+        if (p.property() == "graft.partitionCol" && p.value().nonEmpty)
+          validateTerms(Seq(IdentityTerm(p.value())),
+            TimeTravel.schemaAsOf(root, TimeTravel.currentVersion(root))
+              .getOrElse(throw new IllegalStateException(
+                s"graft catalog: no logged schema under $root")))
         TimeTravel.setProperty(s, root, p.property(), p.value())
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
@@ -236,28 +376,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    val pcol = partitionColOf(partitions, schema)
+    val spec = partSpecOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     GraftStagedTable(schema, rootFor(ident), replace = false,
-      preExisting = false, partCol = pcol)
+      preExisting = false, partSpec = spec)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    val pcol = partitionColOf(partitions, schema)
+    val spec = partSpecOf(partitions, schema)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = true, partCol = pcol)
+      preExisting = true, partSpec = spec)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    val pcol = partitionColOf(partitions, schema)
+    val spec = partSpecOf(partitions, schema)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = tableExists(ident), partCol = pcol)
+      preExisting = tableExists(ident), partSpec = spec)
   }
 }
 
@@ -268,7 +408,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   * a REPLACE (the live table must survive its failed replacement). */
 final case class GraftStagedTable(tableSchema: StructType, root: String,
     replace: Boolean, preExisting: Boolean,
-    partCol: Option[String] = None)
+    partSpec: Seq[PartTerm] = Nil)
     extends StagedTable with SupportsWrite {
 
   override def name(): String = s"graft:staged:$root"
@@ -279,14 +419,22 @@ final case class GraftStagedTable(tableSchema: StructType, root: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a partitioned CTAS/RTAS records (or a repartitioning RTAS clears)
-    // the partition column IN the same single commit its data lands as —
+    // the partition spec IN the same single commit its data lands as —
     // later INSERTs pick it up from the table property
-    val props =
-      if (partCol.isDefined) Seq(s"graft.partitionCol|${partCol.get}")
-      else if (replace && preExisting) Seq("graft.partitionCol|")
+    // a REPLACE clears both keys first (the old table may have carried
+    // either), then the new spec's own line overrides within the same
+    // commit (props lines fold in order, last write wins per key)
+    val clears =
+      if (replace && preExisting)
+        Seq("graft.partitionCol|", "graft.partitionSpec|")
       else Nil
+    val props = clears ++ (partSpec match {
+      case Nil => Nil
+      case Seq(IdentityTerm(c)) => Seq(s"graft.partitionCol|$c")
+      case terms => Seq(s"graft.partitionSpec|${PartSpec.format(terms)}")
+    })
     val b = new CdfWriteBuilder(info.schema(), root, info.queryId(),
-      partCol, createProps = props)
+      Option(partSpec).filter(_.nonEmpty), createProps = props)
     if (replace && preExisting) b.truncate()
     b
   }
@@ -318,18 +466,29 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   // a pure INSERT never pays for it
   private lazy val readSide = GraftLogTable(tableSchema, root, gen)
 
-  /** The declared partition column (`CREATE TABLE … PARTITIONED BY`),
-    * from the table property the create commit recorded; an empty value
-    * is the clear marker a repartitioning RTAS writes. */
-  private lazy val declaredPartCol: Option[String] =
-    TimeTravel.propsAsOf(root, gen).get("graft.partitionCol")
-      .filter(_.nonEmpty)
+  /** The declared partition SPEC (`CREATE TABLE … PARTITIONED BY`),
+    * from the table property the create commit recorded: the legacy
+    * single-identity `graft.partitionCol`, or the r14 multi-term
+    * `graft.partitionSpec`; empty values are the clear marker a
+    * repartitioning RTAS writes. */
+  private lazy val declaredSpec: Option[Seq[PartTerm]] = {
+    val props = TimeTravel.propsAsOf(root, gen)
+    props.get("graft.partitionSpec").filter(_.nonEmpty)
+      .map(PartSpec.parse)
+      .orElse(props.get("graft.partitionCol").filter(_.nonEmpty)
+        .map(c => Seq(IdentityTerm(c))))
+  }
 
   override def name(): String = s"graft:$root@$gen"
   override def schema(): StructType = tableSchema
-  override def partitioning(): Array[Transform] = declaredPartCol match {
-    case Some(c) => Array(
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+  override def partitioning(): Array[Transform] = declaredSpec match {
+    case Some(spec) => spec.map[Transform] {
+      case IdentityTerm(c) => Expressions.identity(c)
+      case BucketTerm(n, c) => Expressions.bucket(n, c)
+      case MonthsTerm(c) => Expressions.months(c)
+      case DaysTerm(c) => Expressions.days(c)
+      case YearsTerm(c) => Expressions.years(c)
+    }.toArray
     case None => readSide.partitioning()
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -346,7 +505,7 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireWritable()
     new CdfWriteBuilder(info.schema(), root, info.queryId(),
-      declaredPartCol)
+      declaredSpec)
   }
 
   private def requireWritable(): Unit = require(writable,

@@ -124,7 +124,7 @@ final class RowOpScanBuilder(op: GraftRowLevelOperation,
 
   override def build(): Scan = new RowOpScan(op, table, required,
     FileSkip.kept(table.files, table.stats, table.pvals,
-      FileSkip.mapCols(accepted.toSeq, table.phys)))
+      FileSkip.mapCols(accepted.toSeq, table.phys), table.tvals))
 }
 
 final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
@@ -185,12 +185,14 @@ final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
   // would then persist those nulls (ADVICE r13). table.dvs rides along
   // too: the candidate scan must read THROUGH live deletion vectors, or
   // the copy-on-write rewrite would RESURRECT the masked rows into the
-  // new generation.
+  // new generation. table.defaults likewise (r14 verdict #3): a
+  // rewrite of a pre-evolution file must persist the DEFAULT a reader
+  // would have seen, not NULL.
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(required, table.root, Int.MaxValue,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()), table.colmap,
-      table.dvPaths(files))
+      table.dvPaths(files), table.defaults)
 }
 
 /** The replacement write: staged parquet from every task, ONE atomic
@@ -223,10 +225,17 @@ final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
     // rewritten rows; dvExpect turns that into an explicit conflict (the
     // same guard deleteVectorWhere carries in the other direction)
     val dvAtScan = TimeTravel.dvsFor(root, op.gen)
+    // CDF on: emit the DIFF-FORM row feed (deleted rows as `delete`,
+    // added/updated-new rows as `insert` — r14 verdict #2) from the
+    // touched files and the still-staged temps, BEFORE the commit
+    // renames them away
+    val cdc = TimeTravel.cdcDiffForReplace(SparkSession.active, root,
+      op.gen, removed, live.map(_.tmp).toSeq, schema.fieldNames.toSeq)
     TimeTravel.commitStagedFiles(SparkSession.active, root,
       live.map(_.tmp).toSeq, graft.sources.cdf.CdfParquet.nullable(schema).toDDL,
       removed = removed,
-      dvExpect = Some(removed.map(f => f -> dvAtScan.get(f).map(_._1)).toMap))
+      dvExpect = Some(removed.map(f => f -> dvAtScan.get(f).map(_._1)).toMap),
+      cdc = cdc)
     ()
   }
 

@@ -136,6 +136,12 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   private[table] val pvals: Map[String, (String, String)] =
     TimeTravel.pvalsFor(root, gen)
 
+  /** Tagged per-file partition values ((file, col) → (tag, value)):
+    * identity `=`, generated `~month`/`~day`/`~year`, and `#bucket:n`
+    * lines — the multi-term spec's pruning source (r14 verdict #1). */
+  private[table] lazy val tvals: Map[(String, String), (String, String)] =
+    TimeTravel.tvalsFor(root, gen)
+
   /** LOGICAL → PHYSICAL column names at this snapshot (the q194 column
     * mapping; empty on unmapped tables). The scan runs entirely under
     * PHYSICAL names — parquet fields, footer statistics, log stats and
@@ -147,6 +153,33 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     TimeTravel.colmapAsOf(root, gen)
   private[table] def phys(c: String): String = colmap.getOrElse(c, c)
   private[table] val logicalOf: Map[String, String] = colmap.map(_.swap)
+
+  /** Column DEFAULTS in force at this snapshot (r14 verdict #3), keyed
+    * by PHYSICAL name with CATALYST-typed values: a file whose parquet
+    * schema lacks the physical field reads the default instead of NULL
+    * (Delta's `ADD COLUMN … DEFAULT` for existing rows). Resolved once
+    * per table from the `graft.default.*` properties; empty — zero
+    * overhead — on default-free tables. */
+  private[table] lazy val defaults: Map[String, Any] = {
+    val raw = TimeTravel.defaultsFor(root, gen)
+    if (raw.isEmpty) Map.empty
+    else raw.flatMap { case (phys, v) =>
+      val logical = logicalOf.getOrElse(phys, phys)
+      tableSchema.fields.find(_.name == logical).map { f =>
+        val cv: Any = f.dataType match {
+          case LongType => v.toLong
+          case IntegerType | DateType => v.toInt
+          case DoubleType => v.toDouble
+          case FloatType => v.toFloat
+          case BooleanType => v.toBoolean
+          case StringType => UTF8String.fromString(v)
+          case other => throw new IllegalArgumentException(
+            s"table: unsupported default type $other for $logical")
+        }
+        phys -> cv
+      }
+    }
+  }
 
   /** Per-file row counts from the commit log's `nrows` lines (empty map
     * entries for pre-nrows commits) — `estimateStatistics`' rowCount
@@ -250,13 +283,25 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def statable(c: String) = table.stats.keys.exists(_._2 == table.phys(c))
     def pvaled(c: String) = table.partCol.contains(table.phys(c))
+    // any tagged value line for the column (identity =, generated
+    // month/day/year, bucket) makes its equality — and for date tags
+    // its range — usable for file skipping (r14 verdict #1)
+    def tvaled(c: String) = table.tvals.keys.exists(_._2 == table.phys(c))
+    def dateLit(v: Any) = v.isInstanceOf[java.sql.Date] ||
+      v.isInstanceOf[java.time.LocalDate]
     accepted = filters.filter {
-      case GreaterThan(c, _: java.lang.Long) => statable(c)
-      case GreaterThanOrEqual(c, _: java.lang.Long) => statable(c)
-      case LessThan(c, _: java.lang.Long) => statable(c)
-      case LessThanOrEqual(c, _: java.lang.Long) => statable(c)
-      case EqualTo(c, _: java.lang.Long) => statable(c)
-      case EqualTo(c, _: String) => pvaled(c)
+      case GreaterThan(c, v) => statable(c) && v.isInstanceOf[java.lang.Long] ||
+        tvaled(c) && dateLit(v)
+      case GreaterThanOrEqual(c, v) => statable(c) && v.isInstanceOf[java.lang.Long] ||
+        tvaled(c) && dateLit(v)
+      case LessThan(c, v) => statable(c) && v.isInstanceOf[java.lang.Long] ||
+        tvaled(c) && dateLit(v)
+      case LessThanOrEqual(c, v) => statable(c) && v.isInstanceOf[java.lang.Long] ||
+        tvaled(c) && dateLit(v)
+      case EqualTo(c, _: java.lang.Long) => statable(c) || tvaled(c)
+      case EqualTo(c, _: java.lang.Integer) => tvaled(c)
+      case EqualTo(c, v) if dateLit(v) => tvaled(c)
+      case EqualTo(c, _: String) => pvaled(c) || tvaled(c)
       case In(c, vs) => pvaled(c) && vs.forall(_.isInstanceOf[String])
       case _ => false
     }
@@ -270,7 +315,7 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
     * with no stats for a filtered column is kept, conservatively. */
   private def keptFiles: Seq[String] =
     FileSkip.kept(table.files, table.stats, table.pvals,
-      FileSkip.mapCols(accepted.toSeq, table.phys))
+      FileSkip.mapCols(accepted.toSeq, table.phys), table.tvals)
 
   /** Partial aggregate pushdown from parquet footers. Supported: no
     * group-by, or group-by exactly the table's partition column;
@@ -299,23 +344,30 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
            StringType | DateType => true
       case _ => false
     }
+    // a DEFAULTED column's footer statistics lie for pre-evolution
+    // files (the footer sees a missing field as all-null, but the scan
+    // reads the default — r14 verdict #3): refuse and fall back to the
+    // row scan, which applies the defaults
+    def defaulted(c: String) = table.defaults.contains(table.phys(c))
     // specs carry the PHYSICAL column name (the footer lookup key); the
     // TYPE comes from the logical schema
     val specs = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => CountStarSpec
       case cnt: Count if !cnt.isDistinct =>
         cnt.column() match {
-          case FieldRef(c) if field(c).isDefined =>
+          case FieldRef(c) if field(c).isDefined && !defaulted(c) =>
             CountColSpec(table.phys(c))
           case _ => return false
         }
       case mn: Min => mn.column() match {
-        case FieldRef(c) if field(c).exists(f => statType(f.dataType)) =>
+        case FieldRef(c) if field(c).exists(f => statType(f.dataType)) &&
+            !defaulted(c) =>
           MinSpec(table.phys(c), field(c).get.dataType)
         case _ => return false
       }
       case mx: Max => mx.column() match {
-        case FieldRef(c) if field(c).exists(f => statType(f.dataType)) =>
+        case FieldRef(c) if field(c).exists(f => statType(f.dataType)) &&
+            !defaulted(c) =>
           MaxSpec(table.phys(c), field(c).get.dataType)
         case _ => return false
       }
@@ -368,6 +420,96 @@ private[graft] object FileSkip {
   case object None_ extends State
   case object Partial extends State
 
+  /** Derived-value classification against TAGGED value lines (r14
+    * verdict #1): the filter literal maps through the same
+    * [[graft.operators.PartTransforms]] derivation the writer recorded,
+    * and a mismatch kills the file. Identity `=` matches are `Full`
+    * (every row carries the value) — as is a `~day` match on a DATE
+    * column, whose derived value determines the date exactly; month/
+    * year/bucket matches stay `Partial` (the file holds OTHER values
+    * mapping to the same derived one). Date tags are order-preserving
+    * ISO prefixes, so range filters compare lexicographically. */
+  private def derivedOne(tvals: Map[(String, String), (String, String)],
+      f: String, flt: Filter): State = {
+    import graft.operators.PartTransforms
+    def localDate(v: Any): Option[java.time.LocalDate] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate)
+      case d: java.time.LocalDate => Some(d)
+      case _ => None
+    }
+    // the literal rendered at the file's recorded granularity, plus
+    // whether an equal derived value pins the row value exactly
+    def derive(tag: String, v: Any): Option[(String, Boolean)] = tag match {
+      case "=" => v match {
+        case s: String => Some((s, true))
+        case l: java.lang.Long => Some((l.toString, true))
+        case i: java.lang.Integer => Some((i.toString, true))
+        case other => localDate(other) // DATE identity: epoch-day string
+          .map(d => (d.toEpochDay.toString, true))
+      }
+      case "~month" => localDate(v).map(d =>
+        (PartTransforms.monthStr(d.toEpochDay.toInt), false))
+      case "~day" => localDate(v).map(d =>
+        (PartTransforms.dayStr(d.toEpochDay.toInt), true))
+      case "~year" => localDate(v).map(d =>
+        (PartTransforms.yearStr(d.toEpochDay.toInt), false))
+      case t if t.startsWith("#bucket:") =>
+        val n = t.substring("#bucket:".length).toInt
+        (v match {
+          case l: java.lang.Long => Some(PartTransforms.bucketOfLong(l, n))
+          case i: java.lang.Integer =>
+            Some(PartTransforms.bucketOfLong(i.longValue(), n))
+          case s: String => Some(PartTransforms.bucketOfString(s, n))
+          case _ => None
+        }).map(b => (b.toString, false))
+      case _ => None
+    }
+    def eq(c: String, v: Any): State = tvals.get((f, c)) match {
+      case Some((tag, rec)) => derive(tag, v) match {
+        case Some((lit, exact)) =>
+          if (rec != lit) None_
+          else if (exact) Full else Partial
+        case None => Partial
+      }
+      case None => Partial
+    }
+    // range filters only prune on ORDER-PRESERVING date tags; bucket
+    // and identity-string tags fall through as Partial
+    def rng(c: String, v: Any)(decide: (Int, Boolean) => State): State =
+      tvals.get((f, c)) match {
+        case Some((tag, rec)) if tag == "~month" || tag == "~day" ||
+            tag == "~year" =>
+          derive(tag, v) match {
+            case Some((lit, exact)) => decide(rec.compareTo(lit), exact)
+            case None => Partial
+          }
+        case _ => Partial
+      }
+    flt match {
+      case EqualTo(c, v) => eq(c, v)
+      case EqualNullSafe(c, v) if v != null => eq(c, v)
+      // file-granularity g vs literal granularity: rec > lit means every
+      // row's value exceeds every value in the literal's granule
+      case GreaterThan(c, v) => rng(c, v) { (cmp, exact) =>
+        if (cmp > 0) Full else if (cmp < 0) None_
+        else if (exact) None_ else Partial
+      }
+      case GreaterThanOrEqual(c, v) => rng(c, v) { (cmp, exact) =>
+        if (cmp > 0) Full else if (cmp < 0) None_
+        else if (exact) Full else Partial
+      }
+      case LessThan(c, v) => rng(c, v) { (cmp, exact) =>
+        if (cmp < 0) Full else if (cmp > 0) None_
+        else if (exact) None_ else Partial
+      }
+      case LessThanOrEqual(c, v) => rng(c, v) { (cmp, exact) =>
+        if (cmp < 0) Full else if (cmp > 0) None_
+        else if (exact) Full else Partial
+      }
+      case _ => Partial
+    }
+  }
+
   private def one(stats: Map[(String, String), (Long, Long)],
       pvals: Map[String, (String, String)], f: String,
       flt: Filter): State = {
@@ -409,13 +551,23 @@ private[graft] object FileSkip {
   }
 
   /** The conjunction's state per file: any `None_` conjunct kills the
-    * file; all-`Full` is `Full`; anything else is `Partial`. */
+    * file; all-`Full` is `Full`; anything else is `Partial`. A filter
+    * the range/pvals path leaves `Partial` gets a second look against
+    * the tagged derived values when `tvals` is supplied — the stricter
+    * of the two classifications wins (None_ > Full > Partial). */
   def classify(files: Seq[String],
       stats: Map[(String, String), (Long, Long)],
       pvals: Map[String, (String, String)],
-      filters: Seq[Filter]): Map[String, State] =
+      filters: Seq[Filter],
+      tvals: Map[(String, String), (String, String)] = Map.empty)
+      : Map[String, State] =
     files.map { f =>
-      val states = filters.map(one(stats, pvals, f, _))
+      val states = filters.map { flt =>
+        one(stats, pvals, f, flt) match {
+          case Partial if tvals.nonEmpty => derivedOne(tvals, f, flt)
+          case s => s
+        }
+      }
       f -> (if (states.contains(None_)) None_
             else if (states.forall(_ == Full)) Full
             else Partial)
@@ -423,9 +575,10 @@ private[graft] object FileSkip {
 
   /** Scan-time skipping: every file the conjunction might touch. */
   def kept(files: Seq[String], stats: Map[(String, String), (Long, Long)],
-      pvals: Map[String, (String, String)], filters: Seq[Filter])
+      pvals: Map[String, (String, String)], filters: Seq[Filter],
+      tvals: Map[(String, String), (String, String)] = Map.empty)
       : Seq[String] = {
-    val c = classify(files, stats, pvals, filters)
+    val c = classify(files, stats, pvals, filters, tvals)
     files.filter(c(_) != None_)
   }
 
@@ -433,16 +586,18 @@ private[graft] object FileSkip {
     * filtered-OVERWRITE legality test. */
   def aligned(files: Seq[String],
       stats: Map[(String, String), (Long, Long)],
-      pvals: Map[String, (String, String)], filters: Seq[Filter]): Boolean =
-    !classify(files, stats, pvals, filters).values.exists(_ == Partial)
+      pvals: Map[String, (String, String)], filters: Seq[Filter],
+      tvals: Map[(String, String), (String, String)] = Map.empty): Boolean =
+    !classify(files, stats, pvals, filters, tvals).values.exists(_ == Partial)
 
   /** The files every row of which matches — what an aligned DELETE or
     * OVERWRITE retires. */
   def full(files: Seq[String],
       stats: Map[(String, String), (Long, Long)],
-      pvals: Map[String, (String, String)], filters: Seq[Filter])
+      pvals: Map[String, (String, String)], filters: Seq[Filter],
+      tvals: Map[(String, String), (String, String)] = Map.empty)
       : Seq[String] = {
-    val c = classify(files, stats, pvals, filters)
+    val c = classify(files, stats, pvals, filters, tvals)
     files.filter(c(_) == Full)
   }
 
@@ -557,7 +712,10 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
       .map(_.dataType) match {
       case Some(StringType) => UTF8String.fromString(v)
       case Some(LongType) => v.toLong
-      case Some(IntegerType) => v.toInt
+      // DATE partition values are logged as the epoch-day int string (the
+      // writer's valueOf), and DateType is epoch-day int in catalyst —
+      // same representation (r14 ADVICE: write accepted, scan threw)
+      case Some(IntegerType) | Some(DateType) => v.toInt
       case other => throw new IllegalArgumentException(
         s"table: unsupported partition key type $other")
     }
@@ -617,14 +775,15 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
     SnapshotReaderFactory(required, table.root, limit,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()), table.colmap,
-      table.dvPaths(files))
+      table.dvPaths(files), table.defaults)
 }
 
 final case class SnapshotReaderFactory(schema: StructType, root: String,
     limit: Int,
     conf: org.apache.spark.util.SerializableConfiguration,
     colmap: Map[String, String] = Map.empty,
-    dvs: Map[String, String] = Map.empty)
+    dvs: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -633,7 +792,8 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
       case KeyedPartition(fl, _) => fl
       case other => throw new IllegalArgumentException(s"table: $other")
     }
-    new ChainedReader(fs, schema, root, limit, conf.value, colmap, dvs)
+    new ChainedReader(fs, schema, root, limit, conf.value, colmap, dvs,
+      defaults)
   }
 }
 
@@ -654,7 +814,8 @@ final case class SnapshotReaderFactory(schema: StructType, root: String,
 final class ChainedReader(names: Seq[String], schema: StructType,
     root: String, limit: Int, conf: org.apache.hadoop.conf.Configuration,
     colmap: Map[String, String] = Map.empty,
-    dvs: Map[String, String] = Map.empty)
+    dvs: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val wantsFile = schema.fieldNames.contains(FileMetaColumn.NAME)
   private val it = names.iterator
@@ -674,7 +835,8 @@ final class ChainedReader(names: Seq[String], schema: StructType,
         TableMetrics.openedDataFiles.add(p)
         val fill =
           if (wantsFile) Map(FileMetaColumn.NAME -> f) else Map.empty[String, String]
-        cur = new CdfPartitionReader(p, schema, conf, fill, colmap)
+        cur = new CdfPartitionReader(p, schema, conf, fill, colmap,
+          defaults)
         mask = dvs.get(f).map(TimeTravel.readPositions(_, conf)).orNull
         maskIdx = 0
         rowPos = 0L
@@ -844,7 +1006,7 @@ final class FooterAggReader(paths: Seq[String], group: Option[String],
   private def toCatalystKey(v: String, dt: DataType): Any = dt match {
     case StringType => UTF8String.fromString(v)
     case LongType => v.toLong
-    case IntegerType => v.toInt
+    case IntegerType | DateType => v.toInt // DATE: epoch-day int string
     case other => throw new IllegalArgumentException(
       s"table: unsupported partition key type $other")
   }

@@ -557,6 +557,339 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("DATE partition column: created, inserted, and READ back (r14 ADVICE)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_specd_").toString
+    val root = s"$wh/dt"
+    withConfs(
+      "spark.sql.catalog.datecat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.datecat.warehouse" -> wh) {
+      Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice").cast("double").as("p"))
+        .limit(400)
+        .createOrReplaceTempView("date_part_src")
+      spark.sql("CREATE TABLE datecat.dt (o_orderkey BIGINT, d DATE, " +
+        "p DOUBLE) PARTITIONED BY (d)")
+      spark.sql("INSERT INTO datecat.dt SELECT * FROM date_part_src")
+      // the write accepted DATE values — the SCAN must plan them too
+      // (keyVal/toCatalystKey previously threw on DateType)
+      val n = spark.sql("SELECT count(*) FROM datecat.dt").head().getLong(0)
+      assert(n === 400L)
+      val day = spark.table("date_part_src").select(max(col("d"))).head()
+        .getDate(0)
+      val got = spark.sql(
+        s"SELECT count(*) FROM datecat.dt WHERE d = DATE'$day'")
+        .head().getLong(0)
+      assert(got === spark.table("date_part_src")
+        .filter(col("d") === lit(day)).count())
+      // footer-aggregate path hits toCatalystKey's partition-key branch
+      val mx = spark.sql("SELECT d, max(p) AS mp FROM datecat.dt GROUP BY d")
+      assert(mx.count() > 0)
+      assert(TimeTravel.currentVersion(root) === 1)
+    }
+  }
+
+  test("q219 transform partitioning: months+bucket derive, write one file per tuple, prune by derived values") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spect_").toString
+    val root = s"$wh/tp"
+    withConfs(
+      "spark.sql.catalog.tpcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.tpcat.warehouse" -> wh) {
+      val src = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice").cast("double").as("p"))
+        .limit(800)
+      src.createOrReplaceTempView("tp_src")
+      spark.sql("""CREATE TABLE tpcat.tp (o_orderkey BIGINT, d DATE,
+                  |  p DOUBLE)
+                  |PARTITIONED BY (months(d), bucket(4, o_orderkey))"""
+        .stripMargin)
+      spark.sql("INSERT INTO tpcat.tp SELECT * FROM tp_src")
+      // layout: at most one file per (month, bucket) tuple — the write
+      // distribution clustered on the derived expressions
+      val months = src.select(date_format(col("d"), "yyyy-MM")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val files = TimeTravel.snapshotFiles(root, 1)
+      assert(files.size <= months.length * 4 && files.size >= months.length,
+        s"${files.size} files for ${months.length} months × 4 buckets")
+      assert(spark.sql("SELECT count(*) FROM tpcat.tp").head().getLong(0)
+        === 800L)
+
+      // month-equality pruning: a one-month date range opens at most
+      // that month's bucket files (≤4 of the full layout)
+      val m = months(months.length / 2)
+      val (mLo, mHi) = (s"$m-01",
+        java.time.YearMonth.parse(m).atEndOfMonth().toString)
+      TableMetrics.reset()
+      val nM = spark.sql(s"SELECT count(*) FROM tpcat.tp WHERE " +
+        s"d >= DATE'$mLo' AND d <= DATE'$mHi'").head().getLong(0)
+      assert(nM === src.filter(col("d").between(mLo, mHi)).count())
+      val openedM = openedUnder(root)
+      assert(openedM <= 4,
+        s"month-range read opened $openedM files (expected ≤ 4)")
+
+      // bucket pruning: a key equality keeps one bucket per month
+      val kk = src.agg(max("o_orderkey")).head().getLong(0)
+      TableMetrics.reset()
+      val nK = spark.sql(
+        s"SELECT count(*) FROM tpcat.tp WHERE o_orderkey = ${kk}L")
+        .head().getLong(0)
+      assert(nK === src.filter(col("o_orderkey") === kk).count())
+      val openedK = openedUnder(root)
+      assert(openedK <= months.length,
+        s"key lookup opened $openedK files (expected ≤ ${months.length})")
+      assert(openedK < files.size, "bucket pruning dropped nothing")
+
+      // maintenance survives retention: checkpoint folds the tagged
+      // lines, so pruning keeps working after the commits expire
+      TimeTravel.checkpoint(root, 1)
+      TimeTravel.expireHistory(root, 1)
+      TableMetrics.reset()
+      assert(spark.sql(s"SELECT count(*) FROM tpcat.tp WHERE " +
+        s"d >= DATE'$mLo' AND d <= DATE'$mHi'").head().getLong(0) === nM)
+      assert(openedUnder(root) <= 4,
+        "post-retention month pruning degraded (tvals not checkpointed)")
+    }
+  }
+
+  test("q225 partition evolution: new spec governs new writes, mixed eras prune per file, bad specs refuse at ALTER") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_specpe_").toString
+    val root = s"$wh/pe"
+    withConfs(
+      "spark.sql.catalog.pecat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.pecat.warehouse" -> wh) {
+      val src = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").cast("double").as("p"))
+        .limit(800)
+      src.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("pe_era1")
+      src.filter(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView("pe_era2")
+      spark.sql("""CREATE TABLE pecat.pe (o_orderkey BIGINT, d DATE,
+                  |  prio STRING, p DOUBLE)
+                  |PARTITIONED BY (prio)""".stripMargin)
+      spark.sql("INSERT INTO pecat.pe SELECT * FROM pe_era1")
+      val era1 = TimeTravel.snapshotFiles(root, 1).toSet
+
+      // a spec naming a missing column / wrong type refuses AT ALTER —
+      // never poisons a later INSERT
+      val eMissing = intercept[Exception] {
+        spark.sql("ALTER TABLE pecat.pe SET TBLPROPERTIES (" +
+          "'graft.partitionSpec' = 'months:nope')")
+      }
+      assert(eMissing.getMessage.contains("not in the table schema"))
+      val eType = intercept[Exception] {
+        spark.sql("ALTER TABLE pecat.pe SET TBLPROPERTIES (" +
+          "'graft.partitionSpec' = 'months:o_orderkey')")
+      }
+      assert(eType.getMessage.contains("DATE"))
+
+      spark.sql("ALTER TABLE pecat.pe SET TBLPROPERTIES (" +
+        "'graft.partitionSpec' = 'months:d,bucket:4:o_orderkey')")
+      spark.sql("INSERT INTO pecat.pe SELECT * FROM pe_era2")
+      val all = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root))
+      val era2 = all.filterNot(era1)
+      assert(era1.nonEmpty && era2.nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM pecat.pe").head().getLong(0)
+        === 800L)
+
+      // month predicate: era-2 prunes to ≤ 4 bucket files of that month;
+      // era-1 files carry no ~month tag and must be KEPT (date range
+      // stats may drop some — the bound below allows either)
+      val m = src.filter(col("o_orderkey") % 2 === 1)
+        .select(date_format(col("d"), "yyyy-MM")).distinct()
+        .collect().map(_.getString(0)).sorted.apply(0)
+      val (mLo, mHi) = (s"$m-01",
+        java.time.YearMonth.parse(m).atEndOfMonth().toString)
+      TableMetrics.reset()
+      val nM = spark.sql(s"SELECT count(*) FROM pecat.pe WHERE " +
+        s"d >= DATE'$mLo' AND d <= DATE'$mHi'").head().getLong(0)
+      assert(nM === src.filter(col("d").between(mLo, mHi)).count())
+      assert(openedUnder(root) <= era1.size + 4,
+        s"month read opened ${openedUnder(root)} (era2 didn't prune)")
+
+      // prio predicate: era-1 prunes to its one value group; era-2 files
+      // (no prio line, no string stats) are all kept — per-file pruning,
+      // never cross-era guessing
+      val prio = src.select("prio").head().getString(0)
+      TableMetrics.reset()
+      val nP = spark.sql(
+        s"SELECT count(*) FROM pecat.pe WHERE prio = '$prio'")
+        .head().getLong(0)
+      assert(nP === src.filter(col("prio") === prio).count())
+      val openedP = openedUnder(root)
+      assert(openedP < all.size, "prio equality pruned nothing")
+      assert(openedP <= era2.size + era1.size / 2 + 1,
+        s"prio read opened $openedP (era-1 value groups didn't prune)")
+
+      // key equality: era-2 keeps one bucket per month
+      val kk = src.filter(col("o_orderkey") % 2 === 1)
+        .agg(max("o_orderkey")).head().getLong(0)
+      TableMetrics.reset()
+      val nK = spark.sql(
+        s"SELECT count(*) FROM pecat.pe WHERE o_orderkey = ${kk}L")
+        .head().getLong(0)
+      assert(nK === src.filter(col("o_orderkey") === kk).count())
+      assert(openedUnder(root) < all.size, "key equality pruned nothing")
+    }
+  }
+
+  test("multi-column identity PARTITIONED BY: both columns round-trip and prune") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_specm_").toString
+    val root = s"$wh/mi"
+    withConfs(
+      "spark.sql.catalog.micat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.micat.warehouse" -> wh) {
+      val src = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("p"))
+        .limit(600)
+      src.createOrReplaceTempView("mi_src")
+      spark.sql("""CREATE TABLE micat.mi (o_orderkey BIGINT, prio STRING,
+                  |  st STRING, p DOUBLE)
+                  |PARTITIONED BY (prio, st)""".stripMargin)
+      spark.sql("INSERT INTO micat.mi SELECT * FROM mi_src")
+      val tuples = src.select("prio", "st").distinct().count()
+      val files = TimeTravel.snapshotFiles(root, 1)
+      assert(files.size <= tuples, s"${files.size} files for $tuples tuples")
+      // equality on the FIRST identity column prunes through the tagged
+      // lines (the single-pvals fold only carries the last column)
+      val prio = src.select("prio").head().getString(0)
+      TableMetrics.reset()
+      val n1 = spark.sql(
+        s"SELECT count(*) FROM micat.mi WHERE prio = '$prio'")
+        .head().getLong(0)
+      assert(n1 === src.filter(col("prio") === prio).count())
+      assert(openedUnder(root) < files.size,
+        "first-identity-column equality pruned nothing")
+      // and on the second
+      val st = src.select("st").head().getString(0)
+      TableMetrics.reset()
+      val n2 = spark.sql(s"SELECT count(*) FROM micat.mi WHERE st = '$st'")
+        .head().getLong(0)
+      assert(n2 === src.filter(col("st") === st).count())
+      assert(openedUnder(root) < files.size,
+        "second-identity-column equality pruned nothing")
+    }
+  }
+
+  test("q221 column defaults: pre-evolution files read the default, stored NULLs stay NULL, footer aggs refuse, rewrites persist") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_specdf_").toString
+    val root = s"$wh/dc"
+    withConfs(
+      "spark.sql.catalog.dfcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.dfcat.warehouse" -> wh) {
+      val a = orders.limit(300).select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("p"))
+      a.createOrReplaceTempView("df_old")
+      spark.sql("CREATE TABLE dfcat.dc AS SELECT * FROM df_old") // gen 0
+      spark.sql("ALTER TABLE dfcat.dc ADD COLUMN seg STRING " +
+        "DEFAULT 'legacy'") // gen 1, metadata-only
+      val aCount = a.count()
+      // existing rows read the DEFAULT, not NULL
+      assert(spark.sql("SELECT count(*) FROM dfcat.dc WHERE seg = 'legacy'")
+        .head().getLong(0) === aCount)
+      assert(spark.sql("SELECT count(*) FROM dfcat.dc WHERE seg IS NULL")
+        .head().getLong(0) === 0L)
+      // post-evolution writes store explicitly — INCLUDING NULLs, which
+      // stay NULL (present-but-null is data, not a missing field)
+      val b = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("p"))
+        .limit(400).filter(col("o_orderkey") % 7 === 0)
+        .withColumn("seg",
+          when(col("o_orderkey") % 14 === 0, lit(null: String))
+            .otherwise(lit("fresh")))
+      b.createOrReplaceTempView("df_new")
+      spark.sql("INSERT INTO dfcat.dc SELECT * FROM df_new") // gen 2
+      assert(spark.sql("SELECT count(*) FROM dfcat.dc WHERE seg IS NULL")
+        .head().getLong(0) === b.filter(col("seg").isNull).count())
+      assert(spark.sql("SELECT count(*) FROM dfcat.dc WHERE seg = 'fresh'")
+        .head().getLong(0) === b.filter(col("seg") === "fresh").count())
+      // count(seg) counts defaulted rows too — the footer path would
+      // miss them, so it must REFUSE and fall back to the row scan
+      import scala.jdk.CollectionConverters._
+      TableMetrics.reset()
+      assert(spark.sql("SELECT count(seg) FROM dfcat.dc").head().getLong(0)
+        === aCount + b.filter(col("seg").isNotNull).count())
+      assert(!TableMetrics.footerOnlyFiles.asScala.exists(_.startsWith(root)),
+        "count(defaulted col) answered from footers — wrong under defaults")
+      // count(*) is default-independent: still footer-only
+      TableMetrics.reset()
+      spark.sql("SELECT count(*) FROM dfcat.dc").head()
+      assert(TableMetrics.footerOnlyFiles.asScala.exists(_.startsWith(root)),
+        "count(*) lost footer pushdown on a defaulted table")
+      // a copy-on-write rewrite of a pre-evolution file PERSISTS the
+      // default (never null) — the candidate scan reads through it.
+      // (pick a key that does NOT also appear in the inserted half)
+      val k = a.filter(col("o_orderkey") % 7 =!= 0)
+        .select(min("o_orderkey")).head().getLong(0)
+      spark.sql(s"UPDATE dfcat.dc SET p = p + 1 WHERE o_orderkey = ${k}L")
+      val segs = spark.sql(
+        s"SELECT seg FROM dfcat.dc WHERE o_orderkey = ${k}L")
+        .collect().map(_.getString(0)).toSeq
+      assert(segs === Seq("legacy"),
+        "copy-on-write rewrite turned a defaulted value into " + segs)
+    }
+  }
+
+  test("q222 streaming write after RENAME COLUMN: physical names in files, same-checkpoint restart lands nothing") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_specrn_").toString
+    val root = s"$wh/rn"
+    withConfs(
+      "spark.sql.catalog.rn22cat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.rn22cat.warehouse" -> wh) {
+      spark.sql("CREATE TABLE rn22cat.rn (k BIGINT, amount DOUBLE)")
+      orders.limit(100)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("amount"))
+        .createOrReplaceTempView("rn_old")
+      spark.sql("INSERT INTO rn22cat.rn SELECT * FROM rn_old") // gen 1
+      spark.sql("ALTER TABLE rn22cat.rn RENAME COLUMN amount TO price") // gen 2
+      val stage = s"$wh/src"
+      orders.limit(300).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("price"))
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      def runStream(): Unit = {
+        val q = spark.readStream.schema("k BIGINT, price DOUBLE")
+          .parquet(stage)
+          .writeStream.option("checkpointLocation", s"$wh/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("rn22cat.rn")
+        q.awaitTermination()
+      }
+      runStream()
+      val vAfter = TimeTravel.currentVersion(root)
+      assert(vAfter >= 3, "streaming epoch landed no generation")
+      val expect = 100L +
+        orders.limit(300).filter(col("o_orderkey") % 2 === 1).count()
+      assert(spark.sql("SELECT count(*) FROM rn22cat.rn").head().getLong(0)
+        === expect)
+      // the streamed epoch's files carry the PHYSICAL parquet name
+      // ('amount') — bytes on both sides of the rename stay compatible
+      val streamed = TimeTravel.snapshotFiles(root, vAfter)
+        .filterNot(TimeTravel.snapshotFiles(root, 2).toSet)
+      assert(streamed.nonEmpty)
+      val fields = spark.read.parquet(s"$root/data/${streamed.head}")
+        .schema.fieldNames.toSet
+      assert(fields.contains("amount") && !fields.contains("price"),
+        s"streamed file stored $fields — logical name leaked to parquet")
+      // restart on the SAME checkpoint with an unchanged source: the
+      // replayed/empty drain lands NOTHING (exactly-once)
+      runStream()
+      assert(TimeTravel.currentVersion(root) === vAfter,
+        "a same-checkpoint restart landed a duplicate generation")
+      assert(spark.sql("SELECT count(*) FROM rn22cat.rn").head().getLong(0)
+        === expect)
+    }
+  }
+
   test("q212 streaming catalog read: per-generation batches under admission control") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec7_").toString
     val root = s"$wh/st"
@@ -892,18 +1225,20 @@ class TableSourceSpec extends SparkSpec {
         TimeTravel.currentVersion(root))
       assert(changes.filter(col("_change_type") === "delete").count()
         === base.filter(col("o_orderkey").between(keys(10), keys(60))).count())
-      // the SQL copy-on-write DML path does NOT emit change files
-      // (Spark's group-based rewrite surfaces replacement rows, not the
-      // deleted ones) — a row-level feed across it must refuse loudly,
-      // never answer wrong
+      // the SQL copy-on-write DML path emits DIFF-FORM change files
+      // (r14 verdict #2): the feed across a SQL DELETE answers the
+      // deleted rows exactly (it used to refuse — the rewrite only
+      // surfaced replacement rows)
       val v2 = TimeTravel.currentVersion(root)
       spark.sql(s"DELETE FROM prcat.pt WHERE o_orderkey BETWEEN " +
         s"${keys(100)} AND ${keys(120)}")
-      val e = intercept[IllegalArgumentException] {
-        TimeTravel.readRowChanges(spark, root, v2,
-          TimeTravel.currentVersion(root)).count()
-      }
-      assert(e.getMessage.contains("not reconstructible"))
+      val sqlChanges = TimeTravel.readRowChanges(spark, root, v2,
+        TimeTravel.currentVersion(root))
+      assert(sqlChanges.filter(col("_change_type") === "delete").count()
+        === base.filter(col("o_orderkey").between(keys(100), keys(120)))
+          .count())
+      assert(sqlChanges.filter(col("_change_type") =!= "delete").count()
+        === 0L, "a pure DELETE's diff feed carried non-delete rows")
     }
   }
 

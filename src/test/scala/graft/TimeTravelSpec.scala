@@ -610,6 +610,13 @@ class TimeTravelSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_expire('$root', 2)").collect()
     } // no checkpoint at 1 or 2 yet — loud refusal
     TimeTravel.checkpoint(root, 2)
+    // destructive verbs are gated on EXECUTION (r14 ADVICE): EXPLAIN
+    // resolves and plans the statement but must delete nothing
+    spark.sql(s"EXPLAIN SELECT * FROM graft_expire('$root', 2)").collect()
+    spark.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$root')").collect()
+    assert(TimeTravel.readAsOf(spark, root, 0).count()
+      === base.filter(col("o_orderkey") % 2 === 0).count(),
+      "EXPLAIN of graft_expire dropped history")
     assert(spark.sql(s"SELECT * FROM graft_expire('$root', 2)")
       .head().getLong(0) === 2L)
     assert(spark.sql(s"SELECT * FROM graft_expire('$root', 2)")
@@ -618,6 +625,128 @@ class TimeTravelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeTravel.readAsOf(spark, root, 0).count() // expired: loud
     }
+  }
+
+  test("pre-array checkpoints back-fill from the commits below (r14 ADVICE)") {
+    val root = newRoot()
+    val base = orders.limit(300)
+    // commit 0 carries a txn record; commit 1 is a plain append
+    TimeTravel.commitTxn(spark, root, base.filter(col("o_orderkey") % 2 === 0),
+      "writer-a", 7L)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 2 === 1))
+    val v = TimeTravel.checkpoint(root)
+    // simulate a checkpoint written BEFORE the txn/stats/nrows arrays
+    // existed: strip those arrays from the file (keep files + schema)
+    val p = java.nio.file.Paths.get(s"$root/_graft_log/$v.ckpt.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val stripped = txt
+      .replaceAll(""","(txn|stats|nrows)":\[[^\]]*\]""", "")
+    assert(stripped != txt, "checkpoint carried no arrays to strip")
+    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    // drop the checksum sidecar the original write left (the local
+    // Hadoop fs would flag the hand-edited file otherwise)
+    java.nio.file.Files.deleteIfExists(
+      p.resolveSibling(s".${p.getFileName}.crc"))
+    // the old checkpoint must NOT shadow the txn record below it: a
+    // restarted writer replaying epoch 7 must land NOTHING
+    assert(TimeTravel.lastTxnVersion(root, "writer-a") === Some(7L))
+    val before = TimeTravel.currentVersion(root)
+    TimeTravel.commitTxn(spark, root, base.limit(10), "writer-a", 7L)
+    assert(TimeTravel.currentVersion(root) === before,
+      "pre-txn checkpoint let a replayed epoch land as a duplicate")
+    // stats/nrows back-fill the same way: file skipping keeps pruning
+    assert(TimeTravel.readAsOfWhere(spark, root, before, "o_orderkey",
+      0L, 10L).count() === base.filter(col("o_orderkey").between(0, 10)).count())
+  }
+
+  test("z-order scale16 survives column ranges wider than 2^47 (r14 ADVICE)") {
+    val root = newRoot()
+    // spread o_orderkey over ~9e17 — the old long-arithmetic scaling
+    // overflowed above ~1.4e14 and scrambled cell assignment
+    val base = orders.limit(1024)
+      .select((col("o_orderkey") * lit(450000000000000L)).as("wide"),
+        (col("o_orderkey") % 97).as("k2"), col("o_totalprice"))
+    TimeTravel.commitZOrderedN(spark, root,
+      base, Seq("wide", "k2"), 8)
+    val ks = base.select("wide").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ks(ks.length / 4), ks(ks.length / 2))
+    val pruned = TimeTravel.readAsOfWhere(spark, root, 0, "wide", lo, hi)
+    assert(pruned.count() === base.filter(col("wide").between(lo, hi)).count())
+    assert(pruned.inputFiles.length < TimeTravel.snapshotFiles(root, 0).size,
+      "wide-range z-order degraded to no pruning (scale16 overflow)")
+  }
+
+  test("partition values containing '|' refuse loudly at write (r14 ADVICE)") {
+    val root = newRoot()
+    val bad = orders.limit(20)
+      .withColumn("seg", concat(col("o_orderpriority"), lit("|x")))
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.commitPartitioned(spark, root, bad, "seg")
+    }
+    assert(e.getMessage.contains("|"))
+    assert(TimeTravel.currentVersion(root) === -1, "bad value still committed")
+  }
+
+  test("clone-aware vacuum: source retention never deletes files a live clone reads (r14 verdict #4)") {
+    val src = newRoot()
+    val dst = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commit(spark, src, base.repartition(4)) // gen 0: files A
+    TimeTravel.shallowClone(spark, src, dst) // clone pins A absolutely
+    TimeTravel.compact(spark, src, 1) // gen 1: retires A, adds B
+    TimeTravel.checkpoint(src, 1)
+    TimeTravel.expireHistory(src, 1) // commit 0 gone: A unreferenced by src
+    val gone = TimeTravel.vacuum(src)
+    // the clone's back-reference kept every A file alive
+    assert(TimeTravel.readAsOf(spark, dst, 0).count() === base.count(),
+      s"source vacuum broke the clone (deleted: $gone)")
+    assert(TimeTravel.readAsOf(spark, src, 1).count() === base.count())
+    // deleting the clone releases the pins: the marker self-cleans and
+    // the next vacuum reclaims the A files
+    WorkDirs.deleteTree(java.nio.file.Paths.get(dst))
+    val gone2 = TimeTravel.vacuum(src)
+    assert(gone2.nonEmpty,
+      "vacuum reclaimed nothing after the clone was deleted")
+    assert(TimeTravel.readAsOf(spark, src, 1).count() === base.count())
+  }
+
+  test("graft_files reports snapshot economics; graft_clone is lazy, clones zero-copy, and pins vacuum") {
+    GraftFunctions.register(spark)
+    val src = newRoot()
+    val dst = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commit(spark, src, base.repartition(4))
+    // graft_files: one row per snapshot file, rows/bytes from the log +
+    // one listing — totals must reconcile with the table exactly
+    val fm = spark.sql(s"SELECT * FROM graft_files('$src')").collect()
+    assert(fm.length === TimeTravel.snapshotFiles(src, 0).size)
+    assert(fm.map(_.getAs[Long]("rows")).sum === base.count())
+    assert(fm.forall(_.getAs[Long]("bytes") > 0))
+    assert(fm.forall(_.getAs[Any]("dv_rows") == null), "no DVs yet")
+    // EXPLAIN of graft_clone creates NOTHING (lazy MaintenanceNode)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_clone('$src', '$dst')")
+      .collect()
+    assert(TimeTravel.currentVersion(dst) === -1,
+      "EXPLAIN materialized a clone")
+    // executed: the clone freezes gen 0, zero data bytes copied
+    val rep = spark.sql(
+      s"SELECT * FROM graft_clone('$src', '$dst')").head()
+    assert(rep.getLong(0) === 0L && rep.getLong(1) === fm.length.toLong)
+    assert(!new java.io.File(s"$dst/data").exists() ||
+      new java.io.File(s"$dst/data").listFiles().forall(
+        !_.getName.endsWith(".parquet")), "clone copied data bytes")
+    TimeTravel.commit(spark, src, orders.limit(50)) // src moves on
+    assert(TimeTravel.readAsOf(spark, dst,
+      TimeTravel.currentVersion(dst)).count() === base.count())
+    // the TVF route plants the same back-reference marker: a source
+    // compact + retention + vacuum cannot strand the clone
+    TimeTravel.compact(spark, src, 1)
+    TimeTravel.checkpoint(src, 2)
+    TimeTravel.expireHistory(src, 2)
+    TimeTravel.vacuum(src)
+    assert(TimeTravel.readAsOf(spark, dst,
+      TimeTravel.currentVersion(dst)).count() === base.count(),
+      "source vacuum broke the SQL-created clone")
   }
 
   test("q216 3-dim z-order: secondary AND tertiary range reads prune files") {
