@@ -131,6 +131,232 @@ object TextAnalysis extends QueryModule {
     (tops, encoded)
   }
 
+  // ---- Unigram-LM (SentencePiece-shape) tokenizer: q223 train / q224
+  // apply (r14 verdict #6) — the OTHER mainstream tokenizer family
+  // beside q85/q88's BPE. The classic algorithm (Kudo 2018) seeds a
+  // large candidate vocabulary, then alternates (E) best-segmentation
+  // of the corpus under current piece scores with (M) piece re-counting
+  // and pruning. This implementation keeps that EM shape but replaces
+  // float log-probs with an EXACT-INTEGER objective so both engines
+  // hash-match bit-for-bit: a segmentation costs
+  // `pieces * 10^12 - sum(pieceCount)` (fewest pieces first, then the
+  // most-frequent pieces; ties broken longest-piece-first in the
+  // backtrack) — the same lexicographic shape as Viterbi under a
+  // frequency-proportional LM, in bigint arithmetic. Economics: the
+  // CORPUS is touched once (the word-frequency dictionary); every EM
+  // round is vocabulary-sized work (dict × a broadcast one-row piece
+  // list), exactly the q85 discipline, so rounds cost the same at
+  // sf0.001 and 100 TB modulo the dictionary's sublinear growth. The
+  // per-word Viterbi is a codegen'd `aggregate` fold (forward costs,
+  // then a deterministic backtrack); piece lookups are
+  // `array_position` over the ≤~80-entry vocab — at a production vocab
+  // size (32k) the same fold would swap the array scan for a native
+  // map-backed Expression, the documented scale path.
+  private def uniFwdTermSk(k: Int): String = {
+    val p = s"substring(word, i - $k + 1, $k)"
+    s"CASE WHEN i >= $k AND array_position(pl, $p) > 0 THEN " +
+      s"element_at(acc, i - $k + 1) + (1000000000000L - " +
+      s"element_at(cl, cast(array_position(pl, $p) as int))) " +
+      s"ELSE 4000000000000000L END"
+  }
+  /** Forward Viterbi costs: `fw[i+1]` = best cost of the first `i`
+    * chars (bigint; single chars are always in vocab, so every
+    * position is reachable and the sentinel never wins). */
+  private[graft] val uniFwdSk =
+    "aggregate(sequence(1, length(word)), array(cast(0 as bigint)), " +
+      s"(acc, i) -> concat(acc, array(least(${uniFwdTermSk(1)}, " +
+      s"${uniFwdTermSk(2)}, ${uniFwdTermSk(3)}, ${uniFwdTermSk(4)}))))"
+  private def uniBtCondSk(k: Int): String = {
+    val pos = "cast(element_at(acc, size(acc)) as int)"
+    val p = s"substring(word, $pos - $k + 1, $k)"
+    s"$pos >= $k AND array_position(pl, $p) > 0 AND " +
+      s"element_at(fw, $pos - $k + 1) + (1000000000000L - " +
+      s"element_at(cl, cast(array_position(pl, $p) as int))) = " +
+      s"element_at(fw, $pos + 1)"
+  }
+  /** Deterministic backtrack as an APPEND-ONLY position fold: state is
+    * the descending list of segment boundaries (last element = current
+    * position; 0 repeats once the word is consumed); at each step take
+    * the LONGEST piece that achieves the optimal forward cost — both
+    * engines pick identical segmentations, so recounts agree. The
+    * append-a-scalar-CASE shape is deliberate and LOAD-BEARING for the
+    * oracle: DuckDB 1.0 mis-vectorizes lambdas whose CASE branches are
+    * LIST-typed at corpus scale (rows silently receive a neighbor's
+    * fold result); appending one scalar per step — the same construct
+    * the forward fold uses — evaluates correctly, so both sides use it. */
+  private[graft] val uniBtSk = {
+    val pos = "cast(element_at(acc, size(acc)) as int)"
+    "aggregate(sequence(1, length(word)), " +
+      "array(cast(length(word) as bigint)), " +
+      s"(acc, z) -> concat(acc, array(CASE WHEN $pos = 0 " +
+      "THEN cast(0 as bigint) " +
+      s"WHEN ${uniBtCondSk(4)} THEN cast($pos - 4 as bigint) " +
+      s"WHEN ${uniBtCondSk(3)} THEN cast($pos - 3 as bigint) " +
+      s"WHEN ${uniBtCondSk(2)} THEN cast($pos - 2 as bigint) " +
+      s"ELSE cast($pos - 1 as bigint) END)))"
+  }
+  /** Boundary pairs → pieces (left-to-right). */
+  private[graft] val uniToksSk =
+    "reverse(filter(transform(sequence(1, size(btp) - 1), " +
+      "j -> CASE WHEN element_at(btp, j) > element_at(btp, j + 1) " +
+      "THEN substring(word, cast(element_at(btp, j + 1) as int) + 1, " +
+      "cast(element_at(btp, j) - element_at(btp, j + 1) as int)) " +
+      "ELSE NULL END), x -> x IS NOT NULL))"
+  /** Corpus word dictionary — the ONE corpus pass (same regexp as
+    * q85's, proven hash-stable at all three SFs). */
+  private def uniDict(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+  private def uniSingles(dict: DataFrame): DataFrame = dict
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .as("piece"))
+    .groupBy("piece").agg(sum("freq").as("cnt"))
+  /** One-row (pl, cl) piece list, sorted by piece — the broadcast side
+    * of every segmentation join. */
+  private def uniVlist(vocab: DataFrame): DataFrame = vocab
+    .agg(sort_array(collect_list(struct(col("piece"), col("cnt"))))
+      .as("v"))
+    .select(expr("transform(v, x -> x.piece)").as("pl"),
+      expr("transform(v, x -> x.cnt)").as("cl"))
+    .localCheckpoint() // 1 row; cuts the per-round fold lineage
+  private def uniSegment(dict: DataFrame, vl: DataFrame): DataFrame =
+    dict.crossJoin(broadcast(vl))
+      .withColumn("fw", expr(uniFwdSk))
+      .withColumn("btp", expr(uniBtSk))
+      .withColumn("toks", expr(uniToksSk))
+  /** E+M: segment the dictionary, recount used pieces (weighted by word
+    * frequency), keep ALL singles (coverage guarantee) + the top-`k`
+    * multi-char pieces — the unigram prune. Vocab-sized output,
+    * localCheckpointed eager. */
+  private def uniEmRound(dict: DataFrame, singles: DataFrame,
+      vl: DataFrame, k: Int): DataFrame = {
+    val used = uniSegment(dict, vl)
+      .select(col("freq"), explode(col("toks")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("ucnt"))
+    singles.select("piece").join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("ucnt"), lit(0L)).as("cnt"))
+      .unionByName(used.filter(length(col("piece")) >= 2)
+        .orderBy(col("ucnt").desc, col("piece")).limit(k)
+        .select(col("piece"), col("ucnt").as("cnt")))
+      .localCheckpoint()
+  }
+  /** Two EM rounds over a 48-multi seed, pruning to 32 then 24 —
+    * returns (final vocab, its one-row piece list, the cached singles).
+    * Callers unpersist `dict` themselves. */
+  private def uniTrain(dict: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val singles = uniSingles(dict).localCheckpoint()
+    val cand = dict
+      .select(col("freq"), explode(expr(
+        """flatten(transform(sequence(1, length(word)), i ->
+          |  CASE WHEN length(word) - i + 1 >= 2
+          |       THEN transform(sequence(2, least(4, length(word) - i + 1)),
+          |              L -> substring(word, i, L))
+          |       ELSE cast(array() as array<string>) END))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val vocab0 = singles.unionByName(
+      cand.orderBy(col("cnt").desc, col("piece")).limit(48))
+    val vocab1 = uniEmRound(dict, singles, uniVlist(vocab0), 32)
+    val vocab2 = uniEmRound(dict, singles, uniVlist(vocab1), 24)
+    (vocab2, uniVlist(vocab2), singles)
+  }
+
+  // ---- The DuckDB mirror of the same pipeline, CTE-chained like the
+  // q85/q88 oracles. Dialect map: aggregate→list_reduce (seeded by
+  // wrapping elements as single-element lists, so the [0]/[lenStr] seed
+  // is the first element), element_at→1-based [], array_position→
+  // list_position (both return 0 when absent), slice(acc,2,…)→acc[2:].
+  private def uniFwdTermDd(k: Int): String = {
+    val p = s"substring(word, CAST(x[1] AS INT) - $k + 1, $k)"
+    s"CASE WHEN x[1] >= $k AND list_position(pl, $p) > 0 THEN " +
+      s"acc[CAST(x[1] AS INT) - $k + 1] + (1000000000000 - " +
+      s"cl[list_position(pl, $p)]) ELSE CAST(4000000000000000 AS BIGINT) END"
+  }
+  private val uniFwdDd =
+    "list_reduce(list_concat([[CAST(0 AS BIGINT)]], " +
+      "list_transform(generate_series(1, length(word)), " +
+      "i -> [CAST(i AS BIGINT)])), " +
+      s"(acc, x) -> list_append(acc, least(${uniFwdTermDd(1)}, " +
+      s"${uniFwdTermDd(2)}, ${uniFwdTermDd(3)}, ${uniFwdTermDd(4)})))"
+  private def uniBtCondDd(k: Int): String = {
+    val pos = "CAST(acc[len(acc)] AS INT)"
+    val p = s"substring(word, $pos - $k + 1, $k)"
+    s"$pos >= $k AND list_position(pl, $p) > 0 AND " +
+      s"fw[$pos - $k + 1] + (1000000000000 - cl[list_position(pl, $p)]) " +
+      s"= fw[$pos + 1]"
+  }
+  private val uniBtDd = {
+    val pos = "CAST(acc[len(acc)] AS INT)"
+    "list_reduce(list_concat([[CAST(length(word) AS BIGINT)]], " +
+      "list_transform(generate_series(1, length(word)), " +
+      "i -> [CAST(0 AS BIGINT)])), " +
+      s"(acc, x) -> list_append(acc, CASE WHEN $pos = 0 " +
+      "THEN CAST(0 AS BIGINT) " +
+      s"WHEN ${uniBtCondDd(4)} THEN $pos - 4 " +
+      s"WHEN ${uniBtCondDd(3)} THEN $pos - 3 " +
+      s"WHEN ${uniBtCondDd(2)} THEN $pos - 2 " +
+      s"ELSE $pos - 1 END))"
+  }
+  private val uniToksDd =
+    "list_reverse(list_filter(list_transform(" +
+      "generate_series(1, len(btp) - 1), " +
+      "j -> CASE WHEN btp[j] > btp[j + 1] " +
+      "THEN substring(word, CAST(btp[j + 1] AS INT) + 1, " +
+      "CAST(btp[j] - btp[j + 1] AS INT)) " +
+      "ELSE NULL END), x -> x IS NOT NULL))"
+  private def uniRoundDd(r: Int, k: Int): String = s"""
+    |fb$r AS (
+    |  SELECT word, freq, $uniToksDd AS toks
+    |  FROM (SELECT word, freq, $uniBtDd AS btp
+    |        FROM (SELECT word, freq, pl, cl, $uniFwdDd AS fw
+    |              FROM dict, vlist${r - 1}))),
+    |used$r AS (
+    |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    |    SELECT freq, unnest(toks) AS piece FROM fb$r) GROUP BY piece),
+    |vocab$r AS (
+    |  SELECT s.piece, COALESCE(u.cnt, 0) AS cnt
+    |  FROM singles s LEFT JOIN used$r u USING (piece)
+    |  UNION ALL
+    |  SELECT piece, cnt FROM (
+    |    SELECT piece, cnt FROM used$r WHERE length(piece) >= 2
+    |    ORDER BY cnt DESC, piece LIMIT $k)),
+    |vlist$r AS (
+    |  SELECT list(piece ORDER BY piece) AS pl,
+    |         list(cnt ORDER BY piece) AS cl FROM vocab$r)""".stripMargin
+  private val uniPreDd = s"""
+    |WITH words AS (
+    |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    |  FROM documents),
+    |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    |         FROM words GROUP BY word),
+    |cand AS (
+    |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    |    SELECT freq, unnest(flatten(list_transform(
+    |        generate_series(1, length(word)),
+    |        i -> list_transform(
+    |               generate_series(2, least(4, length(word) - i + 1)),
+    |               L -> substring(word, i, L))))) AS piece
+    |    FROM dict) GROUP BY piece),
+    |singles AS (
+    |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    |    SELECT freq, unnest(list_transform(
+    |        generate_series(1, length(word)),
+    |        i -> substring(word, i, 1))) AS piece
+    |    FROM dict) GROUP BY piece),
+    |vocab0 AS (
+    |  SELECT piece, cnt FROM singles
+    |  UNION ALL
+    |  SELECT piece, cnt FROM (
+    |    SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT 48)),
+    |vlist0 AS (
+    |  SELECT list(piece ORDER BY piece) AS pl,
+    |         list(cnt ORDER BY piece) AS cl
+    |  FROM vocab0),${uniRoundDd(1, 32)},${uniRoundDd(2, 24)}""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Q28 token counting + top-n terms per language (split → explode →
@@ -674,6 +900,66 @@ object TextAnalysis extends QueryModule {
             sum(matches(col("mm"), email) + matches(col("mm"), phone))
               .as("residual"))
           .orderBy("source")
+      }),
+
+    // Q223 UNIGRAM-LM TOKENIZER TRAINING (r14 verdict #6, SentencePiece
+    // shape): seed 48 multi-char candidates + all singles, run two EM
+    // rounds (Viterbi best-segmentation → piece recount → prune to
+    // 32/24), emit the final ranked vocabulary. Exact-integer objective
+    // — see the helper scaladoc; the oracle replays the identical
+    // pipeline in DuckDB CTEs, hash-matched. The rank window runs over
+    // the ≤~45-row final vocab (bounded domain).
+    Q("q223_unigram_train",
+      Some(uniPreDd + """
+        |SELECT piece, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT)
+        |    AS rnk
+        |FROM vocab2 ORDER BY rnk""".stripMargin),
+      (s, d) => {
+        val dict = uniDict(s, d).cache()
+        val (vocab2, _, _) = uniTrain(dict)
+        dict.unpersist()
+        vocab2.withColumn("rnk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
+          .orderBy("rnk")
+      }),
+
+    // Q224 UNIGRAM TOKENIZER APPLY — encode the corpus with q223's
+    // trained vocabulary: each DISTINCT word Viterbi-segments ONCE
+    // (vocabulary-sized work), documents then join their words to the
+    // per-word piece counts — the corpus pays a tokenize-by-lookup
+    // join, never a per-occurrence DP. Output: per-document token
+    // economics (words, unigram pieces), the compression-ratio signal
+    // an LLM data pipeline budgets corpora by.
+    Q("q224_unigram_tokenize",
+      Some(uniPreDd + s""",
+        |fb3 AS (
+        |  SELECT word, freq, $uniToksDd AS toks
+        |  FROM (SELECT word, freq, $uniBtDd AS btp
+        |        FROM (SELECT word, freq, pl, cl, $uniFwdDd AS fw
+        |              FROM dict, vlist2))),
+        |wp AS (SELECT word, CAST(len(toks) AS BIGINT) AS np FROM fb3),
+        |doc_words AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS word
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(np) AS BIGINT) AS n_pieces
+        |FROM doc_words JOIN wp USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val dict = uniDict(s, d).cache()
+        val (_, vl2, _) = uniTrain(dict)
+        val wp = uniSegment(dict, vl2)
+          .select(col("word"), size(col("toks")).cast("long").as("np"))
+        val dw = t(s, d, "documents").select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        val out = dw.join(wp, "word").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+          .orderBy("doc_id")
+        val materialized = out.localCheckpoint() // dict cache freed below
+        dict.unpersist()
+        materialized
       })
   )
 }

@@ -152,6 +152,72 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q223 unigram: vocab covers all singles, ranks complete, EM pruned") {
+    val rows = SparkEntry.queries("q223_unigram_train")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length.toLong),
+      "rank column is not a complete 1..n")
+    assert(rows.forall(r => (1 to 4).contains(r.getString(0).length)),
+      "a piece is outside the 1..4 char candidate window")
+    assert(rows.count(_.getString(0).length >= 2) <= 24,
+      "the round-2 prune did not hold the multi-piece budget")
+    // coverage: every corpus character survives as a single, so every
+    // word stays segmentable (the guarantee the Viterbi fold relies on)
+    val chars = Tables.table(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]', 0)"))
+        .as("c")).distinct().collect().map(_.getString(0)).toSet
+    val singles = rows.map(_.getString(0)).filter(_.length == 1).toSet
+    assert(chars.subsetOf(singles), s"missing singles: ${chars -- singles}")
+    // EM actually fired: some multi-char piece carries real usage mass
+    assert(rows.exists(r => r.getString(0).length >= 2 && r.getLong(1) > 0),
+      "no multi-char piece was ever used — training degenerated")
+  }
+
+  test("q224 unigram tokenize: word mass conserved, encoder compresses") {
+    val out = SparkEntry.queries("q224_unigram_tokenize")(spark, sf).cache()
+    assert(out.filter(col("n_pieces") < col("n_words")).count() == 0,
+      "a word segmented into zero pieces")
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .count()
+    assert(out.agg(sum("n_words")).head().getLong(0) == words,
+      "the vocab join dropped or duplicated word occurrences")
+    // multi pieces fire: some document encodes below its char count
+    val chars = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        "cast(aggregate(regexp_extract_all(lower(text), '[a-z]+', 0), " +
+          "0, (a, w) -> a + length(w)) as bigint)").as("n_chars"))
+    assert(out.join(chars, "doc_id")
+      .filter(col("n_pieces") < col("n_chars")).count() > 0,
+      "no multi-char piece ever applied — encoder is a no-op")
+    out.unpersist()
+  }
+
+  test("q223 unigram: Viterbi fold minimizes (pieces, -mass), ties longest-first") {
+    import spark.implicits._
+    // (word, vocab pieces, counts, expected segmentation)
+    val cases = Seq(
+      // one 3-char piece beats every 2-piece split, whatever the counts
+      ("abc", Seq("a", "ab", "abc", "b", "bc", "c"),
+        Seq(10L, 100L, 1L, 10L, 50L, 10L), Seq("abc")),
+      // equal piece-count: the higher-mass split wins (ab+c = 110 > a+bc)
+      ("abc", Seq("a", "ab", "b", "bc", "c"),
+        Seq(10L, 100L, 10L, 50L, 10L), Seq("ab", "c")),
+      // exact cost tie (2 pieces, mass 10 both ways): backtrack takes the
+      // LONGEST final piece — a+bc, never ab+c
+      ("abc", Seq("a", "ab", "bc", "c"),
+        Seq(5L, 5L, 5L, 5L), Seq("a", "bc")),
+      // repeated structure folds greedily through the DP, not the scan
+      ("abab", Seq("a", "ab", "b"), Seq(1L, 9L, 1L), Seq("ab", "ab")))
+    cases.foreach { case (w, pl, cl, want) =>
+      val got = Seq((w, pl, cl)).toDF("word", "pl", "cl")
+        .withColumn("fw", expr(operators.TextAnalysis.uniFwdSk))
+        .withColumn("btp", expr(operators.TextAnalysis.uniBtSk))
+        .selectExpr(s"${operators.TextAnalysis.uniToksSk} AS toks")
+        .head().getSeq[String](0)
+      assert(got == want, s"segment('$w') = $got, want $want")
+    }
+  }
+
   test("q85 BPE: the merge fold is canonically greedy and delimiter-safe") {
     import spark.implicits._
     val fold =
