@@ -2269,6 +2269,106 @@ object LakehouseOps extends QueryModule {
               r.getDouble(3))).toSeq
         }
         rows.toDF("leg", "prio", "n", "total").orderBy("leg", "prio")
+      }),
+
+    // Q227 ALTER COLUMN TYPE WIDENING (Delta's type-widening feature):
+    // `ALTER TABLE … ALTER COLUMN k TYPE BIGINT` (and price FLOAT →
+    // DOUBLE) as metadata-only commits — era-1 files keep their narrow
+    // parquet bytes and the DSv2 record reader up-converts per file
+    // (it branches on the FILE's primitive), era-2 inserts store keys
+    // BEYOND Int.MaxValue, and `VERSION AS OF` the pre-widening
+    // snapshot still reads the narrow schema. Footer-aggregate
+    // pushdown refuses on widened columns (old footers carry
+    // narrow-typed statistics — TableSourceSpec pins the fallback and
+    // the narrowing refusal). The 100 TB story: "my int key
+    // overflowed" costs one commit write, not a table rewrite.
+    // Oracle: both eras replayed with the SAME float32 rounding
+    // (CAST→REAL→DOUBLE is exact in both engines); totals sum EXACT
+    // integer cents (floor(price*100)) — float-origin doubles land near
+    // .xx5 often enough that decimal rounding modes diverge cross-engine.
+    Q("q227_type_widening",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+             |               CAST(o_totalprice AS DOUBLE) AS pd
+             |          FROM orders),
+             |e1 AS (SELECT o_orderkey AS k, prio,
+             |              CAST(CAST(pd AS REAL) AS DOUBLE) AS price
+             |       FROM o WHERE o_orderkey % 2 = 0),
+             |e2 AS (SELECT o_orderkey + 3000000000 AS k, prio, pd AS price
+             |       FROM o WHERE o_orderkey % 2 = 1)
+             |SELECT 'era1' AS leg, prio, count(*) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100 AS total
+             |FROM e1 GROUP BY prio
+             |UNION ALL
+             |SELECT 'era2' AS leg, prio, count(*) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100 AS total
+             |FROM e2 GROUP BY prio
+             |UNION ALL
+             |SELECT 'v1' AS leg, 'all' AS prio, count(*) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS DOUBLE)
+             |    / 100 AS total
+             |FROM e1
+             |ORDER BY leg, prio""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat227_", s"q227:$d")
+        val root = s"$wh/tw"
+        val base = t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").cast("double").as("pd"))
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat227" -> CatalogClass,
+          "spark.sql.catalog.gcat227.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            base.filter(col("o_orderkey") % 2 === 0)
+              .select(col("o_orderkey").cast("int").as("k"),
+                col("prio"), col("pd").cast("float").as("price"))
+              .createOrReplaceTempView("q227_era1")
+            s.sql("CREATE TABLE gcat227.tw (k INT, prio STRING, " +
+              "price FLOAT)")
+            s.sql("INSERT INTO gcat227.tw SELECT * FROM q227_era1")
+          }
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("ALTER TABLE gcat227.tw ALTER COLUMN k TYPE BIGINT")
+          if (TimeTravel.currentVersion(root) < 3)
+            s.sql("ALTER TABLE gcat227.tw ALTER COLUMN price TYPE DOUBLE")
+          if (TimeTravel.currentVersion(root) < 4) {
+            base.filter(col("o_orderkey") % 2 === 1)
+              .select((col("o_orderkey") + 3000000000L).as("k"),
+                col("prio"), col("pd").as("price"))
+              .createOrReplaceTempView("q227_era2")
+            s.sql("INSERT INTO gcat227.tw SELECT * FROM q227_era2")
+          }
+          s.sql(
+            """SELECT 'era1' AS leg, prio, count(*) AS n,
+              |  CAST(sum(k) AS BIGINT) AS sum_k,
+              |  CAST(sum(CAST(floor(CAST(price AS DOUBLE) * 100) AS BIGINT))
+              |    AS DOUBLE) / 100 AS total
+              |FROM gcat227.tw WHERE k <= 2147483647 GROUP BY prio
+              |UNION ALL
+              |SELECT 'era2' AS leg, prio, count(*) AS n,
+              |  CAST(sum(k) AS BIGINT) AS sum_k,
+              |  CAST(sum(CAST(floor(CAST(price AS DOUBLE) * 100) AS BIGINT))
+              |    AS DOUBLE) / 100 AS total
+              |FROM gcat227.tw WHERE k > 2147483647 GROUP BY prio
+              |UNION ALL
+              |SELECT 'v1' AS leg, 'all' AS prio, count(*) AS n,
+              |  CAST(sum(k) AS BIGINT) AS sum_k,
+              |  CAST(sum(CAST(floor(CAST(price AS DOUBLE) * 100) AS BIGINT))
+              |    AS DOUBLE) / 100 AS total
+              |FROM gcat227.tw VERSION AS OF 1
+              |ORDER BY leg, prio""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getLong(3), r.getDouble(4))).toSeq
+        }
+        rows.toDF("leg", "prio", "n", "sum_k", "total")
+          .orderBy("leg", "prio")
       })
   )
 }

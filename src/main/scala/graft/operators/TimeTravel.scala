@@ -1455,6 +1455,60 @@ object TimeTravel extends QueryModule {
       schemaDdl = Some(narrowed.toDDL), colmap = Seq(s"$name|-"))
   }
 
+  /** The legal type widenings (Delta's type-widening table feature):
+    * value-preserving promotions only — every narrow value maps to the
+    * SAME number under the wide type, so old files stay bit-correct
+    * without touching a data byte. Narrowing refuses loudly. */
+  private val Widenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set((ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType), (FloatType, DoubleType))
+  }
+
+  /** ALTER TABLE ALTER COLUMN … TYPE as a METADATA-ONLY commit (Delta's
+    * type widening): the logged schema carries the wide type, a
+    * `graft.widened.<phys>` property marks the column, and zero data
+    * bytes move — files written before the widening keep their narrow
+    * parquet type and every reader up-converts per file (the DSv2
+    * record reader branches on the FILE's primitive; the library path
+    * rides Spark's native parquet widening). Footer-aggregate pushdown
+    * REFUSES on widened columns — old footers carry narrow-typed
+    * statistics objects — and falls back to the row scan, the same
+    * conservative discipline column defaults use. Older snapshots keep
+    * the narrow type (`VERSION AS OF` reads its own generation's
+    * schema). At 100 TB this turns "my int key overflowed" from a
+    * full-table rewrite into one commit write. */
+  def widenColumnType(s: SparkSession, root: String, name: String,
+      newTypeDdl: String): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot alter on empty table $root")
+    val logical = logicalSchemaAt(root, gen)
+    require(logical.fieldNames.contains(name),
+      s"time travel: no column $name under $root")
+    val oldDt = logical(logical.fieldIndex(name)).dataType
+    val newDt = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
+    require(Widenings((oldDt, newDt)),
+      s"time travel: ALTER COLUMN $name ${oldDt.sql} -> ${newDt.sql} is " +
+        "not a supported widening (smallint->int/bigint, int->bigint, " +
+        "float->double)")
+    val phys = colmapAsOf(root, gen).getOrElse(name, name)
+    val widened = org.apache.spark.sql.types.StructType(logical.map(f =>
+      if (f.name == name) f.copy(dataType = newDt) else f))
+    commitNames(s, root, Nil, Nil,
+      schemaDdl = Some(widened.toDDL),
+      props = Seq(s"graft.widened.$phys|${oldDt.sql}"))
+  }
+
+  /** PHYSICAL names of type-widened columns in force at `gen` — the
+    * footer-aggregate refusal set (old footers' statistics are
+    * narrow-typed). */
+  private[graft] def widenedFor(root: String, gen: Int): Set[String] =
+    propsAsOf(root, gen).collect {
+      case (k, v) if k.startsWith("graft.widened.") && v.nonEmpty =>
+        k.stripPrefix("graft.widened.")
+    }.toSet
+
   /** ADD a column to a mapped table — under a FRESH physical name, so a
     * re-added logical name NEVER resurrects a dropped column's old bytes
     * (the Delta column-mapping guarantee): no file has ever written the

@@ -364,6 +364,14 @@ final class CdfPartitionReader(file: String, schema: StructType,
   private var fieldIdx: Array[Int] = _
   private var row: InternalRow = _
 
+  // TYPE WIDENING (Delta's feature): a file written before an
+  // `ALTER COLUMN … TYPE` carries the NARROW parquet primitive —
+  // resolved once per file beside fieldIdx, so the value loop below can
+  // up-convert (int32→long, float→double) exactly where the file and
+  // the logical schema disagree, at zero cost everywhere else.
+  private var fieldPrim:
+    Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
+
   private def convert(g: org.apache.parquet.example.data.Group): InternalRow = {
     if (fieldIdx == null) {
       val t = g.getType
@@ -371,6 +379,9 @@ final class CdfPartitionReader(file: String, schema: StructType,
         val p = physName(f.name)
         if (t.containsField(p)) t.getFieldIndex(p) else -1
       }
+      fieldPrim = fieldIdx.map(fi =>
+        if (fi < 0 || !t.getType(fi).isPrimitive) null
+        else t.getType(fi).asPrimitiveType().getPrimitiveTypeName)
     }
     val vals = new Array[Any](schema.length)
     var i = 0
@@ -382,9 +393,15 @@ final class CdfPartitionReader(file: String, schema: StructType,
           (if (defaultVals != null) defaultVals(i) else null)
         else if (g.getFieldRepetitionCount(fi) == 0) null
         else schema.fields(i).dataType match {
-          case LongType => g.getLong(fi, 0)
+          case LongType =>
+            if (fieldPrim(i) eq org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT32) g.getInteger(fi, 0).toLong
+            else g.getLong(fi, 0)
           case IntegerType => g.getInteger(fi, 0)
-          case DoubleType => g.getDouble(fi, 0)
+          case DoubleType =>
+            if (fieldPrim(i) eq org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.FLOAT) g.getFloat(fi, 0).toDouble
+            else g.getDouble(fi, 0)
           case FloatType => g.getFloat(fi, 0)
           case BooleanType => g.getBoolean(fi, 0)
           case StringType => UTF8String.fromString(g.getString(fi, 0))

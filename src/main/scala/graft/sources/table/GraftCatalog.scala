@@ -302,6 +302,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         require(d.fieldNames().length == 1,
           "graft catalog: nested DROP COLUMN is not supported")
         TimeTravel.dropColumnMapped(s, root, d.fieldNames()(0))
+      // `ALTER COLUMN … TYPE` — type WIDENING only (Delta's feature):
+      // metadata-only, old files keep narrow bytes, readers up-convert
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft catalog: nested ALTER COLUMN is not supported")
+        TimeTravel.widenColumnType(s, root, u.fieldNames()(0),
+          u.newDataType().sql)
       // SQL `ALTER TABLE … SET TBLPROPERTIES`: a metadata-only commit —
       // the SQL route into graft.enableChangeDataFeed /
       // graft.enforceSchema and friends. Setting

@@ -181,6 +181,13 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     }
   }
 
+  /** PHYSICAL names of type-widened columns (Delta's type widening):
+    * the footer-aggregate refusal set — pre-widening footers carry
+    * narrow-typed statistics. Empty (zero overhead) on never-widened
+    * tables. */
+  private[table] lazy val widened: Set[String] =
+    TimeTravel.widenedFor(root, gen)
+
   /** Per-file row counts from the commit log's `nrows` lines (empty map
     * entries for pre-nrows commits) — `estimateStatistics`' rowCount
     * source. */
@@ -196,8 +203,12 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     val dir = new Path(s"$root/data")
     val fs = dir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
-    val listed = fs.listStatus(dir)
-      .map(st => st.getPath.getName -> st.getLen).toMap
+    // a SHALLOW CLONE has no data directory of its own — every
+    // reference is absolute into its source, so the per-file fallback
+    // below resolves all of them
+    val listed =
+      if (!fs.exists(dir)) Map.empty[String, Long]
+      else fs.listStatus(dir).map(st => st.getPath.getName -> st.getLen).toMap
     files.map { f =>
       f -> listed.getOrElse(f,
         fs.getFileStatus(new Path(TimeTravel.dataPath(root, f))).getLen)
@@ -347,8 +358,11 @@ final class TableScanBuilder(table: GraftLogTable, aggEnabled: Boolean,
     // a DEFAULTED column's footer statistics lie for pre-evolution
     // files (the footer sees a missing field as all-null, but the scan
     // reads the default — r14 verdict #3): refuse and fall back to the
-    // row scan, which applies the defaults
-    def defaulted(c: String) = table.defaults.contains(table.phys(c))
+    // row scan, which applies the defaults. A type-WIDENED column
+    // refuses the same way: pre-widening footers carry NARROW-typed
+    // statistics objects the wide-typed extraction would miscast.
+    def defaulted(c: String) = table.defaults.contains(table.phys(c)) ||
+      table.widened.contains(table.phys(c))
     // specs carry the PHYSICAL column name (the footer lookup key); the
     // TYPE comes from the logical schema
     val specs = aggregation.aggregateExpressions().toSeq.map {

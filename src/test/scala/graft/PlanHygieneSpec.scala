@@ -271,6 +271,18 @@ class PlanHygieneSpec extends SparkSpec {
       s"corpus scan leaked into the post-round output plan:\n$p")
   }
 
+  test("q223: EM rounds are materialized — the output plan reads no files") {
+    // The trained vocabulary is a localCheckpointed frame; the declared
+    // output (vocab + rank window) must read only those checkpointed
+    // rows — a file scan here would replay both EM rounds' corpus-
+    // derived lineage at every output action.
+    val p = plan("q223_unigram_train")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed final vocabulary:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("parquet"),
+      s"corpus scan leaked into the post-training output plan:\n$p")
+  }
+
   test("q110/q101: corpus-scaled frames carry no forced broadcast, yet " +
       "still broadcast at fixture scale via runtime stats") {
     // ADVICE r10: the per-item support frame (q110) and the part dim

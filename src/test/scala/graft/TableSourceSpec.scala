@@ -739,6 +739,78 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("q227 type widening: metadata-only, narrow files up-convert, narrowing and footer aggs refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_spectw_").toString
+    val root = s"$wh/tw"
+    withConfs(
+      "spark.sql.catalog.twcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.twcat.warehouse" -> wh) {
+      val src = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").cast("double").cast("float").as("price"))
+        .limit(400)
+      src.createOrReplaceTempView("tw_src")
+      spark.sql("CREATE TABLE twcat.tw (k INT, prio STRING, price FLOAT)")
+      spark.sql("INSERT INTO twcat.tw SELECT * FROM tw_src")
+      val filesBefore = TimeTravel.snapshotFiles(root, 1)
+      spark.sql("ALTER TABLE twcat.tw ALTER COLUMN k TYPE BIGINT")
+      spark.sql("ALTER TABLE twcat.tw ALTER COLUMN price TYPE DOUBLE")
+      // metadata-only: the widening moved zero data bytes
+      assert(TimeTravel.snapshotFiles(root, 3) === filesBefore)
+      val sch = spark.table("twcat.tw").schema
+      assert(sch("k").dataType === org.apache.spark.sql.types.LongType)
+      assert(sch("price").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      // narrow files read EXACTLY through the up-conversion: the int
+      // keys sum identically, every float widens to its exact double
+      val got = spark.sql(
+        "SELECT sum(k), sum(CAST(price AS DECIMAL(18,2))) FROM twcat.tw")
+        .head()
+      val want = src.agg(sum(col("k").cast("bigint")),
+        sum(col("price").cast("double").cast("decimal(18,2)"))).head()
+      assert(got === want, s"widened read drifted: $got vs $want")
+      // post-widening inserts carry values beyond Int.MaxValue
+      spark.sql("INSERT INTO twcat.tw VALUES " +
+        "(5000000000, 'X', 1.5D), (5000000001, 'X', 2.5D)")
+      assert(spark.sql(
+        "SELECT count(*) FROM twcat.tw WHERE k > 2147483647")
+        .head().getLong(0) === 2L)
+      // the pre-widening snapshot keeps its narrow schema
+      val v1 = spark.sql("SELECT * FROM twcat.tw VERSION AS OF 1").schema
+      assert(v1("k").dataType === org.apache.spark.sql.types.IntegerType)
+      assert(v1("price").dataType ===
+        org.apache.spark.sql.types.FloatType)
+      // narrowing refuses loudly — Spark's analyzer rejects non-upcast
+      // changes before the catalog; the catalog's own widening check
+      // backstops library callers
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE twcat.tw ALTER COLUMN k TYPE INT")
+      }
+      assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+        e.getMessage.contains("not a supported widening"))
+      val e2 = intercept[Exception] {
+        TimeTravel.widenColumnType(spark, root, "k", "INT")
+      }
+      assert(e2.getMessage.contains("not a supported widening"))
+      // footer aggregates REFUSE on widened columns (narrow-typed old
+      // footers) and fall back to the row scan…
+      import scala.jdk.CollectionConverters._
+      TableMetrics.reset()
+      spark.sql("SELECT min(k), max(k) FROM twcat.tw").collect()
+      assert(TableMetrics.footerOnlyFiles.asScala
+        .count(_.startsWith(root)) === 0,
+        "footer agg served a widened column from narrow footers")
+      assert(openedUnder(root) > 0)
+      // …while count(*) — no widened column referenced — still pushes
+      TableMetrics.reset()
+      spark.sql("SELECT count(*) FROM twcat.tw").collect()
+      assert(TableMetrics.footerOnlyFiles.asScala
+        .count(_.startsWith(root)) > 0,
+        "count(*) lost its footer path to an unrelated widening")
+    }
+  }
+
   test("multi-column identity PARTITIONED BY: both columns round-trip and prune") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat_specm_").toString
     val root = s"$wh/mi"

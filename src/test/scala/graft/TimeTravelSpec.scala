@@ -749,6 +749,28 @@ class TimeTravelSpec extends SparkSpec {
       "source vacuum broke the SQL-created clone")
   }
 
+  test("graft_files reflects partition value lines and live DV masks") {
+    GraftFunctions.register(spark)
+    val root = newRoot()
+    val base = orders.limit(300)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+    val fm0 = spark.sql(s"SELECT * FROM graft_files('$root')").collect()
+    assert(fm0.nonEmpty && fm0.forall(
+      _.getAs[String]("part").startsWith("o_orderpriority|=|")),
+      "partition value lines missing from the files report")
+    // DV-delete a key range: the report's dv_rows must account for
+    // exactly the masked cardinality, file by file
+    val ks = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ks(0), ks(ks.length / 4))
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", lo, hi)
+    val fm1 = spark.sql(s"SELECT * FROM graft_files('$root')").collect()
+    val masked = fm1.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("dv_rows")).map(_.toLong))
+    assert(masked.sum ===
+      base.filter(col("o_orderkey").between(lo, hi)).count(),
+      "dv_rows does not reconcile with the vectors' cardinality")
+  }
+
   test("q216 3-dim z-order: secondary AND tertiary range reads prune files") {
     val root = newRoot()
     val base = Tables.table(spark, sf, "orders")
