@@ -70,8 +70,9 @@ object Bench {
     * attributing regression list. */
   private def canaryRun(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
+    // bit_xor, not sum: 30M random longs overflow a sum under ANSI mode
     spark.range(0L, 30000000L, 1L, 32)
-      .selectExpr("sum(xxhash64(id)) AS s", "count(1) AS n").collect()
+      .selectExpr("bit_xor(xxhash64(id)) AS s", "count(1) AS n").collect()
     (System.nanoTime() - t0) / 1e9
   }
 
