@@ -215,7 +215,44 @@ class CurationOpsSpec extends SparkSpec {
         .selectExpr(s"${operators.TextAnalysis.uniToksSk} AS toks")
         .head().getSeq[String](0)
       assert(got == want, s"segment('$w') = $got, want $want")
+      // the fused engine expression must agree with the fold on every
+      // pinned case — the native==oracle lockstep at its smallest
+      val native = Seq(w).toDF("word")
+        .select(graft.functions.UnigramEncode(col("word"), pl, cl).as("toks"))
+        .head().getSeq[String](0)
+      assert(native == want, s"UnigramEncode('$w') = $native, want $want")
     }
+  }
+
+  test("q223/q224 native UnigramEncode == SQL Viterbi fold on a real dictionary, and training runs once per corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = operators.TextAnalysis.trainedUnigramVocab(spark, dir)
+    assert(operators.TextAnalysis.uniVocabDirFor(dir).contains(idx))
+    // serve-many: a second call must return the SAME persisted index
+    assert(operators.TextAnalysis.trainedUnigramVocab(spark, dir) == idx)
+    val vocab = spark.read.parquet(s"$idx/vocab")
+      .orderBy("piece").collect()
+    val pl = vocab.toSeq.map(_.getString(0))
+    val cl = vocab.toSeq.map(_.getLong(1))
+    assert(pl.nonEmpty && pl.length == pl.distinct.length)
+    val dict = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .distinct()
+    val folded = dict
+      .withColumn("pl", typedLit(pl)).withColumn("cl", typedLit(cl))
+      .withColumn("fw", expr(operators.TextAnalysis.uniFwdSk))
+      .withColumn("btp", expr(operators.TextAnalysis.uniBtSk))
+      .selectExpr("word", s"${operators.TextAnalysis.uniToksSk} AS toks")
+    val native = dict
+      .select(col("word"),
+        graft.functions.UnigramEncode(col("word"), pl, cl).as("toks"))
+    val diff = folded.alias("f").join(native.alias("n"), "word")
+      .where(expr("f.toks != n.toks"))
+    assert(diff.count() == 0,
+      s"native/fold divergence: ${diff.take(3).mkString("; ")}")
+    assert(native.count() > 10)
   }
 
   test("q85 BPE: the merge fold is canonically greedy and delimiter-safe") {
