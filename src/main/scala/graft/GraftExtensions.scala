@@ -50,13 +50,17 @@ object GraftFunctions {
     ("graft_changes", graft.operators.TimeTravel.changesPlan _,
       "graft_changes(root, from, to) - rows added by commits (from, to]"),
     ("graft_history", graft.operators.TimeTravel.historyPlan _,
-      "graft_history(root) - one row per commit: version, file counts, " +
-        "rows added, flags"),
+      "graft_history(root) - one row per commit: version, in-commit " +
+        "timestamp (epoch millis), file counts, rows added, flags"),
     ("graft_asof_ts", graft.operators.TimeTravel.asOfTsPlan _,
       "graft_asof_ts(root, tsMillis) - snapshot AS OF a commit timestamp"),
     ("graft_row_changes", graft.operators.TimeTravel.rowChangesPlan _,
       "graft_row_changes(root, from, to) - row-level change feed with " +
         "_change_type/_commit_version over commits (from, to]"),
+    ("graft_row_changes_ts", graft.operators.TimeTravel.rowChangesTsPlan _,
+      "graft_row_changes_ts(root, t0Millis, t1Millis) - the row-level " +
+        "change feed time-bounded: both bounds resolve to generations " +
+        "via in-commit timestamps (the TIMESTAMP AS OF machinery)"),
     // maintenance verbs (r13 verdict #3): the builder resolves at
     // analysis, but the op itself runs at EXECUTION (lazy
     // MaintenanceNode — EXPLAIN and schema probes are side-effect-free,
@@ -73,6 +77,10 @@ object GraftFunctions {
     ("graft_expire", graft.operators.TimeTravel.expirePlan _,
       "graft_expire(root, keepFrom) - retention: drop commits below " +
         "keepFrom (needs an anchor checkpoint); returns n_dropped"),
+    ("graft_restore", graft.operators.TimeTravel.restorePlan _,
+      "graft_restore(root, toGen) - metadata-only rollback to a prior " +
+        "generation as a new commit (runs at execution, idempotent); " +
+        "returns (version, restored_gen, files_readded, files_retired)"),
     ("graft_files", graft.operators.TimeTravel.filesPlan _,
       "graft_files(root) - one row per current-snapshot file: bytes, " +
         "logged rows, live DV rows, partition value lines, stat coverage"),

@@ -2369,6 +2369,169 @@ object LakehouseOps extends QueryModule {
         }
         rows.toDF("leg", "prio", "n", "sum_k", "total")
           .orderBy("leg", "prio")
+      }),
+
+    // Q228 SQL RESTORE (Delta's RESTORE TABLE, as the graft_restore
+    // TVF — r15 verdict #3): a bad load (the odd keys, gen 1) rolled
+    // back from pure SQL. The TVF is a LAZY maintenance verb: EXPLAIN
+    // restores nothing (spec-pinned), the executed row reports
+    // (version, restored_gen, files_readded, files_retired), and the
+    // restore is METADATA-ONLY — gen 1's files are retired by one
+    // commit, zero data bytes move, and the in-between history stays
+    // readable AS OF. Re-running the statement is idempotent: a table
+    // already in the target state lands no commit (the declared query
+    // runs the TVF on every invocation to prove it). Oracle: the
+    // even-keys aggregate.
+    Q("q228_sql_restore",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttrs_", s"q228:$d")
+        graft.GraftFunctions.register(s) // graft_restore TVF
+        if (TimeTravel.currentVersion(root) < 0) {
+          val o = orders3(s, d)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 2 === 0))
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 2 === 1))
+        }
+        // every invocation drives the restore from SQL: the FIRST lands
+        // the rollback commit (retiring gen 1's files), re-runs are
+        // no-ops that keep version and file set unchanged
+        val rep = s.sql(s"SELECT * FROM graft_restore('$root', 0)").head()
+        require(rep.getLong(1) == 0L && rep.getLong(2) == 0L,
+          s"q228: restore of an append must re-add nothing, got $rep")
+        prioAgg(TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q229 DELETION-VECTOR SQL DELETE (r15 verdict #4): with
+    // `graft.enableDeletionVectors` set as a TBLPROPERTY, an UNALIGNED
+    // `DELETE FROM cat.t WHERE k BETWEEN …` routes through the
+    // merge-on-read DV path instead of the copy-on-write rewrite — the
+    // commit rewrites ZERO data files (required inline below and
+    // spec-pinned), masking ~2 bytes/row instead of rewriting the
+    // touched files' bytes; aligned predicates keep the q205 metadata
+    // path. SELECT reads through the mask, and with CDF on the deleted
+    // rows land as change files in the SAME commit — the `del` leg
+    // reads them back through graft_row_changes. Oracle: the band
+    // split replayed over orders.
+    Q("q229_sql_dv_delete",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders, p WHERE o_orderkey NOT BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'del' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat229_", s"q229:$d")
+        val root = s"$wh/dv"
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat229" -> CatalogClass,
+          "spark.sql.catalog.gcat229.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat229.dv SET TBLPROPERTIES (" +
+              "'graft.enableDeletionVectors' = 'true')")
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("ALTER TABLE gcat229.dv SET TBLPROPERTIES (" +
+              "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(root) < 3) {
+            val before = TimeTravel.snapshotFiles(root, 2).sorted
+            s.sql("DELETE FROM gcat229.dv WHERE o_orderkey BETWEEN " +
+              s"${mx / 4} AND ${mx / 2}")
+            // the DV contract: a merge-on-read delete rewrites NO data
+            // files — the snapshot's file set is byte-identical
+            require(TimeTravel.snapshotFiles(root,
+                TimeTravel.currentVersion(root)).sorted == before,
+              "q229: DV delete must not rewrite data files")
+          }
+          s.sql(
+            s"""SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               |    AS total
+               |FROM gcat229.dv GROUP BY o_orderpriority
+               |UNION ALL
+               |SELECT 'del' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               |    AS total
+               |FROM graft_row_changes('$root', 2, 3)
+               |WHERE _change_type = 'delete' GROUP BY o_orderpriority
+               |ORDER BY leg, o_orderpriority""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q230 TIMESTAMP-BOUNDED CHANGE FEED (Delta's `table_changes` with
+    // timestamps — r15 verdict #7): the q191 row-level feed bounded by
+    // WALL-CLOCK time instead of generation numbers. Both bounds
+    // resolve through the q187 TIMESTAMP AS OF machinery over
+    // IN-COMMIT timestamps (r15 verdict #6 — resolution survives
+    // mtime-scrambled log files, spec-pinned), so the `ts` leg —
+    // bounded by gen 0's and gen 3's own commit timestamps — is
+    // hash-equal to the generation-bounded `gen` leg, row for row.
+    // Oracle: the delete + update pre/post images replayed twice.
+    Q("q230_row_changes_ts",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS l1,
+             |                  max(o_orderkey)//2 AS h1,
+             |                  max(o_orderkey)//2+1 AS l2,
+             |                  3*max(o_orderkey)//4 AS h2 FROM orders),
+             |ch AS (
+             |  SELECT 'delete' AS change_type, o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l1 AND p.h1
+             |  UNION ALL SELECT 'update_preimage', o_totalprice FROM orders, p
+             |    WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |  UNION ALL SELECT 'update_postimage', o_totalprice * 2
+             |    FROM orders, p WHERE o_orderkey BETWEEN p.l2 AND p.h2
+             |),
+             |agg AS (SELECT change_type, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total FROM ch GROUP BY change_type)
+             |SELECT 'gen' AS leg, * FROM agg
+             |UNION ALL SELECT 'ts' AS leg, * FROM agg
+             |ORDER BY leg, change_type""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val root = cdfTable(s, d)
+        graft.GraftFunctions.register(s) // graft_row_changes_ts TVF
+        val times = TimeTravel.commitTimes(root).toMap
+        val (t0, t1) = (times(0), times(3))
+        s.sql(
+          s"""WITH g AS (SELECT _change_type, o_totalprice
+             |           FROM graft_row_changes('$root', 0, 3)),
+             |ts AS (SELECT _change_type, o_totalprice
+             |       FROM graft_row_changes_ts('$root', $t0, $t1))
+             |SELECT 'gen' AS leg, _change_type AS change_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM g GROUP BY _change_type
+             |UNION ALL
+             |SELECT 'ts' AS leg, _change_type AS change_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM ts GROUP BY _change_type
+             |ORDER BY leg, change_type""".stripMargin)
       })
   )
 }

@@ -1098,8 +1098,21 @@ object TimeTravel extends QueryModule {
       gen: Int, removed: Seq[String], temps: Seq[String],
       cols: Seq[String]): Seq[String] =
     if (gen < 0 || !cdfEnabled(root, gen) ||
-        colmapAsOf(root, gen).nonEmpty ||
         (removed.isEmpty && temps.isEmpty)) Nil
+    else if (colmapAsOf(root, gen).nonEmpty)
+      // COLUMN-MAPPED + CDF is an unsupported combination for row-level
+      // rewrites: the table's files carry PHYSICAL names while the
+      // change-file contract here writes logical ones — silently
+      // emitting nothing made the gap surface only later, as a
+      // misleading 'CDF was not enabled' at graft_row_changes time
+      // (r15 ADVICE). Refuse at WRITE time instead, where the user can
+      // still choose.
+      throw new UnsupportedOperationException(
+        s"time travel: change data feed on column-mapped table $root — " +
+          "row-level DML cannot write change files for a table with " +
+          "renamed/dropped columns; disable graft.enableChangeDataFeed " +
+          "on this table (or avoid column mapping) before DELETE/" +
+          "UPDATE/MERGE")
     else {
       val sel = cols.map(col)
       val after =
@@ -1206,14 +1219,29 @@ object TimeTravel extends QueryModule {
 
   // ---- TIMESTAMP AS OF ------------------------------------------------
 
-  /** Every commit's (version, timestamp): the commit file's modification
-    * time, strictly increasing by construction ([[commitNames]]
-    * monotonizes same-millisecond neighbors, Delta's in-commit-timestamp
-    * discipline). One name listing + one getFileStatus per commit. */
+  /** A commit's IN-COMMIT timestamp (the `ts` field [[commitNames]]
+    * writes at claim time — Delta's inCommitTimestamps); None for
+    * pre-ts logs, whose commits fall back to file mtime. */
+  private def commitTsIn(txt: String): Option[Long] =
+    parseArr(txt, "ts").headOption.flatMap(t =>
+      try Some(t.toLong) catch { case _: NumberFormatException => None })
+
+  /** Every commit's (version, timestamp): the IN-COMMIT `ts` field when
+    * present (authoritative — survives mtime-perturbing copies, backups
+    * and touches of the log files; r15 verdict #6), the commit file's
+    * modification time for pre-ts logs. The fold monotonizes, so a
+    * mixed old/new log still resolves strictly-increasing times. One
+    * name listing + one content read per commit — the same O(commits)
+    * metadata cost every other resolution path pays. */
   def commitTimes(root: String): Seq[(Int, Long)] = {
     val (fs, commits, _) = listLog(root)
+    var last = 0L
     commits.map { case (v, f) =>
-      (v, fs.getFileStatus(f).getModificationTime)
+      val raw = commitTsIn(readBytes(fs, f)).getOrElse(
+        fs.getFileStatus(f).getModificationTime)
+      val t = math.max(raw, last + 1)
+      last = t
+      (v, t)
     }
   }
 
@@ -1662,7 +1690,9 @@ object TimeTravel extends QueryModule {
           throw new IllegalArgumentException(
             s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
               "row-deleted without change files (CDF was not enabled " +
-              "when it ran) — row-level changes are not reconstructible")
+              "when it ran, or the table was column-mapped — the " +
+              "CDF-refusing combination) — row-level changes are not " +
+              "reconstructible")
         else added.map(f => (dataPath(root, f), false, v))
       }
   }
@@ -1688,7 +1718,8 @@ object TimeTravel extends QueryModule {
         throw new IllegalArgumentException(
           s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
             "row-deleted without change files (CDF was not enabled when " +
-            "it ran) — row-level changes are not reconstructible; " +
+            "it ran, or the table was column-mapped — the CDF-refusing " +
+            "combination) — row-level changes are not reconstructible; " +
             "diff snapshots instead")
       else if (added.nonEmpty)
         Some(s.read.parquet(added.map(f => dataPath(root, f)): _*)
@@ -1767,6 +1798,15 @@ object TimeTravel extends QueryModule {
       s"time travel: cannot restore $root to $toGen (latest: $cur)")
     val target = resolveSnapshot(root, toGen)._1
     val current = resolveSnapshot(root, cur)._1
+    // IDEMPOTENT when there is nothing to roll back (file set, DV state
+    // and schema already match the target): return the current version
+    // without landing an empty commit — a re-run maintenance statement
+    // must not grow the log (the graft_optimize discipline).
+    if (target.toSet == current.toSet &&
+        dvsFor(root, toGen) == dvsFor(root, cur) &&
+        schemaAsOf(root, toGen).map(_.toDDL) ==
+          schemaAsOf(root, cur).map(_.toDDL))
+      return cur
     // deletion-vector state rolls back with the data: for every file of
     // the target snapshot whose DV differs between then and now, re-log
     // the target's vector — or the explicit clear marker when it had
@@ -2138,8 +2178,18 @@ object TimeTravel extends QueryModule {
 
   /** Absolute references LIVE CLONES hold into `root`'s data directory
     * — resolved from the back-reference markers [[shallowClone]] plants.
-    * Markers whose clone directory no longer exists are deleted (self-
-    * cleaning) and contribute nothing. */
+    * A marker self-cleans ONLY when the clone's root directory
+    * verifiably does not exist (a plain `fs.exists == false`, no
+    * exception): an empty `currentVersion` also covers a log that is
+    * merely unreadable right now — an unmounted path, a relative root
+    * resolved from a different working directory, an object-store
+    * listing hiccup — and deleting the marker then would permanently
+    * unpin files the live clone still references (r15 ADVICE). A clone
+    * directory that EXISTS but has no readable commit log is ambiguous
+    * (half-deleted clone vs transient fault), so the vacuum fails
+    * loudly instead of guessing in either direction. Markers store the
+    * clone root VERBATIM — clone with absolute roots, or the existence
+    * probe answers for the wrong path. */
   private def cloneReferencedNames(root: String): Set[String] = {
     val (fs, _) = fsFor(root)
     val dir = new org.apache.hadoop.fs.Path(cloneMarkerDir(root))
@@ -2148,9 +2198,20 @@ object TimeTravel extends QueryModule {
     fs.listStatus(dir).filter(_.getPath.getName.endsWith(".clone"))
       .flatMap { st =>
         val dst = readBytes(fs, st.getPath).trim
-        if (currentVersion(dst) < 0) { // clone gone: marker self-cleans
+        val (dfs, dpath) = fsFor(dst)
+        val rootAbsent =
+          try !dfs.exists(dpath)
+          catch { case _: java.io.IOException => false } // can't verify
+        if (rootAbsent) { // clone verifiably gone: marker self-cleans
           fs.delete(st.getPath, false)
           Nil
+        } else if (currentVersion(dst) < 0) {
+          throw new IllegalStateException(
+            s"time travel: clone marker ${st.getPath} points at $dst, " +
+              "which exists but has no readable commit log — the " +
+              "clone's pinned files cannot be resolved; delete the " +
+              "clone directory (the marker then self-cleans) or the " +
+              "marker itself if the clone is known dead, then re-run")
         } else {
           val (cfs, commits, ckpts) = listLog(dst)
           (commits.flatMap { case (_, f) =>
@@ -2175,13 +2236,15 @@ object TimeTravel extends QueryModule {
     }
 
   /** The table's commit HISTORY as a DataFrame (Delta's DESCRIBE
-    * HISTORY): one row per commit — version, file add/remove counts, the
+    * HISTORY): one row per commit — version, its (in-commit, r15
+    * verdict #6) timestamp in epoch millis, file add/remove counts, the
     * ROW count the commit added (from the per-file footer counts the
     * commit records; null for pre-nrows logs), and its flags. The log is
     * metadata (KBs per commit), so this materializes driver-side like
     * every other resolution path. */
   def history(s: SparkSession, root: String): DataFrame = {
     val (fs, commits, _) = listLog(root)
+    var lastTs = 0L
     val rows = commits.map { case (v, f) =>
       val txt = readBytes(fs, f)
       val added = parseArr(txt, "added")
@@ -2190,14 +2253,21 @@ object TimeTravel extends QueryModule {
           try Some(n.toLong) catch { case _: NumberFormatException => None }
         case _ => None
       })
-      (v.toLong, added.size.toLong, parseArr(txt, "removed").size.toLong,
+      // same effective-timestamp rule as [[commitTimes]]: in-commit ts,
+      // mtime fallback, monotonized — DESCRIBE HISTORY and TIMESTAMP AS
+      // OF must never disagree about when a commit happened
+      val ts = math.max(commitTsIn(txt).getOrElse(
+        fs.getFileStatus(f).getModificationTime), lastTs + 1)
+      lastTs = ts
+      (v.toLong, ts, added.size.toLong,
+        parseArr(txt, "removed").size.toLong,
         if (added.isEmpty) Some(0L)
         else if (nr.size == added.size) Some(nr.sum)
         else None,
         parseArr(txt, "flags").mkString(","))
     }
     import s.implicits._
-    rows.toDF("version", "n_added", "n_removed", "n_rows", "flags")
+    rows.toDF("version", "ts", "n_added", "n_removed", "n_rows", "flags")
   }
 
   /** `graft_history(root)` — the history TVF plan builder. */
@@ -2435,8 +2505,9 @@ object TimeTravel extends QueryModule {
     // (Delta's numRecords); footer reads unless the caller already knows
     val nrows = nrowsIn.getOrElse(
       added.map(f => s"$f|${footerRows(root, f)}"))
-    def render(v: Int) =
-      s"""{"version":$v,"added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
+    def render(v: Int, ts: Long) =
+      s"""{"version":$v,"ts":["$ts"],""" +
+        s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
         s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""" +
         (if (stats.isEmpty) ""
          else s""","stats":[${stats.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
@@ -2497,25 +2568,32 @@ object TimeTravel extends QueryModule {
                 s"${conflicts.mkString(", ")} were rewritten or re-deleted " +
                 "by a concurrent commit; re-read the table and re-plan")
         }
+        // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps, r15 verdict
+        // #6): the claim-time instant is stored IN the commit JSON, so
+        // TIMESTAMP AS OF resolution survives anything that perturbs
+        // file modification times (backup/restore, rsync, a touch of the
+        // log dir). Monotonized against the previous commit's EFFECTIVE
+        // timestamp (its own ts field; mtime for pre-ts logs) so
+        // same-millisecond neighbors stay strictly increasing — one
+        // extra read of the previous commit per commit.
+        val prevTs =
+          if (v == 0) 0L
+          else {
+            val prev =
+              new org.apache.hadoop.fs.Path(s"${logDir(root)}/${v - 1}.json")
+            if (!fs.exists(prev)) 0L
+            else {
+              val txt = readBytes(fs, prev)
+              commitTsIn(txt).getOrElse(
+                fs.getFileStatus(prev).getModificationTime)
+            }
+          }
+        val ts = math.max(System.currentTimeMillis(), prevTs + 1)
         val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.c-$uid")
-        writeBytes(fs, tmp, render(v))
+        writeBytes(fs, tmp, render(v, ts))
         if (claimVersion(fs, tmp,
             new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json"))) {
           committed = true
-          // TIMESTAMP AS OF needs commit times to be strictly increasing
-          // (Delta monotonizes in-commit timestamps for the same reason):
-          // same-millisecond neighbors get mtime(prev)+1. One extra
-          // getFileStatus of the previous commit per commit.
-          if (v > 0) {
-            val dst = new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json")
-            val prev =
-              new org.apache.hadoop.fs.Path(s"${logDir(root)}/${v - 1}.json")
-            if (fs.exists(prev)) {
-              val pt = fs.getFileStatus(prev).getModificationTime
-              if (fs.getFileStatus(dst).getModificationTime <= pt)
-                fs.setTimes(dst, pt + 1, -1)
-            }
-          }
           // AUTO-CHECKPOINT every 10 generations (Delta's
           // checkpointInterval default): without it a one-commit-per-
           // micro-batch table makes every reader fold an ever-growing
@@ -2775,6 +2853,25 @@ object TimeTravel extends QueryModule {
       .queryExecution.logical
   }
 
+  /** `graft_row_changes_ts(root, t0Millis, t1Millis)` — the row-level
+    * CDF TIME-BOUNDED (Delta's `table_changes` with timestamps, r15
+    * verdict #7): both bounds resolve to generations through the q187
+    * machinery ([[versionAtTime]] over in-commit timestamps), and the
+    * feed is exactly [[readRowChanges]] over that range — the rows
+    * changed between the snapshot in force at `t0` and the one in force
+    * at `t1`. Bounds land ON a commit's timestamp inclusively (the
+    * at-or-before rule), so `(ts(g0), ts(g1))` ≡ `(g0, g1]`. */
+  def rowChangesTsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      "usage: graft_row_changes_ts(root, t0Millis, t1Millis)")
+    val root = litStr(exprs(0), "root")
+    readRowChanges(SparkSession.active, root,
+      versionAtTime(root, litLong(exprs(1), "t0Millis")),
+      versionAtTime(root, litLong(exprs(2), "t1Millis")))
+      .queryExecution.logical
+  }
+
   // ---- SQL maintenance verbs (r13 verdict #3): OPTIMIZE / ZORDER /
   // VACUUM as table-valued functions. The BUILDER runs at analysis time
   // (the graft_asof literal-argument contract) but the maintenance op
@@ -2849,6 +2946,33 @@ object TimeTravel extends QueryModule {
     val keepFrom = litInt(exprs(1), "keepFrom")
     maintPlan("expire", Seq("n_dropped")) {
       Seq(expireHistory(root, keepFrom).size.toLong)
+    }
+  }
+
+  /** `graft_restore(root, toGen)` — RESTORE from pure SQL ([[restore]]'s
+    * metadata-only rollback as a lazy maintenance verb): re-adds the
+    * target snapshot's files the current one dropped and retires the
+    * ones it gained, as ONE new commit — `EXPLAIN SELECT * FROM
+    * graft_restore(…)` restores nothing (the MaintenanceNode contract).
+    * Idempotent: restoring to a state the table is already in lands no
+    * commit. Returns (version, restored_gen, files_readded,
+    * files_retired). */
+  def restorePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_restore(root, toGen)")
+    val root = litStr(exprs(0), "root")
+    val toGen = litInt(exprs(1), "toGen")
+    maintPlan("restore",
+        Seq("version", "restored_gen", "files_readded", "files_retired")) {
+      val s = SparkSession.active
+      val cur = currentVersion(root)
+      require(toGen >= 0 && toGen <= cur,
+        s"time travel: cannot restore $root to $toGen (latest: $cur)")
+      val target = snapshotFiles(root, toGen).toSet
+      val current = snapshotFiles(root, cur).toSet
+      val v = restore(s, root, toGen)
+      Seq(v.toLong, toGen.toLong,
+        (target -- current).size.toLong, (current -- target).size.toLong)
     }
   }
 

@@ -82,6 +82,22 @@ object CdfDataSource {
   private[cdf] def rowFeed(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("readChangeFeed")).exists(_.toBoolean)
 
+  /** The feed's START generation: `startingGen` verbatim, or
+    * `startingTimestamp` (epoch millis) resolved through the q187
+    * machinery — the feed then delivers everything committed AFTER the
+    * snapshot in force at that instant (r15 verdict #7; in-commit
+    * timestamps make this resolution mtime-proof). Default −1: the
+    * whole history. The two options are mutually exclusive. */
+  private[cdf] def startGen(options: CaseInsensitiveStringMap,
+      root: String): Int = {
+    val byGen = Option(options.get("startingGen")).map(_.toInt)
+    val byTs = Option(options.get("startingTimestamp"))
+      .map(t => TimeTravel.versionAtTime(root, t.toLong))
+    require(byGen.isEmpty || byTs.isEmpty,
+      "cdf: startingGen and startingTimestamp are mutually exclusive")
+    byGen.orElse(byTs).getOrElse(-1)
+  }
+
   /** The constant-fill columns of one split in rowFeed mode: plain data
     * files get both tags; change files carry `_change_type` themselves. */
   private[cdf] def fillFor(isCdc: Boolean, v: Int): Map[String, String] =
@@ -123,8 +139,7 @@ final case class CdfTable(tableSchema: StructType, root: String)
             : MicroBatchStream = {
           require(TimeTravel.currentVersion(root) >= 0,
             s"cdf: no commit log under $root")
-          val startingGen =
-            Option(options.get("startingGen")).map(_.toInt).getOrElse(-1)
+          val startingGen = CdfDataSource.startGen(options, root)
           val maxGens =
             Option(options.get("maxGensPerTrigger")).map(_.toInt)
           require(maxGens.forall(_ > 0), "cdf: maxGensPerTrigger must be > 0")
@@ -138,12 +153,14 @@ final case class CdfTable(tableSchema: StructType, root: String)
         // pruning lands in `required` and flows to every split.
         override def toBatch
             : org.apache.spark.sql.connector.read.Batch = {
-          val from =
-            Option(options.get("startingGen")).map(_.toInt).getOrElse(-1)
+          val from = CdfDataSource.startGen(options, root)
           val live = TimeTravel.currentVersion(root)
           require(live >= 0, s"cdf: no commit log under $root")
           val to =
-            Option(options.get("endingGen")).map(_.toInt).getOrElse(live)
+            Option(options.get("endingGen")).map(_.toInt)
+              .orElse(Option(options.get("endingTimestamp")).map(t =>
+                TimeTravel.versionAtTime(root, t.toLong)))
+              .getOrElse(live)
           require(to <= live,
             s"cdf: endingGen $to is beyond the log's generation $live")
           val confB = new org.apache.spark.util.SerializableConfiguration(

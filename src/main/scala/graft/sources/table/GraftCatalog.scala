@@ -138,8 +138,38 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     TimeTravel.commitStagedFiles(SparkSession.active, rootFor(ident),
-      Nil, schema.toDDL, props = specProps(spec))
+      Nil, schema.toDDL,
+      props = specProps(spec) ++ userProps(properties, spec, schema))
     loadTable(ident)
+  }
+
+  /** `CREATE TABLE … TBLPROPERTIES (…)`: the user's `graft.*` keys land
+    * in the SAME generation-0 commit as the schema — a table can be
+    * born CDF-enabled / DV-enabled / schema-enforced instead of needing
+    * a follow-up ALTER (they used to be silently dropped). Spec keys
+    * validate exactly like the SET TBLPROPERTIES route and refuse when
+    * `PARTITIONED BY` already declared a spec — two sources of truth
+    * for the layout would diverge silently. Non-graft keys (Spark adds
+    * owner/provider and comment bookkeeping) are not table semantics
+    * here and are ignored. */
+  private def userProps(properties: java.util.Map[String, String],
+      spec: Seq[PartTerm], schema: StructType): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val graftProps = properties.asScala.toSeq
+      .filter(_._1.startsWith("graft.")).sortBy(_._1)
+    graftProps.foreach { case (k, v) =>
+      require(!k.contains("|"), s"graft catalog: bad property key '$k'")
+      if ((k == "graft.partitionSpec" || k == "graft.partitionCol")
+          && v.nonEmpty) {
+        require(spec.isEmpty,
+          s"graft catalog: TBLPROPERTIES $k conflicts with PARTITIONED " +
+            "BY — declare the partition layout exactly once")
+        validateTerms(
+          if (k == "graft.partitionSpec") PartSpec.parse(v)
+          else Seq(IdentityTerm(v)), schema)
+      }
+    }
+    graftProps.map { case (k, v) => s"$k|$v" }
   }
 
   /** The declared spec's table-property lines: a single identity column
@@ -182,6 +212,29 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         s"graft catalog: ${term.tag} transform on ${term.col} needs a " +
           s"DATE column, got $dt")
     }
+  }
+
+  /** RENAME/DROP COLUMN guard (r15 ADVICE): a column the ACTIVE
+    * partition spec references must not be renamed or dropped — the
+    * stored `graft.partitionSpec`/`graft.partitionCol` property would
+    * keep the stale name and every later INSERT or streaming write
+    * would fail with an obscure resolution error (Delta likewise blocks
+    * partition-column renames). Evolve the spec first:
+    * `ALTER TABLE … SET TBLPROPERTIES ('graft.partitionSpec' = …)`. */
+  private def requireNotSpecReferenced(root: String, colName: String,
+      what: String): Unit = {
+    val props = TimeTravel.propsAsOf(root, TimeTravel.currentVersion(root))
+    val terms: Seq[PartTerm] =
+      props.get("graft.partitionSpec").filter(_.nonEmpty)
+        .map(PartSpec.parse)
+        .orElse(props.get("graft.partitionCol").filter(_.nonEmpty)
+          .map(c => Seq(IdentityTerm(c)): Seq[PartTerm]))
+        .getOrElse(Nil)
+    require(!terms.exists(_.col == colName),
+      s"graft catalog: cannot $what COLUMN $colName — it is referenced " +
+        "by the table's active partition spec; evolve the spec first " +
+        "(ALTER TABLE … SET TBLPROPERTIES ('graft.partitionSpec' = …), " +
+        "or clear it with an empty value)")
   }
 
   /** `PARTITIONED BY` transforms → [[PartTerm]]s (r14 verdict #1):
@@ -286,10 +339,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             "be a foldable literal")
           require(lit.value() != null, "graft catalog: a NULL default " +
             "is the schema-on-read behavior already — omit DEFAULT")
+          // the READER's supported default set (GraftLogTable.defaults)
+          // is the gate: accepting any literal type here would make
+          // every later scan of the table throw on an unconvertible
+          // graft.default.* property (r15 ADVICE) — refuse at ALTER
+          // time, where the statement is still the user's to fix
           a.dataType() match {
-            case org.apache.spark.sql.types.DateType =>
-              lit.value().toString // epoch-day int
-            case _ => lit.value().toString
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.DateType | // epoch-day int
+                 org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.BooleanType |
+                 org.apache.spark.sql.types.StringType =>
+              lit.value().toString
+            case other => throw new UnsupportedOperationException(
+              s"graft catalog: ADD COLUMN … DEFAULT on type $other is " +
+                "not supported — defaults are readable for BIGINT, INT, " +
+                "DATE, DOUBLE, FLOAT, BOOLEAN and STRING columns; add " +
+                "the column without DEFAULT (null-fills) instead")
           }
         }
         TimeTravel.addColumnMapped(s, root, a.fieldNames()(0),
@@ -297,10 +365,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
+        requireNotSpecReferenced(root, r.fieldNames()(0), "RENAME")
         TimeTravel.renameColumn(s, root, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "graft catalog: nested DROP COLUMN is not supported")
+        requireNotSpecReferenced(root, d.fieldNames()(0), "DROP")
         TimeTravel.dropColumnMapped(s, root, d.fieldNames()(0))
       // `ALTER COLUMN … TYPE` — type WIDENING only (Delta's feature):
       // metadata-only, old files keep narrow bytes, readers up-convert
@@ -387,7 +457,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     GraftStagedTable(schema, rootFor(ident), replace = false,
-      preExisting = false, partSpec = spec)
+      preExisting = false, partSpec = spec,
+      userProps = userProps(properties, spec, schema))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -396,7 +467,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val spec = partSpecOf(partitions, schema)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = true, partSpec = spec)
+      preExisting = true, partSpec = spec,
+      userProps = userProps(properties, spec, schema))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -404,7 +476,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       properties: java.util.Map[String, String]): StagedTable = {
     val spec = partSpecOf(partitions, schema)
     GraftStagedTable(schema, rootFor(ident), replace = true,
-      preExisting = tableExists(ident), partSpec = spec)
+      preExisting = tableExists(ident), partSpec = spec,
+      userProps = userProps(properties, spec, schema))
   }
 }
 
@@ -415,7 +488,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   * a REPLACE (the live table must survive its failed replacement). */
 final case class GraftStagedTable(tableSchema: StructType, root: String,
     replace: Boolean, preExisting: Boolean,
-    partSpec: Seq[PartTerm] = Nil)
+    partSpec: Seq[PartTerm] = Nil, userProps: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
 
   override def name(): String = s"graft:staged:$root"
@@ -439,7 +512,7 @@ final case class GraftStagedTable(tableSchema: StructType, root: String,
       case Nil => Nil
       case Seq(IdentityTerm(c)) => Seq(s"graft.partitionCol|$c")
       case terms => Seq(s"graft.partitionSpec|${PartSpec.format(terms)}")
-    })
+    }) ++ userProps // CTAS TBLPROPERTIES land in the same single commit
     val b = new CdfWriteBuilder(info.schema(), root, info.queryId(),
       Option(partSpec).filter(_.nonEmpty), createProps = props)
     if (replace && preExisting) b.truncate()
@@ -524,23 +597,89 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
     * values — e.g. a whole partition value, or a key range covering
     * whole clustered cells). The delete is then ONE remove-only commit:
     * zero rows scanned, zero bytes rewritten, old snapshots intact —
-    * Delta's partition-delete. Anything unaligned refuses here and
-    * Spark falls back to the copy-on-write row-level path. */
+    * Delta's partition-delete. Unaligned predicates fall to the
+    * DELETION-VECTOR path when the table opts in
+    * (`graft.enableDeletionVectors` TBLPROPERTY, r15 verdict #4):
+    * merge-on-read masking that rewrites ZERO data files — a point
+    * DELETE costs ~bytes-per-deleted-row instead of the touched files'
+    * bytes, the economics that matter at 100 TB. Anything neither
+    * aligned nor DV-expressible refuses here and Spark falls back to
+    * the copy-on-write row-level rewrite — exactly Delta's
+    * partition-delete / DV / copy-on-write split. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    writable && FileSkip.aligned(readSide.files, readSide.stats,
-      readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
+    writable && (alignedWhere(filters) ||
+      (dvEnabled && dvRange(filters).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable()
-    val removed = FileSkip.full(readSide.files, readSide.stats,
-      readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
-    // CDF on: the deleted rows are exactly the removed files' live
-    // contents — emit them so the row-level feed crosses the commit
-    TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
-      tableSchema.toDDL, removed = removed,
-      cdc = TimeTravel.cdcForRemovedFiles(SparkSession.active, root, gen,
-        removed))
+    if (alignedWhere(filters)) {
+      val removed = FileSkip.full(readSide.files, readSide.stats,
+        readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
+      // CDF on: the deleted rows are exactly the removed files' live
+      // contents — emit them so the row-level feed crosses the commit
+      TimeTravel.commitStagedFiles(SparkSession.active, root, Nil,
+        tableSchema.toDDL, removed = removed,
+        cdc = TimeTravel.cdcForRemovedFiles(SparkSession.active, root, gen,
+          removed))
+    } else {
+      val (c, lo, hi) = dvRange(filters).getOrElse(
+        throw new IllegalStateException(
+          "graft catalog: deleteWhere called with filters canDeleteWhere " +
+            "did not accept"))
+      // physical == logical here: dvRange refuses column-mapped tables
+      TimeTravel.deleteVectorWhere(SparkSession.active, root, c, lo, hi)
+    }
     ()
+  }
+
+  private def alignedWhere(filters: Array[Filter]): Boolean =
+    FileSkip.aligned(readSide.files, readSide.stats,
+      readSide.pvals, FileSkip.mapCols(filters.toSeq, readSide.phys))
+
+  private def dvEnabled: Boolean =
+    TimeTravel.propsAsOf(root, gen)
+      .get("graft.enableDeletionVectors").contains("true")
+
+  /** The single-column integral range `[lo, hi]` the ENTIRE filter set
+    * (implicitly ANDed) pins down, when it does — the predicate shape
+    * [[TimeTravel.deleteVectorWhere]] serves. Bounds on one BIGINT/INT
+    * column intersect; IsNotNull on that column is implied by any
+    * range. Column-mapped or defaulted tables refuse (the DV writer
+    * reads raw parquet under physical names with no default fill), as
+    * does any filter on another column or a non-range shape — those
+    * fall back to copy-on-write. */
+  private def dvRange(filters: Array[Filter]): Option[(String, Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    def num(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case _ => None
+    }
+    val bounds: Array[Option[(String, Long, Long)]] = filters.map {
+      case EqualTo(c, v) => num(v).map(n => (c, n, n))
+      case GreaterThan(c, v) =>
+        num(v).filter(_ < Long.MaxValue).map(n => (c, n + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => num(v).map(n => (c, n, Long.MaxValue))
+      case LessThan(c, v) =>
+        num(v).filter(_ > Long.MinValue).map(n => (c, Long.MinValue, n - 1))
+      case LessThanOrEqual(c, v) => num(v).map(n => (c, Long.MinValue, n))
+      case IsNotNull(c) => Some((c, Long.MinValue, Long.MaxValue))
+      case _ => None
+    }
+    if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+    else {
+      val bs = bounds.flatten
+      val cols = bs.map(_._1).distinct
+      val integral = cols.length == 1 &&
+        tableSchema.fields.find(_.name == cols.head).map(_.dataType).exists {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType => true
+          case _ => false
+        }
+      if (!integral || readSide.colmap.nonEmpty || readSide.defaults.nonEmpty)
+        None
+      else Some((cols.head, bs.map(_._2).max, bs.map(_._3).min))
+    }
   }
 
   /** SQL `TRUNCATE TABLE`: retire the whole current snapshot in one

@@ -47,6 +47,43 @@ class CdfSourceSpec extends SparkSpec {
       orders.agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("startingTimestamp/endingTimestamp bound the feed via in-commit timestamps (r15 verdict #7)") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 3 === 0)
+    val b = orders.filter(col("o_orderkey") % 3 === 1)
+    val c = orders.filter(col("o_orderkey") % 3 === 2)
+    TimeTravel.commit(spark, root, a)
+    TimeTravel.commit(spark, root, b)
+    TimeTravel.commit(spark, root, c)
+    val times = TimeTravel.commitTimes(root).toMap
+    // batch: (ts(g0), ts(g1)] ≡ (0, 1] — exactly generation 1's rows
+    val got = spark.read.format("graft.sources.cdf.CdfDataSource")
+      .option("startingTimestamp", times(0))
+      .option("endingTimestamp", times(1))
+      .load(root)
+    assert(got.count() === b.count())
+    assert(got.agg(sum("o_orderkey")).head().getLong(0)
+      === b.agg(sum("o_orderkey")).head().getLong(0))
+    // streaming: startingTimestamp resolves the initial offset the same
+    // way — the drain delivers generations 2..3 only
+    val q = spark.readStream.format("graft.sources.cdf.CdfDataSource")
+      .option("startingTimestamp", times(1)).load(root)
+      .writeStream.format("memory").queryName("cdf_ts_drain")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("cdf_ts_drain").count() === c.count())
+    // the two start options are mutually exclusive — loud, not a guess
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.cdf.CdfDataSource")
+        .option("startingGen", 0).option("startingTimestamp", times(0))
+        .load(root).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("mutually exclusive")), s"$ex")
+  }
+
   test("a nodata compaction is skipped; its files never enter a batch") {
     val root = newRoot()
     val a = orders.filter(col("o_orderkey") % 3 === 1)

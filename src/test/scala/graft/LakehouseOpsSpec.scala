@@ -255,16 +255,20 @@ class LakehouseOpsSpec extends SparkSpec {
     TimeTravel.commit(spark, root, b)
     TimeTravel.compact(spark, root, 1)
     val h = TimeTravel.history(spark, root).orderBy("version").collect()
-    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
-    assert(h(0).getLong(3) === a.count())
-    assert(h(1).getLong(3) === b.count())
-    assert(h(2).getLong(3) === a.count() + b.count())
-    assert(h(2).getString(4) === "nodata")
-    assert(h(0).getString(4) === "")
+    assert(h.map(_.getAs[Long]("version")).toSeq === Seq(0L, 1L, 2L))
+    assert(h(0).getAs[Long]("n_rows") === a.count())
+    assert(h(1).getAs[Long]("n_rows") === b.count())
+    assert(h(2).getAs[Long]("n_rows") === a.count() + b.count())
+    assert(h(2).getAs[String]("flags") === "nodata")
+    assert(h(0).getAs[String]("flags") === "")
+    // the in-commit timestamp column: strictly increasing, real epochs
+    assert(h.map(_.getAs[Long]("ts")).sliding(2).forall(p => p(0) < p(1)))
+    assert(h(0).getAs[Long]("ts") > 1500000000000L)
     // n_added/n_removed are file counts: the compaction added 1, removed
     // what the two appends wrote
-    assert(h(2).getLong(1) === 1L)
-    assert(h(2).getLong(2) === h(0).getLong(1) + h(1).getLong(1))
+    assert(h(2).getAs[Long]("n_added") === 1L)
+    assert(h(2).getAs[Long]("n_removed") ===
+      h(0).getAs[Long]("n_added") + h(1).getAs[Long]("n_added"))
     // and the TVF surface returns the same rows
     GraftFunctions.register(spark)
     val viaSql = spark.sql(

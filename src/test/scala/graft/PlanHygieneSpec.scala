@@ -271,15 +271,16 @@ class PlanHygieneSpec extends SparkSpec {
       s"corpus scan leaked into the post-round output plan:\n$p")
   }
 
-  test("q223: EM rounds are materialized — the output plan reads no files") {
-    // The trained vocabulary is a localCheckpointed frame; the declared
-    // output (vocab + rank window) must read only those checkpointed
-    // rows — a file scan here would replay both EM rounds' corpus-
-    // derived lineage at every output action.
+  test("q223: training is persisted — the output plan reads only the vocab index") {
+    // The trained vocabulary is PERSISTED once per corpus (the q125
+    // build-once/serve-many pattern, r15 verdict #1): the declared
+    // output (vocab + rank window) must read only that KB-sized index
+    // parquet — a corpus scan here would replay the EM rounds'
+    // document-derived lineage at every output action.
     val p = plan("q223_unigram_train")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"expected the checkpointed final vocabulary:\n$p")
-    assert(!p.contains("FileScan") && !p.contains("parquet"),
+    assert(p.contains("graft_uni_vocab"),
+      s"expected a scan of the persisted vocabulary index:\n$p")
+    assert(!p.contains("documents"),
       s"corpus scan leaked into the post-training output plan:\n$p")
   }
 

@@ -1507,4 +1507,285 @@ class TableSourceSpec extends SparkSpec {
           .head().getDecimal(0))
     }
   }
+
+  test("q229 DV-routed SQL DELETE: opt-in unaligned deletes rewrite zero files; aligned and non-range shapes keep their paths") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dvdel_").toString
+    val root = s"$wh/dv"
+    val base = orders.limit(800)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(keys.length / 4), keys(keys.length / 2))
+    withConfs(
+      "spark.sql.catalog.vcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.vcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE vcat.dv SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      val before = TimeTravel.snapshotFiles(root, 1).toSet
+      spark.sql(s"DELETE FROM vcat.dv WHERE o_orderkey BETWEEN $lo AND $hi")
+      val gen = TimeTravel.currentVersion(root)
+      assert(gen === 2, "the DV delete did not land exactly one commit")
+      // merge-on-read: the data-file set is IDENTICAL — the delete cost
+      // a position sidecar, not the touched files' bytes
+      assert(TimeTravel.snapshotFiles(root, gen).toSet === before,
+        "a DV-routed DELETE rewrote or retired data files")
+      val expect = base.filter(!col("o_orderkey").between(lo, hi)).count()
+      assert(spark.sql("SELECT count(*) FROM vcat.dv").head().getLong(0)
+        === expect)
+      assert(spark.sql(s"SELECT count(*) FROM vcat.dv " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi").head().getLong(0) === 0L,
+        "masked rows surfaced through the catalog scan")
+      // the pre-delete snapshot reads unmasked
+      assert(spark.sql("SELECT count(*) FROM vcat.dv VERSION AS OF 1")
+        .head().getLong(0) === base.count())
+      // a second DV delete COMPOSES (positions union, still zero rewrites)
+      spark.sql(s"DELETE FROM vcat.dv WHERE o_orderkey = ${keys.last}")
+      assert(TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet === before)
+      assert(spark.sql("SELECT count(*) FROM vcat.dv").head().getLong(0)
+        === expect - 1)
+      // a NON-RANGE predicate (string equality, unaligned) is not
+      // DV-expressible: the copy-on-write rewrite serves it — file set
+      // changes, result stays exact, masked rows stay gone
+      val minP = base.agg(min("o_orderpriority")).head().getString(0)
+      spark.sql(s"DELETE FROM vcat.dv WHERE o_orderpriority = '$minP'")
+      assert(TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet !== before,
+        "the non-range DELETE did not fall back to copy-on-write")
+      val expect2 = base.filter(!col("o_orderkey").between(lo, hi))
+        .filter(col("o_orderkey") =!= keys.last)
+        .filter(col("o_orderpriority") =!= minP).count()
+      assert(spark.sql("SELECT count(*) FROM vcat.dv").head().getLong(0)
+        === expect2)
+    }
+    // an ALIGNED predicate keeps the q205 metadata path even with DVs
+    // enabled: remove-only commit, zero rows scanned
+    val root2 = s"$wh/pt"
+    TimeTravel.commitPartitioned(spark, root2, base, "o_orderpriority")
+    val minP = base.agg(min("o_orderpriority")).head().getString(0)
+    withConfs(
+      "spark.sql.catalog.vcat2" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.vcat2.warehouse" -> wh) {
+      spark.sql("ALTER TABLE vcat2.pt SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      TableMetrics.reset()
+      spark.sql(s"DELETE FROM vcat2.pt WHERE o_orderpriority = '$minP'")
+      assert(openedUnder(root2) === 0,
+        "an aligned DELETE row-scanned despite the metadata path")
+      assert(TimeTravel.snapshotFiles(root2, 2).size
+        < TimeTravel.snapshotFiles(root2, 0).size,
+        "the aligned DELETE did not retire the partition's files")
+    }
+  }
+
+  test("ALTER guards: partition-spec columns refuse RENAME/DROP; unsupported DEFAULT types refuse at ALTER (r15 ADVICE)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_guard_").toString
+    withConfs(
+      "spark.sql.catalog.gcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.gcat.warehouse" -> wh) {
+      spark.sql("CREATE TABLE gcat.t (k BIGINT, p STRING, d DATE) " +
+        "PARTITIONED BY (p)")
+      spark.sql("INSERT INTO gcat.t VALUES (1, 'a', DATE'2024-01-02')")
+      // renaming/dropping the spec-referenced column would strand the
+      // stored spec on a stale name (every later INSERT fails obscurely)
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcat.t RENAME COLUMN p TO q")
+      }
+      assert(e1.getMessage.contains("partition spec"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcat.t DROP COLUMN p")
+      }
+      assert(e2.getMessage.contains("partition spec"), e2.getMessage)
+      // a TRANSFORM-spec column refuses the same way
+      spark.sql("CREATE TABLE gcat.t2 (k BIGINT, d DATE) " +
+        "PARTITIONED BY (months(d))")
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcat.t2 RENAME COLUMN d TO dd")
+      }
+      assert(e3.getMessage.contains("partition spec"), e3.getMessage)
+      // non-spec columns still evolve freely
+      spark.sql("ALTER TABLE gcat.t RENAME COLUMN k TO kk")
+      // evolving the spec away (clear marker) legalizes the rename, and
+      // later INSERTs still land
+      spark.sql("ALTER TABLE gcat.t SET TBLPROPERTIES (" +
+        "'graft.partitionCol' = '')")
+      spark.sql("ALTER TABLE gcat.t RENAME COLUMN p TO q")
+      spark.sql("INSERT INTO gcat.t VALUES (2, 'b', DATE'2024-02-03')")
+      assert(spark.sql("SELECT count(*) FROM gcat.t").head().getLong(0)
+        === 2L)
+      // an unsupported DEFAULT type (TIMESTAMP — the reader cannot
+      // convert it) refuses AT ALTER; the table stays fully scannable
+      val e4 = intercept[Exception] {
+        spark.sql("ALTER TABLE gcat.t ADD COLUMN ts TIMESTAMP " +
+          "DEFAULT TIMESTAMP'2020-01-01 00:00:00'")
+      }
+      assert(e4.getMessage.contains("DEFAULT"), e4.getMessage)
+      assert(spark.sql("SELECT * FROM gcat.t").collect().length === 2)
+      // a supported default still works end-to-end
+      spark.sql("ALTER TABLE gcat.t ADD COLUMN tag STRING DEFAULT 'x'")
+      assert(spark.sql("SELECT count(*) FROM gcat.t WHERE tag = 'x'")
+        .head().getLong(0) === 2L)
+    }
+  }
+
+  test("row-level DML on a column-mapped CDF table refuses at WRITE time (r15 ADVICE)") {
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    val wh = java.nio.file.Files.createTempDirectory("graft_cmcdf_").toString
+    val root = s"$wh/cm"
+    val base = orders.limit(300)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 2)
+    withConfs(
+      "spark.sql.catalog.ccat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.ccat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE ccat.cm SET TBLPROPERTIES (" +
+        "'graft.enableChangeDataFeed' = 'true')")
+      spark.sql("ALTER TABLE ccat.cm RENAME COLUMN o_totalprice TO price")
+      val before = TimeTravel.currentVersion(root)
+      // CDF + column mapping cannot write row-change files — the old
+      // behavior emitted NOTHING and the gap surfaced only at
+      // graft_row_changes time as a misleading 'CDF was not enabled';
+      // now the DML itself refuses, where the user can still choose
+      val e = intercept[Exception] {
+        spark.sql("UPDATE ccat.cm SET price = price * 2 " +
+          "WHERE o_orderkey <= 100")
+      }
+      assert(chain(e).exists(t => Option(t.getMessage)
+          .exists(_.contains("column-mapped"))),
+        s"wrong refusal: $e")
+      assert(TimeTravel.currentVersion(root) === before,
+        "the refused DML landed a commit")
+      // disabling CDF re-enables row-level DML on the mapped table
+      spark.sql("ALTER TABLE ccat.cm SET TBLPROPERTIES (" +
+        "'graft.enableChangeDataFeed' = 'false')")
+      spark.sql("UPDATE ccat.cm SET price = price * 2 " +
+        "WHERE o_orderkey <= 100")
+      val expect = base.withColumn("o_totalprice",
+        when(col("o_orderkey") <= 100, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().getDecimal(0)
+      assert(spark.sql(
+        "SELECT sum(CAST(price AS DECIMAL(18,2))) FROM ccat.cm")
+        .head().getDecimal(0) === expect)
+    }
+  }
+
+  test("CREATE TABLE / CTAS TBLPROPERTIES: graft.* keys land in the generation-0 commit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ctp_").toString
+    withConfs(
+      "spark.sql.catalog.pcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.pcat.warehouse" -> wh) {
+      // born CDF-enabled: no follow-up ALTER, the FIRST DML already
+      // writes change files (these used to be silently dropped)
+      spark.sql("CREATE TABLE pcat.t (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true')")
+      assert(TimeTravel.propsAsOf(s"$wh/t", 0)
+        .get("graft.enableChangeDataFeed").contains("true"),
+        "CREATE TABLE dropped the TBLPROPERTIES")
+      spark.sql("INSERT INTO pcat.t VALUES (1, CAST(1.5 AS DOUBLE)), " +
+        "(2, CAST(2.5 AS DOUBLE))")
+      spark.sql("DELETE FROM pcat.t WHERE k = 1")
+      val feed = TimeTravel.readRowChanges(spark, s"$wh/t", 1, 2)
+      assert(feed.filter(col("_change_type") === "delete").count() === 1L,
+        "a table born CDF-enabled wrote no change files")
+      // CTAS: the property rides the SAME single commit as the data
+      spark.sql("CREATE TABLE pcat.c " +
+        "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true') " +
+        "AS SELECT CAST(id AS BIGINT) AS k FROM range(10)")
+      assert(TimeTravel.currentVersion(s"$wh/c") === 0)
+      assert(TimeTravel.propsAsOf(s"$wh/c", 0)
+        .get("graft.enableDeletionVectors").contains("true"))
+      // a property-declared partition layout governs later INSERTs
+      spark.sql("CREATE TABLE pcat.p (k BIGINT, p STRING) " +
+        "TBLPROPERTIES ('graft.partitionCol' = 'p')")
+      spark.sql("INSERT INTO pcat.p VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+      assert(spark.sql("SELECT count(*) FROM pcat.p WHERE p = 'a'")
+        .head().getLong(0) === 2L)
+      // ...but TWO sources of truth for the layout refuse loudly
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE pcat.x (k BIGINT, p STRING) " +
+          "PARTITIONED BY (p) " +
+          "TBLPROPERTIES ('graft.partitionCol' = 'k')")
+      }
+      assert(e.getMessage.contains("exactly once"), e.getMessage)
+      // and a spec over a missing column fails the CREATE, not an INSERT
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE pcat.y (k BIGINT) " +
+          "TBLPROPERTIES ('graft.partitionCol' = 'nope')")
+      }
+      assert(e2.getMessage.contains("not in the table schema"),
+        e2.getMessage)
+    }
+  }
+
+  test("cross-process commit race: a second JVM's INSERTs interleave losslessly; its compaction conflicts a stale remove (r15 verdict #5)") {
+    // the in-JVM lock cannot serialize another process — this drives the
+    // claim protocol's REAL cross-process primitive (FileContext rename
+    // with Options.Rename.NONE) through a genuinely separate JVM
+    val cp = System.getProperty("java.class.path")
+    assume(cp != null && cp.contains("test-classes"),
+      "forked-test classpath unavailable; cannot spawn the child JVM")
+    val wh = java.nio.file.Files.createTempDirectory("graft_xjvm_").toString
+    val root = s"$wh/rt"
+    val n = 4
+    withConfs(
+      "spark.sql.catalog.xcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.xcat.warehouse" -> wh) {
+      spark.sql("CREATE TABLE xcat.rt (w INT, i INT)")
+      spark.sql("INSERT INTO xcat.rt VALUES (0, 0)")
+      val stale = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root))
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val childLog = java.nio.file.Files.createTempFile("graft_xjvm_", ".log")
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx1g", "-cp", cp,
+        "graft.RaceCommitter", wh, "rt", "7", n.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(childLog.toFile)
+      val child = pb.start()
+      // race the child: the parent's own INSERTs land through the same
+      // claim protocol while the child JVM commits
+      (1 to n).foreach(i => spark.sql(s"INSERT INTO xcat.rt VALUES (1, $i)"))
+      assert(child.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      if (child.exitValue() != 0) {
+        val log = new String(java.nio.file.Files.readAllBytes(childLog),
+          "UTF-8")
+        fail(s"child JVM failed (exit ${child.exitValue()}): " +
+          log.takeRight(2000))
+      }
+      // every commit landed exactly once: the create + 1 seed + 2n
+      // inserts + the child's compact claim distinct versions, and no
+      // rows were lost to a replaced commit file
+      assert(TimeTravel.currentVersion(root) === 2 * n + 2,
+        "commits were lost or double-claimed across processes")
+      assert(spark.sql("SELECT count(*) FROM xcat.rt").head().getLong(0)
+        === 2 * n + 1)
+      assert(spark.sql("SELECT count(*) FROM xcat.rt WHERE w = 7")
+        .head().getLong(0) === n, "a child-JVM INSERT was lost")
+      assert(spark.sql("SELECT count(*) FROM xcat.rt WHERE w = 1")
+        .head().getLong(0) === n, "a parent INSERT was lost")
+      // the child's compaction retired the seed files this JVM captured
+      // BEFORE the spawn: re-planning a remove against that stale state
+      // must surface the explicit cross-process conflict, never land
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TimeTravel.commit(spark, root,
+          spark.range(1).selectExpr("CAST(id AS INT) AS w",
+            "CAST(id AS INT) AS i"),
+          removed = stale)
+      }
+      assert(e.getMessage.contains("conflict"), e.getMessage)
+    }
+  }
 }

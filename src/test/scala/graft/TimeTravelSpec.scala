@@ -437,6 +437,108 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("predates"))
   }
 
+  test("in-commit timestamps: TIMESTAMP AS OF survives mtime-scrambled log files (r15 verdict #6)") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(50))
+    TimeTravel.commit(spark, root, orders.limit(80))
+    TimeTravel.commit(spark, root, orders.limit(20))
+    val times = TimeTravel.commitTimes(root)
+    // scramble every commit file's mtime to one ancient instant (what a
+    // backup/restore, rsync, or a stray `touch` of the log dir does):
+    // the in-commit ts fields are the resolution source, so commit
+    // times — and TIMESTAMP AS OF — are bit-identical to before
+    val dir = new java.io.File(s"$root/_graft_log")
+    dir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.setLastModified(1000000000000L))) // 2001
+    assert(TimeTravel.commitTimes(root) === times,
+      "commit times changed under an mtime scramble")
+    times.foreach { case (v, ts) =>
+      assert(TimeTravel.versionAtTime(root, ts) === v)
+    }
+    assert(TimeTravel.readAsOfTimestamp(spark, root, times(1)._2).count()
+      === 130)
+    // DESCRIBE HISTORY's ts column is the same effective timestamp —
+    // the two surfaces can never disagree about when a commit happened
+    assert(TimeTravel.history(spark, root)
+      .select("version", "ts").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).toSeq === times)
+    // PRE-TS logs (commits without the field) fall back to mtime and
+    // the fold monotonizes a mixed log: strictly increasing always
+    val c0 = new java.io.File(dir, "0.json")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(c0.toPath), "UTF-8")
+    val stripped = txt.replaceFirst("\"ts\":\\[\"\\d+\"\\],", "")
+    assert(stripped != txt, "test lost the ts field it meant to strip")
+    java.nio.file.Files.write(c0.toPath, stripped.getBytes("UTF-8"))
+    // the NIO rewrite bypassed Hadoop's LocalFileSystem checksum — drop
+    // the stale sidecar or the next Hadoop read fails its CRC
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dir, ".0.json.crc").toPath)
+    assert(c0.setLastModified(times(1)._2 + 5000)) // mtime PAST commit 1
+    val mixed = TimeTravel.commitTimes(root)
+    assert(mixed.map(_._1) === Seq(0, 1, 2))
+    assert(mixed.sliding(2).forall(p => p(0)._2 < p(1)._2),
+      s"mixed pre-ts/ts log lost strict monotonicity: $mixed")
+  }
+
+  test("graft_restore: lazy, metadata-only, idempotent, reports the rollback (r15 verdict #3)") {
+    GraftFunctions.register(spark)
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(100).repartition(2))
+    TimeTravel.commit(spark, root, orders.limit(160)) // the "bad load"
+    val dataBefore = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+    // EXPLAIN (and schema probes) restore NOTHING — lazy MaintenanceNode
+    spark.sql(s"EXPLAIN SELECT * FROM graft_restore('$root', 0)").collect()
+    assert(TimeTravel.currentVersion(root) === 1,
+      "EXPLAIN landed a restore commit")
+    val rep = spark.sql(s"SELECT * FROM graft_restore('$root', 0)").head()
+    assert(rep.getLong(0) === 2L, s"restore version: $rep")
+    assert(rep.getLong(1) === 0L, s"restored_gen: $rep")
+    assert(rep.getLong(2) === 0L, // rolling back a pure append re-adds 0
+      s"files_readded: $rep")
+    assert(rep.getLong(3) > 0L, s"files_retired: $rep")
+    assert(TimeTravel.readAsOf(spark, root, 2).count() === 100)
+    // metadata-only: zero data files copied, moved, or deleted
+    assert(new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet === dataBefore, "restore touched data files")
+    // the rolled-back load stays readable AS OF
+    assert(TimeTravel.readAsOf(spark, root, 1).count() === 260)
+    // idempotent: a re-run lands NO commit (the log must not grow under
+    // a re-executed maintenance statement)
+    val rep2 = spark.sql(s"SELECT * FROM graft_restore('$root', 0)").head()
+    assert(rep2.getLong(0) === 2L && rep2.getLong(3) === 0L,
+      s"re-run was not a no-op: $rep2")
+    assert(TimeTravel.currentVersion(root) === 2)
+  }
+
+  test("clone markers only self-clean on a verifiably ABSENT clone root (r15 ADVICE)") {
+    val src = newRoot()
+    val dst = newRoot()
+    TimeTravel.commit(spark, src, orders.limit(200).repartition(2))
+    TimeTravel.shallowClone(spark, src, dst)
+    TimeTravel.compact(spark, src, 1)
+    TimeTravel.checkpoint(src, 1)
+    TimeTravel.expireHistory(src, 1) // gen-0 files now pinned ONLY by dst
+    // the clone's LOG becomes unreadable while its directory still
+    // exists (an unmounted path or listing hiccup looks exactly like
+    // this): vacuum must fail loudly, never unpin and delete
+    val logDir = java.nio.file.Paths.get(s"$dst/_graft_log")
+    val saved = java.nio.file.Paths.get(s"$dst/_graft_log_saved")
+    java.nio.file.Files.move(logDir, saved)
+    val e = intercept[IllegalStateException] { TimeTravel.vacuum(src) }
+    assert(e.getMessage.contains("no readable commit log"), e.getMessage)
+    // the marker survived: restoring the log restores the pins
+    java.nio.file.Files.move(saved, logDir)
+    TimeTravel.vacuum(src)
+    assert(TimeTravel.readAsOf(spark, dst, 0).count() === 200,
+      "vacuum deleted files the recovered clone still references")
+    // a verifiably absent clone root self-cleans and releases the pins
+    WorkDirs.deleteTree(java.nio.file.Paths.get(dst))
+    assert(TimeTravel.vacuum(src).nonEmpty,
+      "vacuum reclaimed nothing after the clone was truly deleted")
+  }
+
   test("q189 CHECK constraints: violating commits refuse, the log is unchanged") {
     val root = newRoot()
     TimeTravel.addConstraint(spark, root, "pos_price", "o_totalprice > 0")
