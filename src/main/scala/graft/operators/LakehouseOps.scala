@@ -2532,6 +2532,77 @@ object LakehouseOps extends QueryModule {
              |    AS total
              |FROM ts GROUP BY _change_type
              |ORDER BY leg, change_type""".stripMargin)
+      }),
+
+    // Q231 MERGE-ON-READ UPDATE (Delta's deletion-vector-backed UPDATE):
+    // the band's live rows are MASKED in place (position sidecars, zero
+    // data files rewritten — spec pins the untouched file set) and only
+    // the updated rows append, with exact band stats so key pruning
+    // keeps serving them. At 100 TB a point update costs ~bytes-per-
+    // updated-row instead of the touched files' bytes — the other half
+    // of the q229 merge-on-read story. CDF pre/post images land in the
+    // same commit and replay through graft_row_changes. Oracle: the
+    // CASE'd aggregate + both image legs replayed over orders.
+    Q("q231_dv_update",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(CASE WHEN o_orderkey BETWEEN p.lo AND p.hi
+             |    THEN o_totalprice * 2 ELSE o_totalprice END
+             |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'pre' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'post' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS total
+             |FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val root = WorkDirs.cached("graft_ttvu_", s"q231:$d")
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        if (TimeTravel.currentVersion(root) < 1)
+          TimeTravel.setProperty(s, root, "graft.enableChangeDataFeed",
+            "true")
+        if (TimeTravel.currentVersion(root) < 2) {
+          val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+          val before = TimeTravel.snapshotFiles(root, 1).toSet
+          TimeTravel.updateVectorWhere(s, root, "o_orderkey",
+            mx / 4, mx / 2, "o_totalprice", col("o_totalprice") * 2)
+          // merge-on-read: every pre-update file survives untouched;
+          // the commit only ADDS the updated rows' files
+          require(before.subsetOf(TimeTravel.snapshotFiles(root,
+              TimeTravel.currentVersion(root)).toSet),
+            "q231: DV update rewrote or retired data files")
+        }
+        val rows = s.sql(
+          s"""SELECT 'cur' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_asof('$root', 2) GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT CASE WHEN _change_type = 'update_preimage'
+             |            THEN 'pre' ELSE 'post' END AS leg,
+             |  o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_row_changes('$root', 1, 2)
+             |GROUP BY 1, o_orderpriority
+             |ORDER BY leg, o_orderpriority""".stripMargin)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        rows.toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
       })
   )
 }

@@ -969,19 +969,31 @@ object TimeTravel extends QueryModule {
     * a DV commit — a row delete is rewritten history to an append-only
     * consumer. Returns the committed version; the current one when
     * nothing matches. */
-  def deleteVectorWhere(s: SparkSession, root: String, statCol: String,
-      lo: Long, hi: Long): Int = {
-    val gen = currentVersion(root)
-    require(gen >= 0, s"time travel: cannot delete from empty table $root")
-    val files = snapshotFiles(root, gen)
+  /** Stats-overlapping files of snapshot `gen` for `statCol ∈ [lo, hi]`
+    * — the candidate set every row-level band operation starts from. */
+  private def touchedFiles(root: String, gen: Int, statCol: String,
+      lo: Long, hi: Long): Seq[String] = {
     val stats = statsFor(root, gen)
-    val touched = files.filter { f =>
+    snapshotFiles(root, gen).filter { f =>
       stats.get((f, statCol)) match {
         case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
         case None => true // no stats: may hold matching rows
       }
     }
-    if (touched.isEmpty) return gen
+  }
+
+  /** Write the DELETION-VECTOR sidecars masking every `touched` file's
+    * rows with `statCol ∈ [lo, hi]`, UNIONED with the file's existing
+    * vector. Per-file positions are computed and written in EXECUTORS —
+    * one task buffers one file's positions (bounded by the file's row
+    * count, the same per-task bound Delta's DV writer has); only
+    * (file, sidecar, cardinality) triples return to the driver. Returns
+    * the triples plus the old-vector map the commit's `dvExpect`
+    * conflict check needs. Shared by [[deleteVectorWhere]] and
+    * [[updateVectorWhere]]. */
+  private def writeMaskVectors(s: SparkSession, root: String, gen: Int,
+      touched: Seq[String], statCol: String, lo: Long, hi: Long)
+      : (Seq[(String, String, Long)], Map[String, String]) = {
     val dvs = dvsFor(root, gen)
     val oldByFile: Map[String, String] =
       touched.flatMap(f => dvs.get(f).map(f -> _._1)).toMap
@@ -992,10 +1004,6 @@ object TimeTravel extends QueryModule {
     fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
     val uid = java.util.UUID.randomUUID().toString.take(8)
     import s.implicits._
-    // per-file matching positions, computed and written in EXECUTORS —
-    // one task buffers one file's deleted positions (bounded by the
-    // file's row count, the same per-task bound Delta's DV writer has);
-    // only (file, sidecar, cardinality) triples return to the driver
     val written = s.read.parquet(touched.map(f => dataPath(root, f)): _*)
       .filter(col(statCol).between(lo, hi))
       .select(
@@ -1013,6 +1021,17 @@ object TimeTravel extends QueryModule {
         (f, name, union.length.toLong)
       }
       .collect().toSeq.sortBy(_._1)
+    (written, oldByFile)
+  }
+
+  def deleteVectorWhere(s: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot delete from empty table $root")
+    val touched = touchedFiles(root, gen, statCol, lo, hi)
+    if (touched.isEmpty) return gen
+    val (written, oldByFile) =
+      writeMaskVectors(s, root, gen, touched, statCol, lo, hi)
     if (written.isEmpty) gen
     else {
       // CDF on: the newly-deleted LIVE rows (already-masked rows don't
@@ -1028,6 +1047,67 @@ object TimeTravel extends QueryModule {
         flags = Seq("rowdelete"),
         dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
         dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap),
+        cdc = cdc)
+    }
+  }
+
+  /** Row-level UPDATE as DELETION VECTOR + APPEND (Delta's merge-on-read
+    * UPDATE): mask the matching LIVE rows' positions in the touched
+    * files and append ONLY the updated rows, in the same atomic commit —
+    * zero existing files rewritten, so the update costs ~bytes-per-
+    * updated-row (mask + rewrite of just those rows) instead of the
+    * touched files' bytes, the difference between KBs and TBs for a
+    * point update at 100 TB. The appended files carry exact `[lo, hi]`
+    * range stats on `statCol` (every appended row is in the band by
+    * construction), so key-range pruning keeps serving the new files.
+    * Vectors COMPOSE with earlier deletes/updates (position union;
+    * already-masked rows are never read, so they neither update nor
+    * resurrect), and the commit's `dvExpect` turns a racing rewrite or
+    * re-delete of a touched file into an explicit conflict. CHECK
+    * constraints re-validate the updated rows (an update can break one).
+    * CDF on: pre/post images land as change files in the same commit.
+    * The next OPTIMIZE [[compact]] materializes masks away. Returns the
+    * committed version; the current one when nothing matches. */
+  def updateVectorWhere(s: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, setCol: String,
+      setTo: org.apache.spark.sql.Column): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot update empty table $root")
+    // the appended files' stats claim every row is in [lo, hi] — true
+    // only while the assignment leaves the band column alone; updating
+    // the key itself is the copy-on-write updateWhere's job
+    require(setCol != statCol,
+      s"time travel: merge-on-read update of the band column $statCol " +
+        "itself would falsify the appended files' range stats — use " +
+        "updateWhere (copy-on-write) for key updates")
+    val touched = touchedFiles(root, gen, statCol, lo, hi)
+    if (touched.isEmpty) return gen
+    // LIVE matching rows (read through the current vectors): exactly the
+    // rows that re-land updated, and the CDC pre-image
+    val live = readFilesWithDvs(s, root, gen, touched,
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      .filter(col(statCol).between(lo, hi))
+    val updated = live.withColumn(setCol, setTo)
+    val (written, oldByFile) =
+      writeMaskVectors(s, root, gen, touched, statCol, lo, hi)
+    if (written.isEmpty) gen
+    else {
+      validateConstraints(s, root, updated)
+      val cdc =
+        if (!cdfEnabled(root, gen)) Nil
+        else writeCdcFiles(s, root,
+          live.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated
+              .withColumn("_change_type", lit("update_postimage"))))
+      val added = stagePlain(s, root, updated)
+      commitNames(s, root, added, Nil,
+        // exact band stats for the appended files: range pruning on the
+        // key keeps working without opening a footer
+        stats = added.map(n => s"$n|$statCol|$lo|$hi"),
+        flags = Seq("rowupdate"),
+        dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+        dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap),
+        schemaDdl = schemaAsOf(root, gen).map(_.toDDL),
         cdc = cdc)
     }
   }

@@ -352,6 +352,64 @@ class LakehouseOpsSpec extends SparkSpec {
       "the zorder compaction leaked into the change feed")
   }
 
+  test("q231 merge-on-read UPDATE: masks + appends only, composes with DV deletes, compact materializes") {
+    val o = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, o, "o_orderkey", 8)
+    val mx = o.agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    // a PRIOR DV delete inside the band: those rows are dead and must
+    // neither update nor resurrect
+    val (dlo, dhi) = (lo, lo + (hi - lo) / 4)
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", dlo, dhi)
+    val v1Files = TimeTravel.resolveSnapshot(root, 1)._1.toSet
+    val v = TimeTravel.updateVectorWhere(spark, root, "o_orderkey",
+      lo, hi, "o_totalprice", col("o_totalprice") * 2)
+    assert(v === 2)
+    // merge-on-read: every pre-update file survives; the commit only ADDS
+    val v2Files = TimeTravel.resolveSnapshot(root, 2)._1.toSet
+    assert(v1Files.subsetOf(v2Files), "the DV update retired files")
+    assert((v2Files -- v1Files).nonEmpty, "no updated rows were appended")
+    // values: survivors of the delete get doubled inside the band,
+    // deleted rows stay gone, everything else untouched
+    val live = o.filter(!col("o_orderkey").between(dlo, dhi))
+    val expect = live.withColumn("o_totalprice",
+      when(col("o_orderkey").between(lo, hi), col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    val got = TimeTravel.readAsOf(spark, root, 2)
+    assert(got.count() === expect.count())
+    assert(got.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().get(0) ===
+      expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().get(0))
+    // the appended files carry exact band stats: a band read still
+    // prunes AND sees the updated values
+    val band = TimeTravel.readAsOfWhere(spark, root, 2, "o_orderkey",
+      lo, hi)
+    assert(band.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().get(0) ===
+      expect.filter(col("o_orderkey").between(lo, hi))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0))
+    // pre-update snapshots read their own state
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === o.count())
+    // updating the band column itself refuses (the appended stats would
+    // lie); copy-on-write updateWhere is the documented route
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.updateVectorWhere(spark, root, "o_orderkey", lo, hi,
+        "o_orderkey", col("o_orderkey") + 1L)
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+    // OPTIMIZE materializes the masks away; rows and values survive
+    val cv = TimeTravel.compact(spark, root, 2)
+    val after = TimeTravel.readAsOf(spark, root, cv)
+    assert(after.count() === expect.count())
+    assert(after.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().get(0) ===
+      expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().get(0))
+  }
+
   test("q188 deletion vectors: no file rewrites, deletes union, compact materializes, restore rolls back") {
     val o = Tables.table(spark, sf, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
