@@ -73,7 +73,12 @@ object GraftFunctions {
       "graft_zorder(root, c1, c2, nFiles) - OPTIMIZE ZORDER BY from SQL; " +
         "returns (version, files_after)"),
     ("graft_vacuum", graft.operators.TimeTravel.vacuumPlan _,
-      "graft_vacuum(root) - delete unreferenced files; returns n_deleted"),
+      "graft_vacuum(root[, graceMins]) - delete unreferenced files older " +
+        "than the grace window; returns n_deleted"),
+    ("graft_expire_ts", graft.operators.TimeTravel.expireTsPlan _,
+      "graft_expire_ts(root, tsMillis) - retention by wall-clock time: " +
+        "drop commits below the generation in force at tsMillis; " +
+        "returns (keep_from, n_dropped)"),
     ("graft_expire", graft.operators.TimeTravel.expirePlan _,
       "graft_expire(root, keepFrom) - retention: drop commits below " +
         "keepFrom (needs an anchor checkpoint); returns n_dropped"),

@@ -2603,6 +2603,83 @@ object LakehouseOps extends QueryModule {
             r.getDouble(3))).toSeq
         rows.toDF("leg", "o_orderpriority", "n", "total")
           .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q232 MERGE-ON-READ SQL MERGE (Spark's delta-based SupportsDelta,
+    // the API Iceberg's position deletes ride): with
+    // graft.enableDeletionVectors set, the q207 MERGE runs as masks +
+    // appends — matched rows' positions land in sidecars, only
+    // updated/inserted rows write parquet, NOT ONE existing file is
+    // rewritten or retired (required inline + spec-pinned). Same
+    // statement, same oracle as q207's copy-on-write sibling — the
+    // engine picks the write STRATEGY from the table property, exactly
+    // Delta's DML-integrated DV split. At 100 TB: the q207 MERGE costs
+    // the touched files' bytes; this one costs the changed rows'.
+    Q("q232_mor_sql_merge",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     upd AS (SELECT o_orderkey, o_orderpriority,
+             |               CASE WHEN o_orderkey BETWEEN mx//4 AND mx//2
+             |                    THEN o_totalprice + 1000
+             |                    ELSE o_totalprice END AS o_totalprice
+             |             FROM orders, p),
+             |     ins AS (SELECT o_orderkey + mx + 1 AS o_orderkey,
+             |               o_orderpriority, o_totalprice + 1000
+             |                 AS o_totalprice
+             |             FROM orders, p WHERE o_orderkey <= mx//16),
+             |     allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM allr GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat232_", s"q232:$d")
+        val root = s"$wh/mr"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat232" -> CatalogClass,
+          "spark.sql.catalog.gcat232.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat232.mr SET TBLPROPERTIES (" +
+              "'graft.enableDeletionVectors' = 'true')")
+          if (TimeTravel.currentVersion(root) < 2) {
+            val o = orders3(s, d)
+            o.filter(col("o_orderkey") >= mx / 4 &&
+                col("o_orderkey") <= mx / 2)
+              .select(col("o_orderkey").as("k"),
+                col("o_orderpriority").as("p"),
+                (col("o_totalprice") + 1000).as("price"))
+              .unionAll(o.filter(col("o_orderkey") <= mx / 16)
+                .select((col("o_orderkey") + mx + 1).as("k"),
+                  col("o_orderpriority").as("p"),
+                  (col("o_totalprice") + 1000).as("price")))
+              .createOrReplaceTempView("q232_src")
+            val before = TimeTravel.snapshotFiles(root, 1).toSet
+            s.sql(
+              """MERGE INTO gcat232.mr t USING q232_src s
+                |ON t.o_orderkey = s.k
+                |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+                |WHEN NOT MATCHED THEN INSERT
+                |  (o_orderkey, o_orderpriority, o_totalprice)
+                |  VALUES (s.k, s.p, s.price)""".stripMargin)
+            // merge-on-read: the MERGE may only ADD files, never
+            // rewrite or retire one
+            require(before.subsetOf(TimeTravel.snapshotFiles(root,
+                TimeTravel.currentVersion(root)).toSet),
+              "q232: merge-on-read MERGE rewrote data files")
+          }
+          s.sql(
+            """SELECT o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat232.mr GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+        }
+        rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
       })
   )
 }

@@ -1112,6 +1112,53 @@ object TimeTravel extends QueryModule {
     }
   }
 
+  /** Commit a MERGE-ON-READ row-level DELTA (the publish half of the
+    * DSv2 `SupportsDelta` write): union each touched file's deleted
+    * positions into a fresh immutable sidecar, rename the staged insert
+    * temps into `data/`, and land masks + adds as ONE atomic commit —
+    * zero existing files rewritten or retired. Sidecar writes happen
+    * driver-side from the tasks' position payloads (a point DML's
+    * positions are KBs; a rewrite large enough for this to matter
+    * belongs on the copy-on-write path anyway). `dvExpect` turns a
+    * racing rewrite or re-delete of a touched file into an explicit
+    * conflict, never a lost delete. CHECK constraints re-validate the
+    * inserted rows ([[commitStagedFiles]]). Returns the committed
+    * version; the current one when the delta is empty. */
+  private[graft] def commitRowDelta(s: SparkSession, root: String,
+      deleted: Map[String, Array[Long]], temps: Seq[String]): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: no table at $root")
+    if (deleted.isEmpty && temps.isEmpty) return gen
+    val live = snapshotFiles(root, gen).toSet
+    val ghosts = deleted.keys.filterNot(live)
+    require(ghosts.isEmpty,
+      s"time travel: row delta masks files not in snapshot $gen of " +
+        s"$root: ${ghosts.mkString(", ")} — re-read and re-plan")
+    val dvs = dvsFor(root, gen)
+    val conf = s.sessionState.newHadoopConf()
+    val dvRoot = dvDir(root)
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val written = deleted.toSeq.sortBy(_._1).map { case (f, pos) =>
+      val old = dvs.get(f)
+        .map(n => readPositions(s"$dvRoot/${n._1}", conf))
+        .getOrElse(Array.empty[Long])
+      val union = (pos ++ old).distinct.sorted
+      val name = s"$uid-$f.dv"
+      writePositions(s"$dvRoot/$name", union, conf)
+      (f, name, union.length.toLong)
+    }
+    val schemaDdl = schemaAsOf(root, gen).map(_.toDDL).getOrElse(
+      throw new IllegalStateException(
+        s"time travel: no logged schema under $root"))
+    commitStagedFiles(s, root, temps, schemaDdl,
+      dvExpect = Some(deleted.keys.map(f =>
+        f -> dvs.get(f).map(_._1)).toMap),
+      dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+      flags = Seq("rowdelta"))
+  }
+
   // ---- sink-side staged commits (the DSv2 writer's publish path) ------
 
   /** Commit parquet files a DSv2 writer ALREADY staged (two-phase
@@ -1123,7 +1170,8 @@ object TimeTravel extends QueryModule {
       temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
       txn: Option[String] = None,
       dvExpect: Option[Map[String, Option[String]]] = None,
-      props: Seq[String] = Nil, cdc: Seq[String] = Nil): Int = {
+      props: Seq[String] = Nil, cdc: Seq[String] = Nil,
+      dvs: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty)
@@ -1140,7 +1188,7 @@ object TimeTravel extends QueryModule {
     }
     commitNames(s, root, added, removed,
       schemaDdl = Some(schemaDdl), txn = txn, dvExpect = dvExpect,
-      props = props, cdc = cdc)
+      props = props, cdc = cdc, dvs = dvs, flags = flags)
   }
 
   /** Change files for a METADATA delete (SQL `DELETE` on a file-aligned
@@ -3001,15 +3049,39 @@ object TimeTravel extends QueryModule {
     }
   }
 
-  /** `graft_vacuum(root)` — delete unreferenced data/change files from
-    * pure SQL; idempotent. Returns the deleted-file count. Destructive,
-    * so the delete runs at EXECUTION, never under EXPLAIN. */
+  /** `graft_vacuum(root[, graceMins])` — delete unreferenced data/change
+    * files from pure SQL; idempotent. The optional grace window keeps
+    * unreferenced files younger than `graceMins` minutes (a concurrent
+    * writer's staged-but-unclaimed output — Delta's VACUUM retention).
+    * Returns the deleted-file count. Destructive, so the delete runs at
+    * EXECUTION, never under EXPLAIN. */
   def vacuumPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(exprs.length == 1, "usage: graft_vacuum(root)")
+    require(exprs.length == 1 || exprs.length == 2,
+      "usage: graft_vacuum(root[, graceMins])")
     val root = litStr(exprs(0), "root")
+    val graceMs =
+      if (exprs.length == 2) litLong(exprs(1), "graceMins") * 60000L else 0L
     maintPlan("vacuum", Seq("n_deleted")) {
-      Seq(vacuum(root).size.toLong)
+      Seq(vacuum(root, graceMs).size.toLong)
+    }
+  }
+
+  /** `graft_expire_ts(root, tsMillis)` — history retention by WALL-CLOCK
+    * time (Delta's `RETAIN … HOURS`): drops every commit strictly below
+    * the generation in force at `tsMillis` (q187 resolution over
+    * in-commit timestamps), so everything readable at-or-after that
+    * instant stays. Anchor-checkpoint rules of [[expireHistory]] apply;
+    * idempotent; destructive, so it runs at EXECUTION. Returns
+    * (keep_from, n_dropped). */
+  def expireTsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_expire_ts(root, tsMillis)")
+    val root = litStr(exprs(0), "root")
+    val ts = litLong(exprs(1), "tsMillis")
+    maintPlan("expire_ts", Seq("keep_from", "n_dropped")) {
+      val keepFrom = versionAtTime(root, ts)
+      Seq(keepFrom.toLong, expireHistory(root, keepFrom).size.toLong)
     }
   }
 
@@ -3091,7 +3163,18 @@ object TimeTravel extends QueryModule {
     * planted outside the protocol). Files of superseded generations stay —
     * they back AS-OF reads; retiring history would be a log truncation,
     * a policy this library leaves to the caller. */
-  def vacuum(root: String): Seq[String] = {
+  def vacuum(root: String): Seq[String] = vacuum(root, 0L)
+
+  /** [[vacuum]] with a GRACE WINDOW (Delta's VACUUM retention window):
+    * an unreferenced file whose modification time is within `graceMs`
+    * of now is KEPT — it may be a concurrent writer's staged output,
+    * which lands in `data/` BEFORE the commit that references it claims
+    * its version; an ungraceful vacuum in that window would delete the
+    * winning commit's files. 0 reclaims immediately (the test-friendly
+    * default of the 1-arg form); a production deployment vacuuming a
+    * table with live writers should pass hours, like Delta's default
+    * 7-day retention. */
+  def vacuum(root: String, graceMs: Long): Seq[String] = {
     // referenced = every surviving commit's adds PLUS every checkpoint's
     // resolved file list — after history expiry the oldest surviving
     // snapshot is backed by a checkpoint, not by the deleted commits —
@@ -3101,10 +3184,13 @@ object TimeTravel extends QueryModule {
     val referenced = (readLog(root).flatMap(_._2) ++
       ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet ++
       cloneReferencedNames(root)
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs <= 0 || now - st.getModificationTime > graceMs
     val (fs, _) = fsFor(root)
     val d = new org.apache.hadoop.fs.Path(s"$root/data")
     val dataGone = (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
-      .filter(st => st.isFile && !referenced(st.getPath.getName))
+      .filter(st => st.isFile && !referenced(st.getPath.getName) && aged(st))
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
     // change files referenced by no surviving commit (their commits were
     // expired by retention — the range is unreadable anyway) go too
@@ -3112,7 +3198,7 @@ object TimeTravel extends QueryModule {
       .flatMap { case (_, f) => parseArr(readBytes(fsL, f), "cdc") }.toSet
     val cd = new org.apache.hadoop.fs.Path(cdcDir(root))
     val cdcGone = (if (fs.exists(cd)) fs.listStatus(cd).toSeq else Seq.empty)
-      .filter(st => st.isFile && !cdcRef(st.getPath.getName))
+      .filter(st => st.isFile && !cdcRef(st.getPath.getName) && aged(st))
       .map { st => fs.delete(st.getPath, false); st.getPath.getName }
     (dataGone ++ cdcGone).sorted
   }

@@ -1,6 +1,7 @@
 package graft.sources.table
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -44,20 +45,34 @@ import graft.sources.cdf.{CdfWriteMsg, CdfWriterFactory}
 final class GraftRowLevelOperationBuilder(root: String, gen: Int,
     tableSchema: StructType, info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
+  /** The MERGE-ON-READ split (Delta's DML-integrated deletion vectors):
+    * with `graft.enableDeletionVectors` set, DELETE/UPDATE/MERGE run as
+    * a DELTA-based row-level operation — matched rows are masked by
+    * POSITION and only new/updated rows append; nothing rewrites. CDF
+    * tables stay on the copy-on-write path: the delta writer never sees
+    * the pre-image values a change feed must record. */
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(root, gen, tableSchema, info.command())
+    if (gen >= 0 &&
+        TimeTravel.propsAsOf(root, gen)
+          .get("graft.enableDeletionVectors").contains("true") &&
+        !TimeTravel.cdfEnabled(root, gen))
+      new GraftDeltaOperation(root, gen, tableSchema, info.command())
+    else new GraftRowLevelOperation(root, gen, tableSchema, info.command())
+}
+
+/** The scan→write handshake both operation flavors share: the files the
+  * (runtime-filtered) candidate scan finally planned. Written by
+  * [[RowOpScan.planInputPartitions]] (planning strictly precedes the
+  * write's commit); `null` means the scan never planned. */
+private[table] trait PlansFiles {
+  @volatile private[table] var planned: Seq[String] = _
+  private[table] def gen: Int
 }
 
 final class GraftRowLevelOperation(root: String,
     private[table] val gen: Int,
     tableSchema: StructType, cmd: RowLevelOperation.Command)
-    extends RowLevelOperation {
-
-  /** The files the (runtime-filtered) scan finally planned — what the
-    * write's commit retires. Written by [[RowOpScan.planInputPartitions]]
-    * (planning strictly precedes the write's commit); `null` means the
-    * scan never planned, which a commit must refuse. */
-  @volatile private[table] var planned: Seq[String] = _
+    extends RowLevelOperation with PlansFiles {
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft copy-on-write $cmd $root@$gen"
@@ -84,10 +99,163 @@ final class GraftRowLevelOperation(root: String,
   }
 }
 
+/** MERGE-ON-READ row-level SQL (Spark's delta-based
+  * `SupportsDelta` — the API Iceberg's position deletes ride): rows are
+  * addressed by the `(_file, _pos)` row id the scan emits, DELETEs
+  * collect positions instead of rewriting files, and UPDATEs are
+  * represented as delete+reinsert — the commit lands position-mask
+  * sidecars for the touched files plus parquet of ONLY the new rows, in
+  * one atomic claim. At 100 TB a point `UPDATE`/`MERGE` costs
+  * ~bytes-per-changed-row, not the touched files' bytes; the next
+  * OPTIMIZE materializes masks away. The candidate scan is the same
+  * stats-pruned, runtime-file-filtered [[RowOpScan]] the copy-on-write
+  * path uses, reading THROUGH live vectors so masked rows never update
+  * or resurrect. */
+final class GraftDeltaOperation(root: String,
+    private[table] val gen: Int,
+    tableSchema: StructType, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with PlansFiles {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft merge-on-read $cmd $root@$gen"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(FileMetaColumn.NAME),
+      Expressions.column(PosMetaColumn.NAME))
+
+  // UPDATE rows split into delete + reinsert: the mask+append commit
+  // shape has no in-place update to map an `update` call onto
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty // the row id columns are themselves the metadata needed
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RowOpScanBuilder(this, GraftLogTable(tableSchema, root, gen))
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(root, info.schema())
+        }
+    }
+}
+
+/** One delta task's outcome: the staged insert temp (when any row was
+  * inserted/reinserted) and the per-file deleted positions. */
+final case class DeltaTaskMsg(tmp: String, rows: Long,
+    deleted: Map[String, Array[Long]]) extends WriterCommitMessage
+
+final class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val scanGen = TimeTravel.currentVersion(root)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val colmap = if (scanGen < 0) Map.empty[String, String]
+      else TimeTravel.colmapAsOf(root, scanGen)
+    GraftDeltaWriterFactory(rowSchema, root, confB, colmap)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: DeltaTaskMsg => m }
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
+    val (live, empty) = ms.filter(_.tmp != null).partition(_.rows > 0)
+    empty.foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false))
+    // per-file positions merged across tasks (a MERGE's shuffle can
+    // spread one file's deletes over several writers)
+    val deleted: Map[String, Array[Long]] = ms.flatMap(_.deleted.toSeq)
+      .groupBy(_._1)
+      .map { case (f, ps) => f -> ps.flatMap(_._2).distinct.sorted }
+    TimeTravel.commitRowDelta(SparkSession.active, root, deleted,
+      live.map(_.tmp).toSeq)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
+    messages.collect { case m: DeltaTaskMsg if m.tmp != null =>
+      fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false)
+    }
+    () // position masks are only written at commit — nothing to undo
+  }
+}
+
+final case class GraftDeltaWriterFactory(rowSchema: StructType,
+    root: String, conf: org.apache.spark.util.SerializableConfiguration,
+    colmap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(rowSchema, root, conf.value, colmap,
+      partitionId, taskId)
+}
+
+/** The task-side delta writer: DELETEs buffer (file → positions) —
+  * bounded by the task's share of matched rows, the same per-task bound
+  * the DV writers have — and INSERT/REINSERT rows stream into one
+  * staged parquet temp (the q193 staging discipline; (partition, task)
+  * in the name keeps a retried attempt's temp distinct). */
+final class GraftDeltaWriter(rowSchema: StructType, root: String,
+    conf: org.apache.hadoop.conf.Configuration,
+    colmap: Map[String, String], partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val deleted =
+    scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+  private var inserter: graft.sources.cdf.CdfDataWriter = _
+  private var tmp: String = _
+  private var inserted = 0L
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // id fields arrive in rowId() order: (_file STRING, _pos BIGINT)
+    deleted.getOrElseUpdate(id.getUTF8String(0).toString,
+      scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inserter == null) {
+      tmp = s"$root/stage-stream/d-p$partitionId-t$taskId.parquet"
+      inserter = new graft.sources.cdf.CdfDataWriter(rowSchema, tmp, conf,
+        colmap)
+    }
+    inserter.write(row)
+    inserted += 1
+  }
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    insert(row)
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (inserter != null) inserter.commit()
+    DeltaTaskMsg(tmp, inserted,
+      deleted.map { case (f, ps) => f -> ps.toArray }.toMap)
+  }
+
+  override def abort(): Unit = if (inserter != null) inserter.abort()
+  override def close(): Unit = ()
+}
+
 /** The candidate scan: filter pushdown for static file pruning, column
   * pruning, per-FILE splits (the replace granularity), and the `_file`
   * runtime group filter. */
-final class RowOpScanBuilder(op: GraftRowLevelOperation,
+final class RowOpScanBuilder(op: PlansFiles,
     table: GraftLogTable)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
@@ -127,7 +295,7 @@ final class RowOpScanBuilder(op: GraftRowLevelOperation,
       FileSkip.mapCols(accepted.toSeq, table.phys), table.tvals))
 }
 
-final class RowOpScan(op: GraftRowLevelOperation, table: GraftLogTable,
+final class RowOpScan(op: PlansFiles, table: GraftLogTable,
     required: StructType, files0: Seq[String])
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 

@@ -126,6 +126,20 @@ object FileMetaColumn extends MetadataColumn {
   override def comment(): String = "committed log file this row came from"
 }
 
+/** The `_pos` metadata column: the row's PHYSICAL position within its
+  * file (deletion-vector-masked rows count — positions are stable under
+  * masking), the second half of the merge-on-read row id `(_file,
+  * _pos)` that Spark's delta-based row-level operations address rows
+  * by (Iceberg's `_pos` / Delta's row index). Filled by the reader's
+  * per-row counter — never part of the parquet projection. */
+object PosMetaColumn extends MetadataColumn {
+  val NAME = "_pos"
+  override def name(): String = NAME
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "physical row position within _file"
+}
+
 final case class GraftLogTable(tableSchema: StructType, root: String,
     gen: Int) extends Table with SupportsRead with SupportsMetadataColumns {
 
@@ -253,7 +267,7 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(FileMetaColumn)
+    Array(FileMetaColumn, PosMetaColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableScanBuilder(this,
@@ -688,8 +702,9 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
     * a batch-only surface. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!required.fieldNames.contains(FileMetaColumn.NAME),
-      "table: the _file metadata column is batch-only")
+    require(!required.fieldNames.contains(FileMetaColumn.NAME) &&
+        !required.fieldNames.contains(PosMetaColumn.NAME),
+      "table: the _file/_pos metadata columns are batch-only")
     new graft.sources.cdf.CdfMicroBatchStream(required, table.root,
       -1, maxGens)
   }
@@ -832,12 +847,17 @@ final class ChainedReader(names: Seq[String], schema: StructType,
     defaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val wantsFile = schema.fieldNames.contains(FileMetaColumn.NAME)
+  // `_pos` (merge-on-read row id): filled from the PHYSICAL row counter
+  // below — rowPos counts masked rows too, so positions are stable under
+  // deletion vectors and address the file's rows exactly
+  private val posIdx = schema.fieldNames.indexOf(PosMetaColumn.NAME)
   private val it = names.iterator
   private var cur: CdfPartitionReader = _
   private var emitted = 0L
   private var mask: Array[Long] = _ // sorted deleted positions, or null
   private var maskIdx = 0
   private var rowPos = 0L
+  private var curPos = 0L // physical position of the row get() serves
 
   override def next(): Boolean = {
     if (emitted >= limit) return false
@@ -858,16 +878,25 @@ final class ChainedReader(names: Seq[String], schema: StructType,
       if (cur.next()) {
         val pos = rowPos
         rowPos += 1
-        if (mask == null) { emitted += 1; return true }
+        if (mask == null) { curPos = pos; emitted += 1; return true }
         while (maskIdx < mask.length && mask(maskIdx) < pos) maskIdx += 1
         if (maskIdx < mask.length && mask(maskIdx) == pos) {
           maskIdx += 1 // masked row: skip, keep pulling
-        } else { emitted += 1; return true }
+        } else { curPos = pos; emitted += 1; return true }
       } else { cur.close(); cur = null } // fall through to the next file
     }
     false // unreachable
   }
-  override def get(): InternalRow = cur.get()
+  override def get(): InternalRow = {
+    val r = cur.get()
+    if (posIdx >= 0) r match {
+      case g: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+        g.update(posIdx, curPos)
+      case other => throw new IllegalStateException(
+        s"table: _pos injection expects a generic row, got ${other.getClass}")
+    }
+    r
+  }
   override def close(): Unit = if (cur != null) cur.close()
 }
 

@@ -1544,13 +1544,14 @@ class TableSourceSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM vcat.dv").head().getLong(0)
         === expect - 1)
       // a NON-RANGE predicate (string equality, unaligned) is not
-      // DV-expressible: the copy-on-write rewrite serves it — file set
-      // changes, result stays exact, masked rows stay gone
+      // canDeleteWhere-expressible: on a DV table it runs as the
+      // MERGE-ON-READ delta op (q232) — still zero rewrites, masked
+      // rows stay gone, result exact
       val minP = base.agg(min("o_orderpriority")).head().getString(0)
       spark.sql(s"DELETE FROM vcat.dv WHERE o_orderpriority = '$minP'")
       assert(TimeTravel.snapshotFiles(root,
-        TimeTravel.currentVersion(root)).toSet !== before,
-        "the non-range DELETE did not fall back to copy-on-write")
+        TimeTravel.currentVersion(root)).toSet === before,
+        "the non-range DELETE rewrote files despite the DV delta path")
       val expect2 = base.filter(!col("o_orderkey").between(lo, hi))
         .filter(col("o_orderkey") =!= keys.last)
         .filter(col("o_orderpriority") =!= minP).count()
@@ -1669,6 +1670,146 @@ class TableSourceSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT sum(CAST(price AS DECIMAL(18,2))) FROM ccat.cm")
         .head().getDecimal(0) === expect)
+    }
+  }
+
+  test("merge-on-read SQL DML: UPDATE/DELETE/MERGE mask + append via SupportsDelta, never rewrite") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mor_").toString
+    val root = s"$wh/mr"
+    val base = orders.limit(800)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(100), keys(299))
+    def decSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+    withConfs(
+      "spark.sql.catalog.mrcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.mrcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE mrcat.mr SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      val files1 = TimeTravel.snapshotFiles(root, 1).toSet
+
+      // UPDATE: matched rows are masked by position; ONLY the updated
+      // rows append — no pre-existing file is rewritten or retired
+      spark.sql("UPDATE mrcat.mr SET o_totalprice = o_totalprice + 1000 " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi")
+      val files2 = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet
+      assert(files1.subsetOf(files2), "merge-on-read UPDATE retired files")
+      assert((files2 -- files1).nonEmpty, "UPDATE appended no rows")
+      val exp1 = base.withColumn("o_totalprice",
+        when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 1000)
+          .otherwise(col("o_totalprice")))
+      assert(spark.sql("SELECT count(*) FROM mrcat.mr").head().getLong(0)
+        === base.count())
+      assert(decSum(spark.table("mrcat.mr")) === decSum(exp1))
+      // the pre-update snapshot reads its own values
+      assert(decSum(spark.sql("SELECT * FROM mrcat.mr VERSION AS OF 1"))
+        === decSum(base))
+
+      // DELETE with a NON-RANGE predicate (modulo — neither file-aligned
+      // nor canDeleteWhere-expressible): still merge-on-read
+      spark.sql("DELETE FROM mrcat.mr WHERE o_orderkey % 7 = 3")
+      val files3 = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet
+      assert(files2.subsetOf(files3), "merge-on-read DELETE retired files")
+      val exp2 = exp1.filter(col("o_orderkey") % 7 =!= 3)
+      assert(spark.sql("SELECT count(*) FROM mrcat.mr").head().getLong(0)
+        === exp2.count())
+      assert(decSum(spark.table("mrcat.mr")) === decSum(exp2))
+
+      // MERGE: matched keys re-price, unmatched keys insert — masks +
+      // appends, the cross-file shuffle case the per-file position
+      // merge in the commit handles
+      val mx = keys.last
+      base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+        .unionByName(base.limit(20)
+          .select((col("o_orderkey") + mx + 1000).as("o_orderkey"),
+            col("o_totalprice")))
+        .createOrReplaceTempView("mor_src")
+      spark.sql(
+        """MERGE INTO mrcat.mr t USING mor_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority,
+          |  o_totalprice) VALUES (s.o_orderkey, 'NEW', s.o_totalprice)
+          |""".stripMargin)
+      val files4 = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet
+      assert(files3.subsetOf(files4), "merge-on-read MERGE retired files")
+      // values: recompute expectation from scratch — LIVE matched rows
+      // take the source price (3 × the ORIGINAL); source keys whose
+      // target rows the DELETE masked are NOT MATCHED and re-insert
+      // (deleted rows must not match — the mask IS the delete); plus
+      // the 20 brand-new keys
+      val srcPrice = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 3).as("src_price"))
+      val merged = exp2.join(srcPrice, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("src_price"), col("o_totalprice"))
+            .as("o_totalprice"))
+      val resurrected = srcPrice
+        .join(exp2.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("src_price").as("o_totalprice"))
+      val inserted = base.limit(20)
+        .select((col("o_orderkey") + mx + 1000).as("o_orderkey"),
+          col("o_totalprice"))
+      val nNew = 20 + resurrected.count()
+      assert(spark.sql("SELECT count(*) FROM mrcat.mr").head().getLong(0)
+        === exp2.count() + nNew)
+      assert(decSum(spark.table("mrcat.mr"))
+        === decSum(merged.unionByName(resurrected).unionByName(inserted)))
+      assert(spark.sql(
+        "SELECT count(*) FROM mrcat.mr WHERE o_orderpriority = 'NEW'")
+        .head().getLong(0) === nNew)
+      // every original file is STILL byte-identical-present: three DML
+      // statements, zero rewrites
+      assert(files1.subsetOf(files4))
+    }
+  }
+
+  test("merge-on-read DML scan prunes: an UPDATE's band touches only stats-overlapping files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_morp_").toString
+    val root = s"$wh/pr"
+    val base = orders.limit(800)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 8)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // a band inside one half-cell: ≤2 of 8 clustered files overlap
+    val (lo, hi) = (keys(50), keys(99))
+    withConfs(
+      "spark.sql.catalog.prcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.prcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE prcat.pr SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      TableMetrics.reset()
+      spark.sql("UPDATE prcat.pr SET o_totalprice = o_totalprice + 1 " +
+        s"WHERE o_orderkey BETWEEN $lo AND $hi")
+      // the delta candidate scan static-prunes from log stats: files
+      // whose key range misses the band are never opened, let alone
+      // masked — the same FileSkip discipline the read path has
+      val opened = openedUnder(root)
+      assert(opened > 0 && opened <= 2,
+        s"merge-on-read UPDATE opened $opened of 8 files for a " +
+          "half-cell band")
+      // and the masks landed only on the touched files
+      val dvFiles = TimeTravel.dvsFor(root,
+        TimeTravel.currentVersion(root)).keySet
+      assert(dvFiles.nonEmpty && dvFiles.size <= 2,
+        s"masks landed on ${dvFiles.size} files")
+      val expect = base.withColumn("o_totalprice",
+        when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      assert(spark.sql(
+        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM prcat.pr")
+        .head().getDecimal(0) ===
+        expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+          .head().getDecimal(0))
     }
   }
 

@@ -512,6 +512,52 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.currentVersion(root) === 2)
   }
 
+  test("vacuum grace window protects young unreferenced files; graft_expire_ts drops history by wall-clock") {
+    GraftFunctions.register(spark)
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(100))
+    // plant a FRESH orphan — a concurrent writer's staged-but-unclaimed
+    // output looks exactly like this in the race window between the
+    // data-dir rename and the log claim
+    orders.limit(5).write.mode("overwrite").parquet(s"$root/tmp_o")
+    val orphan = new java.io.File(s"$root/tmp_o").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val planted = java.nio.file.Paths.get(s"$root/data/orphan-young.parquet")
+    java.nio.file.Files.move(orphan.toPath, planted)
+    // a graceful vacuum (SQL surface, minutes) keeps the young file
+    assert(spark.sql(s"SELECT * FROM graft_vacuum('$root', 60)")
+      .head().getLong(0) === 0L,
+      "a graceful vacuum deleted a file inside the grace window")
+    assert(java.nio.file.Files.exists(planted))
+    // aged past the window, the same vacuum reclaims it
+    assert(planted.toFile.setLastModified(
+      System.currentTimeMillis() - 2L * 3600 * 1000))
+    assert(TimeTravel.vacuum(root, 3600000L) === Seq("orphan-young.parquet"))
+    // and the committed table is untouched throughout
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === 100)
+
+    // retention by TIME: everything readable at-or-after ts(gen 2) stays
+    val root2 = newRoot()
+    TimeTravel.commit(spark, root2, orders.limit(10))
+    TimeTravel.commit(spark, root2, orders.limit(20))
+    TimeTravel.commit(spark, root2, orders.limit(30))
+    TimeTravel.checkpoint(root2, 2)
+    val t2 = TimeTravel.commitTimes(root2).toMap.apply(2)
+    // EXPLAIN drops nothing (lazy maintenance verb)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_expire_ts('$root2', $t2)")
+      .collect()
+    assert(TimeTravel.readAsOf(spark, root2, 0).count() === 10)
+    val rep = spark.sql(
+      s"SELECT * FROM graft_expire_ts('$root2', $t2)").head()
+    assert(rep.getLong(0) === 2L, s"keep_from: $rep")
+    assert(rep.getLong(1) === 2L, s"n_dropped: $rep")
+    assert(TimeTravel.readAsOf(spark, root2, 2).count() === 60)
+    intercept[Exception] { TimeTravel.readAsOf(spark, root2, 0).count() }
+    // idempotent: a re-run drops nothing more
+    assert(spark.sql(s"SELECT * FROM graft_expire_ts('$root2', $t2)")
+      .head().getLong(1) === 0L)
+  }
+
   test("clone markers only self-clean on a verifiably ABSENT clone root (r15 ADVICE)") {
     val src = newRoot()
     val dst = newRoot()
