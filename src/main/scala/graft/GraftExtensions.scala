@@ -82,6 +82,10 @@ object GraftFunctions {
     ("graft_expire", graft.operators.TimeTravel.expirePlan _,
       "graft_expire(root, keepFrom) - retention: drop commits below " +
         "keepFrom (needs an anchor checkpoint); returns n_dropped"),
+    ("graft_reorg", graft.operators.TimeTravel.reorgPlan _,
+      "graft_reorg(root, minMaskedPct) - REORG APPLY PURGE: rewrite only " +
+        "the files whose deletion-vector mask covers >= minMaskedPct% of " +
+        "their rows; returns (version, files_purged)"),
     ("graft_restore", graft.operators.TimeTravel.restorePlan _,
       "graft_restore(root, toGen) - metadata-only rollback to a prior " +
         "generation as a new commit (runs at execution, idempotent); " +

@@ -2680,6 +2680,41 @@ object LakehouseOps extends QueryModule {
             .toSeq
         }
         rows.toDF("o_orderpriority", "n", "total").orderBy("o_orderpriority")
+      }),
+
+    // Q233 REORG … APPLY (PURGE) (Delta's surgical DV materialization,
+    // as the graft_reorg TVF): after a band DV-delete saturates the low
+    // key cells, `graft_reorg(root, 50)` rewrites ONLY the files whose
+    // mask covers ≥50% of their rows — the read-side anti-join debt
+    // drops for exactly the worst files while lightly-masked files keep
+    // their (cheap) masks; rows are unchanged, the commit is `nodata`
+    // so change feeds skip it, and a re-run purges nothing (the
+    // declared statement executes every invocation to prove it).
+    // Oracle: the band-excluded aggregate.
+    Q("q233_sql_reorg_purge",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders, p WHERE o_orderkey > p.hi
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttrg_", s"q233:$d")
+        graft.GraftFunctions.register(s) // graft_reorg TVF
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        if (TimeTravel.currentVersion(root) < 1) {
+          val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+          TimeTravel.deleteVectorWhere(s, root, "o_orderkey", 0L, mx / 4)
+        }
+        // every invocation drives the purge from SQL: the FIRST rewrites
+        // the saturated cells, re-runs purge nothing and land no commit
+        val rep = s.sql(s"SELECT * FROM graft_reorg('$root', 50)").head()
+        require(rep.getLong(0) >= 1L, s"q233: reorg report $rep")
+        prioAgg(TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root)))
+          .orderBy("o_orderpriority")
       })
   )
 }

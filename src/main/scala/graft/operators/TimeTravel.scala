@@ -1112,6 +1112,63 @@ object TimeTravel extends QueryModule {
     }
   }
 
+  /** REORG … APPLY (PURGE) (Delta's surgical DV materialization):
+    * rewrite ONLY the files whose deletion-vector mask covers at least
+    * `minMaskedPct` percent of their rows, folding the mask in — the
+    * merge-on-read read-side debt (the per-scan anti-join) drops to
+    * zero for exactly the worst files, without paying a full-table
+    * OPTIMIZE. Rows are unchanged (masked rows were already logically
+    * deleted), so the commit is `nodata` and change feeds skip it; one
+    * output file per purged input keeps the file-count shape. Files
+    * without a logged row count are skipped conservatively (their ratio
+    * is unknowable from metadata). The rewrite reads raw physical
+    * files, so column-mapped tables take [[compact]] instead — refused
+    * loudly here. Returns the committed version; the current one when
+    * no file crosses the threshold. */
+  def purgeMasks(s: SparkSession, root: String, minMaskedPct: Int): Int = {
+    require(minMaskedPct >= 1 && minMaskedPct <= 100,
+      s"time travel: minMaskedPct must be in [1, 100], got $minMaskedPct")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: no table at $root")
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: purge on column-mapped table $root is not " +
+        "supported — run a full OPTIMIZE (compact) instead")
+    val dvs = dvsFor(root, gen)
+    if (dvs.isEmpty) return gen
+    val rows = nrowsFor(root, gen)
+    val victims = snapshotFiles(root, gen).filter { f =>
+      dvs.get(f).exists { case (_, card) =>
+        rows.get(f).exists(n =>
+          n > 0 && card * 100L >= minMaskedPct.toLong * n)
+      }
+    }
+    if (victims.isEmpty) return gen
+    val cleaned = readFilesWithDvs(s, root, gen, victims,
+      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      .coalesce(victims.size)
+    commit(s, root, cleaned, removed = victims, flags = Seq("nodata"))
+  }
+
+  /** `graft_reorg(root, minMaskedPct)` — [[purgeMasks]] from pure SQL,
+    * a lazy maintenance verb like its siblings. Returns
+    * (version, files_purged). */
+  def reorgPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_reorg(root, minMaskedPct)")
+    val root = litStr(exprs(0), "root")
+    val pct = litInt(exprs(1), "minMaskedPct")
+    maintPlan("reorg", Seq("version", "files_purged")) {
+      val s = SparkSession.active
+      val before = currentVersion(root)
+      val beforeFiles = snapshotFiles(root, before).toSet
+      val v = purgeMasks(s, root, pct)
+      val purged =
+        if (v == before) 0L
+        else (beforeFiles -- snapshotFiles(root, v).toSet).size.toLong
+      Seq(v.toLong, purged)
+    }
+  }
+
   /** Commit a MERGE-ON-READ row-level DELTA (the publish half of the
     * DSv2 `SupportsDelta` write): union each touched file's deleted
     * positions into a fresh immutable sidecar, rename the staged insert

@@ -410,6 +410,50 @@ class LakehouseOpsSpec extends SparkSpec {
         .head().get(0))
   }
 
+  test("q233 graft_reorg: purges only mask-heavy files, rows unchanged, change feeds skip, re-run no-op") {
+    GraftFunctions.register(spark)
+    val o = Tables.table(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .limit(800)
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, o, "o_orderkey", 8)
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // saturate the first cell (~100% masked), graze the second (~20%)
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(0), keys(99))
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(100), keys(119))
+    val before = TimeTravel.snapshotFiles(root, 2).toSet
+    // EXPLAIN purges nothing (lazy maintenance verb)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_reorg('$root', 50)").collect()
+    assert(TimeTravel.currentVersion(root) === 2)
+    val rep = spark.sql(s"SELECT * FROM graft_reorg('$root', 50)").head()
+    assert(rep.getLong(0) === 3L, s"reorg version: $rep")
+    assert(rep.getLong(1) >= 1L && rep.getLong(1) <= 2L,
+      s"purged-file count out of range: $rep")
+    val after = TimeTravel.snapshotFiles(root, 3).toSet
+    // only the saturated file(s) were rewritten; the grazed cell keeps
+    // its physical file AND its (cheap) mask
+    assert((before -- after).size === rep.getLong(1))
+    val liveDvs = TimeTravel.dvsFor(root, 3).keySet.intersect(after)
+    assert(liveDvs.nonEmpty, "the lightly-masked file lost its mask")
+    assert(liveDvs.forall(before), "a purged file kept a mask")
+    // rows unchanged through the purge
+    val expect = o.filter(!col("o_orderkey").between(keys(0), keys(99)) &&
+      !col("o_orderkey").between(keys(100), keys(119)))
+    assert(TimeTravel.readAsOf(spark, root, 3).count() === expect.count())
+    assert(TimeTravel.readAsOf(spark, root, 3)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
+      === expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().get(0))
+    // the nodata purge commit is invisible to change feeds
+    assert(TimeTravel.readChangesSince(spark, root, 2, 3).count() === 0L)
+    // idempotent: nothing left above the threshold
+    val rep2 = spark.sql(s"SELECT * FROM graft_reorg('$root', 50)").head()
+    assert(rep2.getLong(0) === 3L && rep2.getLong(1) === 0L,
+      s"re-run was not a no-op: $rep2")
+  }
+
   test("q188 deletion vectors: no file rewrites, deletes union, compact materializes, restore rolls back") {
     val o = Tables.table(spark, sf, "orders")
       .select("o_orderkey", "o_orderpriority", "o_totalprice")

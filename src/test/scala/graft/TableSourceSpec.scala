@@ -1783,12 +1783,12 @@ class TableSourceSpec extends SparkSpec {
     // a band inside one half-cell: ≤2 of 8 clustered files overlap
     val (lo, hi) = (keys(50), keys(99))
     withConfs(
-      "spark.sql.catalog.prcat" -> "graft.sources.table.GraftCatalog",
-      "spark.sql.catalog.prcat.warehouse" -> wh) {
-      spark.sql("ALTER TABLE prcat.pr SET TBLPROPERTIES (" +
+      "spark.sql.catalog.morpcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.morpcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE morpcat.pr SET TBLPROPERTIES (" +
         "'graft.enableDeletionVectors' = 'true')")
       TableMetrics.reset()
-      spark.sql("UPDATE prcat.pr SET o_totalprice = o_totalprice + 1 " +
+      spark.sql("UPDATE morpcat.pr SET o_totalprice = o_totalprice + 1 " +
         s"WHERE o_orderkey BETWEEN $lo AND $hi")
       // the delta candidate scan static-prunes from log stats: files
       // whose key range misses the band are never opened, let alone
@@ -1806,7 +1806,7 @@ class TableSourceSpec extends SparkSpec {
         when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 1)
           .otherwise(col("o_totalprice")))
       assert(spark.sql(
-        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM prcat.pr")
+        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM morpcat.pr")
         .head().getDecimal(0) ===
         expect.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
           .head().getDecimal(0))
