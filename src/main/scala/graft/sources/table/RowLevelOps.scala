@@ -139,10 +139,26 @@ final class GraftDeltaOperation(root: String,
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new org.apache.spark.sql.connector.write.DeltaWrite {
+        new org.apache.spark.sql.connector.write.DeltaWrite
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftDeltaBatchWrite(root, info.schema())
+          // cluster the CHANGED rows (only those flow into a delta
+          // write) by their source file, best-effort (AQE rebalance,
+          // not a strict repartition): each file's deleted positions
+          // then land in ONE task's payload instead of fanning across a
+          // MERGE's join shuffle — the Iceberg position-delete write
+          // discipline, keeping per-task and driver merge work bounded
+          // by files, not tasks × files
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(Expressions.column(FileMetaColumn.NAME)))
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
         }
     }
 }
