@@ -2715,6 +2715,231 @@ object LakehouseOps extends QueryModule {
         prioAgg(TimeTravel.readAsOf(s, root,
           TimeTravel.currentVersion(root)))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q234 CDF × MERGE-ON-READ DML (r16 verdict #2, Delta's CDC from
+    // DV-backed DML): a MERGE on a table with BOTH
+    // graft.enableChangeDataFeed and graft.enableDeletionVectors runs
+    // as masks + appends — zero files rewritten (required inline) — and
+    // the SAME commit lands the diff-form change files, recovered by
+    // reading the masked positions back from the touched files. The
+    // declared statement runs the identical MERGE on a copy-on-write
+    // CDF sibling and requires the two feeds ROW-IDENTICAL before
+    // returning the merge-on-read feed's aggregate: a CDC consumer
+    // cannot tell which write strategy the table picked. Oracle: DuckDB
+    // replays the diff feed (delete of each updated row's pre-image,
+    // insert of its post-image, insert per new key). At 100 TB this is
+    // the CDC-to-warehouse shape the reference's Glue contract implies,
+    // at changed-rows cost instead of touched-files cost.
+    Q("q234_mor_cdf_merge",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     upd AS (SELECT o_orderkey, o_orderpriority,
+             |               o_totalprice
+             |             FROM orders, p
+             |             WHERE o_orderkey BETWEEN mx//4 AND mx//2),
+             |     feed AS (
+             |       SELECT 'delete' AS _change_type, o_orderkey,
+             |              o_orderpriority, o_totalprice FROM upd
+             |       UNION ALL
+             |       SELECT 'insert', o_orderkey, o_orderpriority,
+             |              o_totalprice + 1000 FROM upd
+             |       UNION ALL
+             |       SELECT 'insert', o_orderkey + mx + 1,
+             |              o_orderpriority, o_totalprice + 1000
+             |       FROM orders, p WHERE o_orderkey <= mx//16)
+             |SELECT _change_type, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM feed GROUP BY _change_type
+             |ORDER BY _change_type""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat234_", s"q234:$d")
+        for (t <- Seq("mor", "cow"))
+          if (TimeTravel.currentVersion(s"$wh/$t") < 0)
+            TimeTravel.commitClustered(s, s"$wh/$t", orders3(s, d),
+              "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        withConfs(s,
+          "spark.sql.catalog.gcat234" -> CatalogClass,
+          "spark.sql.catalog.gcat234.warehouse" -> wh) {
+          for (tn <- Seq("mor", "cow"))
+            if (TimeTravel.currentVersion(s"$wh/$tn") < 1)
+              s.sql(s"ALTER TABLE gcat234.$tn SET TBLPROPERTIES (" +
+                "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(s"$wh/mor") < 2)
+            s.sql("ALTER TABLE gcat234.mor SET TBLPROPERTIES (" +
+              "'graft.enableDeletionVectors' = 'true')")
+          val o = orders3(s, d)
+          o.filter(col("o_orderkey").between(mx / 4, mx / 2))
+            .select(col("o_orderkey").as("k"),
+              col("o_orderpriority").as("p"),
+              (col("o_totalprice") + 1000).as("price"))
+            .unionAll(o.filter(col("o_orderkey") <= mx / 16)
+              .select((col("o_orderkey") + mx + 1).as("k"),
+                col("o_orderpriority").as("p"),
+                (col("o_totalprice") + 1000).as("price")))
+            .createOrReplaceTempView("q234_src")
+          def merge(tn: String, preGen: Int): Unit =
+            if (TimeTravel.currentVersion(s"$wh/$tn") < preGen + 1) {
+              val before = TimeTravel.snapshotFiles(s"$wh/$tn", preGen).toSet
+              s.sql(
+                s"""MERGE INTO gcat234.$tn t USING q234_src s
+                   |ON t.o_orderkey = s.k
+                   |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+                   |WHEN NOT MATCHED THEN INSERT
+                   |  (o_orderkey, o_orderpriority, o_totalprice)
+                   |  VALUES (s.k, s.p, s.price)""".stripMargin)
+              if (tn == "mor")
+                require(before.subsetOf(TimeTravel.snapshotFiles(s"$wh/$tn",
+                    TimeTravel.currentVersion(s"$wh/$tn")).toSet),
+                  "q234: CDF-enabled merge-on-read MERGE rewrote files")
+            }
+          merge("mor", 2)
+          merge("cow", 1)
+        }
+        def feed(tn: String, from: Int): Seq[(String, Long, String, Double)] =
+          TimeTravel.readRowChanges(s, s"$wh/$tn", from, from + 1)
+            .select(col("_change_type"), col("o_orderkey"),
+              col("o_orderpriority"), col("o_totalprice"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+              r.getDouble(3))).toSeq.sorted
+        val morFeed = feed("mor", 2)
+        require(morFeed == feed("cow", 1),
+          "q234: merge-on-read change feed diverges from the " +
+            "copy-on-write sibling's")
+        morFeed.toDF("_change_type", "o_orderkey", "o_orderpriority",
+            "o_totalprice")
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("_change_type")
+      }),
+
+    // Q235 MERGE … WITH SCHEMA EVOLUTION (Delta's autoMerge, through
+    // Spark's AUTOMATIC_SCHEMA_EVOLUTION capability): the source
+    // carries a column the target lacks (`o_note`) — with the explicit
+    // keyword, the analyzer diffs the schemas and routes the ADD
+    // through this catalog's alterTable (the q221 addColumnMapped
+    // machinery: metadata-only, existing rows null-backfill) in the
+    // same statement, then the MERGE lands with the evolved schema.
+    // Without the keyword the same statement still refuses
+    // (spec-pinned). At 100 TB: an upstream producer adding a field
+    // stops being a pipeline outage — zero data bytes rewritten for
+    // the evolution itself. Oracle: DuckDB replays evolution + merge.
+    Q("q235_merge_evolve",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     fin AS (
+             |       SELECT o_orderkey, o_orderpriority,
+             |         CASE WHEN o_orderkey BETWEEN mx//4 AND mx//2
+             |              THEN o_totalprice + 1000
+             |              ELSE o_totalprice END AS o_totalprice,
+             |         CASE WHEN o_orderkey BETWEEN mx//4 AND mx//2
+             |              THEN 'evolved' END AS o_note
+             |       FROM orders, p
+             |       UNION ALL
+             |       SELECT o_orderkey + mx + 1, o_orderpriority,
+             |              o_totalprice + 1000, 'evolved'
+             |       FROM orders, p WHERE o_orderkey <= mx//16)
+             |SELECT coalesce(o_note, '-') AS note, o_orderpriority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM fin GROUP BY note, o_orderpriority
+             |ORDER BY note, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat235_", s"q235:$d")
+        val root = s"$wh/ev"
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat235" -> CatalogClass,
+          "spark.sql.catalog.gcat235.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1) {
+            val o = orders3(s, d)
+            o.filter(col("o_orderkey").between(mx / 4, mx / 2))
+              .withColumn("o_totalprice", col("o_totalprice") + 1000)
+              .unionByName(o.filter(col("o_orderkey") <= mx / 16)
+                .select((col("o_orderkey") + mx + 1).as("o_orderkey"),
+                  col("o_orderpriority"),
+                  (col("o_totalprice") + 1000).as("o_totalprice")))
+              .withColumn("o_note", lit("evolved"))
+              .createOrReplaceTempView("q235_src")
+            s.sql(
+              """MERGE WITH SCHEMA EVOLUTION INTO gcat235.ev t
+                |USING q235_src s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            require(TimeTravel.schemaAsOf(root,
+                TimeTravel.currentVersion(root))
+                .exists(_.fieldNames.contains("o_note")),
+              "q235: MERGE WITH SCHEMA EVOLUTION did not add o_note")
+          }
+          s.sql(
+            """SELECT coalesce(o_note, '-') AS note, o_orderpriority,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat235.ev GROUP BY note, o_orderpriority""".stripMargin)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+              r.getDouble(3))).toSeq
+        }
+        rows.toDF("note", "o_orderpriority", "n", "total")
+          .orderBy("note", "o_orderpriority")
+      }),
+
+    // Q236 AUTO-COMPACTION (Delta's autoOptimize.autoCompact as the
+    // `graft.autoCompact` TBLPROPERTY): twenty one-slice INSERTs land
+    // on a table whose property triggers compactSmall after each sink
+    // commit — small files converge to a bounded count (required
+    // inline: ≤ 8 files after 20 inserts, ≥ 1 compaction commit)
+    // without anyone scheduling OPTIMIZE, and history stays readable
+    // through the `nodata` compaction commits. Cost ∝ the small files
+    // only — the reason it is safe per-commit at 100 TB, where full
+    // OPTIMIZE is a scheduled job. Oracle: the slices reassemble the
+    // whole table.
+    Q("q236_auto_compact",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_cat236_", s"q236:$d")
+        val root = s"$wh/ac"
+        withConfs(s,
+          "spark.sql.catalog.gcat236" -> CatalogClass,
+          "spark.sql.catalog.gcat236.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 0) {
+            orders3(s, d).createOrReplaceTempView("q236_src")
+            s.sql("CREATE TABLE gcat236.ac TBLPROPERTIES (" +
+              "'graft.autoCompact' = 'true', " +
+              "'graft.autoCompact.minFiles' = '6', " +
+              "'graft.autoCompact.smallRows' = '100000') " +
+              "AS SELECT * FROM q236_src WHERE 1 = 0")
+            val v0 = TimeTravel.currentVersion(root)
+            for (i <- 0 until 20)
+              s.sql("INSERT INTO gcat236.ac " +
+                s"SELECT * FROM q236_src WHERE o_orderkey % 20 = $i")
+            val v1 = TimeTravel.currentVersion(root)
+            val files = TimeTravel.snapshotFiles(root, v1)
+            require(files.size <= 8,
+              s"q236: auto-compaction left ${files.size} files after " +
+                "20 small appends")
+            require(v1 - v0 > 20,
+              "q236: no auto-compaction commit landed")
+            // history through the nodata compactions stays readable
+            require(TimeTravel.readAsOf(s, root, v0 + 3).count() > 0,
+              "q236: an early generation became unreadable")
+          }
+          prioAgg(s.sql("SELECT * FROM gcat236.ac"))
+            .orderBy("o_orderpriority")
+        }
       })
   )
 }

@@ -162,6 +162,29 @@ object TimeTravel extends QueryModule {
     (parseArr(txt, "added"), parseArr(txt, "removed"))
   }
 
+  /** READER FEATURES this build can honor (Delta's protocol
+    * readerFeatures): a commit (or checkpoint) that introduces one of
+    * these behaviors RECORDS it, and [[requireFeaturesReadable]] makes
+    * any reader that does not know a recorded feature refuse the table
+    * loudly instead of silently misreading — e.g. a pre-DV build
+    * returning masked rows as live. Feature names are append-only. */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping", "type-widening",
+      "column-defaults")
+
+  /** Refuse when `txt` (a commit or checkpoint JSON) requires a reader
+    * feature this build does not implement — the protocol gate every
+    * snapshot resolution and change-feed read passes through. Logs
+    * written before feature recording carry no array and pass free. */
+  private def requireFeaturesReadable(txt: String, where: String): Unit = {
+    val unknown = parseArr(txt, "features").filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"time travel: $where requires reader features " +
+          s"${unknown.mkString(", ")} this build does not support — " +
+          "upgrade the reader; refusing to misread the table")
+  }
+
   /** The change-feed delta of commits (fromGen, toGen]: the data files
     * whose rows were ADDED in the range. `nodata`-flagged commits
     * (compaction — Delta's dataChange=false) are skipped wholesale; any
@@ -174,6 +197,7 @@ object TimeTravel extends QueryModule {
     val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
+        requireFeaturesReadable(txt, s"commit $v of $root")
         (v, parseArr(txt, "added"), parseArr(txt, "removed"),
           parseArr(txt, "flags"), parseArr(txt, "dvs"))
       }
@@ -870,7 +894,7 @@ object TimeTravel extends QueryModule {
     } finally in.close()
   }
 
-  private def writePositions(path: String, pos: Array[Long],
+  private[graft] def writePositions(path: String, pos: Array[Long],
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -913,6 +937,24 @@ object TimeTravel extends QueryModule {
       }
   }
 
+  /** The reader features REQUIRED at `gen`, cumulative (a mask written
+    * at gen 3 still masks at gen 30): newest checkpoint ≤ gen as the
+    * base, tail commits union in — the resolution shape every
+    * `*AsOf` shares. Folded into checkpoints so retention cannot drop
+    * the only commit that recorded a feature. */
+  private[graft] def featuresAsOf(root: String, gen: Int): Set[String] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    val baseF = base
+      .map { case (_, f) => parseArr(readBytes(fs, f), "features").toSet }
+      .getOrElse(Set.empty[String])
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseF) { case (acc, (_, f)) =>
+        acc ++ parseArr(readBytes(fs, f), "features")
+      }
+  }
+
   /** Read `files` (a subset of generation `gen`'s snapshot) with that
     * generation's deletion vectors applied: DV'd files are read with
     * parquet's generated per-file row index and LEFT-ANTI-joined against
@@ -950,6 +992,88 @@ object TimeTravel extends QueryModule {
         .drop("__dvf", "__dvi")
       if (plain.isEmpty) masked else reader(plain).unionByName(masked)
     }
+  }
+
+  /** Position-FRAGMENT sidecars (the merge-on-read DML tasks' payload
+    * files) live beside the vectors; consumed and dropped at commit. */
+  private[graft] def fragDir(root: String) = s"${dvDir(root)}/frag"
+
+  /** `files` grouped by the set of DEFAULTED columns each one's parquet
+    * footer LACKS, with the literal fill each group needs: a file
+    * written before `ADD COLUMN … DEFAULT` must read the default, a
+    * file that carries the column reads its stored bytes (Delta's
+    * existingDefault semantics — a post-evolution explicit NULL stays
+    * NULL, which a frame-wide coalesce would clobber). Footer probes
+    * cost one metadata read per file, only on defaulted tables (the
+    * rare case), and only over the call's touched set — never the
+    * table. One group with no fill on default-free tables. */
+  private def defaultFillGroups(root: String, gen: Int,
+      files: Seq[String]): Seq[(Seq[String], Map[String, Column])] = {
+    val schemaOpt = schemaAsOf(root, gen)
+    // defaults whose column is no longer in the schema are STALE (the
+    // defaulted column was dropped; its graft.default.* line is inert)
+    // — skipped, the same tolerance the DSv2 reader's default map has
+    val defaults = defaultsFor(root, gen).filter { case (c, _) =>
+      schemaOpt.exists(_.fieldNames.contains(c)) }
+    if (defaults.isEmpty || files.isEmpty) return Seq((files, Map.empty))
+    val schema = schemaOpt.get
+    val (fs, _) = fsFor(root)
+    def footerFields(name: String): Set[String] = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataPath(root, name)), fs.getConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+      } finally r.close()
+    }
+    def fillFor(c: String, v: String): Column = {
+      import org.apache.spark.sql.types._
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => lit(v.toLong)
+        case Some(IntegerType) => lit(v.toInt)
+        case Some(DateType) => // defaults render DATE as epoch days
+          date_add(to_date(lit("1970-01-01")), v.toInt)
+        case Some(DoubleType) => lit(v.toDouble)
+        case Some(FloatType) => lit(v.toFloat)
+        case Some(BooleanType) => lit(v.toBoolean)
+        case Some(StringType) => lit(v)
+        case other => throw new IllegalStateException(
+          s"time travel: unsupported default type $other for $c")
+      }
+    }
+    files.groupBy(f => defaults.keySet -- footerFields(f))
+      .toSeq.sortBy(_._2.head)
+      .map { case (missing, fls) =>
+        (fls, missing.toSeq.sorted
+          .map(c => c -> fillFor(c, defaults(c))).toMap)
+      }
+  }
+
+  /** Read `files` with generation `gen`'s deletion vectors applied AND
+    * recorded column DEFAULTS filled per file group (r16 ADVICE: the
+    * raw `spark.read.parquet` the row-level maintenance ops used could
+    * persist NULL where every reader served a default). The explicit
+    * logged read schema also up-converts type-WIDENED narrow files, the
+    * same way [[readAsOf]] does. Zero extra cost on default-free
+    * tables: one group, plain schema read. */
+  private[graft] def readFilesFilledDvs(s: SparkSession, root: String,
+      gen: Int, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "time travel: readFilesFilledDvs of no files")
+    val sch = schemaAsOf(root, gen)
+    val reader: Seq[String] => DataFrame = fl => {
+      val paths = fl.map(f => dataPath(root, f))
+      sch match {
+        case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+        case None => s.read.parquet(paths: _*)
+      }
+    }
+    defaultFillGroups(root, gen, files).map { case (fls, fills) =>
+      fills.foldLeft(readFilesWithDvs(s, root, gen, fls, reader)) {
+        case (d, (c, v)) => d.withColumn(c, v)
+      }
+    }.reduce(_ unionByName _)
   }
 
   /** Row-level DELETE as a DELETION VECTOR (Delta's merge-on-read DVs):
@@ -1004,11 +1128,24 @@ object TimeTravel extends QueryModule {
     fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
     val uid = java.util.UUID.randomUUID().toString.take(8)
     import s.implicits._
-    val written = s.read.parquet(touched.map(f => dataPath(root, f)): _*)
-      .filter(col(statCol).between(lo, hi))
-      .select(
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("f"),
-        col("_metadata.row_index").as("i"))
+    // per fill group: explicit-schema read (widened files up-convert),
+    // defaulted band columns fill before the band filter — a default
+    // equal to an in-band value masks pre-evolution rows correctly
+    val sch = schemaAsOf(root, gen)
+    val candidates = defaultFillGroups(root, gen, touched)
+      .map { case (fls, fills) =>
+        val paths = fls.map(f => dataPath(root, f))
+        val base = sch match {
+          case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+        base.select(
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("f"),
+          col("_metadata.row_index").as("i"),
+          fills.getOrElse(statCol, col(statCol)).as("__band"))
+      }.reduce(_ unionByName _)
+    val written = candidates
+      .filter(col("__band").between(lo, hi))
       .groupBy("f").agg(sort_array(collect_list(col("i"))).as("pos"))
       .as[(String, Seq[Long])]
       .map { case (f, pos) =>
@@ -1035,12 +1172,19 @@ object TimeTravel extends QueryModule {
     if (written.isEmpty) gen
     else {
       // CDF on: the newly-deleted LIVE rows (already-masked rows don't
-      // re-emit) land as change files beside the vectors
+      // re-emit) land as change files beside the vectors. Column-mapped
+      // tables refuse at write time like every CDC-emitting DML path
+      // (change files carry logical names; the files speak physical).
       val cdc =
         if (!cdfEnabled(root, gen)) Nil
+        else if (colmapAsOf(root, gen).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"time travel: change data feed on column-mapped table " +
+              s"$root — a deletion-vector delete cannot write change " +
+              "files for a table with renamed/dropped/added columns; " +
+              "disable graft.enableChangeDataFeed on this table first")
         else writeCdcFiles(s, root,
-          readFilesWithDvs(s, root, gen, touched,
-            fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+          readFilesFilledDvs(s, root, gen, touched)
             .filter(col(statCol).between(lo, hi))
             .withColumn("_change_type", lit("delete")))
       commitNames(s, root, Nil, Nil,
@@ -1080,12 +1224,22 @@ object TimeTravel extends QueryModule {
       s"time travel: merge-on-read update of the band column $statCol " +
         "itself would falsify the appended files' range stats — use " +
         "updateWhere (copy-on-write) for key updates")
+    // the re-appended rows stage under LOGICAL names; a column-mapped
+    // table's files carry PHYSICAL ones — refuse toward the SQL route
+    // rather than land a mixed-name snapshot. This also covers every
+    // ADD COLUMN … DEFAULT table (adds always map), closing the r16
+    // ADVICE NULL-over-default re-append for this entry point.
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: merge-on-read update on column-mapped table $root " +
+        "(renamed/dropped/added columns) is not supported — use the SQL " +
+        "UPDATE route, whose DSv2 writer speaks physical names")
     val touched = touchedFiles(root, gen, statCol, lo, hi)
     if (touched.isEmpty) return gen
-    // LIVE matching rows (read through the current vectors): exactly the
-    // rows that re-land updated, and the CDC pre-image
-    val live = readFilesWithDvs(s, root, gen, touched,
-      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+    // LIVE matching rows (read through the current vectors, defaults
+    // filled — r16 ADVICE: a raw read would re-append NULL where every
+    // reader served the recorded default): exactly the rows that
+    // re-land updated, and the CDC pre-image
+    val live = readFilesFilledDvs(s, root, gen, touched)
       .filter(col(statCol).between(lo, hi))
     val updated = live.withColumn(setCol, setTo)
     val (written, oldByFile) =
@@ -1143,8 +1297,10 @@ object TimeTravel extends QueryModule {
       }
     }
     if (victims.isEmpty) return gen
-    val cleaned = readFilesWithDvs(s, root, gen, victims,
-      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+    // defaults fill per file group (r16 ADVICE): a purged pre-evolution
+    // file's rewrite must persist the DEFAULT its readers served, not
+    // NULL; the explicit schema read also up-converts widened files
+    val cleaned = readFilesFilledDvs(s, root, gen, victims)
       .coalesce(victims.size)
     commit(s, root, cleaned, removed = victims, flags = Seq("nodata"))
   }
@@ -1173,48 +1329,145 @@ object TimeTravel extends QueryModule {
     * DSv2 `SupportsDelta` write): union each touched file's deleted
     * positions into a fresh immutable sidecar, rename the staged insert
     * temps into `data/`, and land masks + adds as ONE atomic commit —
-    * zero existing files rewritten or retired. Sidecar writes happen
-    * driver-side from the tasks' position payloads (a point DML's
-    * positions are KBs; a rewrite large enough for this to matter
-    * belongs on the copy-on-write path anyway). `dvExpect` turns a
-    * racing rewrite or re-delete of a touched file into an explicit
-    * conflict, never a lost delete. CHECK constraints re-validate the
-    * inserted rows ([[commitStagedFiles]]). Returns the committed
-    * version; the current one when the delta is empty. */
+    * zero existing files rewritten or retired. Positions arrive as
+    * per-file FRAGMENT sidecars the tasks already wrote in EXECUTORS
+    * ([[fragDir]]); the union into each file's final vector runs as a
+    * small distributed job (one task per touched file, the same
+    * executor discipline [[writeMaskVectors]] has), so driver heap and
+    * commit-message RPC stay ∝ touched-file COUNT — a 10⁹-row DELETE
+    * never ships 8 GB of positions through `spark.driver.maxResultSize`
+    * (r16 verdict #1). `dvExpect` turns a racing rewrite or re-delete
+    * of a touched file into an explicit conflict, never a lost delete.
+    * CHECK constraints re-validate the inserted rows
+    * ([[commitStagedFiles]]). CDF on: the same commit lands the
+    * DIFF-FORM change files ([[cdcForRowDelta]]) — the delta route no
+    * longer falls back to copy-on-write for CDF tables (r16 verdict
+    * #2). Consumed fragments are dropped after the commit. Returns the
+    * committed version; the current one when the delta is empty. */
   private[graft] def commitRowDelta(s: SparkSession, root: String,
-      deleted: Map[String, Array[Long]], temps: Seq[String]): Int = {
+      fragments: Map[String, Seq[String]], temps: Seq[String]): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: no table at $root")
-    if (deleted.isEmpty && temps.isEmpty) return gen
+    if (fragments.isEmpty && temps.isEmpty) return gen
     val live = snapshotFiles(root, gen).toSet
-    val ghosts = deleted.keys.filterNot(live)
+    val ghosts = fragments.keys.filterNot(live)
     require(ghosts.isEmpty,
       s"time travel: row delta masks files not in snapshot $gen of " +
         s"$root: ${ghosts.mkString(", ")} — re-read and re-plan")
     val dvs = dvsFor(root, gen)
-    val conf = s.sessionState.newHadoopConf()
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
     val dvRoot = dvDir(root)
     val (fs, _) = fsFor(root)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
     val uid = java.util.UUID.randomUUID().toString.take(8)
-    val written = deleted.toSeq.sortBy(_._1).map { case (f, pos) =>
-      val old = dvs.get(f)
-        .map(n => readPositions(s"$dvRoot/${n._1}", conf))
-        .getOrElse(Array.empty[Long])
-      val union = (pos ++ old).distinct.sorted
-      val name = s"$uid-$f.dv"
-      writePositions(s"$dvRoot/$name", union, conf)
-      (f, name, union.length.toLong)
-    }
+    import s.implicits._
+    val entries = fragments.toSeq.sortBy(_._1)
+      .map { case (f, frs) => (f, frs, dvs.get(f).map(_._1)) }
+    // executor-side union: each task reads ONE file's fragments + its
+    // existing vector and writes the final sidecar; only
+    // (file, sidecar, cardinality) triples return to the driver
+    val written =
+      if (entries.isEmpty) Seq.empty[(String, String, Long)]
+      else s.createDataset(entries)
+        .repartition(math.min(entries.size, 32))
+        .map { case (f, frs, old) =>
+          val fresh = frs.toArray.flatMap(n =>
+            readPositions(s"$dvRoot/frag/$n", confB.value))
+          val prev = old
+            .map(n => readPositions(s"$dvRoot/$n", confB.value))
+            .getOrElse(Array.empty[Long])
+          val union = (fresh ++ prev).distinct.sorted
+          val name = s"$uid-$f.dv"
+          writePositions(s"$dvRoot/$name", union, confB.value)
+          (f, name, union.length.toLong)
+        }
+        .collect().toSeq.sortBy(_._1)
     val schemaDdl = schemaAsOf(root, gen).map(_.toDDL).getOrElse(
       throw new IllegalStateException(
         s"time travel: no logged schema under $root"))
-    commitStagedFiles(s, root, temps, schemaDdl,
-      dvExpect = Some(deleted.keys.map(f =>
-        f -> dvs.get(f).map(_._1)).toMap),
+    val cdc = cdcForRowDelta(s, root, gen, entries.map(e => (e._1, e._2)),
+      temps)
+    val v = commitStagedFiles(s, root, temps, schemaDdl,
+      dvExpect = Some(entries.map { case (f, _, old) => f -> old }.toMap),
       dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+      cdc = cdc,
       flags = Seq("rowdelta"))
+    // fragments are consumed — drop them (best-effort; a missed delete
+    // is an orphan under _graft_log/dv/frag, never a read-path input)
+    fragments.valuesIterator.flatten.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dvRoot/frag/$n"), false))
+    v
   }
+
+  /** DIFF-FORM row-level CDC for a merge-on-read DELTA commit, matching
+    * [[cdcDiffForReplace]]'s convention exactly (so a CDF consumer sees
+    * the SAME feed whichever write strategy the table property picked):
+    * the newly-masked live rows are the before-image — the delta scan
+    * reads THROUGH live vectors, so the fragments' positions are
+    * precisely the rows this DML deletes, recovered by a position
+    * semi-join against the touched files (the q229 pattern) — the
+    * staged inserts are the after-image, and the feed emits their
+    * multiset difference. Fragment sidecars are read in EXECUTORS.
+    * Column-mapped tables refuse at write time (change files carry
+    * logical names); defaults fill per file group. */
+  private def cdcForRowDelta(s: SparkSession, root: String, gen: Int,
+      frags: Seq[(String, Seq[String])], temps: Seq[String]): Seq[String] =
+    if (!cdfEnabled(root, gen) || (frags.isEmpty && temps.isEmpty)) Nil
+    else if (colmapAsOf(root, gen).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"time travel: change data feed on column-mapped table $root — " +
+          "row-level DML cannot write change files for a table with " +
+          "renamed/dropped columns; disable graft.enableChangeDataFeed " +
+          "on this table (or avoid column mapping) before DELETE/" +
+          "UPDATE/MERGE")
+    else {
+      val confB = new org.apache.spark.util.SerializableConfiguration(
+        s.sessionState.newHadoopConf())
+      val dvRoot = dvDir(root)
+      val sch = schemaAsOf(root, gen)
+      val cols = sch.map(_.fieldNames.toSeq).getOrElse(
+        throw new IllegalStateException(
+          s"time travel: no logged schema under $root"))
+      val sel = cols.map(col)
+      import s.implicits._
+      val after =
+        if (temps.isEmpty) None
+        else Some(s.read.parquet(temps: _*).select(sel: _*))
+      val before =
+        if (frags.isEmpty) after.get.limit(0)
+        else {
+          val newDel = s.createDataset(frags)
+            .repartition(math.min(frags.size, 32))
+            .flatMap { case (f, frs) =>
+              frs.toArray
+                .flatMap(n => readPositions(s"$dvRoot/frag/$n", confB.value))
+                .distinct.map(i => (f, i))
+            }.toDF("__dvf", "__dvi")
+          defaultFillGroups(root, gen, frags.map(_._1))
+            .map { case (fls, fills) =>
+              val paths = fls.map(f => dataPath(root, f))
+              val base = sch match {
+                case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+                case None => s.read.parquet(paths: _*)
+              }
+              fills.foldLeft(base
+                .withColumn("__dvf",
+                  element_at(split(col("_metadata.file_path"), "/"), -1))
+                .withColumn("__dvi", col("_metadata.row_index"))) {
+                case (d, (c, v)) => d.withColumn(c, v)
+              }
+            }.reduce(_ unionByName _)
+            .join(newDel, Seq("__dvf", "__dvi"), "left_semi")
+            .select(sel: _*)
+        }
+      val post = after.getOrElse(before.limit(0))
+      writeCdcFiles(s, root,
+        before.exceptAll(post).withColumn("_change_type", lit("delete"))
+          .unionByName(
+            post.exceptAll(before)
+              .withColumn("_change_type", lit("insert"))))
+    }
 
   // ---- sink-side staged commits (the DSv2 writer's publish path) ------
 
@@ -1258,11 +1511,19 @@ object TimeTravel extends QueryModule {
     * loud-refusal path keeps correctness there). */
   private[graft] def cdcForRemovedFiles(s: SparkSession, root: String,
       gen: Int, removed: Seq[String]): Seq[String] =
-    if (gen < 0 || removed.isEmpty || !cdfEnabled(root, gen) ||
-        colmapAsOf(root, gen).nonEmpty) Nil
+    if (gen < 0 || removed.isEmpty || !cdfEnabled(root, gen)) Nil
+    else if (colmapAsOf(root, gen).nonEmpty)
+      // refuse at WRITE time like cdcDiffForReplace (r16 ADVICE: the
+      // silent Nil here left a file-aligned DELETE/TRUNCATE emitting no
+      // change files, surfacing only later as a read-time feed error)
+      throw new UnsupportedOperationException(
+        s"time travel: change data feed on column-mapped table $root — " +
+          "a file-aligned DELETE/TRUNCATE cannot write change files for " +
+          "a table with renamed/dropped columns; disable " +
+          "graft.enableChangeDataFeed on this table (or avoid column " +
+          "mapping) first")
     else writeCdcFiles(s, root,
-      readFilesWithDvs(s, root, gen, removed,
-        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      readFilesFilledDvs(s, root, gen, removed)
         .withColumn("_change_type", lit("delete")))
 
   /** DIFF-FORM row-level CDC for a copy-on-write group replacement
@@ -1305,9 +1566,7 @@ object TimeTravel extends QueryModule {
         else Some(s.read.parquet(temps: _*).select(sel: _*))
       val before =
         if (removed.isEmpty) after.get.limit(0)
-        else readFilesWithDvs(s, root, gen, removed,
-          fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
-          .select(sel: _*)
+        else readFilesFilledDvs(s, root, gen, removed).select(sel: _*)
       val post = after.getOrElse(before.limit(0))
       writeCdcFiles(s, root,
         before.exceptAll(post).withColumn("_change_type", lit("delete"))
@@ -1428,6 +1687,22 @@ object TimeTravel extends QueryModule {
       last = t
       (v, t)
     }
+  }
+
+  /** The EXCLUSIVE change-feed start for a timestamp bound, matching
+    * Delta's `startingTimestamp` (r16 ADVICE): one LESS than the first
+    * generation whose in-commit timestamp is ≥ `tsMillis`, so the feed
+    * delivers every commit at-or-after the instant INCLUSIVE — a
+    * timestamp equal to a commit's own timestamp includes that commit's
+    * changes. A pre-history bound clamps to the whole history (start
+    * −1); a bound past the newest commit starts empty at the current
+    * version (a stream then picks up only future commits). Contrast
+    * [[versionAtTime]], the AS-OF resolution (newest commit ≤ ts). */
+  def versionBeforeTime(root: String, tsMillis: Long): Int = {
+    val times = commitTimes(root)
+    require(times.nonEmpty, s"time travel: no commit log under $root")
+    times.find(_._2 >= tsMillis).map(_._1 - 1)
+      .getOrElse(times.last._1)
   }
 
   /** The generation in force at `tsMillis`: the newest commit at or
@@ -1864,6 +2139,7 @@ object TimeTravel extends QueryModule {
     commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
+        requireFeaturesReadable(txt, s"commit $v of $root")
         (v, parseArr(txt, "added"), parseArr(txt, "removed"),
           parseArr(txt, "flags"), parseArr(txt, "dvs"),
           parseArr(txt, "cdc"))
@@ -1890,6 +2166,7 @@ object TimeTravel extends QueryModule {
     val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
+        requireFeaturesReadable(txt, s"commit $v of $root")
         (v, parseArr(txt, "added"), parseArr(txt, "removed"),
           parseArr(txt, "flags"), parseArr(txt, "dvs"),
           parseArr(txt, "cdc"))
@@ -1953,6 +2230,65 @@ object TimeTravel extends QueryModule {
     else commit(s, root, readAsOf(s, root, gen).coalesce(targetFiles),
       removed = files, flags = Seq("nodata"))
   }
+
+  /** Compact ONLY the SMALL files (live rows < `smallRows` after DV
+    * masks), and only once `minFiles` of them accumulated — the
+    * bounded, incremental sibling of [[compact]] that auto-compaction
+    * rides (Delta's autoCompact): cost ∝ the small files' bytes, never
+    * the table's, so it is safe to run after every append at 100 TB.
+    * Small files pack into ~`smallRows`-sized outputs in one `nodata`
+    * commit (rows unchanged — change feeds skip it); masks on small
+    * files materialize away with them. Files without a logged row
+    * count are left alone (their size is unknowable from metadata).
+    * Returns the committed version; the current one below threshold. */
+  def compactSmall(s: SparkSession, root: String, smallRows: Long,
+      minFiles: Int): Int = {
+    require(smallRows > 0 && minFiles > 1,
+      s"time travel: bad compactSmall bounds ($smallRows, $minFiles)")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot compact empty table $root")
+    val nrows = nrowsFor(root, gen)
+    val dvs = dvsFor(root, gen)
+    def liveRows(f: String): Option[Long] =
+      nrows.get(f).map(n => n - dvs.get(f).map(_._2).getOrElse(0L))
+    val small = snapshotFiles(root, gen)
+      .filter(f => liveRows(f).exists(_ < smallRows))
+    if (small.size < minFiles) return gen
+    val total = small.flatMap(liveRows).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / smallRows).toInt)
+    val packed = readFilesFilledDvs(s, root, gen, small).coalesce(nOut)
+    commit(s, root, packed, removed = small, flags = Seq("nodata"))
+  }
+
+  /** Post-commit AUTO-COMPACTION trigger (Delta's
+    * delta.autoOptimize.autoCompact): when the table property
+    * `graft.autoCompact` is true, every DSv2 sink commit (SQL INSERT,
+    * streaming epoch) is followed by a [[compactSmall]] check — small
+    * files from per-run/per-epoch ingestion converge to a bounded count
+    * without anyone scheduling OPTIMIZE. Thresholds come from
+    * `graft.autoCompact.smallRows` (default 2²⁰) and
+    * `graft.autoCompact.minFiles` (default 16). Best-effort by design:
+    * a compaction conflict or failure never fails the append that
+    * triggered it (the data landed; maintenance retries on the next
+    * commit). Column-mapped and partitioned layouts are skipped —
+    * their rewrite disciplines (physical names, per-partition value
+    * lines) keep the explicit OPTIMIZE verbs. */
+  private[graft] def autoCompactIfDue(s: SparkSession, root: String): Unit =
+    try {
+      val gen = currentVersion(root)
+      if (gen < 0) return
+      val props = propsAsOf(root, gen)
+      if (!props.get("graft.autoCompact").contains("true")) return
+      if (colmapAsOf(root, gen).nonEmpty) return
+      if (props.contains("graft.partitionCol") ||
+          props.contains("graft.partitionSpec")) return
+      val smallRows = props.get("graft.autoCompact.smallRows")
+        .map(_.toLong).getOrElse(1L << 20)
+      val minFiles = props.get("graft.autoCompact.minFiles")
+        .map(_.toInt).getOrElse(16)
+      compactSmall(s, root, smallRows, minFiles)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** OPTIMIZE … ZORDER BY (Delta's clustering compaction): rewrite the
     * whole current snapshot Z-ORDER-clustered on `(c1, c2)` in one
@@ -2690,6 +3026,18 @@ object TimeTravel extends QueryModule {
     // (Delta's numRecords); footer reads unless the caller already knows
     val nrows = nrowsIn.getOrElse(
       added.map(f => s"$f|${footerRows(root, f)}"))
+    // PROTOCOL gate (Delta's readerFeatures): a commit that introduces
+    // behavior an uninformed reader would MISREAD (not merely miss)
+    // records the required feature; readers refuse unknown ones at
+    // resolution. Plain commits carry no array — old logs and plain
+    // tables are untouched.
+    val features = (
+      (if (dvs.nonEmpty) Seq("deletion-vectors") else Nil) ++
+      (if (colmap.nonEmpty) Seq("column-mapping") else Nil) ++
+      (if (props.exists(_.startsWith("graft.widened.")))
+        Seq("type-widening") else Nil) ++
+      (if (props.exists(_.startsWith("graft.default.")))
+        Seq("column-defaults") else Nil)).sorted
     def render(v: Int, ts: Long) =
       s"""{"version":$v,"ts":["$ts"],""" +
         s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
@@ -2698,6 +3046,8 @@ object TimeTravel extends QueryModule {
          else s""","stats":[${stats.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (flags.isEmpty) ""
          else s""","flags":[${flags.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (features.isEmpty) ""
+         else s""","features":[${features.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (blooms.isEmpty) ""
          else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (nrows.isEmpty) ""
@@ -2855,8 +3205,11 @@ object TimeTravel extends QueryModule {
     val txnLines = txnsAsOf(root, v).toSeq.sorted
       .map { case (a, ver) => s"$a|$ver" }
     val schemaDdl = schemaAsOf(root, v).map(_.toDDL)
+    val featLines = featuresAsOf(root, v).toSeq.sorted
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
+        (if (featLines.isEmpty) ""
+         else s""","features":[${featLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (dvLines.isEmpty) ""
          else s""","dvs":[${dvLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (csLines.isEmpty) ""
@@ -2900,15 +3253,19 @@ object TimeTravel extends QueryModule {
         s"(latest: ${commits.lastOption.map(_._1).getOrElse(-1)})")
     val base = ckpts.filter(_._1 <= gen).lastOption
     val baseFiles: Seq[String] =
-      base.map { case (_, f) => parseArr(readBytes(fs, f), "files") }
-        .getOrElse(Nil)
+      base.map { case (v, f) =>
+        val txt = readBytes(fs, f)
+        requireFeaturesReadable(txt, s"checkpoint $v of $root")
+        parseArr(txt, "files")
+      }.getOrElse(Nil)
     val tail = commits.filter(c => c._1 > base.map(_._1).getOrElse(-1) &&
       c._1 <= gen)
     var files = baseFiles
-    tail.foreach { case (_, f) =>
-      val (a, r) = readCommit(fs, f)
-      val rm = r.toSet
-      files = files.filterNot(rm) ++ a
+    tail.foreach { case (v, f) =>
+      val txt = readBytes(fs, f)
+      requireFeaturesReadable(txt, s"commit $v of $root")
+      val rm = parseArr(txt, "removed").toSet
+      files = files.filterNot(rm) ++ parseArr(txt, "added")
     }
     (files, tail.size)
   }

@@ -152,19 +152,33 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * for the layout would diverge silently. Non-graft keys (Spark adds
     * owner/provider and comment bookkeeping) are not table semantics
     * here and are ignored. */
+  /** `_file`/`_pos` are METADATA columns (the merge-on-read row id):
+    * a USER column with either name would be silently shadowed — worse,
+    * ChainedReader fills `_pos` from the physical row counter, so a
+    * data column named `_pos` would have its stored values clobbered on
+    * every read (r16 ADVICE). Refused at create/evolve time, where the
+    * statement is still the user's to fix. */
+  private def requireNotReserved(name: String, what: String): Unit =
+    require(name != FileMetaColumn.NAME && name != PosMetaColumn.NAME,
+      s"graft catalog: $what '$name' collides with the reserved " +
+        s"${FileMetaColumn.NAME}/${PosMetaColumn.NAME} metadata columns")
+
   private def userProps(properties: java.util.Map[String, String],
       spec: Seq[PartTerm], schema: StructType): Seq[String] = {
+    schema.fieldNames.foreach(requireNotReserved(_, "column"))
     import scala.jdk.CollectionConverters._
     val graftProps = properties.asScala.toSeq
       .filter(_._1.startsWith("graft.")).sortBy(_._1)
     graftProps.foreach { case (k, v) =>
       require(!k.contains("|"), s"graft catalog: bad property key '$k'")
-      if ((k == "graft.partitionSpec" || k == "graft.partitionCol")
-          && v.nonEmpty) {
+      if (k == "graft.partitionSpec" || k == "graft.partitionCol") {
+        // even an EMPTY-valued spec key conflicts (r16 ADVICE): folding
+        // after specProps in the same props array, it would silently
+        // clear the PARTITIONED BY-derived line
         require(spec.isEmpty,
           s"graft catalog: TBLPROPERTIES $k conflicts with PARTITIONED " +
             "BY — declare the partition layout exactly once")
-        validateTerms(
+        if (v.nonEmpty) validateTerms(
           if (k == "graft.partitionSpec") PartSpec.parse(v)
           else Seq(IdentityTerm(v)), schema)
       }
@@ -329,6 +343,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
+        requireNotReserved(a.fieldNames()(0), "ADD COLUMN")
         // `DEFAULT <literal>` (r14 verdict #3): existing rows read the
         // default, post-evolution writes store explicitly — the value
         // is rendered canonically here and recorded with the colmap
@@ -365,6 +380,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
+        requireNotReserved(r.newName(), "RENAME COLUMN to")
         requireNotSpecReferenced(root, r.fieldNames()(0), "RENAME")
         TimeTravel.renameColumn(s, root, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
@@ -571,11 +587,20 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
     }.toArray
     case None => readSide.partitioning()
   }
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's
+  // `MERGE … WITH SCHEMA EVOLUTION` (Delta's autoMerge): the analyzer's
+  // ResolveMergeIntoSchemaEvolution diffs source vs target schema and
+  // routes the adds/widenings through this catalog's alterTable —
+  // the same addColumnMapped/widenColumnType machinery ALTER TABLE
+  // uses, in the same statement. Without the explicit keyword the MERGE
+  // still refuses unknown columns — the capability alone changes
+  // nothing (schemaEvolutionEnabled requires withSchemaEvolution).
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def metadataColumns(): Array[MetadataColumn] =
     readSide.metadataColumns()
 

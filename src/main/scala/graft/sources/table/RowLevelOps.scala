@@ -49,13 +49,14 @@ final class GraftRowLevelOperationBuilder(root: String, gen: Int,
     * with `graft.enableDeletionVectors` set, DELETE/UPDATE/MERGE run as
     * a DELTA-based row-level operation — matched rows are masked by
     * POSITION and only new/updated rows append; nothing rewrites. CDF
-    * tables stay on the copy-on-write path: the delta writer never sees
-    * the pre-image values a change feed must record. */
+    * tables take this path too (r16 verdict #2): the commit recovers
+    * the pre-images by reading the masked positions back from the
+    * touched files and lands the diff-form change files in the same
+    * commit (TimeTravel.cdcForRowDelta). */
   override def build(): RowLevelOperation =
     if (gen >= 0 &&
         TimeTravel.propsAsOf(root, gen)
-          .get("graft.enableDeletionVectors").contains("true") &&
-        !TimeTravel.cdfEnabled(root, gen))
+          .get("graft.enableDeletionVectors").contains("true"))
       new GraftDeltaOperation(root, gen, tableSchema, info.command())
     else new GraftRowLevelOperation(root, gen, tableSchema, info.command())
 }
@@ -164,9 +165,14 @@ final class GraftDeltaOperation(root: String,
 }
 
 /** One delta task's outcome: the staged insert temp (when any row was
-  * inserted/reinserted) and the per-file deleted positions. */
+  * inserted/reinserted) and, per touched file, the NAME and cardinality
+  * of the position-FRAGMENT sidecar the task wrote executor-side — the
+  * positions themselves never ride the commit-message RPC (r16 verdict
+  * #1: a broad DELETE's positions are data-sized; ~8 bytes × 10⁹
+  * deleted rows through driver heap is a maxResultSize abort at
+  * 100 TB). Driver-side payload is ∝ touched-file count. */
 final case class DeltaTaskMsg(tmp: String, rows: Long,
-    deleted: Map[String, Array[Long]]) extends WriterCommitMessage
+    frags: Seq[(String, String, Long)]) extends WriterCommitMessage
 
 final class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
@@ -188,22 +194,28 @@ final class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
     val (live, empty) = ms.filter(_.tmp != null).partition(_.rows > 0)
     empty.foreach(m =>
       fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false))
-    // per-file positions merged across tasks (a MERGE's shuffle can
-    // spread one file's deletes over several writers)
-    val deleted: Map[String, Array[Long]] = ms.flatMap(_.deleted.toSeq)
+    // per-file fragment NAMES merged across tasks (a MERGE's shuffle can
+    // spread one file's deletes over several writers); the position
+    // union itself runs in executors inside commitRowDelta
+    val fragments: Map[String, Seq[String]] = ms.flatMap(_.frags)
       .groupBy(_._1)
-      .map { case (f, ps) => f -> ps.flatMap(_._2).distinct.sorted }
-    TimeTravel.commitRowDelta(SparkSession.active, root, deleted,
+      .map { case (f, frs) => f -> frs.map(_._2).sorted.toSeq }
+    TimeTravel.commitRowDelta(SparkSession.active, root, fragments,
       live.map(_.tmp).toSeq)
     ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(confB.value)
-    messages.collect { case m: DeltaTaskMsg if m.tmp != null =>
-      fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false)
+    messages.collect { case m: DeltaTaskMsg =>
+      if (m.tmp != null)
+        fs.delete(new org.apache.hadoop.fs.Path(m.tmp), false)
+      m.frags.foreach { case (_, n, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${TimeTravel.fragDir(root)}/$n"), false)
+      }
     }
-    () // position masks are only written at commit — nothing to undo
+    ()
   }
 }
 
@@ -221,7 +233,11 @@ final case class GraftDeltaWriterFactory(rowSchema: StructType,
   * bounded by the task's share of matched rows, the same per-task bound
   * the DV writers have — and INSERT/REINSERT rows stream into one
   * staged parquet temp (the q193 staging discipline; (partition, task)
-  * in the name keeps a retried attempt's temp distinct). */
+  * in the name keeps a retried attempt's temp distinct). At task commit
+  * each file's positions are written HERE, in the executor, as a
+  * position-fragment sidecar; only (file, fragment, cardinality)
+  * triples ride the commit message — the Iceberg position-delete write
+  * discipline end to end. */
 final class GraftDeltaWriter(rowSchema: StructType, root: String,
     conf: org.apache.hadoop.conf.Configuration,
     colmap: Map[String, String], partitionId: Int, taskId: Long)
@@ -260,8 +276,17 @@ final class GraftDeltaWriter(rowSchema: StructType, root: String,
 
   override def commit(): WriterCommitMessage = {
     if (inserter != null) inserter.commit()
-    DeltaTaskMsg(tmp, inserted,
-      deleted.map { case (f, ps) => f -> ps.toArray }.toMap)
+    val fragRoot = TimeTravel.fragDir(root)
+    val frags = deleted.toSeq.sortBy(_._1).map { case (f, ps) =>
+      // (partition, task) in the name keeps a retried attempt's
+      // fragment distinct — only the committed attempt's names reach
+      // the driver; orphans never feed a read
+      val name = s"p$partitionId-t$taskId-$f.dvf"
+      val pos = ps.toArray.sorted.distinct
+      TimeTravel.writePositions(s"$fragRoot/$name", pos, conf)
+      (f, name, pos.length.toLong)
+    }
+    DeltaTaskMsg(tmp, inserted, frags)
   }
 
   override def abort(): Unit = if (inserter != null) inserter.abort()

@@ -56,18 +56,25 @@ class CdfSourceSpec extends SparkSpec {
     TimeTravel.commit(spark, root, b)
     TimeTravel.commit(spark, root, c)
     val times = TimeTravel.commitTimes(root).toMap
-    // batch: (ts(g0), ts(g1)] ≡ (0, 1] — exactly generation 1's rows
+    // batch, DELTA semantics (r16 ADVICE): startingTimestamp is
+    // INCLUSIVE of the commit bearing that exact timestamp — starting
+    // at ts(g1) with ending at ts(g1) is exactly generation 1's rows
     val got = spark.read.format("graft.sources.cdf.CdfDataSource")
-      .option("startingTimestamp", times(0))
+      .option("startingTimestamp", times(1))
       .option("endingTimestamp", times(1))
       .load(root)
     assert(got.count() === b.count())
     assert(got.agg(sum("o_orderkey")).head().getLong(0)
       === b.agg(sum("o_orderkey")).head().getLong(0))
+    // a PRE-HISTORY timestamp clamps to the whole history (Delta
+    // starts at version 0 instead of refusing)
+    assert(spark.read.format("graft.sources.cdf.CdfDataSource")
+      .option("startingTimestamp", times(0) - 1000L).load(root).count()
+      === orders.count())
     // streaming: startingTimestamp resolves the initial offset the same
-    // way — the drain delivers generations 2..3 only
+    // way — starting just past g1's instant delivers generation 2 only
     val q = spark.readStream.format("graft.sources.cdf.CdfDataSource")
-      .option("startingTimestamp", times(1)).load(root)
+      .option("startingTimestamp", times(1) + 1).load(root)
       .writeStream.format("memory").queryName("cdf_ts_drain")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

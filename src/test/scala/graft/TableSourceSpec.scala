@@ -1929,4 +1929,303 @@ class TableSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("conflict"), e.getMessage)
     }
   }
+
+  test("merge-on-read DML ships fragment NAMES, never positions, through commit messages") {
+    // drive the task-side delta writer directly: deletes must land as
+    // executor-written position-fragment sidecars, with the commit
+    // message carrying only (file, fragment, cardinality) triples —
+    // driver payload ∝ touched files, not deleted rows (r16 verdict #1)
+    val root = newRoot()
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    val w = new graft.sources.table.GraftDeltaWriter(schema, root, conf,
+      Map.empty, 3, 42L)
+    import org.apache.spark.unsafe.types.UTF8String
+    def id(f: String, p: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(f), p))
+    val posA = Seq(5L, 1L, 9L, 5L) // unsorted + duplicate
+    val posB = Seq(0L, 7L)
+    posA.foreach(p => w.delete(null, id("a.parquet", p)))
+    posB.foreach(p => w.delete(null, id("b.parquet", p)))
+    val msg = w.commit().asInstanceOf[graft.sources.table.DeltaTaskMsg]
+    assert(msg.tmp == null && msg.rows === 0L)
+    assert(msg.frags.map(t => (t._1, t._3)) ===
+      Seq(("a.parquet", 3L), ("b.parquet", 2L)))
+    // the positions live in the named executor-side sidecars, sorted
+    // and deduped; nothing position-shaped is in the message itself
+    msg.frags.foreach { case (f, name, card) =>
+      val got = TimeTravel.readPositions(
+        s"${TimeTravel.fragDir(root)}/$name", conf)
+      assert(got.length === card)
+      assert(got.toSeq === (if (f == "a.parquet") Seq(1L, 5L, 9L) else posB))
+    }
+
+    // and end-to-end: a broad non-range DELETE consumes the fragments
+    // (the commit drops them) and lands one final vector per file
+    val wh = java.nio.file.Files.createTempDirectory("graft_frg_").toString
+    val root2 = s"$wh/fr"
+    val base = orders.limit(600)
+    TimeTravel.commitClustered(spark, root2, base, "o_orderkey", 4)
+    withConfs(
+      "spark.sql.catalog.frcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.frcat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE frcat.fr SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      spark.sql("DELETE FROM frcat.fr WHERE o_orderkey % 2 = 0")
+      val v = TimeTravel.currentVersion(root2)
+      val dvs = TimeTravel.dvsFor(root2, v)
+      assert(dvs.values.map(_._2).sum ===
+        base.filter(col("o_orderkey") % 2 === 0).count())
+      val fragPath = new org.apache.hadoop.fs.Path(TimeTravel.fragDir(root2))
+      val fs = fragPath.getFileSystem(conf)
+      assert(!fs.exists(fragPath) || fs.listStatus(fragPath).isEmpty,
+        "consumed position fragments were left behind")
+      assert(spark.sql("SELECT count(*) FROM frcat.fr").head().getLong(0)
+        === base.filter(col("o_orderkey") % 2 === 1).count())
+    }
+  }
+
+  test("CDF + deletion vectors: merge-on-read DML emits the same diff feed as copy-on-write, rewriting nothing") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_morcdf_").toString
+    val base = orders.limit(600)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(100), keys(249))
+    val mx = keys.last
+    // two siblings with identical data + CDF; only `mor` opts into DVs
+    for (t <- Seq("mor", "cow"))
+      TimeTravel.commitClustered(spark, s"$wh/$t", base, "o_orderkey", 4)
+    withConfs(
+      "spark.sql.catalog.mccat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.mccat.warehouse" -> wh) {
+      spark.sql("ALTER TABLE mccat.mor SET TBLPROPERTIES (" +
+        "'graft.enableChangeDataFeed' = 'true', " +
+        "'graft.enableDeletionVectors' = 'true')")
+      spark.sql("ALTER TABLE mccat.cow SET TBLPROPERTIES (" +
+        "'graft.enableChangeDataFeed' = 'true')")
+      base.filter(col("o_orderkey").between(lo, hi))
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 500).as("price"))
+        .unionByName(base.limit(15)
+          .select((col("o_orderkey") + mx + 1).as("k"),
+            col("o_totalprice").as("price")))
+        .createOrReplaceTempView("morcdf_src")
+      def feed(t: String): Seq[(String, Long, Double)] = {
+        val root = s"$wh/$t"
+        val vBefore = TimeTravel.currentVersion(root)
+        spark.sql(
+          s"""MERGE INTO mccat.$t t USING morcdf_src s ON t.o_orderkey = s.k
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority,
+             |  o_totalprice) VALUES (s.k, 'NEW', s.price)""".stripMargin)
+        TimeTravel.readRowChanges(spark, root, vBefore,
+          TimeTravel.currentVersion(root))
+          .select(col("_change_type"), col("o_orderkey"),
+            col("o_totalprice"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sorted
+      }
+      val filesBefore = TimeTravel.snapshotFiles(s"$wh/mor", 2).toSet
+      val morFeed = feed("mor")
+      // merge-on-read even with CDF on: zero files rewritten or retired
+      assert(filesBefore.subsetOf(TimeTravel.snapshotFiles(s"$wh/mor",
+        TimeTravel.currentVersion(s"$wh/mor")).toSet),
+        "CDF-enabled merge-on-read MERGE rewrote data files")
+      // and the feed is exactly the copy-on-write sibling's: delete +
+      // insert pairs per updated row, inserts for new keys, nothing for
+      // carried-over rows
+      assert(morFeed === feed("cow"))
+      assert(morFeed.nonEmpty)
+      // the tables themselves agree too
+      val a = spark.sql("SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))" +
+        " FROM mccat.mor").head().getDecimal(0)
+      val b = spark.sql("SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))" +
+        " FROM mccat.cow").head().getDecimal(0)
+      assert(a === b)
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; the keyword-free MERGE still refuses") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mse_").toString
+    val root = s"$wh/ev"
+    val base = orders.limit(400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (keys(100), keys(199))
+    withConfs(
+      "spark.sql.catalog.msecat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.msecat.warehouse" -> wh) {
+      base.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("tier", lit("gold"))
+        .createOrReplaceTempView("mse_src")
+      // WITHOUT the keyword: the unknown source column refuses the
+      // MERGE — the capability alone must not auto-evolve
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          """MERGE INTO msecat.ev t USING mse_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET t.tier = s.tier""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("tier"), e.getMessage)
+      assert(!TimeTravel.schemaAsOf(root, TimeTravel.currentVersion(root))
+        .exists(_.fieldNames.contains("tier")),
+        "a refused MERGE still evolved the schema")
+      // WITH the keyword: tier lands (null-backfilled for unmatched
+      // rows), matched rows take the source values, in one statement
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO msecat.ev t
+          |USING mse_src s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(TimeTravel.schemaAsOf(root, TimeTravel.currentVersion(root))
+        .exists(_.fieldNames.contains("tier")))
+      assert(spark.sql(
+        "SELECT count(*) FROM msecat.ev WHERE tier = 'gold'")
+        .head().getLong(0) === base.filter(col("o_orderkey").between(lo, hi))
+          .count())
+      assert(spark.sql(
+        "SELECT count(*) FROM msecat.ev WHERE tier IS NULL")
+        .head().getLong(0) === base.filter(!col("o_orderkey").between(lo, hi))
+          .count())
+      val expect = base.withColumn("o_totalprice",
+        when(col("o_orderkey").between(lo, hi), col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().getDecimal(0)
+      assert(spark.sql(
+        "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM msecat.ev")
+        .head().getDecimal(0) === expect)
+    }
+  }
+
+  test("graft.autoCompact bounds streaming small files; history and exactly-once survive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ac_").toString
+    val src = s"$wh/src"
+    val ckpt = s"$wh/ckpt"
+    val base = orders.limit(450)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    // 15 source generations → 15 sink epochs of one small file each
+    for (i <- 0 until 15)
+      TimeTravel.commit(spark, src, base.filter(col("o_orderkey") % 15 === i))
+    withConfs(
+      "spark.sql.catalog.accat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.accat.warehouse" -> wh) {
+      spark.sql("""CREATE TABLE accat.ac (
+                  |  o_orderkey BIGINT, o_orderpriority STRING,
+                  |  o_totalprice DOUBLE)
+                  |TBLPROPERTIES ('graft.autoCompact' = 'true',
+                  |  'graft.autoCompact.minFiles' = '4',
+                  |  'graft.autoCompact.smallRows' = '100000')""".stripMargin)
+      val root = s"$wh/ac"
+      def drain(): Unit = {
+        val q = spark.readStream
+          .format("graft.sources.cdf.CdfDataSource")
+          .option("startingGen", -1).option("maxGensPerTrigger", 1)
+          .load(src)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("accat.ac")
+        q.awaitTermination()
+      }
+      drain()
+      val v = TimeTravel.currentVersion(root)
+      // 15 epochs landed 15 data generations PLUS compaction commits,
+      // and the snapshot converged to a bounded file count
+      assert(v > 15, s"no auto-compaction commit landed (v=$v)")
+      val files = TimeTravel.snapshotFiles(root, v)
+      assert(files.size <= 5,
+        s"auto-compaction left ${files.size} small files")
+      assert(spark.sql("SELECT count(*) FROM accat.ac").head().getLong(0)
+        === base.count())
+      // history through the nodata compactions stays readable
+      assert(TimeTravel.readAsOf(spark, root, 3).count() > 0)
+      // a restarted drained stream replays nothing — the txn protocol
+      // is undisturbed by the interleaved compaction commits
+      drain()
+      assert(spark.sql("SELECT count(*) FROM accat.ac").head().getLong(0)
+        === base.count(), "a replayed epoch landed duplicate rows")
+    }
+  }
+
+  test("defaulted/mapped tables refuse DV maintenance; widened files up-convert through it") {
+    // a table with ADD COLUMN … DEFAULT is column-mapped by
+    // construction (adds always map to a fresh physical name): the
+    // merge-on-read library UPDATE must refuse it loudly instead of
+    // re-appending logically-named rows that NULL the default
+    // (r16 ADVICE, medium)
+    val wh = java.nio.file.Files.createTempDirectory("graft_dvdf_").toString
+    val root = s"$wh/df"
+    val base = orders.limit(400)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    withConfs(
+      "spark.sql.catalog.dvdfc" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.dvdfc.warehouse" -> wh) {
+      spark.sql("ALTER TABLE dvdfc.df ADD COLUMN region BIGINT DEFAULT 7")
+      val e = intercept[IllegalArgumentException] {
+        TimeTravel.updateVectorWhere(spark, root, "o_orderkey",
+          keys(50), keys(149), "o_totalprice", col("o_totalprice") + 1)
+      }
+      assert(e.getMessage.contains("column-mapped"), e.getMessage)
+      // the SQL route (physical-name-aware DSv2 delta writer) serves
+      // the same statement correctly: pre-evolution rows keep reading
+      // the default after the merge-on-read UPDATE
+      spark.sql("ALTER TABLE dvdfc.df SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      spark.sql("UPDATE dvdfc.df SET o_totalprice = o_totalprice + 1 " +
+        s"WHERE o_orderkey BETWEEN ${keys(50)} AND ${keys(149)}")
+      assert(spark.sql(
+        "SELECT count(*) FROM dvdfc.df WHERE region = 7").head().getLong(0)
+        === base.count(), "SQL MOR update lost the column default")
+    }
+
+    // type WIDENING has no column mapping: DV maintenance reads the
+    // widened logical schema explicitly, so pre-widening INT files
+    // up-convert instead of misreading (r16 ADVICE, medium)
+    val root2 = s"$wh/wd"
+    val narrow = base.select(
+      col("o_orderkey").cast("int").as("k"),
+      col("o_totalprice").as("price"))
+    TimeTravel.commitClustered(spark, root2, narrow, "k", 4)
+    TimeTravel.widenColumnType(spark, root2, "k", "BIGINT")
+    // post-widening append carries BIGINT bytes: the snapshot mixes
+    // narrow and wide files
+    TimeTravel.commit(spark, root2, narrow.limit(50)
+      .select((col("k").cast("bigint") + 1000000L).as("k"), col("price")))
+    val ks = narrow.select("k").collect().map(_.getInt(0).toLong).sorted
+    // merge-on-read UPDATE across the mixed files
+    TimeTravel.updateVectorWhere(spark, root2, "k", ks(10), ks(99),
+      "price", col("price") + 1)
+    val got = TimeTravel.readAsOf(spark, root2,
+      TimeTravel.currentVersion(root2))
+    assert(got.count() === narrow.count() + 50)
+    assert(got.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val expSum = narrow.agg(sum(col("price").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+      .add(narrow.limit(50).agg(sum(col("price").cast("decimal(18,2)")))
+        .head().getDecimal(0))
+      .add(new java.math.BigDecimal(
+        narrow.filter(col("k").between(ks(10), ks(99))).count()))
+    assert(got.agg(sum(col("price").cast("decimal(18,2)"))).head()
+      .getDecimal(0) === expSum)
+    // and purge folds masks into up-converted rewrites
+    TimeTravel.deleteVectorWhere(spark, root2, "k", 0L, ks(199))
+    TimeTravel.purgeMasks(spark, root2, 40)
+    val after = TimeTravel.readAsOf(spark, root2,
+      TimeTravel.currentVersion(root2))
+    assert(after.filter(col("k") <= ks(199)).count() === 0L)
+    assert(after.count() === narrow.filter(col("k") > ks(199)).count() + 50)
+  }
 }

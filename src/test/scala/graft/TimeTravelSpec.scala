@@ -992,4 +992,62 @@ class TimeTravelSpec extends SparkSpec {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().getDecimal(0)
     assert(got === expected)
   }
+
+  test("protocol gate: unknown required reader features refuse loudly; prior generations stay readable") {
+    val root = newRoot()
+    val base = orders.limit(200)
+    assert(TimeTravel.commit(spark, root, base.limit(100)) === 0)
+    assert(TimeTravel.commit(spark, root, base) === 1)
+    // hand-forge a commit from a FUTURE writer that requires a feature
+    // this build does not know (Delta's readerFeatures contract): every
+    // read that folds the commit must refuse by NAME, never misread
+    val forged =
+      """{"version":2,"ts":["99999999999999"],"added":[],"removed":[],""" +
+        """"features":["v9-quantum-masks"]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/2.json"), forged)
+    // generations BELOW the feature commit resolve untouched
+    assert(TimeTravel.readAsOf(spark, root, 1).count()
+      === base.limit(100).count() + base.count())
+    assert(TimeTravel.currentVersion(root) === 2) // name-only listing
+    val e = intercept[UnsupportedOperationException] {
+      TimeTravel.readAsOf(spark, root, 2)
+    }
+    assert(e.getMessage.contains("v9-quantum-masks"), e.getMessage)
+    // the change-feed readers gate on the same protocol
+    val e2 = intercept[UnsupportedOperationException] {
+      TimeTravel.readRowChanges(spark, root, 1, 2)
+    }
+    assert(e2.getMessage.contains("v9-quantum-masks"), e2.getMessage)
+
+    // a KNOWN feature passes, is recorded by the introducing commit,
+    // and survives into checkpoints (retention must not drop the gate)
+    val root2 = newRoot()
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.commitClustered(spark, root2, base, "o_orderkey", 4)
+    TimeTravel.deleteVectorWhere(spark, root2, "o_orderkey",
+      keys(0), keys(49))
+    assert(TimeTravel.featuresAsOf(root2,
+      TimeTravel.currentVersion(root2)) === Set("deletion-vectors"))
+    val ckptGen = TimeTravel.checkpoint(root2)
+    val ckptTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root2/_graft_log/$ckptGen.ckpt.json")),
+      "UTF-8")
+    assert(ckptTxt.contains("\"features\":[\"deletion-vectors\"]"),
+      "checkpoint dropped the recorded reader feature")
+    assert(TimeTravel.readAsOf(spark, root2, ckptGen).count()
+      === base.count() - 50)
+    // a forged FUTURE-featured checkpoint refuses resolution through it
+    val forgedCkpt = ckptTxt.replace("deletion-vectors", "v9-quantum-masks")
+    // drop Hadoop's checksum sidecar before forging in place, or the
+    // re-read fails on the crc instead of reaching the protocol gate
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"$root2/_graft_log/.$ckptGen.ckpt.json.crc"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$root2/_graft_log/$ckptGen.ckpt.json"), forgedCkpt)
+    val e3 = intercept[UnsupportedOperationException] {
+      TimeTravel.readAsOf(spark, root2, ckptGen)
+    }
+    assert(e3.getMessage.contains("v9-quantum-masks"), e3.getMessage)
+  }
 }
