@@ -95,7 +95,17 @@ object GraftFunctions {
         "logged rows, live DV rows, partition value lines, stat coverage"),
     ("graft_clone", graft.operators.TimeTravel.clonePlan _,
       "graft_clone(src, dst) - zero-copy shallow clone (runs at " +
-        "execution); returns (version, n_files)"))
+        "execution); returns (version, n_files)"),
+    ("graft_tag", graft.operators.TimeTravel.tagPlan _,
+      "graft_tag(root, name, gen) - tag a generation with a name " +
+        "(Iceberg's createTag); the tag resolves in VERSION AS OF and " +
+        "graft_asof, and pins its generation against graft_expire"),
+    ("graft_tag_drop", graft.operators.TimeTravel.tagDropPlan _,
+      "graft_tag_drop(root, name) - drop a snapshot tag (releases its " +
+        "retention pin); idempotent"),
+    ("graft_tags", graft.operators.TimeTravel.tagsPlan _,
+      "graft_tags(root) - one row per live snapshot tag: name, " +
+        "generation"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

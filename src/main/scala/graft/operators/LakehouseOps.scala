@@ -2940,6 +2940,132 @@ object LakehouseOps extends QueryModule {
           prioAgg(s.sql("SELECT * FROM gcat236.ac"))
             .orderBy("o_orderpriority")
         }
+      }),
+
+    // Q237 CDF × COLUMN MAPPING (Delta's CDC under columnMapping —
+    // r15's write-time refusal LIFTED in r17): change files land under
+    // PHYSICAL names exactly like data files, and the feed's one
+    // read-time projection surfaces the logical schema at toGen — so a
+    // table that renamed a column keeps its change feed through
+    // row-level DML. The statement renames o_totalprice → price, runs
+    // a copy-on-write band UPDATE through the NEW name, and reads the
+    // diff-form feed back under it. Oracle: DuckDB replays the
+    // update's delete/insert pairs. At 100 TB: schema evolution stops
+    // costing the CDC consumers downstream.
+    Q("q237_cdf_mapped",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |     upd AS (SELECT o_totalprice FROM orders, p
+             |             WHERE o_orderkey BETWEEN mx//4 AND mx//2),
+             |     feed AS (
+             |       SELECT 'delete' AS _change_type,
+             |              o_totalprice AS price FROM upd
+             |       UNION ALL
+             |       SELECT 'insert', o_totalprice * 2 FROM upd)
+             |SELECT _change_type, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM feed GROUP BY _change_type
+             |ORDER BY _change_type""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat237_", s"q237:$d")
+        val root = s"$wh/cf"
+        graft.GraftFunctions.register(s) // graft_row_changes TVF
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d), "o_orderkey", 8)
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        withConfs(s,
+          "spark.sql.catalog.gcat237" -> CatalogClass,
+          "spark.sql.catalog.gcat237.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat237.cf SET TBLPROPERTIES (" +
+              "'graft.enableChangeDataFeed' = 'true')")
+          if (TimeTravel.currentVersion(root) < 2)
+            s.sql("ALTER TABLE gcat237.cf " +
+              "RENAME COLUMN o_totalprice TO price")
+          if (TimeTravel.currentVersion(root) < 3)
+            s.sql("UPDATE gcat237.cf SET price = price * 2 " +
+              s"WHERE o_orderkey BETWEEN ${mx / 4} AND ${mx / 2}")
+        }
+        val rows = s.sql(
+          s"""SELECT _change_type, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_row_changes('$root', 2, 3)
+             |GROUP BY _change_type""".stripMargin)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        rows.toDF("_change_type", "n", "total").orderBy("_change_type")
+      }),
+
+    // Q238 SNAPSHOT TAGS (Iceberg's named refs): `graft_tag` pins a
+    // human name to a generation as one KB-sized metadata commit — the
+    // "snapshot we trained v3 on" anchor without cloning a byte. The
+    // name then resolves EVERYWHERE a version does: SQL
+    // `VERSION AS OF 'v1'` through the catalog and
+    // `graft_asof(root, 'v1')` in FROM position (both legs returned,
+    // same oracle); `graft_tags` lists live refs; and the tag PINS its
+    // generation against retention — `graft_expire` below it refuses by
+    // name until `graft_tag_drop` (required inline). All-digit names
+    // refuse (ambiguous with generation numbers).
+    Q("q238_snapshot_tags",
+      Some("""WITH sub AS (SELECT o_orderpriority, o_totalprice
+             |            FROM orders WHERE o_orderkey % 3 <> 0),
+             |     a AS (SELECT o_orderpriority, count(*) AS n,
+             |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |               AS DOUBLE) AS total
+             |           FROM sub GROUP BY o_orderpriority)
+             |SELECT 'sql' AS leg, o_orderpriority, n, total FROM a
+             |UNION ALL
+             |SELECT 'tvf' AS leg, o_orderpriority, n, total FROM a
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_cat238_", s"q238:$d")
+        val root = s"$wh/tg"
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 =!= 0))
+        if (TimeTravel.currentVersion(root) < 1)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 0))
+        if (TimeTravel.currentVersion(root) < 2) {
+          val rep = s.sql(s"SELECT * FROM graft_tag('$root', 'v1', 0)")
+            .head()
+          require(rep.getLong(1) == 0L, s"q238: tag report $rep")
+        }
+        require(s.sql(s"SELECT * FROM graft_tags('$root')").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("v1", 0L)),
+          "q238: graft_tags does not list the ref")
+        // the tag PINS generation 0 against retention
+        val refused =
+          try { TimeTravel.expireHistory(root, 1); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("v1@0") }
+        require(refused, "q238: expire below a tagged generation did " +
+          "not refuse by name")
+        val rows = withConfs(s,
+          "spark.sql.catalog.gcat238" -> CatalogClass,
+          "spark.sql.catalog.gcat238.warehouse" -> wh) {
+          s.sql(
+            """SELECT 'sql' AS leg, o_orderpriority, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM gcat238.tg VERSION AS OF 'v1'
+              |GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getString(1),
+              r.getLong(2), r.getDouble(3))).toSeq
+        }
+        val tvf = s.sql(
+          s"""SELECT 'tvf' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM graft_asof('$root', 'v1')
+             |GROUP BY o_orderpriority""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getDouble(3))).toSeq
+        (rows ++ tvf).toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
       })
   )
 }

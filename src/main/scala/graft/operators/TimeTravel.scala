@@ -998,6 +998,21 @@ object TimeTravel extends QueryModule {
     * files) live beside the vectors; consumed and dropped at commit. */
   private[graft] def fragDir(root: String) = s"${dvDir(root)}/frag"
 
+  /** The PHYSICAL read schema at `gen`: the logged logical schema with
+    * each field renamed through the column mapping — what the parquet
+    * files actually carry. Identity (and zero extra reads) on unmapped
+    * tables. The maintenance/CDC reads below run entirely under
+    * physical names; [[readRowChanges]]' one projection to the logical
+    * schema at `toGen` is where names surface to users. */
+  private def physSchemaAsOf(root: String, gen: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaAsOf(root, gen).map { sc =>
+      val cm = colmapAsOf(root, gen)
+      if (cm.isEmpty) sc
+      else org.apache.spark.sql.types.StructType(
+        sc.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+    }
+
   /** `files` grouped by the set of DEFAULTED columns each one's parquet
     * footer LACKS, with the literal fill each group needs: a file
     * written before `ADD COLUMN … DEFAULT` must read the default, a
@@ -1009,7 +1024,9 @@ object TimeTravel extends QueryModule {
     * table. One group with no fill on default-free tables. */
   private def defaultFillGroups(root: String, gen: Int,
       files: Seq[String]): Seq[(Seq[String], Map[String, Column])] = {
-    val schemaOpt = schemaAsOf(root, gen)
+    // defaults are keyed by PHYSICAL name, so the membership test and
+    // the type lookup both run against the physical schema
+    val schemaOpt = physSchemaAsOf(root, gen)
     // defaults whose column is no longer in the schema are STALE (the
     // defaulted column was dropped; its graft.default.* line is inert)
     // — skipped, the same tolerance the DSv2 reader's default map has
@@ -1056,12 +1073,14 @@ object TimeTravel extends QueryModule {
     * raw `spark.read.parquet` the row-level maintenance ops used could
     * persist NULL where every reader served a default). The explicit
     * logged read schema also up-converts type-WIDENED narrow files, the
-    * same way [[readAsOf]] does. Zero extra cost on default-free
-    * tables: one group, plain schema read. */
+    * same way [[readAsOf]] does. The frame carries PHYSICAL names
+    * (identical to logical on unmapped tables) — callers that surface
+    * rows to users project, like readAsOfMapped. Zero extra cost on
+    * default-free unmapped tables: one group, plain schema read. */
   private[graft] def readFilesFilledDvs(s: SparkSession, root: String,
       gen: Int, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, "time travel: readFilesFilledDvs of no files")
-    val sch = schemaAsOf(root, gen)
+    val sch = physSchemaAsOf(root, gen)
     val reader: Seq[String] => DataFrame = fl => {
       val paths = fl.map(f => dataPath(root, f))
       sch match {
@@ -1128,10 +1147,11 @@ object TimeTravel extends QueryModule {
     fs.mkdirs(new org.apache.hadoop.fs.Path(dvRoot))
     val uid = java.util.UUID.randomUUID().toString.take(8)
     import s.implicits._
-    // per fill group: explicit-schema read (widened files up-convert),
+    // per fill group: explicit PHYSICAL-schema read (widened files
+    // up-convert; statCol arrives physical — log stats are phys-keyed),
     // defaulted band columns fill before the band filter — a default
     // equal to an in-band value masks pre-evolution rows correctly
-    val sch = schemaAsOf(root, gen)
+    val sch = physSchemaAsOf(root, gen)
     val candidates = defaultFillGroups(root, gen, touched)
       .map { case (fls, fills) =>
         val paths = fls.map(f => dataPath(root, f))
@@ -1172,17 +1192,13 @@ object TimeTravel extends QueryModule {
     if (written.isEmpty) gen
     else {
       // CDF on: the newly-deleted LIVE rows (already-masked rows don't
-      // re-emit) land as change files beside the vectors. Column-mapped
-      // tables refuse at write time like every CDC-emitting DML path
-      // (change files carry logical names; the files speak physical).
+      // re-emit) land as change files beside the vectors — under
+      // PHYSICAL names on mapped tables, like every data file; the
+      // feed's read-time projection surfaces logical names (r17:
+      // CDF × column-mapping is supported, the old write-time refusal
+      // is gone)
       val cdc =
         if (!cdfEnabled(root, gen)) Nil
-        else if (colmapAsOf(root, gen).nonEmpty)
-          throw new UnsupportedOperationException(
-            s"time travel: change data feed on column-mapped table " +
-              s"$root — a deletion-vector delete cannot write change " +
-              "files for a table with renamed/dropped/added columns; " +
-              "disable graft.enableChangeDataFeed on this table first")
         else writeCdcFiles(s, root,
           readFilesFilledDvs(s, root, gen, touched)
             .filter(col(statCol).between(lo, hi))
@@ -1414,18 +1430,15 @@ object TimeTravel extends QueryModule {
   private def cdcForRowDelta(s: SparkSession, root: String, gen: Int,
       frags: Seq[(String, Seq[String])], temps: Seq[String]): Seq[String] =
     if (!cdfEnabled(root, gen) || (frags.isEmpty && temps.isEmpty)) Nil
-    else if (colmapAsOf(root, gen).nonEmpty)
-      throw new UnsupportedOperationException(
-        s"time travel: change data feed on column-mapped table $root — " +
-          "row-level DML cannot write change files for a table with " +
-          "renamed/dropped columns; disable graft.enableChangeDataFeed " +
-          "on this table (or avoid column mapping) before DELETE/" +
-          "UPDATE/MERGE")
     else {
       val confB = new org.apache.spark.util.SerializableConfiguration(
         s.sessionState.newHadoopConf())
       val dvRoot = dvDir(root)
-      val sch = schemaAsOf(root, gen)
+      // PHYSICAL names end to end: the delta writer staged its temps
+      // through the column mapping and the touched files carry physical
+      // fields — change files land physical-named and the feed's
+      // read-time projection surfaces logical names
+      val sch = physSchemaAsOf(root, gen)
       val cols = sch.map(_.fieldNames.toSeq).getOrElse(
         throw new IllegalStateException(
           s"time travel: no logged schema under $root"))
@@ -1512,17 +1525,11 @@ object TimeTravel extends QueryModule {
   private[graft] def cdcForRemovedFiles(s: SparkSession, root: String,
       gen: Int, removed: Seq[String]): Seq[String] =
     if (gen < 0 || removed.isEmpty || !cdfEnabled(root, gen)) Nil
-    else if (colmapAsOf(root, gen).nonEmpty)
-      // refuse at WRITE time like cdcDiffForReplace (r16 ADVICE: the
-      // silent Nil here left a file-aligned DELETE/TRUNCATE emitting no
-      // change files, surfacing only later as a read-time feed error)
-      throw new UnsupportedOperationException(
-        s"time travel: change data feed on column-mapped table $root — " +
-          "a file-aligned DELETE/TRUNCATE cannot write change files for " +
-          "a table with renamed/dropped columns; disable " +
-          "graft.enableChangeDataFeed on this table (or avoid column " +
-          "mapping) first")
     else writeCdcFiles(s, root,
+      // PHYSICAL names on mapped tables (readFilesFilledDvs' frame);
+      // the feed's read-time projection surfaces logical names — the
+      // r16-ADVICE silent-no-change-files gap AND the r15 write-time
+      // refusal are both gone: CDF × column-mapping is supported
       readFilesFilledDvs(s, root, gen, removed)
         .withColumn("_change_type", lit("delete")))
 
@@ -1545,22 +1552,15 @@ object TimeTravel extends QueryModule {
       cols: Seq[String]): Seq[String] =
     if (gen < 0 || !cdfEnabled(root, gen) ||
         (removed.isEmpty && temps.isEmpty)) Nil
-    else if (colmapAsOf(root, gen).nonEmpty)
-      // COLUMN-MAPPED + CDF is an unsupported combination for row-level
-      // rewrites: the table's files carry PHYSICAL names while the
-      // change-file contract here writes logical ones — silently
-      // emitting nothing made the gap surface only later, as a
-      // misleading 'CDF was not enabled' at graft_row_changes time
-      // (r15 ADVICE). Refuse at WRITE time instead, where the user can
-      // still choose.
-      throw new UnsupportedOperationException(
-        s"time travel: change data feed on column-mapped table $root — " +
-          "row-level DML cannot write change files for a table with " +
-          "renamed/dropped columns; disable graft.enableChangeDataFeed " +
-          "on this table (or avoid column mapping) before DELETE/" +
-          "UPDATE/MERGE")
     else {
-      val sel = cols.map(col)
+      // the diff runs entirely under PHYSICAL names: the staged temps
+      // were written through the column mapping and the before-image
+      // read is physical by construction — change files then land
+      // physical-named like every data file, and the feed's one
+      // read-time projection surfaces logical names (r17: the r15
+      // write-time colmap refusal is gone; CDF × column-mapping works)
+      val cm = colmapAsOf(root, gen)
+      val sel = cols.map(c => col(cm.getOrElse(c, c)))
       val after =
         if (temps.isEmpty) None
         else Some(s.read.parquet(temps: _*).select(sel: _*))
@@ -1863,6 +1863,60 @@ object TimeTravel extends QueryModule {
       propsAsOf(root, gen).get("graft.enableChangeDataFeed")
         .contains("true")
 
+  // ---- snapshot TAGS (Iceberg's named refs): a name pinned to a
+  // generation, resolvable wherever a version number is ------------------
+
+  /** The snapshot TAGS in force at `gen`: `graft.tag.<name>` table
+    * properties (an empty value is a dropped tag), resolved like every
+    * property — checkpoint + tail, surviving retention through the
+    * checkpoint fold. */
+  def tagsFor(root: String, gen: Int): Map[String, Int] =
+    propsAsOf(root, gen).collect {
+      case (k, v) if k.startsWith("graft.tag.") && v.nonEmpty =>
+        k.stripPrefix("graft.tag.") -> v.toInt
+    }
+
+  /** TAG generation `gen` as `name` (Iceberg's createTag): one metadata
+    * commit. The tag resolves through `VERSION AS OF 'name'` and
+    * `graft_asof(root, 'name')`, and PINS its generation against
+    * retention — [[expireHistory]] refuses to drop below a tagged
+    * generation until the tag is dropped. All-digit names are refused
+    * (ambiguous with generation numbers). Re-tagging moves the name;
+    * the commit history records both. At 100 TB a tag costs one KB-
+    * sized commit — the release/audit anchor ("the snapshot we trained
+    * v3 on") without cloning a byte. */
+  def tagSnapshot(s: SparkSession, root: String, name: String,
+      gen: Int): Int = {
+    require(name.nonEmpty && !name.contains("|"),
+      s"time travel: bad tag name '$name'")
+    require(!name.forall(_.isDigit),
+      s"time travel: tag name '$name' is all digits — ambiguous with a " +
+        "generation number in VERSION AS OF")
+    val live = currentVersion(root)
+    require(gen >= 0 && gen <= live,
+      s"time travel: cannot tag generation $gen of $root (latest: $live)")
+    setProperty(s, root, s"graft.tag.$name", gen.toString)
+  }
+
+  /** Drop tag `name` (Iceberg's removeTag) — releases its retention
+    * pin. Idempotent. */
+  def dropTag(s: SparkSession, root: String, name: String): Int =
+    setProperty(s, root, s"graft.tag.$name", "")
+
+  /** Resolve a `VERSION AS OF` reference: digits are a generation
+    * number verbatim; anything else is a tag name, resolved at the
+    * CURRENT generation (a re-tag is visible immediately, like
+    * Iceberg's refs). Unknown tags fail loudly, listing what exists. */
+  def resolveVersionRef(root: String, ref: String): Int =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toInt
+    else {
+      val tags = tagsFor(root, currentVersion(root))
+      tags.getOrElse(ref, throw new IllegalArgumentException(
+        s"time travel: no tag '$ref' under $root" +
+          (if (tags.isEmpty) " (no tags exist)"
+           else s" (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
+    }
+
   // ---- column mapping (Delta's columnMapping: rename/drop as metadata) --
 
   /** The LOGICAL → PHYSICAL column-name mapping in force at `gen`
@@ -2151,9 +2205,7 @@ object TimeTravel extends QueryModule {
           throw new IllegalArgumentException(
             s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
               "row-deleted without change files (CDF was not enabled " +
-              "when it ran, or the table was column-mapped — the " +
-              "CDF-refusing combination) — row-level changes are not " +
-              "reconstructible")
+              "when it ran) — row-level changes are not reconstructible")
         else added.map(f => (dataPath(root, f), false, v))
       }
   }
@@ -2180,8 +2232,7 @@ object TimeTravel extends QueryModule {
         throw new IllegalArgumentException(
           s"time travel: commit $v in ($fromGen, $toGen] rewrote or " +
             "row-deleted without change files (CDF was not enabled when " +
-            "it ran, or the table was column-mapped — the CDF-refusing " +
-            "combination) — row-level changes are not reconstructible; " +
+            "it ran) — row-level changes are not reconstructible; " +
             "diff snapshots instead")
       else if (added.nonEmpty)
         Some(s.read.parquet(added.map(f => dataPath(root, f)): _*)
@@ -2193,9 +2244,11 @@ object TimeTravel extends QueryModule {
       s"time travel: range ($fromGen, $toGen] has no row changes")
     val raw = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     // Column-mapped tables (r14 verdict #7): every frame carries PHYSICAL
-    // names — data files by construction, and change files too (they are
-    // only ever written while the colmap is empty, when logical ==
-    // physical). One projection to the logical schema in force at `toGen`
+    // names — data files by construction, and change files too (legacy
+    // ones were written while the colmap was empty, when logical ==
+    // physical; r17 DML writes them through the mapping — physical
+    // names are stable across renames either way). One projection to
+    // the logical schema in force at `toGen`
     // presents the whole range under the names the caller's generation
     // uses — same discipline as [[readAsOfMapped]]. A logical column whose
     // physical name no frame carries (added after every file in range)
@@ -3361,12 +3414,60 @@ object TimeTravel extends QueryModule {
       s"graft TVF: $what must be an integer literal, got $other")
   }
 
-  /** `graft_asof(root, gen)` — the TVF plan builder. */
+  /** `graft_asof(root, gen)` — the TVF plan builder. `gen` is a
+    * generation number or, as a string literal, a snapshot TAG name
+    * (`graft_asof(root, 'v1')` — Iceberg's ref reads). */
   def asOfPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(exprs.length == 2, "usage: graft_asof(root, gen)")
-    readAsOf(SparkSession.active, litStr(exprs(0), "root"),
-      litInt(exprs(1), "gen")).queryExecution.logical
+    require(exprs.length == 2, "usage: graft_asof(root, gen | 'tag')")
+    val root = litStr(exprs(0), "root")
+    val gen = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v,
+          org.apache.spark.sql.types.StringType) if v != null =>
+        resolveVersionRef(root, v.toString)
+      case e => litInt(e, "gen")
+    }
+    readAsOf(SparkSession.active, root, gen).queryExecution.logical
+  }
+
+  /** `graft_tag(root, name, gen)` — tag a generation from pure SQL
+    * (lazy maintenance verb: EXPLAIN tags nothing). Returns
+    * (version, tagged_gen). */
+  def tagPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3, "usage: graft_tag(root, name, gen)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    val gen = litInt(exprs(2), "gen")
+    maintPlan("tag", Seq("version", "tagged_gen")) {
+      Seq(tagSnapshot(SparkSession.active, root, name, gen).toLong,
+        gen.toLong)
+    }
+  }
+
+  /** `graft_tag_drop(root, name)` — drop a tag (releases its retention
+    * pin); idempotent. Returns the commit version. */
+  def tagDropPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_tag_drop(root, name)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    maintPlan("tag_drop", Seq("version")) {
+      Seq(dropTag(SparkSession.active, root, name).toLong)
+    }
+  }
+
+  /** `graft_tags(root)` — the tag listing (Iceberg's refs metadata
+    * table): one row per live tag, commit-log metadata only. */
+  def tagsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_tags(root)")
+    val root = litStr(exprs(0), "root")
+    val s = SparkSession.active
+    import s.implicits._
+    tagsFor(root, currentVersion(root)).toSeq.sorted
+      .map { case (n, g) => (n, g.toLong) }
+      .toDF("tag", "generation").queryExecution.logical
   }
 
   /** `graft_changes(root, from, to)` — the change-feed TVF plan builder. */
@@ -3631,6 +3732,17 @@ object TimeTravel extends QueryModule {
     * pair, as two explicit library calls. */
   def expireHistory(root: String, keepFrom: Int): Seq[String] = {
     val (fs, commits, ckpts) = listLog(root)
+    // TAGS pin their generations (Iceberg keeps tagged snapshots):
+    // expiring below one would turn `VERSION AS OF 'name'` into a
+    // dangling reference — refuse loudly until the tag is dropped
+    val pinned = commits.lastOption
+      .map(c => tagsFor(root, c._1).filter(_._2 < keepFrom))
+      .getOrElse(Map.empty)
+    require(pinned.isEmpty,
+      s"time travel: cannot expire below $keepFrom — tags pin earlier " +
+        s"generations: ${pinned.toSeq.sorted
+          .map { case (n, g) => s"$n@$g" }.mkString(", ")}; drop them " +
+        "first (graft_tag_drop)")
     val anchor = ckpts.map(_._1)
       .filter(v => v == keepFrom - 1 || v == keepFrom).sorted.headOption
     require(anchor.nonEmpty,

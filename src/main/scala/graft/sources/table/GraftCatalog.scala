@@ -98,9 +98,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
 
-  /** `VERSION AS OF <g>` — the generation number, verbatim. */
+  /** `VERSION AS OF <ref>` — a generation number verbatim, or a
+    * snapshot TAG name (Iceberg's named refs: `VERSION AS OF 'v1'`),
+    * resolved at the current generation. */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toInt))
+    load(ident, Some(TimeTravel.resolveVersionRef(rootFor(ident), version)))
 
   /** `TIMESTAMP AS OF <ts>` — DSv2 hands MICROSECONDS since the epoch;
     * resolution is the q187 contract (newest commit at-or-before). */

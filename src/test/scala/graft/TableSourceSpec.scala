@@ -1628,9 +1628,12 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
-  test("row-level DML on a column-mapped CDF table refuses at WRITE time (r15 ADVICE)") {
-    def chain(x: Throwable): Seq[Throwable] =
-      if (x == null) Nil else x +: chain(x.getCause)
+  test("row-level DML on a column-mapped CDF table emits a logical-named feed (r17: refusal lifted)") {
+    // change files now land under PHYSICAL names like every data file,
+    // and the feed's one read-time projection surfaces the logical
+    // schema at toGen — so CDF works on renamed/added-column tables
+    // across copy-on-write AND merge-on-read DML (Delta's CDC under
+    // column mapping). The r15 write-time refusal is gone.
     val wh = java.nio.file.Files.createTempDirectory("graft_cmcdf_").toString
     val root = s"$wh/cm"
     val base = orders.limit(300)
@@ -1643,28 +1646,67 @@ class TableSourceSpec extends SparkSpec {
       spark.sql("ALTER TABLE ccat.cm SET TBLPROPERTIES (" +
         "'graft.enableChangeDataFeed' = 'true')")
       spark.sql("ALTER TABLE ccat.cm RENAME COLUMN o_totalprice TO price")
-      val before = TimeTravel.currentVersion(root)
-      // CDF + column mapping cannot write row-change files — the old
-      // behavior emitted NOTHING and the gap surfaced only at
-      // graft_row_changes time as a misleading 'CDF was not enabled';
-      // now the DML itself refuses, where the user can still choose
-      val e = intercept[Exception] {
-        spark.sql("UPDATE ccat.cm SET price = price * 2 " +
-          "WHERE o_orderkey <= 100")
-      }
-      assert(chain(e).exists(t => Option(t.getMessage)
-          .exists(_.contains("column-mapped"))),
-        s"wrong refusal: $e")
-      assert(TimeTravel.currentVersion(root) === before,
-        "the refused DML landed a commit")
-      // disabling CDF re-enables row-level DML on the mapped table
-      spark.sql("ALTER TABLE ccat.cm SET TBLPROPERTIES (" +
-        "'graft.enableChangeDataFeed' = 'false')")
+      // copy-on-write UPDATE through the renamed name: the diff-form
+      // feed reconstructs the update under LOGICAL names
+      val v0 = TimeTravel.currentVersion(root)
       spark.sql("UPDATE ccat.cm SET price = price * 2 " +
         "WHERE o_orderkey <= 100")
+      val touched = base.filter(col("o_orderkey") <= 100)
+      val chg = TimeTravel.readRowChanges(spark, root, v0,
+        TimeTravel.currentVersion(root))
+      assert(chg.columns.contains("price") &&
+        !chg.columns.contains("o_totalprice"),
+        s"feed surfaced physical names: ${chg.columns.mkString(",")}")
+      assert(chg.filter(col("_change_type") === "delete").count()
+        === touched.count())
+      assert(chg.filter(col("_change_type") === "insert")
+        .agg(sum(col("price").cast("decimal(18,2)"))).head().getDecimal(0)
+        === touched.agg(sum((col("o_totalprice") * 2)
+          .cast("decimal(18,2)"))).head().getDecimal(0))
+      // merge-on-read flavor: DV-enabled DELETE on the mapped CDF
+      // table masks + emits the deleted rows, zero files rewritten
+      spark.sql("ALTER TABLE ccat.cm SET TBLPROPERTIES (" +
+        "'graft.enableDeletionVectors' = 'true')")
+      val v1 = TimeTravel.currentVersion(root)
+      val filesBefore = TimeTravel.snapshotFiles(root, v1).toSet
+      spark.sql("DELETE FROM ccat.cm WHERE o_orderkey % 3 = 0")
+      assert(filesBefore.subsetOf(TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet),
+        "mapped merge-on-read DELETE rewrote files")
+      val del = TimeTravel.readRowChanges(spark, root, v1,
+        TimeTravel.currentVersion(root))
+      val expectDel = base.withColumn("o_totalprice",
+        when(col("o_orderkey") <= 100, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+        .filter(col("o_orderkey") % 3 === 0)
+      assert(del.filter(col("_change_type") === "delete").count()
+        === expectDel.count())
+      assert(del.filter(col("_change_type") === "delete")
+        .agg(sum(col("price").cast("decimal(18,2)"))).head().getDecimal(0)
+        === expectDel.agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+          .head().getDecimal(0))
+      // an added column null-fills in pre-evolution change frames and
+      // carries values in post-evolution ones
+      spark.sql("ALTER TABLE ccat.cm ADD COLUMN tag STRING")
+      val v2 = TimeTravel.currentVersion(root)
+      spark.sql("UPDATE ccat.cm SET tag = 'hot' WHERE o_orderkey <= 50")
+      val tagged = TimeTravel.readRowChanges(spark, root, v2,
+        TimeTravel.currentVersion(root))
+      assert(tagged.filter(col("_change_type") === "insert" &&
+        col("tag") === "hot").count() > 0)
+      // a range SPANNING the evolution projects to the schema at toGen:
+      // frames from before the ADD COLUMN null-fill tag
+      val span = TimeTravel.readRowChanges(spark, root, v0,
+        TimeTravel.currentVersion(root))
+      assert(span.columns.contains("tag"))
+      assert(span.filter(col("_commit_version") === v0 + 1 &&
+        col("tag").isNotNull).count() === 0L,
+        "a pre-evolution change frame carried values for a later column")
+      // and the table itself stays exact
       val expect = base.withColumn("o_totalprice",
         when(col("o_orderkey") <= 100, col("o_totalprice") * 2)
           .otherwise(col("o_totalprice")))
+        .filter(col("o_orderkey") % 3 =!= 0)
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
         .head().getDecimal(0)
       assert(spark.sql(

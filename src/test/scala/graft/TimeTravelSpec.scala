@@ -1050,4 +1050,53 @@ class TimeTravelSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("v9-quantum-masks"), e3.getMessage)
   }
+
+  test("snapshot tags: named refs resolve, pin retention, survive checkpoints, drop cleanly") {
+    val root = newRoot()
+    val a = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val b = orders.filter(col("o_orderkey") % 3 === 0)
+    TimeTravel.commit(spark, root, a) // gen 0
+    TimeTravel.commit(spark, root, b) // gen 1
+    TimeTravel.tagSnapshot(spark, root, "v1", 0) // gen 2
+    // resolution: ref name ≡ the generation, everywhere a version goes
+    assert(TimeTravel.resolveVersionRef(root, "v1") === 0)
+    assert(TimeTravel.resolveVersionRef(root, "1") === 1)
+    assert(TimeTravel.readAsOf(spark, root,
+      TimeTravel.resolveVersionRef(root, "v1")).count() === a.count())
+    // bad names and unknown refs fail loudly
+    intercept[IllegalArgumentException] {
+      TimeTravel.tagSnapshot(spark, root, "42", 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeTravel.tagSnapshot(spark, root, "late", 99)
+    }
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.resolveVersionRef(root, "nope")
+    }
+    assert(e.getMessage.contains("v1"), e.getMessage)
+    // the tag PINS gen 0: expire below it refuses BY NAME even with an
+    // anchor checkpoint in place
+    TimeTravel.checkpoint(root, 1)
+    val pin = intercept[IllegalArgumentException] {
+      TimeTravel.expireHistory(root, 1)
+    }
+    assert(pin.getMessage.contains("v1@0"), pin.getMessage)
+    // re-tag moves the name (visible immediately)
+    TimeTravel.tagSnapshot(spark, root, "v1", 1) // gen 3
+    assert(TimeTravel.resolveVersionRef(root, "v1") === 1)
+    // tags survive retention through the checkpoint fold: expire below
+    // the checkpoint, the moved tag still resolves
+    TimeTravel.checkpoint(root)
+    TimeTravel.expireHistory(root, 1)
+    assert(TimeTravel.resolveVersionRef(root, "v1") === 1)
+    assert(TimeTravel.readAsOf(spark, root, 1).count()
+      === a.count() + b.count())
+    // drop releases the pin; expire then proceeds and the ref is gone
+    TimeTravel.dropTag(spark, root, "v1")
+    assert(TimeTravel.tagsFor(root,
+      TimeTravel.currentVersion(root)).isEmpty)
+    intercept[IllegalArgumentException] {
+      TimeTravel.resolveVersionRef(root, "v1")
+    }
+  }
 }
