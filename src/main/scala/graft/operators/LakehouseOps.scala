@@ -2798,19 +2798,27 @@ object LakehouseOps extends QueryModule {
           merge("mor", 2)
           merge("cow", 1)
         }
-        def feed(tn: String, from: Int): Seq[(String, Long, String, Double)] =
+        def feed(tn: String, from: Int): DataFrame =
           TimeTravel.readRowChanges(s, s"$wh/$tn", from, from + 1)
             .select(col("_change_type"), col("o_orderkey"),
               col("o_orderpriority"), col("o_totalprice"))
-            .collect()
-            .map(r => (r.getString(0), r.getLong(1), r.getString(2),
-              r.getDouble(3))).toSeq.sorted
-        val morFeed = feed("mor", 2)
-        require(morFeed == feed("cow", 1),
+        // feed identity via a DISTRIBUTED multiset signature (count +
+        // order-independent row-hash sum) — the driver sees one row per
+        // feed, never the feed itself (at 100 TB the feeds are data)
+        def sig(df: DataFrame)
+            : (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+          val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("_change_type"), col("o_orderkey"),
+              col("o_orderpriority"),
+              col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,0)")), // exact — a LONG sum could overflow
+            sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+          (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+        }
+        require(sig(feed("mor", 2)) == sig(feed("cow", 1)),
           "q234: merge-on-read change feed diverges from the " +
             "copy-on-write sibling's")
-        morFeed.toDF("_change_type", "o_orderkey", "o_orderpriority",
-            "o_totalprice")
+        feed("mor", 2)
           .groupBy("_change_type")
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,2)"))

@@ -1291,18 +1291,16 @@ object TimeTravel extends QueryModule {
     * deleted), so the commit is `nodata` and change feeds skip it; one
     * output file per purged input keeps the file-count shape. Files
     * without a logged row count are skipped conservatively (their ratio
-    * is unknowable from metadata). The rewrite reads raw physical
-    * files, so column-mapped tables take [[compact]] instead — refused
-    * loudly here. Returns the committed version; the current one when
-    * no file crosses the threshold. */
+    * is unknowable from metadata). The rewrite reads the PHYSICAL
+    * schema with defaults filled and widened types up-converted, so
+    * mapped/evolved tables purge correctly (r17 — the old colmap
+    * refusal is gone). Returns the committed version; the current one
+    * when no file crosses the threshold. */
   def purgeMasks(s: SparkSession, root: String, minMaskedPct: Int): Int = {
     require(minMaskedPct >= 1 && minMaskedPct <= 100,
       s"time travel: minMaskedPct must be in [1, 100], got $minMaskedPct")
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: no table at $root")
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: purge on column-mapped table $root is not " +
-        "supported — run a full OPTIMIZE (compact) instead")
     val dvs = dvsFor(root, gen)
     if (dvs.isEmpty) return gen
     val rows = nrowsFor(root, gen)
@@ -1315,10 +1313,13 @@ object TimeTravel extends QueryModule {
     if (victims.isEmpty) return gen
     // defaults fill per file group (r16 ADVICE): a purged pre-evolution
     // file's rewrite must persist the DEFAULT its readers served, not
-    // NULL; the explicit schema read also up-converts widened files
+    // NULL; the explicit PHYSICAL schema read also up-converts widened
+    // files and keeps renamed columns' bytes on mapped tables (r17 —
+    // the old colmap refusal is gone; the nodata commit keeps the
+    // logical schema logged)
     val cleaned = readFilesFilledDvs(s, root, gen, victims)
       .coalesce(victims.size)
-    commit(s, root, cleaned, removed = victims, flags = Seq("nodata"))
+    commitNoData(s, root, gen, cleaned, removed = victims)
   }
 
   /** `graft_reorg(root, minMaskedPct)` — [[purgeMasks]] from pure SQL,
@@ -1497,8 +1498,23 @@ object TimeTravel extends QueryModule {
       dvs: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-    if (temps.nonEmpty)
-      validateConstraints(s, root, s.read.parquet(temps: _*))
+    if (temps.nonEmpty) {
+      // staged temps carry PHYSICAL names on mapped tables; constraints
+      // are written in LOGICAL ones — project before validating, or a
+      // CHECK on a renamed column would null-fill and pass vacuously
+      val gen0 = currentVersion(root)
+      val cm = if (gen0 < 0) Map.empty[String, String]
+        else colmapAsOf(root, gen0)
+      val raw = s.read.parquet(temps: _*)
+      val logical =
+        if (cm.isEmpty) raw
+        else {
+          val inv = cm.map(_.swap)
+          raw.select(raw.columns.toSeq
+            .map(c => col(c).as(inv.getOrElse(c, c))): _*)
+        }
+      validateConstraints(s, root, logical)
+    }
     val (fs, _) = fsFor(root)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -1767,7 +1783,10 @@ object TimeTravel extends QueryModule {
       s"time travel: bad constraint name '$name'")
     val gen = currentVersion(root)
     if (gen >= 0 && snapshotFiles(root, gen).nonEmpty) {
-      val bad = readAsOf(s, root, gen)
+      // the MAPPED read: constraints are written in logical names — a
+      // raw read of a renamed table would null the column and pass the
+      // check vacuously (r17)
+      val bad = readAsOfMapped(s, root, gen)
         .filter(coalesce(!expr(exprSql), lit(false))).limit(1).count()
       require(bad == 0,
         s"time travel: existing rows under $root violate CHECK $name " +
@@ -2275,13 +2294,34 @@ object TimeTravel extends QueryModule {
     * compaction a streaming ingest accumulates toward, as a log-native
     * commit. Returns the committed version; no-op (current version) when
     * the table is already within the target. */
+  /** Land a NO-DATA rewrite (compaction/purge): stage the PHYSICAL
+    * frame and log the LOGICAL schema in force — the pair a
+    * column-mapped table needs. The old `commit(readAsOf(...))` shape
+    * read the logical schema over physical files (NULLing every
+    * renamed/added column into the rewrite) and then logged the raw
+    * frame's schema over the logical one — silent data loss behind
+    * `graft_optimize` on any evolved table (r17). Rows are unchanged by
+    * contract, so constraints/enforcement need no re-validation. */
+  private def commitNoData(s: SparkSession, root: String, gen: Int,
+      physDf: DataFrame, removed: Seq[String]): Int = {
+    val added = stagePlain(s, root, physDf)
+    commitNames(s, root, added, removed,
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL)
+        .orElse(Some(physDf.schema.toDDL)),
+      flags = Seq("nodata"))
+  }
+
   def compact(s: SparkSession, root: String, targetFiles: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
     val files = snapshotFiles(root, gen)
     if (files.size <= targetFiles) gen
-    else commit(s, root, readAsOf(s, root, gen).coalesce(targetFiles),
-      removed = files, flags = Seq("nodata"))
+    // physical-name read (mapped tables keep their renamed columns'
+    // bytes), DV masks applied, defaults filled, widened files
+    // up-converted — then the logical schema stays logged
+    else commitNoData(s, root, gen,
+      readFilesFilledDvs(s, root, gen, files).coalesce(targetFiles),
+      removed = files)
   }
 
   /** Compact ONLY the SMALL files (live rows < `smallRows` after DV
@@ -2310,7 +2350,7 @@ object TimeTravel extends QueryModule {
     val total = small.flatMap(liveRows).sum
     val nOut = math.max(1, math.ceil(total.toDouble / smallRows).toInt)
     val packed = readFilesFilledDvs(s, root, gen, small).coalesce(nOut)
-    commit(s, root, packed, removed = small, flags = Seq("nodata"))
+    commitNoData(s, root, gen, packed, removed = small)
   }
 
   /** Post-commit AUTO-COMPACTION trigger (Delta's
@@ -2353,6 +2393,14 @@ object TimeTravel extends QueryModule {
       c2: String, nFiles: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
+    // the Z-layout write path speaks logical names end to end (key
+    // columns, stats lines); a mapped table's physical files would
+    // silently NULL renamed columns through readAsOf — refuse loudly
+    // toward the mapped-aware [[compact]] until a physical Z-write
+    // exists
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: ZORDER compaction on column-mapped table $root is " +
+        "not supported — run graft_optimize (compact) instead")
     val files = snapshotFiles(root, gen)
     commitZOrdered(s, root, readAsOf(s, root, gen), c1, c2, nFiles,
       removed = files, flags = Seq("nodata"))
@@ -2550,6 +2598,11 @@ object TimeTravel extends QueryModule {
       sortCol: String): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: nothing to cluster under $root")
+    // logical-name read + key-column stats — same refusal discipline as
+    // compactZOrdered on mapped tables (readAsOf would NULL renames)
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: incremental clustering on column-mapped table " +
+        s"$root is not supported — run graft_optimize (compact) instead")
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
     val clustered = files.filter(f => stats.contains((f, sortCol)))
@@ -3668,10 +3721,24 @@ object TimeTravel extends QueryModule {
     // committed file). Any OTHER remove-commit is rewritten history,
     // where a file diff is no longer a row diff: loud error (changeFiles).
     val files = changeFiles(root, fromGen, toGen)
-    if (files.isEmpty)
-      s.read.parquet(snapshotFiles(root, toGen).map(f => dataPath(root, f)): _*)
-        .limit(0)
-    else s.read.parquet(files.map(f => dataPath(root, f)): _*)
+    val raw =
+      if (files.isEmpty)
+        s.read.parquet(snapshotFiles(root, toGen)
+          .map(f => dataPath(root, f)): _*).limit(0)
+      else s.read.parquet(files.map(f => dataPath(root, f)): _*)
+    // mapped tables: the files carry PHYSICAL names — project to the
+    // logical schema at toGen like every user-facing read (r17; the
+    // raw frame used to leak physical names through the file feed)
+    val cm = colmapAsOf(root, toGen)
+    if (cm.isEmpty) raw
+    else {
+      val present = raw.columns.toSet
+      raw.select(logicalSchemaAt(root, toGen).map { f =>
+        val phys = cm.getOrElse(f.name, f.name)
+        if (present.contains(phys)) col(phys).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
   }
 
   /** Delete data files referenced by NO commit (abandoned stages, orphans

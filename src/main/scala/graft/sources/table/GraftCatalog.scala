@@ -653,7 +653,8 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
         throw new IllegalStateException(
           "graft catalog: deleteWhere called with filters canDeleteWhere " +
             "did not accept"))
-      // physical == logical here: dvRange refuses column-mapped tables
+      // c arrives PHYSICAL (dvRange maps it); the DV writer reads the
+      // physical schema with defaults filled, so mapped tables mask here
       TimeTravel.deleteVectorWhere(SparkSession.active, root, c, lo, hi)
     }
     ()
@@ -669,12 +670,11 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
 
   /** The single-column integral range `[lo, hi]` the ENTIRE filter set
     * (implicitly ANDed) pins down, when it does — the predicate shape
-    * [[TimeTravel.deleteVectorWhere]] serves. Bounds on one BIGINT/INT
-    * column intersect; IsNotNull on that column is implied by any
-    * range. Column-mapped or defaulted tables refuse (the DV writer
-    * reads raw parquet under physical names with no default fill), as
-    * does any filter on another column or a non-range shape — those
-    * fall back to copy-on-write. */
+    * [[TimeTravel.deleteVectorWhere]] serves; the column goes through
+    * the MAPPING (the DV writer reads the physical schema with defaults
+    * filled since r17, so mapped/defaulted tables take this path too).
+    * Any filter on another column or a non-range shape returns None —
+    * those fall back to the delta/copy-on-write row-level ops. */
   private def dvRange(filters: Array[Filter]): Option[(String, Long, Long)] = {
     import org.apache.spark.sql.sources._
     def num(v: Any): Option[Long] = v match {
@@ -703,9 +703,11 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
                org.apache.spark.sql.types.IntegerType => true
           case _ => false
         }
-      if (!integral || readSide.colmap.nonEmpty || readSide.defaults.nonEmpty)
-        None
-      else Some((cols.head, bs.map(_._2).max, bs.map(_._3).min))
+      if (!integral) None
+      // PHYSICAL column name: log stats and the DV position scan both
+      // speak physical (identity on unmapped tables)
+      else Some((readSide.phys(cols.head),
+        bs.map(_._2).max, bs.map(_._3).min))
     }
   }
 

@@ -1099,4 +1099,80 @@ class TimeTravelSpec extends SparkSpec {
       TimeTravel.resolveVersionRef(root, "v1")
     }
   }
+
+  test("OPTIMIZE and REORG on a renamed table keep the column's bytes and the logical schema") {
+    // compact used to read the LOGICAL schema over PHYSICAL files: on a
+    // column-mapped table every renamed column null-filled into the
+    // rewrite and the raw frame's schema overwrote the logged one —
+    // silent data loss behind graft_optimize (r17 fix: physical-name
+    // nodata rewrite + logical schema stays logged)
+    val root = newRoot()
+    val base = orders.limit(600)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    def decSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("price").cast("decimal(18,2)"))).head().get(0)
+    for (i <- 0 until 3)
+      TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 === i))
+    TimeTravel.renameColumn(spark, root, "o_totalprice", "price")
+    // the file-level change feed projects to logical names too (r17:
+    // it used to leak the physical ones)
+    val delta = TimeTravel.readChangesSince(spark, root, 0,
+      TimeTravel.currentVersion(root))
+    assert(delta.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(delta.filter(col("price").isNull).count() === 0L)
+    val want = decSum(TimeTravel.readAsOfMapped(spark, root,
+      TimeTravel.currentVersion(root)))
+    val v = TimeTravel.compact(spark, root, 1)
+    val after = TimeTravel.readAsOfMapped(spark, root, v)
+    assert(after.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(after.filter(col("price").isNull).count() === 0L,
+      "compaction nulled a renamed column's values")
+    assert(decSum(after) === want)
+    // the LOGICAL schema stayed logged (compaction must not demote it
+    // to the physical frame's names)
+    assert(TimeTravel.schemaAsOf(root, v)
+      .exists(_.fieldNames.contains("price")))
+    // REORG purge on the mapped table folds masks without losing bytes
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", 0L, keys(299))
+    val v2 = TimeTravel.purgeMasks(spark, root, 40)
+    val purged = TimeTravel.readAsOfMapped(spark, root, v2)
+    assert(purged.count() === base.filter(col("o_orderkey") > keys(299))
+      .count())
+    assert(purged.filter(col("price").isNull).count() === 0L,
+      "purge nulled a renamed column's values")
+
+    // CHECK constraints evaluate the RENAMED column's real values —
+    // both at ADD time and against staged DSv2 writes
+    intercept[IllegalArgumentException] {
+      TimeTravel.addConstraint(spark, root, "neg", "price < 0")
+    } // would have passed vacuously on a null-filled raw read
+    TimeTravel.addConstraint(spark, root, "pos", "price > 0")
+    val wh = root.stripSuffix("/t")
+    withSqlConf(
+      "spark.sql.catalog.cmoc" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.cmoc.warehouse" -> wh) {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO cmoc.t VALUES (999999, -5.0)")
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("pos"))), s"wrong failure: $e")
+      spark.sql("INSERT INTO cmoc.t VALUES (999999, 5.0)")
+      assert(spark.sql(
+        "SELECT count(*) FROM cmoc.t WHERE o_orderkey = 999999")
+        .head().getLong(0) === 1L)
+    }
+  }
+
+  private def withSqlConf[T](confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
