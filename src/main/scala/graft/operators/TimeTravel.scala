@@ -617,11 +617,13 @@ object TimeTravel extends QueryModule {
         case None => true // no stats for this file/column: cannot skip
       }
     }
-    val reader: Seq[String] => DataFrame =
-      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
+    // explicit-schema read (defaults filled, widened files up-convert);
+    // the frame carries physical names — statCol arrives physical like
+    // every stats-keyed band argument
     val base =
-      if (kept.isEmpty) reader(snapshotFiles(root, gen)).limit(0)
-      else readFilesWithDvs(s, root, gen, kept, reader)
+      if (kept.isEmpty)
+        readFilesFilledDvs(s, root, gen, snapshotFiles(root, gen)).limit(0)
+      else readFilesFilledDvs(s, root, gen, kept)
     base.filter(col(statCol) >= lo && col(statCol) <= hi)
   }
 
@@ -693,6 +695,11 @@ object TimeTravel extends QueryModule {
       keyCol: String, nBuckets: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot merge into empty table $root")
+    // same mapped-table discipline as deleteWhere/updateWhere: refuse
+    // toward the SQL MERGE route (physical-name-aware DSv2 writers)
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: library mergeInto on column-mapped table $root " +
+        "is not supported — use the SQL MERGE route")
     val touched = source
       .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("gb"))
       .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets ints
@@ -703,8 +710,7 @@ object TimeTravel extends QueryModule {
     }
     val existing =
       if (toRewrite.isEmpty) source.limit(0)
-      else readFilesWithDvs(s, root, gen, toRewrite,
-        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      else readFilesFilledDvs(s, root, gen, toRewrite)
     val dataCols = source.columns.filter(_ != keyCol)
     require(existing.columns.sorted.sameElements(source.columns.sorted),
       s"time travel: merge source schema ${source.columns.toSeq} does not " +
@@ -764,6 +770,12 @@ object TimeTravel extends QueryModule {
       lo: Long, hi: Long): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot delete from empty table $root")
+    // the rewrite stages under LOGICAL names and logs its frame's
+    // schema — on a mapped table that clobbers the logical schema and
+    // NULLs renamed columns; refuse toward the SQL DELETE route (r17)
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: library deleteWhere on column-mapped table $root " +
+        "is not supported — use the SQL DELETE route")
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
     val touched = files.filter { f =>
@@ -774,8 +786,9 @@ object TimeTravel extends QueryModule {
     }
     if (touched.isEmpty) gen
     else {
-      val cur = readFilesWithDvs(s, root, gen, touched,
-        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      // explicit-schema read: widened narrow files up-convert instead
+      // of misreading under the first footer's types (r17)
+      val cur = readFilesFilledDvs(s, root, gen, touched)
       // CDF on: the DELETED rows (exactly the live matches) land as
       // change files in the same commit — Delta's write-time CDC
       val cdc =
@@ -802,6 +815,11 @@ object TimeTravel extends QueryModule {
       setTo: org.apache.spark.sql.Column): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot update empty table $root")
+    // same mapped-table discipline as deleteWhere: the rewrite speaks
+    // logical names end to end — refuse toward the SQL UPDATE route
+    require(colmapAsOf(root, gen).isEmpty,
+      s"time travel: library updateWhere on column-mapped table $root " +
+        "is not supported — use the SQL UPDATE route")
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
     val touched = files.filter { f =>
@@ -812,8 +830,7 @@ object TimeTravel extends QueryModule {
     }
     if (touched.isEmpty) gen
     else {
-      val cur = readFilesWithDvs(s, root, gen, touched,
-        fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*))
+      val cur = readFilesFilledDvs(s, root, gen, touched)
       val rewritten = cur.withColumn(setCol,
         when(col(statCol).between(lo, hi), setTo).otherwise(col(setCol)))
       // CDF on: pre- and post-image of exactly the updated rows
