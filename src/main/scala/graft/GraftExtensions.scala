@@ -105,7 +105,29 @@ object GraftFunctions {
         "retention pin); idempotent"),
     ("graft_tags", graft.operators.TimeTravel.tagsPlan _,
       "graft_tags(root) - one row per live snapshot tag: name, " +
-        "generation"))
+        "generation"),
+    ("graft_clone_deep", graft.operators.TimeTravel.cloneDeepPlan _,
+      "graft_clone_deep(src, dst) - retention-independent deep clone: " +
+        "distributed byte copy of the snapshot's files + DV sidecars, " +
+        "all log metadata re-keyed (runs at execution); returns " +
+        "(version, n_files)"),
+    ("graft_branch", graft.operators.TimeTravel.branchPlan _,
+      "graft_branch(root, name, gen) - create a writable branch at a " +
+        "generation (Iceberg's createBranch); branch commits are " +
+        "invisible to main until graft_ff publishes them"),
+    ("graft_branch_drop", graft.operators.TimeTravel.branchDropPlan _,
+      "graft_branch_drop(root, name) - drop a branch: clears the ref, " +
+        "deletes its staged commits (releases the retention pin)"),
+    ("graft_branches", graft.operators.TimeTravel.branchesPlan _,
+      "graft_branches(root) - one row per live branch: name, base " +
+        "generation, staged commit count"),
+    ("graft_branch_read", graft.operators.TimeTravel.branchReadPlan _,
+      "graft_branch_read(root, name) - the branch HEAD in FROM " +
+        "position: the base snapshot plus the branch's staged commits"),
+    ("graft_ff", graft.operators.TimeTravel.ffPlan _,
+      "graft_ff(root, name) - fast-forward publish: land the branch's " +
+        "delta on main as one atomic version-pinned commit and drop " +
+        "the ref; refuses when main moved past the base"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

@@ -3074,6 +3074,239 @@ object LakehouseOps extends QueryModule {
             r.getLong(2), r.getDouble(3))).toSeq
         (rows ++ tvf).toDF("leg", "o_orderpriority", "n", "total")
           .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q239 ZORDER × COLUMN MAPPING (the r17 refusal LIFTED — Delta
+    // Z-orders mapped tables): RENAME COLUMN used to permanently freeze
+    // a table's clustered maintenance; now `graft_zorder` reads the
+    // snapshot PHYSICALLY (renamed columns keep their bytes), translates
+    // the key columns logical→physical for the Z-expression and the
+    // per-file stats lines (the q210 stat-key discipline), and a range
+    // read on the RENAMED secondary dimension still prunes from log
+    // metadata alone (required inline: a 1/4-width band of a 16-cell
+    // 4×4 tiling opens at most 12 of 16 files). Oracle: the same
+    // custkey-range aggregate over the source table.
+    Q("q239_zorder_mapped",
+      Some("""WITH p AS (SELECT max(o_custkey)//4 AS lo,
+             |                  max(o_custkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_custkey BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_cat239_", s"q239:$d")
+        val root = s"$wh/zm"
+        graft.GraftFunctions.register(s)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commit(s, root, t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority",
+              "o_totalprice"))
+        withConfs(s,
+          "spark.sql.catalog.gcat239" -> CatalogClass,
+          "spark.sql.catalog.gcat239.warehouse" -> wh) {
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("ALTER TABLE gcat239.zm RENAME COLUMN o_custkey TO cust")
+          if (TimeTravel.currentVersion(root) < 2) {
+            val rep = s.sql(
+              s"SELECT * FROM graft_zorder('$root', 'o_orderkey', " +
+                "'cust', 16)").head()
+            require(rep.getLong(1) == 16L, s"q239: zorder report $rep")
+          }
+        }
+        val gen = TimeTravel.currentVersion(root)
+        // the logical schema kept the renamed name through the rewrite
+        require(TimeTravel.readAsOfMapped(s, root, gen).columns
+            .contains("cust"), "q239: rename lost through zorder")
+        val mx = t(s, d, "orders").agg(max("o_custkey")).head().getLong(0)
+        val (lo, hi) = (mx / 4, mx / 2)
+        // both-dimension stats landed PHYSICAL-keyed; the secondary-dim
+        // band prunes from log metadata (no footer opens)
+        val files = TimeTravel.snapshotFiles(root, gen)
+        val st = TimeTravel.statsFor(root, gen)
+        val kept = files.count(f => st.get((f, "o_custkey"))
+          .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+        require(files.size == 16 && kept <= 12,
+          s"q239: secondary-dim pruning kept $kept of ${files.size}")
+        // the pruned read itself: band filter on the renamed key (the
+        // frame carries physical names — o_custkey — like every
+        // stats-keyed band read); output columns are unmapped
+        prioAgg(TimeTravel.readAsOfWhere(s, root, gen, "o_custkey",
+          lo, hi)).orderBy("o_orderpriority")
+      }),
+
+    // Q240 LIBRARY DML × COLUMN MAPPING (the r17 refusals LIFTED):
+    // deleteWhere/updateWhere/mergeInto refused renamed/defaulted
+    // tables toward the SQL routes; now the library half of the DML
+    // surface reads the touched files PHYSICALLY (renamed columns keep
+    // their bytes, defaults fill — never NULL), applies the caller's
+    // LOGICAL-name expressions on the logical projection, and stages
+    // back through the mapping — stats stay physical-keyed, the
+    // logical schema stays logged, CDC change files land physical-
+    // named (q237). The declared statement renames the value column,
+    // adds a defaulted column, library-UPDATEs one key band and
+    // library-DELETEs a disjoint one; the read proves values, the
+    // default, and the rename all survived. Oracle replays the
+    // update+delete over the source table.
+    Q("q240_library_dml_mapped",
+      Some("""WITH p AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |upd AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CASE WHEN o_orderkey BETWEEN mx//4 AND mx//2
+             |         THEN o_totalprice + 1000 ELSE o_totalprice END AS price
+             |  FROM orders, p),
+             |kept AS (SELECT u.* FROM upd u, p WHERE o_orderkey > mx//8)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  CAST(count(*) * 7 AS BIGINT) AS flags
+             |FROM kept GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttldm_", s"q240:$d")
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, orders3(s, d),
+            "o_orderkey", 8)
+        if (TimeTravel.currentVersion(root) < 1)
+          TimeTravel.renameColumn(s, root, "o_totalprice", "price")
+        if (TimeTravel.currentVersion(root) < 2)
+          TimeTravel.addColumnMapped(s, root, "flag", "BIGINT", Some("7"))
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0)
+        if (TimeTravel.currentVersion(root) < 3)
+          TimeTravel.updateWhere(s, root, "o_orderkey", mx / 4, mx / 2,
+            "price", col("price") + 1000)
+        if (TimeTravel.currentVersion(root) < 4)
+          TimeTravel.deleteWhere(s, root, "o_orderkey", 0L, mx / 8)
+        val gen = TimeTravel.currentVersion(root)
+        val after = TimeTravel.readAsOfMapped(s, root, gen)
+        require(after.columns.toSeq ==
+          Seq("o_orderkey", "o_orderpriority", "price", "flag"),
+          s"q240: logical schema drifted: ${after.columns.toSeq}")
+        after.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)"))
+              .cast("double").as("total"),
+            sum(col("flag")).as("flags"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q241 BRANCHES (Iceberg's writable refs — q238's read-write
+    // sibling): `graft_branch` forks a base generation; commits to the
+    // branch land in the SAME log under names main readers never see
+    // (required inline: main's generation counter and row count are
+    // untouched while the branch fills); `graft_branch_read` serves the
+    // branch head in FROM position; `graft_ff` publishes the whole
+    // delta as ONE atomic version-pinned commit and clears the ref —
+    // the staging-then-publish workflow over one table's history, no
+    // copy. The base generation pins retention like a tag's. Oracle:
+    // the published table is exactly the full orders slice-union.
+    Q("q241_branches",
+      Some("""WITH a AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY o_orderpriority),
+             |b AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT 'branch' AS leg, * FROM b
+             |UNION ALL SELECT 'main' AS leg, * FROM a
+             |UNION ALL SELECT 'published' AS leg, * FROM b
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val root = WorkDirs.cached("graft_ttbr_", s"q241:$d")
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 =!= 0))
+        if (TimeTravel.currentVersion(root) < 1) {
+          val rep = s.sql(s"SELECT * FROM graft_branch('$root', 'cand', 0)")
+            .head()
+          require(rep.getLong(1) == 0L, s"q241: branch report $rep")
+          TimeTravel.commitToBranch(s, root, "cand",
+            o.filter(col("o_orderkey") % 3 === 0))
+          // staged rows are INVISIBLE to main until the publish
+          require(TimeTravel.readAsOf(s, root, 1).count() ==
+            o.filter(col("o_orderkey") % 3 =!= 0).count(),
+            "q241: branch rows leaked into main")
+          require(s.sql(s"SELECT * FROM graft_branches('$root')").collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+              .toSeq == Seq(("cand", 0L, 1L)),
+            "q241: graft_branches does not list the ref")
+        }
+        def legAgg(from: String, leg: String) = s.sql(
+          s"""SELECT '$leg' AS leg, o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM $from GROUP BY o_orderpriority""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getDouble(3))).toSeq
+        val gen = TimeTravel.currentVersion(root)
+        val (branchLeg, mainLeg) =
+          if (TimeTravel.branchesFor(root, gen).contains("cand")) {
+            // first run: capture both heads, then PUBLISH
+            val b = legAgg(s"graft_branch_read('$root', 'cand')", "branch")
+            val m = legAgg(s"graft_asof('$root', 1)", "main")
+            val rep = s.sql(s"SELECT * FROM graft_ff('$root', 'cand')")
+              .head()
+            require(rep.getLong(2) == 0L, s"q241: ff removed files: $rep")
+            (b, m)
+          } else {
+            // replay: the branch is published; both legs reconstruct
+            // from history (branch head ≡ published snapshot; main-
+            // before-publish ≡ generation 1)
+            (legAgg(s"graft_asof('$root', " +
+              s"${TimeTravel.currentVersion(root)})", "branch"),
+              legAgg(s"graft_asof('$root', 1)", "main"))
+          }
+        val pub = legAgg(
+          s"graft_asof('$root', ${TimeTravel.currentVersion(root)})",
+          "published")
+        (branchLeg ++ mainLeg ++ pub)
+          .toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q242 DEEP CLONE (Delta's non-shallow CLONE — the r17 "what's
+    // missing" #5): `graft_clone_deep` copies the snapshot's data files
+    // AND deletion-vector sidecars in a DISTRIBUTED job (one task per
+    // file) and re-keys every log-borne metadatum — stats keep pruning,
+    // DV masks keep masking, schema/constraints/mapping carry. The
+    // declared statement makes retention-independence literal: after
+    // the clone, the SOURCE TABLE IS DESTROYED outright (rm -rf), and
+    // the clone still serves the masked snapshot — the escape hatch
+    // from the shallow clone's vacuum caveat (q179/q226). Oracle:
+    // orders minus the DV-deleted key band.
+    Q("q242_deep_clone",
+      Some("""WITH p AS (SELECT max(o_orderkey)//4 AS lo,
+             |                  max(o_orderkey)//2 AS hi FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, p WHERE o_orderkey NOT BETWEEN p.lo AND p.hi
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_ttdc_", s"q242:$d")
+        val srcRoot = s"$wh/src"
+        val dstRoot = s"$wh/dc"
+        graft.GraftFunctions.register(s)
+        if (TimeTravel.currentVersion(dstRoot) < 0) {
+          if (TimeTravel.currentVersion(srcRoot) < 0) {
+            TimeTravel.commitClustered(s, srcRoot, orders3(s, d),
+              "o_orderkey", 8)
+            val mx = t(s, d, "orders").agg(max("o_orderkey")).head()
+              .getLong(0)
+            TimeTravel.deleteVectorWhere(s, srcRoot, "o_orderkey",
+              mx / 4, mx / 2)
+          }
+          val rep = s.sql(
+            s"SELECT * FROM graft_clone_deep('$srcRoot', '$dstRoot')")
+            .head()
+          require(rep.getLong(0) == 0L && rep.getLong(1) == 8L,
+            s"q242: clone report $rep")
+          // retention-independence, literally: the source is DESTROYED
+          WorkDirs.deleteTree(java.nio.file.Paths.get(srcRoot))
+        }
+        require(!new java.io.File(srcRoot).exists(),
+          "q242: the source should be gone")
+        prioAgg(TimeTravel.readAsOf(s, dstRoot, 0))
+          .orderBy("o_orderpriority")
       })
   )
 }

@@ -172,12 +172,67 @@ object TimeTravel extends QueryModule {
     Set("deletion-vectors", "column-mapping", "type-widening",
       "column-defaults")
 
+  /** WRITER FEATURES this build can honor (Delta's protocol
+    * writerFeatures — the second array of the reader/writer split): a
+    * commit that introduces behavior an uninformed WRITER would break
+    * (not merely misread) records it, and [[requireFeaturesWritable]]
+    * makes any writer that does not know a recorded feature refuse the
+    * table loudly BEFORE anything lands — e.g. a pre-constraints build
+    * appending rows that violate a CHECK it never parses, or a
+    * pre-colmap build staging logical-named files into a mapped table.
+    * Reads are unaffected. Feature names are append-only. */
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping", "type-widening",
+      "column-defaults", "check-constraints")
+
+  /** The writer features REQUIRED at the current generation of `root`,
+    * cumulative like [[featuresAsOf]]: newest checkpoint ≤ gen as the
+    * base, tail commits union in — checkpoint-folded so retention
+    * cannot drop the only commit that recorded one. */
+  private[graft] def writerFeaturesAsOf(root: String, gen: Int): Set[String] = {
+    val (fs, commits, ckpts) = listLog(root)
+    val base = ckpts.filter(_._1 <= gen).lastOption
+    val baseF = base
+      .map { case (_, f) => parseArr(readBytes(fs, f), "wfeatures").toSet }
+      .getOrElse(Set.empty[String])
+    commits
+      .filter(c => c._1 > base.map(_._1).getOrElse(-1) && c._1 <= gen)
+      .foldLeft(baseF) { case (acc, (_, f)) =>
+        acc ++ parseArr(readBytes(fs, f), "wfeatures")
+      }
+  }
+
+  /** The WRITE-path protocol gate: refuse when `root` requires a writer
+    * feature this build does not implement — called by every write
+    * entry (library DML, DSv2 staged commits, maintenance verbs) before
+    * heavy work, and unconditionally inside [[commitNames]] so no write
+    * path can bypass it; a refused write leaves the LOG unchanged (at
+    * worst vacuum-able staged orphans). Old logs carry no array and
+    * pass free. */
+  private[graft] def requireFeaturesWritable(root: String): Unit = {
+    val gen = currentVersion(root)
+    if (gen < 0) return
+    val unknown =
+      (writerFeaturesAsOf(root, gen) -- SupportedWriterFeatures).toSeq.sorted
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"time travel: writing to $root requires writer features " +
+          s"${unknown.mkString(", ")} this build does not support — " +
+          "upgrade the writer; refusing to corrupt the table (reads " +
+          "are unaffected)")
+  }
+
   /** Refuse when `txt` (a commit or checkpoint JSON) requires a reader
     * feature this build does not implement — the protocol gate every
     * snapshot resolution and change-feed read passes through. Logs
     * written before feature recording carry no array and pass free. */
-  private def requireFeaturesReadable(txt: String, where: String): Unit = {
-    val unknown = parseArr(txt, "features").filterNot(SupportedReaderFeatures)
+  private def requireFeaturesReadable(txt: String, where: String): Unit =
+    requireFeatureSetReadable(
+      parseArr(txt, "features").toSet, where)
+
+  private def requireFeatureSetReadable(fts: Set[String],
+      where: String): Unit = {
+    val unknown = (fts -- SupportedReaderFeatures).toSeq.sorted
     if (unknown.nonEmpty)
       throw new UnsupportedOperationException(
         s"time travel: $where requires reader features " +
@@ -193,6 +248,13 @@ object TimeTravel extends QueryModule {
     * source — reads only the RANGE's commit files, never the whole log. */
   private[graft] def changeFiles(root: String, fromGen: Int, toGen: Int)
       : Seq[String] = {
+    // CUMULATIVE gate (r17 ADVICE): a feature recorded by a commit at or
+    // before fromGen still governs the range's data files (e.g. column
+    // mapping names them physically) — the per-commit arrays in range
+    // alone would let an uninformed reader through where a snapshot read
+    // of the same table refuses via the checkpoint fold.
+    requireFeatureSetReadable(featuresAsOf(root, toGen),
+      s"change feed ($fromGen, $toGen] of $root")
     val (fs, commits, _) = listLog(root)
     val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
@@ -311,11 +373,24 @@ object TimeTravel extends QueryModule {
     * pure function of the key, re-derived when needed. */
   def commitBucketed(s: SparkSession, root: String, df: DataFrame,
       keyCol: String, nBuckets: Int, removed: Seq[String] = Nil,
-      cdc: Seq[String] = Nil): Int = {
+      cdc: Seq[String] = Nil,
+      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // mapped tables (r18): logical frame in, PHYSICAL staging out —
+    // bucket ids ride file names so only the hash input column needs
+    // translating, and it hashes the same VALUES either way
+    val cmB = {
+      val g0 = currentVersion(root)
+      if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
+    }
+    val dfP =
+      if (cmB.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(cmB.getOrElse(n, n))): _*)
+    val physKey = cmB.getOrElse(keyCol, keyCol)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.withColumn("gb", pmod(hash(col(keyCol)), lit(nBuckets)))
+    dfP.withColumn("gb", pmod(hash(col(physKey)), lit(nBuckets)))
       .repartition(nBuckets, col("gb"))
       .write.mode("overwrite").partitionBy("gb").parquet(stage)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -342,7 +417,7 @@ object TimeTravel extends QueryModule {
       }.toSeq
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     commitNames(s, root, added, removed,
-      schemaDdl = Some(df.schema.toDDL), cdc = cdc)
+      schemaDdl = Some(df.schema.toDDL), cdc = cdc, dvExpect = dvExpect)
   }
 
   // Anchored to the exact commit-uid prefix: an embedded part-file UUID
@@ -360,12 +435,25 @@ object TimeTravel extends QueryModule {
     * as `file|col|min|max` strings — the tolerant array parser reads
     * them back without a richer JSON layer. */
   def commitClustered(s: SparkSession, root: String, df: DataFrame,
-      sortCol: String, nFiles: Int, removed: Seq[String] = Nil,
-      cdc: Seq[String] = Nil): Int = {
+      lSortCol: String, nFiles: Int, removed: Seq[String] = Nil,
+      cdc: Seq[String] = Nil,
+      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // mapped tables (r18): logical frame + sort key in, PHYSICAL staging
+    // and stat keys out, logical schema logged — the commitZOrdered
+    // discipline; identity on unmapped tables
+    val cmC = {
+      val g0 = currentVersion(root)
+      if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
+    }
+    val dfP =
+      if (cmC.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(cmC.getOrElse(n, n))): _*)
+    val sortCol = cmC.getOrElse(lSortCol, lSortCol)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.repartitionByRange(nFiles, col(sortCol))
+    dfP.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(stage)
     // per-staged-file stats: one narrow agg over the delta just written.
@@ -402,7 +490,7 @@ object TimeTravel extends QueryModule {
       }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
-      schemaDdl = Some(df.schema.toDDL), cdc = cdc)
+      schemaDdl = Some(df.schema.toDDL), cdc = cdc, dvExpect = dvExpect)
   }
 
   /** Commit `df` Z-ORDER-CLUSTERED on TWO columns, with per-file (min,
@@ -417,20 +505,39 @@ object TimeTravel extends QueryModule {
     * the cell id and dynamic-partitions one file per cell (an empty cell
     * writes nothing). The interleave is plain bitwise Catalyst
     * expressions (32 shift/and/or terms — codegen'd, map-only); the Z
-    * columns are never stored. Delta's OPTIMIZE ZORDER BY, as a
-    * log-native commit. */
+    * columns are never stored. Column-mapped tables are supported (r18):
+    * the frame and key columns arrive LOGICAL and are translated through
+    * the mapping — files store physical names, stats lines key by
+    * physical name (the q210 discipline), the commit logs the logical
+    * schema. Delta's OPTIMIZE ZORDER BY, as a log-native commit. */
   def commitZOrdered(s: SparkSession, root: String, df: DataFrame,
-      c1: String, c2: String, nFiles: Int, removed: Seq[String] = Nil,
-      flags: Seq[String] = Nil): Int = {
+      lc1: String, lc2: String, nFiles: Int, removed: Seq[String] = Nil,
+      flags: Seq[String] = Nil,
+      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
     require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
       s"time travel: z-order nFiles must be a power of two, got $nFiles")
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // COLUMN-MAPPED tables (r17 verdict #1): `df` and the key columns
+    // arrive LOGICAL; files must store PHYSICAL names (byte-compatible
+    // across renames) and stats lines key by physical name (the q210
+    // stat-key discipline the DSv2 pruner translates through). Identity
+    // on unmapped tables — zero plan change.
+    val cmZ = {
+      val g0 = currentVersion(root)
+      if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
+    }
+    val dfP =
+      if (cmZ.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(cmZ.getOrElse(n, n))): _*)
+    val c1 = cmZ.getOrElse(lc1, lc1)
+    val c2 = cmZ.getOrElse(lc2, lc2)
     val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
-    val mm = df.agg(
+    val mm = dfP.agg(
       min(col(c1)).cast("long"), max(col(c1)).cast("long"),
       min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
-    require(!mm.anyNull, s"time travel: z-order bounds of ($c1, $c2) are null")
+    require(!mm.anyNull, s"time travel: z-order bounds of ($lc1, $lc2) are null")
     val (lo1, hi1, lo2, hi2) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
     // scale via a DOUBLE factor: (col-lo)*65535 in long arithmetic
@@ -449,7 +556,7 @@ object TimeTravel extends QueryModule {
         .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i))
     }
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.withColumn("__z", zval)
+    dfP.withColumn("__z", zval)
       .withColumn("__zcell", shiftright(col("__z"), 32 - prefixBits).cast("int"))
       .repartition(nFiles, col("__zcell"))
       .sortWithinPartitions("__zcell", "__z")
@@ -494,7 +601,8 @@ object TimeTravel extends QueryModule {
       }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
-      schemaDdl = Some(df.schema.toDDL), flags = flags)
+      schemaDdl = Some(df.schema.toDDL), flags = flags,
+      dvExpect = dvExpect)
   }
 
   /** Commit `df` Z-ORDER-CLUSTERED on N COLUMNS (2 ≤ n ≤ 4) with
@@ -510,23 +618,35 @@ object TimeTravel extends QueryModule {
     * interleave is 16·n codegen'd shift/and/or terms; Z columns are
     * never stored. */
   def commitZOrderedN(s: SparkSession, root: String, df: DataFrame,
-      cols: Seq[String], nFiles: Int, removed: Seq[String] = Nil,
-      flags: Seq[String] = Nil): Int = {
-    val n = cols.size
+      lcols: Seq[String], nFiles: Int, removed: Seq[String] = Nil,
+      flags: Seq[String] = Nil,
+      dvExpect: Option[Map[String, Option[String]]] = None): Int = {
+    val n = lcols.size
     require(n >= 2 && n <= 4,
       s"time travel: z-order takes 2–4 columns, got $n")
     require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0,
       s"time travel: z-order nFiles must be a power of two, got $nFiles")
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // mapped tables: logical frame in, PHYSICAL staging + stat keys out
+    // (the same discipline as the 2-column form — r17 verdict #1)
+    val cmZ = {
+      val g0 = currentVersion(root)
+      if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
+    }
+    val dfP =
+      if (cmZ.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(nm =>
+        col(nm).as(cmZ.getOrElse(nm, nm))): _*)
+    val cols = lcols.map(c => cmZ.getOrElse(c, c))
     val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
     require(prefixBits <= 16 * n,
       s"time travel: nFiles $nFiles exceeds the ${16 * n}-bit code")
     val mmExprs = cols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val mm = df.agg(mmExprs.head, mmExprs.tail: _*).head()
+    val mm = dfP.agg(mmExprs.head, mmExprs.tail: _*).head()
     require(!mm.anyNull,
-      s"time travel: z-order bounds of ${cols.mkString(", ")} are null")
+      s"time travel: z-order bounds of ${lcols.mkString(", ")} are null")
     val bounds = cols.indices.map(j => (mm.getLong(2 * j), mm.getLong(2 * j + 1)))
     // scale via a DOUBLE factor: (col-lo)*65535 in long arithmetic
     // overflows for ranges wider than ~1.4e14 and scrambles the z-codes
@@ -549,7 +669,7 @@ object TimeTravel extends QueryModule {
       }
     }
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
-    df.withColumn("__z", zval)
+    dfP.withColumn("__z", zval)
       .withColumn("__zcell",
         shiftright(col("__z"), 16 * n - prefixBits).cast("int"))
       .repartition(nFiles, col("__zcell"))
@@ -597,7 +717,8 @@ object TimeTravel extends QueryModule {
       }
     }
     commitNames(s, root, renamed.map(_._2), removed, statLines,
-      schemaDdl = Some(df.schema.toDDL), flags = flags)
+      schemaDdl = Some(df.schema.toDDL), flags = flags,
+      dvExpect = dvExpect)
   }
 
   /** AS-OF read pruned by the log's per-file stats: only files whose
@@ -695,11 +816,12 @@ object TimeTravel extends QueryModule {
       keyCol: String, nBuckets: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot merge into empty table $root")
-    // same mapped-table discipline as deleteWhere/updateWhere: refuse
-    // toward the SQL MERGE route (physical-name-aware DSv2 writers)
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: library mergeInto on column-mapped table $root " +
-        "is not supported — use the SQL MERGE route")
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // `source` and `keyCol` arrive LOGICAL; the touched buckets read
+    // physically (renamed columns keep their bytes, defaults filled)
+    // and project to logical for the merge itself, commitBucketed's
+    // mapped-aware staging translates back, and the CDC change files
+    // land PHYSICAL-named like every data file (the q237 contract).
     val touched = source
       .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("gb"))
       .distinct().collect().map(_.getInt(0)).toSet // ≤ nBuckets ints
@@ -708,9 +830,11 @@ object TimeTravel extends QueryModule {
       case BucketName(b) => touched(b.toInt)
       case _ => true // a non-bucketed file may hold any key: rewrite it
     }
+    val dvAtRead = dvsFor(root, gen)
     val existing =
       if (toRewrite.isEmpty) source.limit(0)
-      else readFilesFilledDvs(s, root, gen, toRewrite)
+      else toLogicalFrame(root, gen,
+        readFilesFilledDvs(s, root, gen, toRewrite))
     val dataCols = source.columns.filter(_ != keyCol)
     require(existing.columns.sorted.sameElements(source.columns.sorted),
       s"time travel: merge source schema ${source.columns.toSeq} does not " +
@@ -749,10 +873,16 @@ object TimeTravel extends QueryModule {
           .withColumn("_change_type", lit("update_postimage"))
         val ins = source.join(exKeys, Seq(keyCol), "left_anti")
           .withColumn("_change_type", lit("insert"))
-        writeCdcFiles(s, root, pre.unionByName(post).unionByName(ins))
+        // change files land PHYSICAL-named (the feed's read-time
+        // projection surfaces logical names — q237)
+        writeCdcFiles(s, root, toPhysicalFrame(root, gen,
+          pre.unionByName(post).unionByName(ins),
+          extra = Seq("_change_type")))
       }
     commitBucketed(s, root, merged, keyCol, nBuckets, removed = toRewrite,
-      cdc = cdc)
+      cdc = cdc,
+      dvExpect =
+        Some(toRewrite.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
   /** Row-level DELETE of `statCol BETWEEN lo AND hi`, pruned by the log's
@@ -770,34 +900,31 @@ object TimeTravel extends QueryModule {
       lo: Long, hi: Long): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot delete from empty table $root")
-    // the rewrite stages under LOGICAL names and logs its frame's
-    // schema — on a mapped table that clobbers the logical schema and
-    // NULLs renamed columns; refuse toward the SQL DELETE route (r17)
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: library deleteWhere on column-mapped table $root " +
-        "is not supported — use the SQL DELETE route")
-    val files = snapshotFiles(root, gen)
-    val stats = statsFor(root, gen)
-    val touched = files.filter { f =>
-      stats.get((f, statCol)) match {
-        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
-        case None => true // no stats: may hold matching rows, must rewrite
-      }
-    }
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // `statCol` arrives LOGICAL and translates for the physical-keyed
+    // stats lookup and band filter; the touched files read PHYSICALLY
+    // (renamed columns keep their bytes, defaults filled, widened files
+    // up-converted), the kept rows project to logical for
+    // commitClustered's mapped-aware staging, and CDC change files land
+    // PHYSICAL-named (the q237 contract).
+    val physStat = colmapAsOf(root, gen).getOrElse(statCol, statCol)
+    val touched = touchedFiles(root, gen, physStat, lo, hi)
     if (touched.isEmpty) gen
     else {
-      // explicit-schema read: widened narrow files up-convert instead
-      // of misreading under the first footer's types (r17)
+      val dvAtRead = dvsFor(root, gen)
       val cur = readFilesFilledDvs(s, root, gen, touched)
       // CDF on: the DELETED rows (exactly the live matches) land as
       // change files in the same commit — Delta's write-time CDC
       val cdc =
         if (!cdfEnabled(root, gen)) Nil
-        else writeCdcFiles(s, root, cur.filter(col(statCol).between(lo, hi))
+        else writeCdcFiles(s, root, cur.filter(col(physStat).between(lo, hi))
           .withColumn("_change_type", lit("delete")))
-      val kept = cur.filter(!col(statCol).between(lo, hi))
+      val kept = toLogicalFrame(root, gen,
+        cur.filter(!col(physStat).between(lo, hi)))
       commitClustered(s, root, kept, statCol, touched.size,
-        removed = touched, cdc = cdc)
+        removed = touched, cdc = cdc,
+        dvExpect =
+          Some(touched.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
     }
   }
 
@@ -815,37 +942,34 @@ object TimeTravel extends QueryModule {
       setTo: org.apache.spark.sql.Column): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot update empty table $root")
-    // same mapped-table discipline as deleteWhere: the rewrite speaks
-    // logical names end to end — refuse toward the SQL UPDATE route
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: library updateWhere on column-mapped table $root " +
-        "is not supported — use the SQL UPDATE route")
-    val files = snapshotFiles(root, gen)
-    val stats = statsFor(root, gen)
-    val touched = files.filter { f =>
-      stats.get((f, statCol)) match {
-        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
-        case None => true // no stats: may hold matching rows, must rewrite
-      }
-    }
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // `statCol`/`setCol`/`setTo` arrive LOGICAL — the assignment applies
+    // on the logical projection of the physically-read files (the names
+    // the caller wrote it in), the rewrite stages back through
+    // commitClustered's mapping, and CDC frames land PHYSICAL-named.
+    val physStat = colmapAsOf(root, gen).getOrElse(statCol, statCol)
+    val touched = touchedFiles(root, gen, physStat, lo, hi)
     if (touched.isEmpty) gen
     else {
-      val cur = readFilesFilledDvs(s, root, gen, touched)
+      val dvAtRead = dvsFor(root, gen)
+      val cur = toLogicalFrame(root, gen,
+        readFilesFilledDvs(s, root, gen, touched))
+      val band = col(statCol).between(lo, hi)
       val rewritten = cur.withColumn(setCol,
-        when(col(statCol).between(lo, hi), setTo).otherwise(col(setCol)))
+        when(band, setTo).otherwise(col(setCol)))
       // CDF on: pre- and post-image of exactly the updated rows
       val cdc =
         if (!cdfEnabled(root, gen)) Nil
-        else {
-          val band = col(statCol).between(lo, hi)
-          writeCdcFiles(s, root,
-            cur.filter(band)
-              .withColumn("_change_type", lit("update_preimage"))
-              .unionByName(rewritten.filter(band)
-                .withColumn("_change_type", lit("update_postimage"))))
-        }
+        else writeCdcFiles(s, root, toPhysicalFrame(root, gen,
+          cur.filter(band)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(rewritten.filter(band)
+              .withColumn("_change_type", lit("update_postimage"))),
+          extra = Seq("_change_type")))
       commitClustered(s, root, rewritten, statCol, touched.size,
-        removed = touched, cdc = cdc)
+        removed = touched, cdc = cdc,
+        dvExpect =
+          Some(touched.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
     }
   }
 
@@ -1037,8 +1161,11 @@ object TimeTravel extends QueryModule {
     * existingDefault semantics — a post-evolution explicit NULL stays
     * NULL, which a frame-wide coalesce would clobber). Footer probes
     * cost one metadata read per file, only on defaulted tables (the
-    * rare case), and only over the call's touched set — never the
-    * table. One group with no fill on default-free tables. */
+    * rare case); DML callers pass their touched set, but full-table
+    * maintenance (compact, purgeMasks) passes the whole snapshot — so
+    * the probes run on a bounded driver thread pool (16-way), not
+    * serially (r17 ADVICE). One group with no fill on default-free
+    * tables. */
   private def defaultFillGroups(root: String, gen: Int,
       files: Seq[String]): Seq[(Seq[String], Map[String, Column])] = {
     // defaults are keyed by PHYSICAL name, so the membership test and
@@ -1077,7 +1204,21 @@ object TimeTravel extends QueryModule {
           s"time travel: unsupported default type $other for $c")
       }
     }
-    files.groupBy(f => defaults.keySet -- footerFields(f))
+    // concurrent probes on a bounded pool: full-table maintenance hands
+    // the whole snapshot here, and each probe is a round-trip-dominated
+    // footer open — 16-way keeps an object store busy without flooding it
+    val missingByFile: Map[String, Set[String]] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Set[String])]] =
+          files.map(f => (() => (f, defaults.keySet -- footerFields(f)))
+            : java.util.concurrent.Callable[(String, Set[String])])
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+    files.groupBy(missingByFile)
       .toSeq.sortBy(_._2.head)
       .map { case (missing, fls) =>
         (fls, missing.toSeq.sorted
@@ -1202,10 +1343,17 @@ object TimeTravel extends QueryModule {
       lo: Long, hi: Long): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot delete from empty table $root")
-    val touched = touchedFiles(root, gen, statCol, lo, hi)
+    requireFeaturesWritable(root)
+    // `statCol` arrives PHYSICAL (identical to logical on unmapped
+    // tables): the catalog's metadata-DELETE path maps the SQL filter
+    // column through the colmap before calling here (dvRange), and a
+    // second translation would mis-resolve swapped renames — same
+    // convention as readAsOfWhere's stats-keyed band arguments.
+    val physStat = statCol
+    val touched = touchedFiles(root, gen, physStat, lo, hi)
     if (touched.isEmpty) return gen
     val (written, oldByFile) =
-      writeMaskVectors(s, root, gen, touched, statCol, lo, hi)
+      writeMaskVectors(s, root, gen, touched, physStat, lo, hi)
     if (written.isEmpty) gen
     else {
       // CDF on: the newly-deleted LIVE rows (already-masked rows don't
@@ -1218,7 +1366,7 @@ object TimeTravel extends QueryModule {
         if (!cdfEnabled(root, gen)) Nil
         else writeCdcFiles(s, root,
           readFilesFilledDvs(s, root, gen, touched)
-            .filter(col(statCol).between(lo, hi))
+            .filter(col(physStat).between(lo, hi))
             .withColumn("_change_type", lit("delete")))
       commitNames(s, root, Nil, Nil,
         flags = Seq("rowdelete"),
@@ -1257,40 +1405,41 @@ object TimeTravel extends QueryModule {
       s"time travel: merge-on-read update of the band column $statCol " +
         "itself would falsify the appended files' range stats — use " +
         "updateWhere (copy-on-write) for key updates")
-    // the re-appended rows stage under LOGICAL names; a column-mapped
-    // table's files carry PHYSICAL ones — refuse toward the SQL route
-    // rather than land a mixed-name snapshot. This also covers every
-    // ADD COLUMN … DEFAULT table (adds always map), closing the r16
-    // ADVICE NULL-over-default re-append for this entry point.
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: merge-on-read update on column-mapped table $root " +
-        "(renamed/dropped/added columns) is not supported — use the SQL " +
-        "UPDATE route, whose DSv2 writer speaks physical names")
-    val touched = touchedFiles(root, gen, statCol, lo, hi)
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // the band/assignment columns arrive LOGICAL, the mask + re-append
+    // run PHYSICAL (stats lookup, band filter, staged bytes, CDC change
+    // files), and the assignment itself applies on the logical
+    // projection — the names the caller wrote it in. Defaulted tables
+    // (always mapped — adds map to fresh physical names) re-append the
+    // FILLED default, never NULL (readFilesFilledDvs — r16 ADVICE).
+    val physStat = colmapAsOf(root, gen).getOrElse(statCol, statCol)
+    val touched = touchedFiles(root, gen, physStat, lo, hi)
     if (touched.isEmpty) return gen
     // LIVE matching rows (read through the current vectors, defaults
-    // filled — r16 ADVICE: a raw read would re-append NULL where every
-    // reader served the recorded default): exactly the rows that
-    // re-land updated, and the CDC pre-image
-    val live = readFilesFilledDvs(s, root, gen, touched)
-      .filter(col(statCol).between(lo, hi))
-    val updated = live.withColumn(setCol, setTo)
+    // filled): exactly the rows that re-land updated, and the CDC
+    // pre-image — physical frame; the assignment applies logically
+    val liveP = readFilesFilledDvs(s, root, gen, touched)
+      .filter(col(physStat).between(lo, hi))
+    val updatedL = toLogicalFrame(root, gen, liveP)
+      .withColumn(setCol, setTo)
+    val updatedP = toPhysicalFrame(root, gen, updatedL)
     val (written, oldByFile) =
-      writeMaskVectors(s, root, gen, touched, statCol, lo, hi)
+      writeMaskVectors(s, root, gen, touched, physStat, lo, hi)
     if (written.isEmpty) gen
     else {
-      validateConstraints(s, root, updated)
+      // constraints speak logical names — validate the logical frame
+      validateConstraints(s, root, updatedL)
       val cdc =
         if (!cdfEnabled(root, gen)) Nil
         else writeCdcFiles(s, root,
-          live.withColumn("_change_type", lit("update_preimage"))
-            .unionByName(updated
+          liveP.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updatedP
               .withColumn("_change_type", lit("update_postimage"))))
-      val added = stagePlain(s, root, updated)
+      val added = stagePlain(s, root, updatedP)
       commitNames(s, root, added, Nil,
         // exact band stats for the appended files: range pruning on the
-        // key keeps working without opening a footer
-        stats = added.map(n => s"$n|$statCol|$lo|$hi"),
+        // key keeps working without opening a footer (physical-keyed)
+        stats = added.map(n => s"$n|$physStat|$lo|$hi"),
         flags = Seq("rowupdate"),
         dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
         dvExpect = Some(written.map(w => w._1 -> oldByFile.get(w._1)).toMap),
@@ -1318,6 +1467,7 @@ object TimeTravel extends QueryModule {
       s"time travel: minMaskedPct must be in [1, 100], got $minMaskedPct")
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: no table at $root")
+    requireFeaturesWritable(root)
     val dvs = dvsFor(root, gen)
     if (dvs.isEmpty) return gen
     val rows = nrowsFor(root, gen)
@@ -1382,6 +1532,7 @@ object TimeTravel extends QueryModule {
       fragments: Map[String, Seq[String]], temps: Seq[String]): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: no table at $root")
+    requireFeaturesWritable(root)
     if (fragments.isEmpty && temps.isEmpty) return gen
     val live = snapshotFiles(root, gen).toSet
     val ghosts = fragments.keys.filterNot(live)
@@ -1443,8 +1594,9 @@ object TimeTravel extends QueryModule {
     * semi-join against the touched files (the q229 pattern) — the
     * staged inserts are the after-image, and the feed emits their
     * multiset difference. Fragment sidecars are read in EXECUTORS.
-    * Column-mapped tables refuse at write time (change files carry
-    * logical names); defaults fill per file group. */
+    * Column-mapped tables are SUPPORTED (r17): change files land under
+    * PHYSICAL names like every data file, and the feed's read-time
+    * projection surfaces logical names; defaults fill per file group. */
   private def cdcForRowDelta(s: SparkSession, root: String, gen: Int,
       frags: Seq[(String, Seq[String])], temps: Seq[String]): Seq[String] =
     if (!cdfEnabled(root, gen) || (frags.isEmpty && temps.isEmpty)) Nil
@@ -1551,10 +1703,9 @@ object TimeTravel extends QueryModule {
     * predicate, or `TRUNCATE`): the deleted rows are exactly the removed
     * files' LIVE contents (DV masks applied), so the row-level feed
     * stays reconstructible across the commit — Delta's write-time CDC
-    * for partition deletes. Empty when CDF is off (zero overhead) or on
-    * a column-mapped table (change files carry logical names; a
-    * physical-named emission would lie to the feed — the conservative
-    * loud-refusal path keeps correctness there). */
+    * for partition deletes. Empty when CDF is off (zero overhead).
+    * Column-mapped tables are supported (r17): change files land under
+    * PHYSICAL names, the feed's read-time projection maps them back. */
   private[graft] def cdcForRemovedFiles(s: SparkSession, root: String,
       gen: Int, removed: Seq[String]): Seq[String] =
     if (gen < 0 || removed.isEmpty || !cdfEnabled(root, gen)) Nil
@@ -1577,9 +1728,9 @@ object TimeTravel extends QueryModule {
     * state reconstruction across the commit is identical, and rows a
     * MERGE carried over unchanged emit NOTHING (they cancel in the
     * diff). Cost: one extra pass over the TOUCHED files only, and only
-    * when CDF is on. Column-mapped tables refuse conservatively (the
-    * same [[cdcForRemovedFiles]] discipline — change files carry
-    * logical names). */
+    * when CDF is on. Column-mapped tables are supported (r17): the diff
+    * runs — and its change files land — under PHYSICAL names, and the
+    * feed's read-time projection surfaces logical ones. */
   private[graft] def cdcDiffForReplace(s: SparkSession, root: String,
       gen: Int, removed: Seq[String], temps: Seq[String],
       cols: Seq[String]): Seq[String] =
@@ -1820,6 +1971,10 @@ object TimeTravel extends QueryModule {
     * SQL CHECK semantics: a NULL predicate passes. */
   private def validateConstraints(s: SparkSession, root: String,
       df: DataFrame): Unit = {
+    // every staging writer validates before heavy work — the cheapest
+    // shared seam for the writer-feature protocol gate (commitNames
+    // re-checks unconditionally, so non-validating paths stay gated)
+    requireFeaturesWritable(root)
     val gen = currentVersion(root)
     if (gen < 0) return
     val cs = constraintsAsOf(root, gen)
@@ -1952,6 +2107,287 @@ object TimeTravel extends QueryModule {
           (if (tags.isEmpty) " (no tags exist)"
            else s" (tags: ${tags.keys.toSeq.sorted.mkString(", ")})")))
     }
+
+  // ---- BRANCHES (Iceberg's writable refs — tags' read-write sibling):
+  // a branch forks a base generation, takes its own commits in the SAME
+  // log directory under names main readers never see, and publishes
+  // back by fast-forward when main has not moved. The staging-then-
+  // publish workflow over one table's history: load a candidate
+  // dataset on a branch, validate it, publish atomically — or drop it
+  // without main ever seeing a byte. ---------------------------------
+
+  /** Live branches at `gen`: `graft.branch.<name>` table properties
+    * (empty value = dropped), name → base generation — resolved like
+    * every property (checkpoint + tail, retention-proof). */
+  def branchesFor(root: String, gen: Int): Map[String, Int] =
+    propsAsOf(root, gen).collect {
+      case (k, v) if k.startsWith("graft.branch.") && v.nonEmpty =>
+        k.stripPrefix("graft.branch.") -> v.toInt
+    }
+
+  private val BranchName = """[A-Za-z_][A-Za-z0-9_.-]*""".r
+  private val BranchCommitName = """b-(.+)-(\d+)\.json""".r
+
+  /** CREATE a branch at generation `gen` (Iceberg's createBranch): one
+    * metadata commit recording the base. The base generation is PINNED
+    * against retention like a tag's; branch commits are invisible to
+    * every main reader (their file names match no main pattern). */
+  def createBranch(s: SparkSession, root: String, name: String,
+      gen: Int): Int = {
+    require(BranchName.matches(name),
+      s"time travel: bad branch name '$name' (letters, digits, _ . - ; " +
+        "must start with a letter or _)")
+    val live = currentVersion(root)
+    require(gen >= 0 && gen <= live,
+      s"time travel: cannot branch at generation $gen of $root " +
+        s"(latest: $live)")
+    require(!branchesFor(root, live).contains(name),
+      s"time travel: branch '$name' already exists under $root — drop " +
+        "or publish it first")
+    setProperty(s, root, s"graft.branch.$name", gen.toString)
+  }
+
+  /** DROP a branch: clears the ref (one metadata commit) and deletes
+    * its commit files; the branch's staged data files become vacuum
+    * fodder. Idempotent on the ref; a concurrent branch writer loses
+    * its in-flight commit (same as Iceberg's dropBranch). */
+  def dropBranch(s: SparkSession, root: String, name: String): Int = {
+    val v = setProperty(s, root, s"graft.branch.$name", "")
+    val (fs, _) = fsFor(root)
+    branchCommits(root, name).foreach { case (_, f) => fs.delete(f, false) }
+    v
+  }
+
+  /** The branch's commit files, sorted by branch-sequence number. */
+  private def branchCommits(root: String, name: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val (fs, d) = fsFor(logDir(root))
+    if (!fs.exists(d)) return Nil
+    fs.listStatus(d).map(_.getPath).flatMap(f => f.getName match {
+      case BranchCommitName(n, k) if n == name => Some((k.toInt, f))
+      case _ => None
+    }).sortBy(_._1).toSeq
+  }
+
+  /** The branch head's state: (base generation, files, latest logical
+    * schema DDL if any branch commit logged one, per-file nrows lines).
+    * Files = the base snapshot's fold plus the branch commits' fold —
+    * the same adds-minus-removes discipline main resolution uses. */
+  private def branchState(root: String, name: String)
+      : (Int, Seq[String], Option[String], Seq[String]) = {
+    val cur = currentVersion(root)
+    val base = branchesFor(root, cur).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"time travel: no branch '$name' under $root" + {
+          val bs = branchesFor(root, cur)
+          if (bs.isEmpty) " (no branches exist)"
+          else s" (branches: ${bs.keys.toSeq.sorted.mkString(", ")})"
+        }))
+    val (fs, _) = fsFor(root)
+    var files = snapshotFiles(root, base)
+    var schemaDdl: Option[String] = None
+    val nrows = scala.collection.mutable.ArrayBuffer[String]()
+    branchCommits(root, name).foreach { case (_, f) =>
+      val txt = readBytes(fs, f)
+      requireFeaturesReadable(txt, s"branch $name of $root")
+      val rm = parseArr(txt, "removed").toSet
+      files = files.filterNot(rm) ++ parseArr(txt, "added")
+      parseArr(txt, "schemav").headOption.foreach(d => schemaDdl = Some(d))
+      nrows ++= parseArr(txt, "nrows")
+    }
+    (base, files, schemaDdl, nrows.toSeq)
+  }
+
+  /** APPEND `df` to a branch (commit-to-branch): stages into the shared
+    * data directory (collision-free names; vacuum keeps branch-
+    * referenced files) and claims the next BRANCH commit file — main's
+    * generation counter never moves, main readers never see the rows.
+    * `df` arrives LOGICAL and stores physically through the base's
+    * column mapping, like every mapped write. Constraints validate
+    * against the table's live set. Returns the branch sequence number. */
+  def commitToBranch(s: SparkSession, root: String, name: String,
+      df: DataFrame): Int = {
+    validateConstraints(s, root, df) // includes the writer-feature gate
+    validateSchema(s, root, df.schema)
+    val cur = currentVersion(root)
+    val base = branchesFor(root, cur).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"time travel: no branch '$name' under $root"))
+    val cmap = colmapAsOf(root, base)
+    val physDf =
+      if (cmap.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map(n =>
+        col(n).as(cmap.getOrElse(n, n))): _*)
+    val added = stagePlain(s, root, physDf)
+    val nrows = added.map(f => s"$f|${footerRows(root, f)}")
+    val (fs, _) = fsFor(root)
+    def render(k: Int, ts: Long) =
+      s"""{"branch":["${jsonEsc(name)}"],"bseq":$k,"ts":["$ts"],""" +
+        s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
+        s""""removed":[],""" +
+        s""""nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
+        s""""schemav":["${jsonEsc(df.schema.toDDL)}"]}"""
+    var k = branchCommits(root, name).lastOption.map(_._1 + 1).getOrElse(0)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    var committed = false
+    while (!committed) {
+      lockFor(root).synchronized {
+        val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.b-$uid")
+        writeBytes(fs, tmp, render(k, System.currentTimeMillis()))
+        if (claimVersion(fs, tmp,
+            new org.apache.hadoop.fs.Path(s"${logDir(root)}/b-$name-$k.json")))
+          committed = true
+        else {
+          fs.delete(tmp, false)
+          k = branchCommits(root, name).lastOption.map(_._1 + 1).getOrElse(0)
+        }
+      }
+    }
+    k
+  }
+
+  /** Read the branch HEAD: the base snapshot plus the branch commits'
+    * delta, under the branch's latest logical schema — deletion vectors
+    * in force at the BASE still mask the base's files. Main's later
+    * generations are invisible (that is the point of the fork). */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val (base, files, schemaDdl, _) = branchState(root, name)
+    val logical = schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .orElse(schemaAsOf(root, base))
+    val cmap = colmapAsOf(root, base)
+    val physSchema = logical.map(sc =>
+      org.apache.spark.sql.types.StructType(
+        sc.map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
+    val reader: Seq[String] => DataFrame = fl => {
+      val paths = fl.map(f => dataPath(root, f))
+      physSchema match {
+        case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+        case None => s.read.parquet(paths: _*)
+      }
+    }
+    val raw = readFilesWithDvs(s, root, base, files, reader)
+    logical match {
+      case Some(sc) if cmap.nonEmpty =>
+        raw.select(sc.map(f =>
+          col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+      case _ => raw
+    }
+  }
+
+  /** FAST-FORWARD publish (Iceberg's fastForward): land the branch's
+    * whole delta on main as ONE atomic commit and drop the ref — legal
+    * only while main still sits at the branch's base generation, so the
+    * publish is a pure extension of history (an advanced main refuses
+    * loudly; re-create the branch from the new head to rebase). The
+    * claim is version-pinned ([[commitNames]] expectVersion): a racing
+    * main commit turns the publish into an explicit conflict, never a
+    * silent merge. The ref clears IN the publish commit (one atomic
+    * step); branch commit files are dropped after. Returns the new main
+    * generation. */
+  def fastForward(s: SparkSession, root: String, name: String): Int = {
+    val (base, files, schemaDdl, nrows) = branchState(root, name)
+    val baseFiles = snapshotFiles(root, base).toSet
+    val adds = files.filterNot(baseFiles)
+    val removes = baseFiles -- files.toSet
+    val addSet = adds.toSet
+    val nrowLines = nrows.filter(l => addSet(l.takeWhile(_ != '|')))
+    val v = lockFor(root).synchronized {
+      // fast-forward legality: main's DATA STATE is still the branch's
+      // base — metadata-only movement (the ref commit itself, tags,
+      // properties, checkpoints) is fine, but any change to the file
+      // set, DV state, schema, mapping, or constraints means the branch
+      // rows were staged against a stale world: refuse loudly
+      val cur = currentVersion(root)
+      val unchanged =
+        snapshotFiles(root, cur).toSet == baseFiles &&
+          dvsFor(root, cur) == dvsFor(root, base) &&
+          schemaAsOf(root, cur).map(_.toDDL) ==
+            schemaAsOf(root, base).map(_.toDDL) &&
+          colmapAsOf(root, cur) == colmapAsOf(root, base) &&
+          constraintsAsOf(root, cur) == constraintsAsOf(root, base)
+      require(unchanged,
+        s"time travel: cannot fast-forward branch '$name' — main's data " +
+          s"state moved past the branch base $base (main is at $cur); " +
+          "re-create the branch from the current head to rebase")
+      commitNames(s, root, adds, removes.toSeq.sorted,
+        schemaDdl = schemaDdl.orElse(schemaAsOf(root, base).map(_.toDDL)),
+        nrowsIn = if (nrowLines.size == adds.size) Some(nrowLines) else None,
+        props = Seq(s"graft.branch.$name|"),
+        flags = Seq("branch-publish"),
+        expectVersion = Some(cur + 1))
+    }
+    val (fs, _) = fsFor(root)
+    branchCommits(root, name).foreach { case (_, f) => fs.delete(f, false) }
+    v
+  }
+
+  /** `graft_branch(root, name, gen)` — create a branch from SQL (lazy
+    * maintenance verb). Returns (version, base_gen). */
+  def branchPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3, "usage: graft_branch(root, name, gen)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    val gen = litInt(exprs(2), "gen")
+    maintPlan("branch", Seq("version", "base_gen")) {
+      Seq(createBranch(SparkSession.active, root, name, gen).toLong,
+        gen.toLong)
+    }
+  }
+
+  /** `graft_branch_drop(root, name)` — drop a branch (releases its
+    * retention pin, deletes its commits). Returns the commit version. */
+  def branchDropPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_branch_drop(root, name)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    maintPlan("branch_drop", Seq("version")) {
+      Seq(dropBranch(SparkSession.active, root, name).toLong)
+    }
+  }
+
+  /** `graft_branches(root)` — live branches: name, base generation,
+    * staged branch commits. Commit-log metadata only. */
+  def branchesPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_branches(root)")
+    val root = litStr(exprs(0), "root")
+    val s = SparkSession.active
+    import s.implicits._
+    branchesFor(root, currentVersion(root)).toSeq.sorted
+      .map { case (n, g) =>
+        (n, g.toLong, branchCommits(root, n).size.toLong) }
+      .toDF("branch", "base_gen", "n_commits").queryExecution.logical
+  }
+
+  /** `graft_branch_read(root, name)` — the branch head in FROM
+    * position, like graft_asof for a generation. */
+  def branchReadPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_branch_read(root, name)")
+    readBranch(SparkSession.active, litStr(exprs(0), "root"),
+      litStr(exprs(1), "name")).queryExecution.logical
+  }
+
+  /** `graft_ff(root, name)` — fast-forward publish from SQL (lazy:
+    * EXPLAIN publishes nothing). Returns (version, files_added,
+    * files_removed). */
+  def ffPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_ff(root, name)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    maintPlan("ff", Seq("version", "files_added", "files_removed")) {
+      val s = SparkSession.active
+      val before = snapshotFiles(root, currentVersion(root)).toSet
+      val v = fastForward(s, root, name)
+      val after = snapshotFiles(root, v).toSet
+      Seq(v.toLong, (after -- before).size.toLong,
+        (before -- after).size.toLong)
+    }
+  }
 
   // ---- column mapping (Delta's columnMapping: rename/drop as metadata) --
 
@@ -2151,25 +2587,23 @@ object TimeTravel extends QueryModule {
 
   /** AS-OF read through the mapping: parquet is scanned under the
     * PHYSICAL read schema (files that predate an added column null-fill
-    * its never-written physical name), deletion vectors apply on the
-    * physical frame, and one final projection renames to the LOGICAL
-    * schema in force at `gen` — so every snapshot presents its own
-    * generation's names, stably, without touching a data byte. */
+    * its never-written physical name — unless the add recorded a
+    * DEFAULT, which fills per file group exactly like the DSv2 snapshot
+    * scan; r18, aligning the two read paths), deletion vectors apply on
+    * the physical frame, and one final projection renames to the
+    * LOGICAL schema in force at `gen` — so every snapshot presents its
+    * own generation's names, stably, without touching a data byte. */
   def readAsOfMapped(s: SparkSession, root: String, gen: Int): DataFrame = {
-    val logical = logicalSchemaAt(root, gen)
-    val cmap = colmapAsOf(root, gen)
-    val physSchema = org.apache.spark.sql.types.StructType(logical.map(f =>
-      f.copy(name = cmap.getOrElse(f.name, f.name))))
-    val reader: Seq[String] => DataFrame = fl =>
-      s.read.schema(physSchema).parquet(fl.map(f => dataPath(root, f)): _*)
     val files = snapshotFiles(root, gen)
-    val base =
-      if (files.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          physSchema)
-      else readFilesWithDvs(s, root, gen, files, reader)
-    base.select(logical.map(f =>
-      col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+    if (files.isEmpty) {
+      val logical = logicalSchemaAt(root, gen)
+      val cmap = colmapAsOf(root, gen)
+      val physSchema = org.apache.spark.sql.types.StructType(logical.map(f =>
+        f.copy(name = cmap.getOrElse(f.name, f.name))))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        physSchema).select(logical.map(f =>
+        col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+    } else toLogicalFrame(root, gen, readFilesFilledDvs(s, root, gen, files))
   }
 
   private def cdcDir(root: String) = s"$root/cdc"
@@ -2226,6 +2660,11 @@ object TimeTravel extends QueryModule {
     val (fs, commits, _) = listLog(root)
     require(commits.exists(_._1 == toGen) && fromGen <= toGen,
       s"time travel: bad change range ($fromGen, $toGen] under $root")
+    // cumulative gate — features recorded before fromGen still govern
+    // the range's files (r17 ADVICE); the per-commit checks below stay
+    // (they cost reads the loop already performs)
+    requireFeatureSetReadable(featuresAsOf(root, toGen),
+      s"row change feed ($fromGen, $toGen] of $root")
     commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
@@ -2251,6 +2690,8 @@ object TimeTravel extends QueryModule {
     val (fs, commits, _) = listLog(root)
     require(commits.exists(_._1 == toGen) && fromGen <= toGen,
       s"time travel: bad change range ($fromGen, $toGen] under $root")
+    requireFeatureSetReadable(featuresAsOf(root, toGen),
+      s"row change feed ($fromGen, $toGen] of $root")
     val range = commits.filter(c => c._1 > fromGen && c._1 <= toGen)
       .map { case (v, f) =>
         val txt = readBytes(fs, f)
@@ -2319,18 +2760,29 @@ object TimeTravel extends QueryModule {
     * frame's schema over the logical one — silent data loss behind
     * `graft_optimize` on any evolved table (r17). Rows are unchanged by
     * contract, so constraints/enforcement need no re-validation. */
-  private def commitNoData(s: SparkSession, root: String, gen: Int,
+  private[graft] def commitNoData(s: SparkSession, root: String, gen: Int,
       physDf: DataFrame, removed: Seq[String]): Int = {
+    // the rewrite's rows were computed from generation `gen`'s DV state:
+    // a DV-only commit (merge-on-read DELETE/UPDATE) landing between that
+    // read and this claim would otherwise be silently erased — the
+    // rewrite carries the pre-delete rows and retires the masked file,
+    // resurrecting deleted rows. dvExpect turns the race into the
+    // explicit ConcurrentModificationException every DV-sensitive commit
+    // raises; autoCompactIfDue already swallows it and retries on the
+    // next commit (r17 ADVICE).
+    val dvAtRead = dvsFor(root, gen)
     val added = stagePlain(s, root, physDf)
     commitNames(s, root, added, removed,
       schemaDdl = schemaAsOf(root, gen).map(_.toDDL)
         .orElse(Some(physDf.schema.toDDL)),
-      flags = Seq("nodata"))
+      flags = Seq("nodata"),
+      dvExpect = Some(removed.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
   def compact(s: SparkSession, root: String, targetFiles: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
+    requireFeaturesWritable(root)
     val files = snapshotFiles(root, gen)
     if (files.size <= targetFiles) gen
     // physical-name read (mapped tables keep their renamed columns'
@@ -2357,6 +2809,7 @@ object TimeTravel extends QueryModule {
       s"time travel: bad compactSmall bounds ($smallRows, $minFiles)")
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
+    requireFeaturesWritable(root)
     val nrows = nrowsFor(root, gen)
     val dvs = dvsFor(root, gen)
     def liveRows(f: String): Option[Long] =
@@ -2380,16 +2833,17 @@ object TimeTravel extends QueryModule {
     * `graft.autoCompact.minFiles` (default 16). Best-effort by design:
     * a compaction conflict or failure never fails the append that
     * triggered it (the data landed; maintenance retries on the next
-    * commit). Column-mapped and partitioned layouts are skipped —
-    * their rewrite disciplines (physical names, per-partition value
-    * lines) keep the explicit OPTIMIZE verbs. */
+    * commit). Column-mapped tables compact fine — [[compactSmall]]
+    * reads the physical schema with defaults filled (r17's
+    * mapped-aware maintenance; the stale pre-750f9bd skip guard is
+    * gone, r18). Partitioned layouts are skipped — their per-partition
+    * value lines keep the explicit OPTIMIZE verbs. */
   private[graft] def autoCompactIfDue(s: SparkSession, root: String): Unit =
     try {
       val gen = currentVersion(root)
       if (gen < 0) return
       val props = propsAsOf(root, gen)
       if (!props.get("graft.autoCompact").contains("true")) return
-      if (colmapAsOf(root, gen).nonEmpty) return
       if (props.contains("graft.partitionCol") ||
           props.contains("graft.partitionSpec")) return
       val smallRows = props.get("graft.autoCompact.smallRows")
@@ -2406,21 +2860,51 @@ object TimeTravel extends QueryModule {
     * vectors materialized away by the read-through, fresh two-dimensional
     * per-file stats recorded, every prior file retired. The maintenance
     * op that turns an append-accumulated table into the q185 layout. */
+  /** The LOGICAL view of a physical-named frame at `gen` — the colmap
+    * projection [[readAsOfMapped]] applies, shared by the maintenance
+    * rewrites that read physical (defaults filled, widening
+    * up-converted) but hand a logical frame to a mapped-aware commit
+    * verb. Identity (no projection node) on unmapped tables. */
+  private def toLogicalFrame(root: String, gen: Int,
+      phys: DataFrame): DataFrame = {
+    val cm = colmapAsOf(root, gen)
+    if (cm.isEmpty) phys
+    else phys.select(logicalSchemaAt(root, gen).map(f =>
+      col(cm.getOrElse(f.name, f.name)).as(f.name)): _*)
+  }
+
+  /** The inverse projection: a LOGICAL frame renamed to the physical
+    * names at `gen`, plus any `extra` columns carried through verbatim
+    * (`_change_type` on CDC frames). Identity on unmapped tables. */
+  private def toPhysicalFrame(root: String, gen: Int, logical: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val cm = colmapAsOf(root, gen)
+    if (cm.isEmpty) logical
+    else logical.select(
+      (logical.columns.toSeq.filterNot(extra.contains).map(n =>
+        col(n).as(cm.getOrElse(n, n))) ++ extra.map(col)): _*)
+  }
+
   def compactZOrdered(s: SparkSession, root: String, c1: String,
       c2: String, nFiles: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
-    // the Z-layout write path speaks logical names end to end (key
-    // columns, stats lines); a mapped table's physical files would
-    // silently NULL renamed columns through readAsOf — refuse loudly
-    // toward the mapped-aware [[compact]] until a physical Z-write
-    // exists
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: ZORDER compaction on column-mapped table $root is " +
-        "not supported — run graft_optimize (compact) instead")
+    requireFeaturesWritable(root)
     val files = snapshotFiles(root, gen)
-    commitZOrdered(s, root, readAsOf(s, root, gen), c1, c2, nFiles,
-      removed = files, flags = Seq("nodata"))
+    require(files.nonEmpty, s"time travel: nothing to z-order under $root")
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // the snapshot reads PHYSICAL (renamed columns keep their bytes,
+    // defaults filled, widened files up-converted, DVs applied), projects
+    // to the logical schema, and commitZOrdered's mapped-aware staging
+    // translates the key columns and stat keys back through the mapping —
+    // one RENAME COLUMN no longer freezes a table's clustered maintenance.
+    // dvExpect: the rewrite read gen's DV state; a racing DV-only commit
+    // must conflict, not silently resurrect (the commitNoData discipline).
+    val dvAtRead = dvsFor(root, gen)
+    commitZOrdered(s, root,
+      toLogicalFrame(root, gen, readFilesFilledDvs(s, root, gen, files)),
+      c1, c2, nFiles, removed = files, flags = Seq("nodata"),
+      dvExpect = Some(files.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
   /** RESTORE the table to the state of generation `toGen`, as a NEW
@@ -2615,16 +3099,19 @@ object TimeTravel extends QueryModule {
       sortCol: String): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: nothing to cluster under $root")
-    // logical-name read + key-column stats — same refusal discipline as
-    // compactZOrdered on mapped tables (readAsOf would NULL renames)
-    require(colmapAsOf(root, gen).isEmpty,
-      s"time travel: incremental clustering on column-mapped table " +
-        s"$root is not supported — run graft_optimize (compact) instead")
+    requireFeaturesWritable(root)
+    // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
+    // `sortCol` arrives LOGICAL and translates through the mapping —
+    // stats lines are physical-keyed (the q210 discipline), the reads
+    // run under the PHYSICAL schema with defaults filled and widened
+    // files up-converted, and the staged rewrites keep physical names
+    // while the commit logs the logical schema.
+    val physSort = colmapAsOf(root, gen).getOrElse(sortCol, sortCol)
     val files = snapshotFiles(root, gen)
     val stats = statsFor(root, gen)
-    val clustered = files.filter(f => stats.contains((f, sortCol)))
-      .sortBy(f => stats((f, sortCol))._1)
-    val fresh = files.filterNot(f => stats.contains((f, sortCol)))
+    val clustered = files.filter(f => stats.contains((f, physSort)))
+      .sortBy(f => stats((f, physSort))._1)
+    val fresh = files.filterNot(f => stats.contains((f, physSort)))
     if (fresh.isEmpty) return gen // layout already fully clustered
     require(clustered.nonEmpty,
       s"time travel: no clustered base under $root — run commitClustered " +
@@ -2633,35 +3120,39 @@ object TimeTravel extends QueryModule {
     // last bin everything above its lo — O(#cells) boundary scan per row
     // (cells are few; a binary-search expression is the next step if a
     // deployment runs tens of thousands of cells)
-    val los = clustered.map(f => stats((f, sortCol))._1)
+    val los = clustered.map(f => stats((f, physSort))._1)
     val boundArr = array(los.map(lit(_)): _*)
     def binOf(c: Column): Column =
       greatest(lit(0), size(filter(boundArr, b => b <= c)) - 1)
-    val reader: Seq[String] => DataFrame =
-      fl => s.read.parquet(fl.map(f => dataPath(root, f)): _*)
-    val freshDf = readFilesWithDvs(s, root, gen, fresh, reader)
-    val touched = freshDf.select(binOf(col(sortCol)).as("__b"))
+    // dvExpect: the folds read gen's DV state — a racing DV-only commit
+    // on a touched file must conflict, never silently resurrect
+    val dvAtRead = dvsFor(root, gen)
+    val freshDf = readFilesFilledDvs(s, root, gen, fresh)
+    val touched = freshDf.select(binOf(col(physSort)).as("__b"))
       .distinct().collect().map(_.getInt(0)).sorted // bounded by #cells
     val touchedFiles = touched.map(clustered(_)).toSeq
     val oldRows = // every fresh row fully DV-masked: nothing to fold in
       if (touchedFiles.isEmpty) freshDf.limit(0)
-      else readFilesWithDvs(s, root, gen, touchedFiles, reader)
+      else readFilesFilledDvs(s, root, gen, touchedFiles)
     val rewrite = oldRows.unionByName(freshDf)
     // combined per-bin stats: one narrow agg over the touched bytes only
     val binStats = rewrite
-      .groupBy(binOf(col(sortCol)).as("__b"))
-      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
+      .groupBy(binOf(col(physSort)).as("__b"))
+      .agg(min(col(physSort)).as("lo"), max(col(physSort)).as("hi"))
       .collect()
       .map(r => r.getInt(0).toString -> ((r.get(1), r.get(2)))).toMap
     val renamed = stagePartitioned(s, root, rewrite,
-      binOf(col(sortCol)), Some(sortCol))
+      binOf(col(physSort)), Some(physSort))
     val statLines = renamed.flatMap { case (n, v) =>
-      binStats.get(v).map { case (l, h) => s"$n|$sortCol|$l|$h" }
+      binStats.get(v).map { case (l, h) => s"$n|$physSort|$l|$h" }
     }
+    val removedAll = touchedFiles ++ fresh
     commitNames(s, root, renamed.map(_._1),
-      removed = touchedFiles ++ fresh, stats = statLines,
+      removed = removedAll, stats = statLines,
       flags = Seq("nodata"),
-      schemaDdl = schemaAsOf(root, gen).map(_.toDDL))
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL),
+      dvExpect =
+        Some(removedAll.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
   /** The per-file partition VALUES visible at `gen` — the `=`-tagged
@@ -2816,6 +3307,98 @@ object TimeTravel extends QueryModule {
       dst.getBytes("UTF-8")).toString.take(16)
     writeBytes(fs, new org.apache.hadoop.fs.Path(markers, s"$id.clone"), dst)
     v
+  }
+
+  /** DEEP CLONE (Delta's `CREATE TABLE … CLONE` without SHALLOW): a new
+    * independent table whose first commit references COPIES of the
+    * source snapshot's data files and DV sidecars — the documented
+    * escape hatch from the shallow clone's retention caveat: the deep
+    * clone survives source vacuum, source deletion, source anything.
+    * The byte copy runs as a DISTRIBUTED job (one task per file — at
+    * 100 TB the copy cost is the point; parallelism scales with the
+    * snapshot). All log-borne metadata is carried re-keyed: range/tag
+    * stats (pruned reads keep pruning), blooms, nrows, deletion vectors
+    * (masked rows stay masked), CHECK constraints, column mapping,
+    * type-widening/default properties, the logical schema. Tags and
+    * branch refs do NOT carry (they name source history the clone does
+    * not have — Delta clones likewise start history fresh). Absolute
+    * file references (a shallow-clone source) flatten to fresh local
+    * names. Returns the clone's generation 0. */
+  def deepClone(s: SparkSession, src: String, dst: String): Int = {
+    val gen = currentVersion(src)
+    require(gen >= 0, s"time travel: cannot clone empty table $src")
+    require(currentVersion(dst) < 0,
+      s"time travel: clone target $dst already has a commit log")
+    val files = snapshotFiles(src, gen)
+    val fileSet = files.toSet
+    val dvs = dvsFor(src, gen).filter { case (f, _) => fileSet(f) }
+    // re-key map: relative names keep themselves (unique within one
+    // snapshot); absolute references (shallow-clone sources) flatten
+    val ren: Map[String, String] = files.zipWithIndex.map { case (f, i) =>
+      f -> (if (f.startsWith("/") || f.contains("://"))
+        s"abs$i-${f.split('/').last}" else f)
+    }.toMap
+    val (fs, _) = fsFor(dst)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dst/data"))
+    if (dvs.nonEmpty)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dvDir(dst)))
+    val confB = new org.apache.spark.util.SerializableConfiguration(
+      s.sessionState.newHadoopConf())
+    val pairs = files.map(f => (dataPath(src, f), s"$dst/data/${ren(f)}")) ++
+      dvs.map { case (_, (n, _)) =>
+        (s"${dvDir(src)}/$n", s"${dvDir(dst)}/$n") }
+    import s.implicits._
+    s.createDataset(pairs)
+      .repartition(math.min(math.max(1, pairs.size), 32))
+      .foreach { case (from, to) =>
+        val c = confB.value
+        val fp = new org.apache.hadoop.fs.Path(from)
+        val tp = new org.apache.hadoop.fs.Path(to)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fp.getFileSystem(c), fp, tp.getFileSystem(c), tp, false, c)
+        ()
+      }
+    val stats = statsFor(src, gen).collect {
+      case ((f, c), (lo, hi)) if fileSet(f) => s"${ren(f)}|$c|$lo|$hi"
+    }.toSeq ++ tvalsFor(src, gen).collect {
+      case ((f, c), (tag, v)) if fileSet(f) => s"${ren(f)}|$c|$tag|$v"
+    }
+    val blooms = bloomsFor(src, gen).collect {
+      case (f, (c, m, k, bits)) if fileSet(f) =>
+        s"${ren(f)}|$c|$m|$k|${java.util.Base64.getEncoder.encodeToString(bits)}"
+    }.toSeq
+    val srcRows = nrowsFor(src, gen)
+    val nrows = files.flatMap(f => srcRows.get(f).map(n => s"${ren(f)}|$n"))
+    val props = propsAsOf(src, gen).toSeq.sorted.collect {
+      case (k, v) if !k.startsWith("graft.tag.") &&
+          !k.startsWith("graft.branch.") => s"$k|$v"
+    }
+    commitNames(s, dst, files.map(ren), Nil,
+      stats = stats.sorted,
+      schemaDdl = schemaAsOf(src, gen).map(_.toDDL),
+      blooms = blooms.sorted,
+      nrowsIn = if (nrows.size == files.size) Some(nrows) else None,
+      constraints = constraintsAsOf(src, gen).map { case (n, e) => s"$n|$e" },
+      dvs = dvs.toSeq.sortBy(_._1).map { case (f, (n, c)) =>
+        s"${ren(f)}|$n|$c" },
+      props = props,
+      colmap = colmapAsOf(src, gen).toSeq.sorted.map { case (l, p) =>
+        s"$l|$p" })
+  }
+
+  /** `graft_clone_deep(src, dst)` — the retention-independent deep
+    * clone from pure SQL (lazy: EXPLAIN copies nothing). Returns
+    * (version, n_files). */
+  def cloneDeepPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_clone_deep(src, dst)")
+    val src = litStr(exprs(0), "src")
+    val dst = litStr(exprs(1), "dst")
+    graft.plans.MaintenanceNode.ensureStrategy(SparkSession.active)
+    graft.plans.MaintenanceNode("clone_deep", Seq("version", "n_files"), () => {
+      val v = deepClone(SparkSession.active, src, dst)
+      Seq(v.toLong, snapshotFiles(dst, v).size.toLong)
+    })
   }
 
   private def cloneMarkerDir(root: String) = s"${logDir(root)}/clones"
@@ -3141,7 +3724,11 @@ object TimeTravel extends QueryModule {
       dvExpect: Option[Map[String, Option[String]]] = None,
       props: Seq[String] = Nil,
       cdc: Seq[String] = Nil,
-      colmap: Seq[String] = Nil): Int = {
+      colmap: Seq[String] = Nil,
+      expectVersion: Option[Int] = None): Int = {
+    // the unbypassable write-path protocol gate (wfeatures); write
+    // verbs also check before staging so refusals stay cheap
+    requireFeaturesWritable(root)
     val (fs, _) = fsFor(root)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     fs.mkdirs(new org.apache.hadoop.fs.Path(logDir(root)))
@@ -3161,6 +3748,13 @@ object TimeTravel extends QueryModule {
         Seq("type-widening") else Nil) ++
       (if (props.exists(_.startsWith("graft.default.")))
         Seq("column-defaults") else Nil)).sorted
+    // WRITER features (Delta's reader/writer protocol split): every
+    // reader feature binds writers too, plus behaviors that only
+    // writers can break — CHECK constraints (an uninformed append could
+    // violate one it never parses)
+    val wfeatures = (features ++
+      (if (constraints.exists(!_.endsWith("|-")))
+        Seq("check-constraints") else Nil)).sorted
     def render(v: Int, ts: Long) =
       s"""{"version":$v,"ts":["$ts"],""" +
         s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
@@ -3171,6 +3765,8 @@ object TimeTravel extends QueryModule {
          else s""","flags":[${flags.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (features.isEmpty) ""
          else s""","features":[${features.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (wfeatures.isEmpty) ""
+         else s""","wfeatures":[${wfeatures.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (blooms.isEmpty) ""
          else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (nrows.isEmpty) ""
@@ -3193,6 +3789,14 @@ object TimeTravel extends QueryModule {
     var committed = false
     while (!committed) {
       lockFor(root).synchronized {
+        // a caller that planned against a SPECIFIC parent (fast-forward
+        // publish) must not silently land on top of an interleaved
+        // commit — the usual lost-claim retry becomes a loud conflict
+        expectVersion.filter(_ != v).foreach(e =>
+          throw new java.util.ConcurrentModificationException(
+            s"time travel: commit under $root expected to land as " +
+              s"generation $e but the log is at ${v - 1} — a concurrent " +
+              "commit interleaved; re-plan against the current head"))
         if (removed.nonEmpty) {
           val live =
             if (v == 0) Set.empty[String]
@@ -3329,10 +3933,13 @@ object TimeTravel extends QueryModule {
       .map { case (a, ver) => s"$a|$ver" }
     val schemaDdl = schemaAsOf(root, v).map(_.toDDL)
     val featLines = featuresAsOf(root, v).toSeq.sorted
+    val wfeatLines = writerFeaturesAsOf(root, v).toSeq.sorted
     val txt =
       s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
         (if (featLines.isEmpty) ""
          else s""","features":[${featLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (wfeatLines.isEmpty) ""
+         else s""","wfeatures":[${wfeatLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (dvLines.isEmpty) ""
          else s""","dvs":[${dvLines.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (csLines.isEmpty) ""
@@ -3779,10 +4386,19 @@ object TimeTravel extends QueryModule {
     // snapshot is backed by a checkpoint, not by the deleted commits —
     // PLUS every live clone's absolute references into this table
     // (r14 verdict #4: source retention must not break shallow clones)
+    // PLUS every live branch's staged adds (r18: branch commits share
+    // the data directory; a vacuum must not eat an unpublished branch)
     val (fsL, commits, ckpts) = listLog(root)
+    val branchAdds = branchesFor(root,
+      commits.lastOption.map(_._1).getOrElse(-1)) match {
+      case bs if bs.isEmpty => Set.empty[String]
+      case bs => bs.keySet.flatMap(n =>
+        branchCommits(root, n).flatMap { case (_, f) =>
+          parseArr(readBytes(fsL, f), "added") })
+    }
     val referenced = (readLog(root).flatMap(_._2) ++
       ckpts.flatMap { case (_, f) => parseArr(readBytes(fsL, f), "files") }).toSet ++
-      cloneReferencedNames(root)
+      cloneReferencedNames(root) ++ branchAdds
     val now = System.currentTimeMillis()
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
       graceMs <= 0 || now - st.getModificationTime > graceMs
@@ -3827,6 +4443,17 @@ object TimeTravel extends QueryModule {
         s"generations: ${pinned.toSeq.sorted
           .map { case (n, g) => s"$n@$g" }.mkString(", ")}; drop them " +
         "first (graft_tag_drop)")
+    // BRANCHES pin their base generations the same way (r18): the
+    // branch head resolves through the base snapshot — expiring it
+    // would orphan every unpublished branch commit
+    val pinnedB = commits.lastOption
+      .map(c => branchesFor(root, c._1).filter(_._2 < keepFrom))
+      .getOrElse(Map.empty)
+    require(pinnedB.isEmpty,
+      s"time travel: cannot expire below $keepFrom — branches pin " +
+        s"earlier bases: ${pinnedB.toSeq.sorted
+          .map { case (n, g) => s"$n@$g" }.mkString(", ")}; publish or " +
+        "drop them first (graft_ff / graft_branch_drop)")
     val anchor = ckpts.map(_._1)
       .filter(v => v == keepFrom - 1 || v == keepFrom).sorted.headOption
     require(anchor.nonEmpty,

@@ -180,12 +180,20 @@ final class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
   private val confB = new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
   private val scanGen = TimeTravel.currentVersion(root)
+  // statement-unique fragment prefix: (partition, task) ids are unique
+  // only within ONE Spark application, so two applications running
+  // concurrent DML on the same table could collide on a fragment path —
+  // writePositions overwrites, poisoning the other statement's DV union,
+  // and post-commit fragment cleanup could drop the other statement's
+  // unconsumed fragments (r17 ADVICE). Same discipline as the final
+  // `$uid-$f.dv` vector names.
+  private val writeUid = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     val colmap = if (scanGen < 0) Map.empty[String, String]
       else TimeTravel.colmapAsOf(root, scanGen)
-    GraftDeltaWriterFactory(rowSchema, root, confB, colmap)
+    GraftDeltaWriterFactory(rowSchema, root, confB, colmap, writeUid)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -221,12 +229,12 @@ final class GraftDeltaBatchWrite(root: String, rowSchema: StructType)
 
 final case class GraftDeltaWriterFactory(rowSchema: StructType,
     root: String, conf: org.apache.spark.util.SerializableConfiguration,
-    colmap: Map[String, String])
+    colmap: Map[String, String], writeUid: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(rowSchema, root, conf.value, colmap,
-      partitionId, taskId)
+      partitionId, taskId, writeUid)
 }
 
 /** The task-side delta writer: DELETEs buffer (file → positions) —
@@ -240,7 +248,8 @@ final case class GraftDeltaWriterFactory(rowSchema: StructType,
   * discipline end to end. */
 final class GraftDeltaWriter(rowSchema: StructType, root: String,
     conf: org.apache.hadoop.conf.Configuration,
-    colmap: Map[String, String], partitionId: Int, taskId: Long)
+    colmap: Map[String, String], partitionId: Int, taskId: Long,
+    writeUid: String)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val deleted =
@@ -258,7 +267,7 @@ final class GraftDeltaWriter(rowSchema: StructType, root: String,
 
   override def insert(row: InternalRow): Unit = {
     if (inserter == null) {
-      tmp = s"$root/stage-stream/d-p$partitionId-t$taskId.parquet"
+      tmp = s"$root/stage-stream/d-$writeUid-p$partitionId-t$taskId.parquet"
       inserter = new graft.sources.cdf.CdfDataWriter(rowSchema, tmp, conf,
         colmap)
     }
@@ -278,10 +287,12 @@ final class GraftDeltaWriter(rowSchema: StructType, root: String,
     if (inserter != null) inserter.commit()
     val fragRoot = TimeTravel.fragDir(root)
     val frags = deleted.toSeq.sortBy(_._1).map { case (f, ps) =>
-      // (partition, task) in the name keeps a retried attempt's
-      // fragment distinct — only the committed attempt's names reach
-      // the driver; orphans never feed a read
-      val name = s"p$partitionId-t$taskId-$f.dvf"
+      // (writeUid, partition, task) in the name keeps a retried
+      // attempt's fragment distinct within the statement AND the path
+      // unique across concurrent applications (taskIds repeat across
+      // apps — r17 ADVICE); only the committed attempt's names reach
+      // the driver, so orphans never feed a read
+      val name = s"$writeUid-p$partitionId-t$taskId-$f.dvf"
       val pos = ps.toArray.sorted.distinct
       TimeTravel.writePositions(s"$fragRoot/$name", pos, conf)
       (f, name, pos.length.toLong)

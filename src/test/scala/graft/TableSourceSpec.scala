@@ -1982,7 +1982,7 @@ class TableSourceSpec extends SparkSpec {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "k BIGINT, v STRING")
     val w = new graft.sources.table.GraftDeltaWriter(schema, root, conf,
-      Map.empty, 3, 42L)
+      Map.empty, 3, 42L, "aaaa1111")
     import org.apache.spark.unsafe.types.UTF8String
     def id(f: String, p: Long) =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -2198,12 +2198,45 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
-  test("defaulted/mapped tables refuse DV maintenance; widened files up-convert through it") {
+  test("graft.autoCompact compacts RENAMED tables too (stale colmap skip lifted, r18)") {
+    // the r17 guard predated compactSmall's mapped-awareness: a renamed
+    // table with autoCompact on silently accumulated small files forever
+    val wh = java.nio.file.Files.createTempDirectory("graft_acm_").toString
+    val root = s"$wh/acm"
+    val base = orders.limit(300)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 2)
+    withConfs(
+      "spark.sql.catalog.acmc" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.acmc.warehouse" -> wh) {
+      spark.sql("ALTER TABLE acmc.acm SET TBLPROPERTIES (" +
+        "'graft.autoCompact' = 'true', " +
+        "'graft.autoCompact.minFiles' = '4', " +
+        "'graft.autoCompact.smallRows' = '100000')")
+      spark.sql("ALTER TABLE acmc.acm RENAME COLUMN o_totalprice TO price")
+      for (i <- 0 until 8)
+        spark.sql(s"INSERT INTO acmc.acm VALUES (${9000000L + i}, 1.5)")
+      val v = TimeTravel.currentVersion(root)
+      val files = TimeTravel.snapshotFiles(root, v)
+      assert(files.size <= 5,
+        s"auto-compaction skipped the mapped table (${files.size} files)")
+      // the compactions kept the renamed column's bytes and the logical
+      // schema — the r17 mapped-aware compactSmall guarantees
+      val after = TimeTravel.readAsOfMapped(spark, root, v)
+      assert(after.columns.toSeq === Seq("o_orderkey", "price"))
+      assert(after.count() === base.count() + 8)
+      assert(after.filter(col("price").isNull).count() === 0L,
+        "auto-compaction nulled a renamed column")
+    }
+  }
+
+  test("defaulted/mapped tables take DV maintenance (r18 lift); widened files up-convert through it") {
     // a table with ADD COLUMN … DEFAULT is column-mapped by
     // construction (adds always map to a fresh physical name): the
-    // merge-on-read library UPDATE must refuse it loudly instead of
-    // re-appending logically-named rows that NULL the default
-    // (r16 ADVICE, medium)
+    // merge-on-read library UPDATE used to refuse it (r16 ADVICE);
+    // since r18 it re-appends through readFilesFilledDvs — the FILLED
+    // default persists, never NULL, and the staged bytes stay physical
     val wh = java.nio.file.Files.createTempDirectory("graft_dvdf_").toString
     val root = s"$wh/df"
     val base = orders.limit(400)
@@ -2215,14 +2248,20 @@ class TableSourceSpec extends SparkSpec {
       "spark.sql.catalog.dvdfc" -> "graft.sources.table.GraftCatalog",
       "spark.sql.catalog.dvdfc.warehouse" -> wh) {
       spark.sql("ALTER TABLE dvdfc.df ADD COLUMN region BIGINT DEFAULT 7")
-      val e = intercept[IllegalArgumentException] {
-        TimeTravel.updateVectorWhere(spark, root, "o_orderkey",
-          keys(50), keys(149), "o_totalprice", col("o_totalprice") + 1)
-      }
-      assert(e.getMessage.contains("column-mapped"), e.getMessage)
-      // the SQL route (physical-name-aware DSv2 delta writer) serves
-      // the same statement correctly: pre-evolution rows keep reading
-      // the default after the merge-on-read UPDATE
+      val filesBefore = TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet
+      TimeTravel.updateVectorWhere(spark, root, "o_orderkey",
+        keys(50), keys(149), "o_totalprice", col("o_totalprice") + 1)
+      // merge-on-read: every pre-existing file survives untouched
+      assert(filesBefore.subsetOf(TimeTravel.snapshotFiles(root,
+        TimeTravel.currentVersion(root)).toSet),
+        "library MOR update rewrote existing files")
+      // pre-evolution rows kept their default through the re-append —
+      // the exact NULL-over-default bug the old refusal guarded against
+      assert(spark.sql(
+        "SELECT count(*) FROM dvdfc.df WHERE region = 7").head().getLong(0)
+        === base.count(), "library MOR update lost the column default")
+      // the SQL route serves the same statement on top: values compose
       spark.sql("ALTER TABLE dvdfc.df SET TBLPROPERTIES (" +
         "'graft.enableDeletionVectors' = 'true')")
       spark.sql("UPDATE dvdfc.df SET o_totalprice = o_totalprice + 1 " +
@@ -2230,6 +2269,15 @@ class TableSourceSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM dvdfc.df WHERE region = 7").head().getLong(0)
         === base.count(), "SQL MOR update lost the column default")
+      // both updates landed: the band gained exactly +2 per row
+      val expect = base.agg(sum(col("o_totalprice")
+        .cast("decimal(18,2)"))).head().getDecimal(0)
+        .add(new java.math.BigDecimal(2 * base.filter(
+          col("o_orderkey").between(keys(50), keys(149))).count()))
+      assert(spark.sql(
+        "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) " +
+          "FROM dvdfc.df").head().getString(0)
+        === expect.toPlainString, "composed MOR updates drifted")
     }
 
     // type WIDENING has no column mapping: DV maintenance reads the

@@ -1167,6 +1167,420 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("nodata rewrites conflict with a racing DV commit instead of resurrecting rows (r17 ADVICE)") {
+    // compact/compactSmall/purgeMasks read a snapshot's DV state, then
+    // land a nodata commit removing the files they read: a merge-on-read
+    // DELETE landing in between masks rows the staged rewrite still
+    // carries — without dvExpect the removed-membership check passes and
+    // the deleted rows silently resurrect. The fix: commitNoData expects
+    // the read generation's exact DV state per removed file.
+    val root = newRoot()
+    val base = orders.limit(400)
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    val gen0 = TimeTravel.currentVersion(root)
+    val files = TimeTravel.snapshotFiles(root, gen0)
+    val staged = TimeTravel.readFilesFilledDvs(spark, root, gen0, files)
+      .coalesce(1)
+    // the racing merge-on-read DELETE lands AFTER the rewrite's read
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(0), keys(99))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commitNoData(spark, root, gen0, staged, removed = files)
+    }
+    assert(e.getMessage.contains("deletion-vector conflict"), e.getMessage)
+    // nothing resurrected: the table still reads the post-delete state
+    assert(TimeTravel.readAsOf(spark, root,
+      TimeTravel.currentVersion(root)).count() === base.count() - 100)
+    // and the SAME rewrite re-planned at the current generation lands
+    val v = TimeTravel.compact(spark, root, 1)
+    assert(TimeTravel.readAsOf(spark, root, v).count() === base.count() - 100)
+  }
+
+  test("change feeds gate reader features CUMULATIVELY, not only per-commit in range (r17 ADVICE)") {
+    // a future feature recorded BEFORE fromGen still governs the range's
+    // data/change files — the feed must refuse like a snapshot read does
+    val root = newRoot()
+    val base = orders.limit(200)
+    assert(TimeTravel.commit(spark, root, base.limit(100)) === 0)
+    val forged =
+      """{"version":1,"ts":["99999999999999"],"added":[],"removed":[],""" +
+        """"features":["v9-quantum-masks"]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/1.json"), forged)
+    // land a plain append ABOVE the feature commit by writing commit 2
+    // the same way (a normal commit() would itself refuse the fold)
+    val add = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.head
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/2.json"),
+      s"""{"version":2,"ts":["99999999999999"],"added":["re-$add"],""" +
+        """"removed":[]}""")
+    // range (1, 2] carries no feature array of its own — the cumulative
+    // gate must still refuse by name (it used to pass ungated)
+    val e = intercept[UnsupportedOperationException] {
+      TimeTravel.readRowChanges(spark, root, 1, 2)
+    }
+    assert(e.getMessage.contains("v9-quantum-masks"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException] {
+      TimeTravel.readChangesSince(spark, root, 1, 2)
+    }
+    assert(e2.getMessage.contains("v9-quantum-masks"), e2.getMessage)
+  }
+
+  test("zorder + incremental clustering maintain RENAMED tables; stats land physical-keyed (r18)") {
+    // one ALTER TABLE RENAME COLUMN used to freeze clustered maintenance
+    // (r17 refusal); now the key columns translate logical→physical for
+    // the Z-expression and the stats lines — the q210 discipline
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders").limit(800)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commit(spark, root, base)
+    TimeTravel.renameColumn(spark, root, "o_custkey", "cust")
+    TimeTravel.renameColumn(spark, root, "o_totalprice", "price")
+    def decSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("price").cast("decimal(18,2)"))).head().get(0)
+    val want = decSum(TimeTravel.readAsOfMapped(spark, root,
+      TimeTravel.currentVersion(root)))
+    // Z-order on the RENAMED secondary key, through the SQL verb
+    graft.GraftFunctions.register(spark)
+    val rep = spark.sql(
+      s"SELECT * FROM graft_zorder('$root', 'o_orderkey', 'cust', 16)")
+      .head()
+    val v = rep.getLong(0).toInt
+    assert(rep.getLong(1) === 16L)
+    val after = TimeTravel.readAsOfMapped(spark, root, v)
+    assert(after.columns.toSeq === Seq("o_orderkey", "cust", "price"))
+    assert(after.filter(col("price").isNull || col("cust").isNull)
+      .count() === 0L, "zorder rewrite nulled a renamed column")
+    assert(decSum(after) === want)
+    // stats for BOTH dimensions landed under PHYSICAL keys, and the
+    // renamed-dimension band read prunes files from log metadata
+    val files = TimeTravel.snapshotFiles(root, v)
+    val st = TimeTravel.statsFor(root, v)
+    assert(files.forall(f => st.contains((f, "o_orderkey")) &&
+      st.contains((f, "o_custkey"))), "missing physical-keyed stats")
+    val ks = base.select("o_custkey").collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (ks(ks.length / 4), ks(ks.length / 2))
+    val kept = files.count(f => st.get((f, "o_custkey"))
+      .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+    assert(kept < files.size, s"secondary-dim pruning kept all $kept")
+    assert(TimeTravel.readAsOfWhere(spark, root, v, "o_custkey", lo, hi)
+      .count() === base.filter(col("o_custkey").between(lo, hi)).count())
+    // the logical schema stayed logged through the nodata rewrite
+    assert(TimeTravel.schemaAsOf(root, v)
+      .exists(_.fieldNames.toSeq == Seq("o_orderkey", "cust", "price")))
+
+    // INCREMENTAL clustering on a renamed SORT key: fresh appends fold
+    // into the existing range layout, untouched cells keep their files
+    val root2 = newRoot()
+    TimeTravel.commitClustered(spark, root2,
+      base.select("o_orderkey", "o_totalprice"), "o_orderkey", 4)
+    TimeTravel.renameColumn(spark, root2, "o_orderkey", "okey")
+    val before2 = TimeTravel.snapshotFiles(root2,
+      TimeTravel.currentVersion(root2)).toSet
+    // a narrow-band append under the LOGICAL schema (top keys only)
+    val keyMax = base.agg(max("o_orderkey")).head().getLong(0)
+    TimeTravel.commitMapped(spark, root2,
+      base.filter(col("o_orderkey") > keyMax - 50)
+        .select(col("o_orderkey").as("okey"),
+          (col("o_totalprice") + 1).as("o_totalprice")))
+    val v2 = TimeTravel.compactClusteredIncremental(spark, root2, "okey")
+    val files2 = TimeTravel.snapshotFiles(root2, v2).toSet
+    // only the top cell rewrote; the low cells kept their physical files
+    assert((before2 intersect files2).nonEmpty,
+      "incremental clustering rewrote untouched cells")
+    val read2 = TimeTravel.readAsOfMapped(spark, root2, v2)
+    assert(read2.columns.toSeq === Seq("okey", "o_totalprice"))
+    assert(read2.count() === base.count() +
+      base.filter(col("o_orderkey") > keyMax - 50).count())
+    assert(read2.filter(col("okey").isNull).count() === 0L)
+    // fresh files folded: every snapshot file carries physical-keyed stats
+    val st2 = TimeTravel.statsFor(root2, v2)
+    assert(files2.forall(f => st2.contains((f, "o_orderkey"))),
+      "a fresh file stayed unclustered after the incremental pass")
+  }
+
+  test("library DELETE/UPDATE/MERGE work on renamed+defaulted tables; bytes stay physical (r18)") {
+    // the r17 refusals lifted: library DML reads physically (renamed
+    // columns keep their bytes, defaults fill), applies the caller's
+    // logical-name expressions on the logical projection, and stages
+    // back through the mapping — the q210 byte-compatibility assert
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders").limit(600)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    TimeTravel.renameColumn(spark, root, "o_totalprice", "price")
+    TimeTravel.addColumnMapped(spark, root, "region", "BIGINT", Some("7"))
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // UPDATE on the renamed column, expressed in LOGICAL names
+    TimeTravel.updateWhere(spark, root, "o_orderkey", keys(100), keys(199),
+      "price", col("price") + 10)
+    // DELETE a disjoint band
+    TimeTravel.deleteWhere(spark, root, "o_orderkey", keys(0), keys(49))
+    val v = TimeTravel.currentVersion(root)
+    val after = TimeTravel.readAsOfMapped(spark, root, v)
+    assert(after.columns.toSeq === Seq("o_orderkey", "price", "region"))
+    assert(after.count() === base.count() - 50)
+    assert(after.filter(col("price").isNull).count() === 0L,
+      "library DML nulled a renamed column")
+    assert(after.filter(col("region").isNull || col("region") =!= 7)
+      .count() === 0L, "library DML lost the column default")
+    val expect = base.agg(sum(col("o_totalprice")
+      .cast("decimal(18,2)"))).head().getDecimal(0)
+      .subtract(base.filter(col("o_orderkey").between(keys(0), keys(49)))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+        .head().getDecimal(0))
+      .add(new java.math.BigDecimal(10 * 100))
+    assert(after.agg(sum(col("price").cast("decimal(18,2)"))).head()
+      .getDecimal(0).compareTo(expect) === 0)
+    // the q210 assert: rewritten files store the PHYSICAL names —
+    // bytes stay compatible across the rename
+    TimeTravel.snapshotFiles(root, v).foreach { f =>
+      val raw = spark.read.parquet(s"$root/data/$f").schema.fieldNames
+      assert(raw.contains("o_totalprice") && !raw.contains("price"),
+        s"file $f staged logical names: ${raw.toSeq}")
+    }
+
+    // MERGE into a renamed BUCKETED table, with CDF on — change files
+    // land physical-named, the feed projects them back (q237 contract)
+    val root2 = newRoot()
+    TimeTravel.commitBucketed(spark, root2, base, "o_orderkey", 8)
+    TimeTravel.renameColumn(spark, root2, "o_totalprice", "price")
+    TimeTravel.setProperty(spark, root2, "graft.enableChangeDataFeed",
+      "true")
+    val vPre = TimeTravel.currentVersion(root2)
+    val filesPre = TimeTravel.snapshotFiles(root2, vPre).toSet
+    // a NARROW source (3 updates + 1 insert): only their hash buckets
+    // may rewrite — the pruning contract must hold through the mapping
+    val upKeys = Seq(keys(5), keys(77), keys(301))
+    val src = base.filter(col("o_orderkey").isin(upKeys: _*))
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("price"))
+      .unionByName(base.limit(1)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice").as("price")))
+    val v2 = TimeTravel.mergeInto(spark, root2, src, "o_orderkey", 8)
+    // untouched buckets keep their physical files
+    assert((filesPre intersect
+      TimeTravel.snapshotFiles(root2, v2).toSet).nonEmpty,
+      "merge rewrote untouched buckets")
+    val merged = TimeTravel.readAsOfMapped(spark, root2, v2)
+    assert(merged.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(merged.count() === base.count() + 1)
+    assert(merged.filter(col("price").isNull).count() === 0L)
+    // the updated keys took the +1000 source values
+    assert(merged.filter(col("o_orderkey").isin(upKeys: _*))
+      .agg(sum(col("price").cast("decimal(18,2)"))).head().getDecimal(0)
+      .compareTo(base.filter(col("o_orderkey").isin(upKeys: _*))
+        .agg(sum((col("o_totalprice") + 1000).cast("decimal(18,2)")))
+        .head().getDecimal(0)) === 0)
+    // the row feed across the merge presents LOGICAL names, no nulls
+    val feed = TimeTravel.readRowChanges(spark, root2, vPre, v2)
+    assert(feed.columns.contains("price") &&
+      !feed.columns.contains("o_totalprice"))
+    assert(feed.filter(col("price").isNull).count() === 0L,
+      "mapped merge CDC null-filled the renamed column")
+    assert(feed.filter(col("_change_type") === "insert").count() === 1L)
+  }
+
+  test("writerFeatures protocol gate: unknown writer features refuse every write path, reads unaffected (r18)") {
+    val root = newRoot()
+    val base = orders.limit(200)
+    assert(TimeTravel.commit(spark, root, base.limit(100)) === 0)
+    assert(TimeTravel.commit(spark, root, base) === 1)
+    // hand-forge a commit from a FUTURE writer requiring a writer
+    // feature this build does not know — readers must stay untouched,
+    // every write path must refuse by NAME with the log unchanged
+    val forged =
+      """{"version":2,"ts":["99999999999999"],"added":[],"removed":[],""" +
+        """"wfeatures":["v9-vector-clocks"]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/2.json"), forged)
+    // READS pass — wfeatures gates writers only (the protocol split)
+    assert(TimeTravel.readAsOf(spark, root, 2).count()
+      === base.limit(100).count() + base.count())
+    val dataBefore = new java.io.File(s"$root/data").listFiles().length
+    // library append refuses BEFORE staging
+    val e1 = intercept[UnsupportedOperationException] {
+      TimeTravel.commit(spark, root, base.limit(10))
+    }
+    assert(e1.getMessage.contains("v9-vector-clocks"), e1.getMessage)
+    assert(new java.io.File(s"$root/data").listFiles().length === dataBefore,
+      "a refused write staged files")
+    // metadata writes refuse through the commitNames chokepoint
+    val e2 = intercept[UnsupportedOperationException] {
+      TimeTravel.setProperty(spark, root, "k", "v")
+    }
+    assert(e2.getMessage.contains("v9-vector-clocks"))
+    // maintenance verbs refuse before heavy work
+    val e3 = intercept[UnsupportedOperationException] {
+      TimeTravel.compact(spark, root, 1)
+    }
+    assert(e3.getMessage.contains("v9-vector-clocks"))
+    // the DSv2 catalog INSERT refuses too
+    val wh = root.stripSuffix("/t")
+    withSqlConf(
+      "spark.sql.catalog.wfc" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.wfc.warehouse" -> wh) {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO wfc.t SELECT * FROM wfc.t LIMIT 1")
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("v9-vector-clocks"))), s"wrong failure: $e")
+    }
+    // the log is byte-unchanged: still exactly generations 0..2
+    assert(TimeTravel.currentVersion(root) === 2)
+
+    // KNOWN writer features record and checkpoint-fold: constraints
+    // bind writers (check-constraints), DV deletes bind both arrays
+    val root2 = newRoot()
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.commitClustered(spark, root2, base, "o_orderkey", 4)
+    TimeTravel.addConstraint(spark, root2, "pos", "o_totalprice > 0")
+    TimeTravel.deleteVectorWhere(spark, root2, "o_orderkey",
+      keys(0), keys(19))
+    assert(TimeTravel.writerFeaturesAsOf(root2,
+      TimeTravel.currentVersion(root2))
+      === Set("check-constraints", "deletion-vectors"))
+    val ck = TimeTravel.checkpoint(root2)
+    val ckTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root2/_graft_log/$ck.ckpt.json")), "UTF-8")
+    assert(ckTxt.contains(
+      "\"wfeatures\":[\"check-constraints\",\"deletion-vectors\"]"),
+      "checkpoint dropped the writer-feature fold")
+    // writes still pass — these features are supported
+    TimeTravel.commit(spark, root2, base.limit(5))
+    assert(TimeTravel.readAsOf(spark, root2,
+      TimeTravel.currentVersion(root2)).count() === base.count() - 20 + 5)
+  }
+
+  test("branches: staged commits invisible to main, FF publishes atomically, pins + vacuum hold (r18)") {
+    val root = newRoot()
+    val base = orders.limit(600)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 =!= 0))
+    TimeTravel.checkpoint(root) // anchor for the expire probe below
+    val v0 = TimeTravel.currentVersion(root)
+    TimeTravel.createBranch(spark, root, "cand", v0)
+    val vRef = TimeTravel.currentVersion(root) // the ref metadata commit
+    // two branch commits: main's generation counter never moves
+    TimeTravel.commitToBranch(spark, root, "cand",
+      base.filter(col("o_orderkey") % 3 === 0 and col("o_orderkey") % 2 === 0))
+    TimeTravel.commitToBranch(spark, root, "cand",
+      base.filter(col("o_orderkey") % 3 === 0 and col("o_orderkey") % 2 === 1))
+    assert(TimeTravel.currentVersion(root) === vRef,
+      "a branch commit moved main's generation counter")
+    assert(TimeTravel.readAsOf(spark, root, vRef).count()
+      === base.filter(col("o_orderkey") % 3 =!= 0).count(),
+      "main read sees branch rows before publish")
+    // the branch head = base + both appends
+    assert(TimeTravel.readBranch(spark, root, "cand").count() === base.count())
+    assert(TimeTravel.branchesFor(root, vRef) === Map("cand" -> v0))
+    // vacuum keeps the branch's staged (main-unreferenced) files
+    assert(TimeTravel.vacuum(root).isEmpty,
+      "vacuum deleted an unpublished branch's files")
+    assert(TimeTravel.readBranch(spark, root, "cand").count() === base.count())
+    // the base generation is pinned against retention
+    val eP = intercept[IllegalArgumentException] {
+      TimeTravel.expireHistory(root, vRef)
+    }
+    assert(eP.getMessage.contains(s"cand@$v0"), eP.getMessage)
+    // FAST-FORWARD: one atomic commit lands the delta and clears the ref
+    val v2 = TimeTravel.fastForward(spark, root, "cand")
+    assert(v2 === vRef + 1)
+    assert(TimeTravel.readAsOf(spark, root, v2).count() === base.count())
+    assert(TimeTravel.branchesFor(root, v2).isEmpty, "FF left the ref")
+    assert(TimeTravel.branchesFor(root, vRef) === Map("cand" -> v0),
+      "history lost the ref's lifetime")
+    // nrows carried: history reports the published commit's row count
+    val h = TimeTravel.history(spark, root)
+      .filter(col("version") === v2).head()
+    assert(h.getLong(4) === base.filter(col("o_orderkey") % 3 === 0).count())
+    assert(h.getString(5).contains("branch-publish"))
+
+    // a branch whose base main has MOVED PAST refuses to fast-forward
+    TimeTravel.createBranch(spark, root, "late", v2)
+    TimeTravel.commitToBranch(spark, root, "late", base.limit(10))
+    TimeTravel.commit(spark, root, base.limit(5)) // main advances
+    val eF = intercept[IllegalArgumentException] {
+      TimeTravel.fastForward(spark, root, "late")
+    }
+    assert(eF.getMessage.contains("re-create the branch"), eF.getMessage)
+    // ... and DROP releases everything; vacuum then eats the staged files
+    val staged = new java.io.File(s"$root/data").listFiles().length
+    TimeTravel.dropBranch(spark, root, "late")
+    assert(TimeTravel.vacuum(root).nonEmpty,
+      "dropping the branch did not release its staged files")
+    assert(new java.io.File(s"$root/data").listFiles().length < staged)
+
+    // MAPPED table: branch appends store physical bytes, read logically
+    val root2 = newRoot()
+    val b2 = Tables.table(spark, sf, "orders").limit(300)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commit(spark, root2, b2)
+    TimeTravel.renameColumn(spark, root2, "o_totalprice", "price")
+    TimeTravel.createBranch(spark, root2, "m", 1)
+    TimeTravel.commitToBranch(spark, root2, "m",
+      b2.limit(20).select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+        col("o_totalprice").as("price")))
+    val br = TimeTravel.readBranch(spark, root2, "m")
+    assert(br.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(br.count() === 320)
+    assert(br.filter(col("price").isNull).count() === 0L,
+      "branch append null-filled a renamed column")
+    val vm = TimeTravel.fastForward(spark, root2, "m")
+    val pub = TimeTravel.readAsOfMapped(spark, root2, vm)
+    assert(pub.count() === 320)
+    assert(pub.filter(col("price").isNull).count() === 0L)
+  }
+
+  test("deep clone survives source destruction; DVs, stats, mapping, constraints carry (r18)") {
+    val root = newRoot()
+    val base = Tables.table(spark, sf, "orders").limit(600)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    TimeTravel.commitClustered(spark, root, base, "o_orderkey", 4)
+    TimeTravel.renameColumn(spark, root, "o_totalprice", "price")
+    TimeTravel.addConstraint(spark, root, "pos", "price > 0")
+    val keys = base.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    TimeTravel.deleteVectorWhere(spark, root, "o_orderkey",
+      keys(0), keys(99))
+    def decSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("price").cast("decimal(18,2)"))).head().getDecimal(0)
+    val want = decSum(TimeTravel.readAsOfMapped(spark, root,
+      TimeTravel.currentVersion(root)))
+    val dst = newRoot()
+    assert(TimeTravel.deepClone(spark, root, dst) === 0)
+    val got = TimeTravel.readAsOfMapped(spark, dst, 0)
+    assert(got.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(got.count() === base.count() - 100,
+      "the clone lost the source's deletion vectors")
+    assert(decSum(got).compareTo(want) === 0)
+    // stats carried re-keyed: pruned reads keep pruning on the clone
+    val st = TimeTravel.statsFor(dst, 0)
+    assert(TimeTravel.snapshotFiles(dst, 0)
+      .forall(f => st.contains((f, "o_orderkey"))), "stats not carried")
+    // constraints carried: a violating commit refuses on the CLONE
+    intercept[IllegalArgumentException] {
+      TimeTravel.commitMapped(spark, dst,
+        base.limit(1).select(col("o_orderkey"),
+          lit(-5.0).as("price")))
+    }
+    // the whole point: DESTROY the source — the clone is unaffected
+    WorkDirs.deleteTree(java.nio.file.Paths.get(root))
+    assert(!new java.io.File(root).exists())
+    assert(TimeTravel.readAsOfMapped(spark, dst, 0).count()
+      === base.count() - 100)
+    assert(decSum(TimeTravel.readAsOfMapped(spark, dst, 0))
+      .compareTo(want) === 0)
+    // every clone file is self-owned: vacuum reclaims nothing
+    assert(TimeTravel.vacuum(dst).isEmpty)
+  }
+
   private def withSqlConf[T](confs: (String, String)*)(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
