@@ -127,7 +127,12 @@ object GraftFunctions {
     ("graft_ff", graft.operators.TimeTravel.ffPlan _,
       "graft_ff(root, name) - fast-forward publish: land the branch's " +
         "delta on main as one atomic version-pinned commit and drop " +
-        "the ref; refuses when main moved past the base"))
+        "the ref; refuses when main moved past the base"),
+    ("graft_cherrypick", graft.operators.TimeTravel.cherryPickPlan _,
+      "graft_cherrypick(root, name, k) - apply ONE append-only branch " +
+        "commit onto the CURRENT main head (the partial publish when " +
+        "fast-forward refuses); re-validates constraints, refuses " +
+        "double-picks; zero data bytes move"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

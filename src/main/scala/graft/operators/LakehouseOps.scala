@@ -3307,6 +3307,51 @@ object LakehouseOps extends QueryModule {
           "q242: the source should be gone")
         prioAgg(TimeTravel.readAsOf(s, dstRoot, 0))
           .orderBy("o_orderpriority")
+      }),
+
+    // Q243 CHERRY-PICK (Iceberg's cherrypick_snapshot — q241's partial
+    // publish): when main has ADVANCED past the branch base,
+    // fast-forward refuses (required inline) — but one APPEND-ONLY
+    // branch commit still applies onto the current head via
+    // `graft_cherrypick`: its staged files are RE-REFERENCED (zero
+    // bytes move), its rows re-validate against the constraints in
+    // force now, and double-picks refuse. Here the branch stages one
+    // third of orders, main independently gains another third, and the
+    // pick completes the table. Oracle: the plain whole-orders
+    // aggregate.
+    Q("q243_cherry_pick",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttcp_", s"q243:$d")
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 1))
+        if (TimeTravel.currentVersion(root) < 1) {
+          s.sql(s"SELECT * FROM graft_branch('$root', 'cand', 0)").collect()
+          TimeTravel.commitToBranch(s, root, "cand",
+            o.filter(col("o_orderkey") % 3 === 2))
+        }
+        if (TimeTravel.currentVersion(root) < 2)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 3 === 0))
+        if (TimeTravel.currentVersion(root) < 3) {
+          // main advanced: the atomic publish path refuses…
+          val ffRefused =
+            try { TimeTravel.fastForward(s, root, "cand"); false }
+            catch { case _: IllegalArgumentException => true }
+          require(ffRefused, "q243: FF on an advanced main did not refuse")
+          // …the partial publish lands, re-referencing the staged files
+          val rep = s.sql(
+            s"SELECT * FROM graft_cherrypick('$root', 'cand', 0)").head()
+          require(rep.getLong(1) > 0L, s"q243: pick report $rep")
+        }
+        if (TimeTravel.currentVersion(root) < 4)
+          TimeTravel.dropBranch(s, root, "cand")
+        prioAgg(TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root))).orderBy("o_orderpriority")
       })
   )
 }

@@ -2322,6 +2322,76 @@ object TimeTravel extends QueryModule {
     v
   }
 
+  /** CHERRY-PICK (Iceberg's cherrypick_snapshot): apply ONE branch
+    * commit onto the CURRENT main head — the partial-publish escape
+    * hatch when main advanced past the base and fast-forward refuses.
+    * Legal for APPEND-ONLY branch commits (a remove names base files
+    * whose world moved); the picked files must not already be in the
+    * snapshot (re-picking would duplicate rows — refused loudly), and
+    * the picked ROWS re-validate against the constraints in force NOW
+    * (one scan of the picked files — a CHECK added since the branch
+    * commit must still hold). Zero data bytes move: the staged files
+    * are re-referenced, not copied. The branch stays live (pick the
+    * rest later, or drop it). Returns the new main generation. */
+  def cherryPick(s: SparkSession, root: String, name: String,
+      k: Int): Int = {
+    val cur = currentVersion(root)
+    require(branchesFor(root, cur).contains(name),
+      s"time travel: no branch '$name' under $root")
+    val cf = branchCommits(root, name).collectFirst {
+      case (`k`, f) => f
+    }.getOrElse(throw new IllegalArgumentException(
+      s"time travel: branch '$name' has no commit $k (commits: " +
+        s"${branchCommits(root, name).map(_._1).mkString(", ")})"))
+    val (fs, _) = fsFor(root)
+    val txt = readBytes(fs, cf)
+    requireFeaturesReadable(txt, s"branch commit $name/$k of $root")
+    val added = parseArr(txt, "added")
+    require(parseArr(txt, "removed").isEmpty,
+      s"time travel: branch commit $name/$k removes files — cherry-pick " +
+        "serves append-only commits; fast-forward or rebase instead")
+    val live = snapshotFiles(root, cur).toSet
+    val dup = added.filter(live)
+    require(dup.isEmpty,
+      s"time travel: cherry-pick of $name/$k would re-add files already " +
+        s"in the snapshot (${dup.mkString(", ")}) — already picked?")
+    if (added.isEmpty) return cur
+    // re-validate the picked rows against the constraints in force NOW
+    // (the branch commit predates any constraint added since); the read
+    // goes through the current mapping like every staged validation
+    validateConstraints(s, root,
+      toLogicalFrame(root, cur, {
+        val paths = added.map(f => dataPath(root, f))
+        physSchemaAsOf(root, cur) match {
+          case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+      }))
+    val nrows = parseArr(txt, "nrows")
+      .filter(l => added.contains(l.takeWhile(_ != '|')))
+    commitNames(s, root, added, Nil,
+      nrowsIn = if (nrows.size == added.size) Some(nrows) else None,
+      schemaDdl = parseArr(txt, "schemav").headOption
+        .orElse(schemaAsOf(root, cur).map(_.toDDL)),
+      flags = Seq("cherry-pick"))
+  }
+
+  /** `graft_cherrypick(root, name, k)` — cherry-pick from SQL (lazy).
+    * Returns (version, files_added). */
+  def cherryPickPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3, "usage: graft_cherrypick(root, name, k)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    val k = litInt(exprs(2), "k")
+    maintPlan("cherrypick", Seq("version", "files_added")) {
+      val s = SparkSession.active
+      val before = snapshotFiles(root, currentVersion(root)).size
+      val v = cherryPick(s, root, name, k)
+      Seq(v.toLong, (snapshotFiles(root, v).size - before).toLong)
+    }
+  }
+
   /** `graft_branch(root, name, gen)` — create a branch from SQL (lazy
     * maintenance verb). Returns (version, base_gen). */
   def branchPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])

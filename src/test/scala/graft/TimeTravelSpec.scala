@@ -1538,6 +1538,55 @@ class TimeTravelSpec extends SparkSpec {
     assert(pub.filter(col("price").isNull).count() === 0L)
   }
 
+  test("cherry-pick publishes one branch commit onto an ADVANCED main; double-picks and stale constraints refuse (r18)") {
+    val root = newRoot()
+    val base = orders.limit(600)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 3 === 1))
+    TimeTravel.createBranch(spark, root, "cand", 0)
+    TimeTravel.commitToBranch(spark, root, "cand",
+      base.filter(col("o_orderkey") % 3 === 2))     // branch commit 0
+    TimeTravel.commitToBranch(spark, root, "cand",
+      base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * -1)) // commit 1
+    // main ADVANCES: fast-forward is off the table
+    TimeTravel.commit(spark, root, base.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    intercept[IllegalArgumentException] {
+      TimeTravel.fastForward(spark, root, "cand")
+    }
+    // …but ONE branch commit cherry-picks onto the new head, no copy
+    val dataBefore = new java.io.File(s"$root/data").listFiles().length
+    val v = TimeTravel.cherryPick(spark, root, "cand", 0)
+    assert(new java.io.File(s"$root/data").listFiles().length === dataBefore,
+      "cherry-pick copied data bytes")
+    assert(TimeTravel.readAsOf(spark, root, v).count()
+      === base.filter(col("o_orderkey") % 3 === 1).count() + 5 +
+        base.filter(col("o_orderkey") % 3 === 2).count())
+    // a second pick of the same commit refuses (would duplicate rows)
+    val eD = intercept[IllegalArgumentException] {
+      TimeTravel.cherryPick(spark, root, "cand", 0)
+    }
+    assert(eD.getMessage.contains("already"), eD.getMessage)
+    // a constraint added AFTER the branch commit gates the pick: branch
+    // commit 1 carries negative prices and must refuse
+    TimeTravel.addConstraint(spark, root, "pos", "o_totalprice > 0")
+    val eC = intercept[IllegalArgumentException] {
+      TimeTravel.cherryPick(spark, root, "cand", 1)
+    }
+    assert(eC.getMessage.contains("pos"), eC.getMessage)
+    // the branch stays live throughout; dropping releases its files
+    assert(TimeTravel.branchesFor(root,
+      TimeTravel.currentVersion(root)).contains("cand"))
+    TimeTravel.dropBranch(spark, root, "cand")
+    assert(TimeTravel.vacuum(root).nonEmpty,
+      "the unpicked branch commit's files were not released")
+    // the PICKED files survived the vacuum (they are main-referenced)
+    assert(TimeTravel.readAsOf(spark, root,
+      TimeTravel.currentVersion(root)).count()
+      === base.filter(col("o_orderkey") % 3 === 1).count() + 5 +
+        base.filter(col("o_orderkey") % 3 === 2).count())
+  }
+
   test("deep clone survives source destruction; DVs, stats, mapping, constraints carry (r18)") {
     val root = newRoot()
     val base = Tables.table(spark, sf, "orders").limit(600)
