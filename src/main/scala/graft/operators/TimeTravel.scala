@@ -2872,7 +2872,16 @@ object TimeTravel extends QueryModule {
     * commit (rows unchanged — change feeds skip it); masks on small
     * files materialize away with them. Files without a logged row
     * count are left alone (their size is unknowable from metadata).
-    * Returns the committed version; the current one below threshold. */
+    *
+    * PARTITIONED layouts pack PER VALUE GROUP (r18, Delta's per-
+    * partition autoCompact): files sharing the same tagged value lines
+    * (`=`, generated `~month`, `#bucket:n`) compact only among
+    * themselves once a group accumulates `minFiles` small files, and
+    * the packed outputs CARRY the group's lines — equality/DPP pruning
+    * keeps pruning through maintenance; files of different partitions
+    * never merge. Unpartitioned tables are the one-empty-group case —
+    * behavior unchanged. Returns the committed version; the current
+    * one below threshold. */
   def compactSmall(s: SparkSession, root: String, smallRows: Long,
       minFiles: Int): Int = {
     require(smallRows > 0 && minFiles > 1,
@@ -2884,13 +2893,33 @@ object TimeTravel extends QueryModule {
     val dvs = dvsFor(root, gen)
     def liveRows(f: String): Option[Long] =
       nrows.get(f).map(n => n - dvs.get(f).map(_._2).getOrElse(0L))
+    val tv = tvalsFor(root, gen)
+    def groupKey(f: String): Seq[String] = tv.collect {
+      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
+    }.toSeq.sorted
     val small = snapshotFiles(root, gen)
       .filter(f => liveRows(f).exists(_ < smallRows))
-    if (small.size < minFiles) return gen
-    val total = small.flatMap(liveRows).sum
-    val nOut = math.max(1, math.ceil(total.toDouble / smallRows).toInt)
-    val packed = readFilesFilledDvs(s, root, gen, small).coalesce(nOut)
-    commitNoData(s, root, gen, packed, removed = small)
+    val groups = small.groupBy(groupKey).filter(_._2.size >= minFiles)
+    if (groups.isEmpty) return gen
+    val dvAtRead = dvsFor(root, gen)
+    val adds = Seq.newBuilder[String]
+    val stats = Seq.newBuilder[String]
+    val removedAll = Seq.newBuilder[String]
+    groups.toSeq.sortBy(_._2.head).foreach { case (key, fls) =>
+      val total = fls.flatMap(liveRows).sum
+      val nOut = math.max(1, math.ceil(total.toDouble / smallRows).toInt)
+      val added = stagePlain(s, root,
+        readFilesFilledDvs(s, root, gen, fls).coalesce(nOut))
+      adds ++= added
+      removedAll ++= fls
+      stats ++= added.flatMap(n => key.map(line => s"$n|$line"))
+    }
+    val removed = removedAll.result()
+    commitNames(s, root, adds.result(), removed, stats.result(),
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL),
+      flags = Seq("nodata"),
+      dvExpect =
+        Some(removed.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
   /** Post-commit AUTO-COMPACTION trigger (Delta's
@@ -2906,16 +2935,15 @@ object TimeTravel extends QueryModule {
     * commit). Column-mapped tables compact fine — [[compactSmall]]
     * reads the physical schema with defaults filled (r17's
     * mapped-aware maintenance; the stale pre-750f9bd skip guard is
-    * gone, r18). Partitioned layouts are skipped — their per-partition
-    * value lines keep the explicit OPTIMIZE verbs. */
+    * gone, r18) — and partitioned layouts pack PER VALUE GROUP with
+    * the value lines carried, so pruning survives maintenance (r18;
+    * the old wholesale skip silently accumulated small files). */
   private[graft] def autoCompactIfDue(s: SparkSession, root: String): Unit =
     try {
       val gen = currentVersion(root)
       if (gen < 0) return
       val props = propsAsOf(root, gen)
       if (!props.get("graft.autoCompact").contains("true")) return
-      if (props.contains("graft.partitionCol") ||
-          props.contains("graft.partitionSpec")) return
       val smallRows = props.get("graft.autoCompact.smallRows")
         .map(_.toLong).getOrElse(1L << 20)
       val minFiles = props.get("graft.autoCompact.minFiles")

@@ -2231,6 +2231,48 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("autoCompact packs PARTITIONED tables per value group; value lines survive (r18)") {
+    // the old wholesale skip silently accumulated small files forever;
+    // per-group packing keeps equality/DPP pruning through maintenance
+    val wh = java.nio.file.Files.createTempDirectory("graft_pac_").toString
+    val root = s"$wh/pac"
+    withConfs(
+      "spark.sql.catalog.pacc" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.pacc.warehouse" -> wh) {
+      spark.sql("""CREATE TABLE pacc.pac (k BIGINT, p STRING)
+                  |PARTITIONED BY (p)
+                  |TBLPROPERTIES ('graft.autoCompact' = 'true',
+                  |  'graft.autoCompact.minFiles' = '4',
+                  |  'graft.autoCompact.smallRows' = '100000')""".stripMargin)
+      for (i <- 0 until 6)
+        spark.sql(s"INSERT INTO pacc.pac VALUES ($i, 'a'), (${i + 100}, 'b')")
+      val gen = TimeTravel.currentVersion(root)
+      val files = TimeTravel.snapshotFiles(root, gen)
+      // steady state per group: 1 packed + up to minFiles−1 pending
+      assert(files.size <= 8 && files.size < 12,
+        s"per-partition auto-compaction left ${files.size} small files")
+      assert(gen > 6, s"no auto-compaction commit landed (gen $gen)")
+      // every packed output CARRIES its partition value line — pruning
+      // survives maintenance, and partitions never merged
+      val tv = TimeTravel.tvalsFor(root, gen)
+      files.foreach { f =>
+        assert(tv.contains((f, "p")), s"file $f lost its value line")
+        val v = tv((f, "p"))._2
+        val distinct = spark.read.parquet(s"$root/data/$f")
+          .select("p").distinct().collect().map(_.getString(0)).toSeq
+        assert(distinct === Seq(v),
+          s"file $f mixes partitions: $distinct (line says $v)")
+      }
+      // counts and the pruned equality read stay exact
+      assert(spark.sql("SELECT count(*) FROM pacc.pac").head().getLong(0)
+        === 12L)
+      assert(spark.sql("SELECT count(*) FROM pacc.pac WHERE p = 'a'")
+        .head().getLong(0) === 6L)
+      assert(files.count(f => tv((f, "p"))._2 == "a") <= 4,
+        "partition a did not converge")
+    }
+  }
+
   test("defaulted/mapped tables take DV maintenance (r18 lift); widened files up-convert through it") {
     // a table with ADD COLUMN … DEFAULT is column-mapped by
     // construction (adds always map to a fresh physical name): the
