@@ -3005,6 +3005,25 @@ object TimeTravel extends QueryModule {
       dvExpect = Some(files.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
   }
 
+  /** OPTIMIZE … ZORDER BY over N columns (2–4): the [[compactZOrdered]]
+    * maintenance rewrite through [[commitZOrderedN]]'s round-robin
+    * interleave — a range read on ANY clustered dimension prunes from
+    * log metadata after the rewrite. Same mapped-table, dvExpect and
+    * `nodata` discipline as the 2-column form. */
+  def compactZOrderedN(s: SparkSession, root: String, cols: Seq[String],
+      nFiles: Int): Int = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot compact empty table $root")
+    requireFeaturesWritable(root)
+    val files = snapshotFiles(root, gen)
+    require(files.nonEmpty, s"time travel: nothing to z-order under $root")
+    val dvAtRead = dvsFor(root, gen)
+    commitZOrderedN(s, root,
+      toLogicalFrame(root, gen, readFilesFilledDvs(s, root, gen, files)),
+      cols, nFiles, removed = files, flags = Seq("nodata"),
+      dvExpect = Some(files.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
+  }
+
   /** RESTORE the table to the state of generation `toGen`, as a NEW
     * commit (Delta's RESTORE): re-adds the target snapshot's files that
     * the current one dropped and retires the files it gained — a
@@ -4328,13 +4347,18 @@ object TimeTravel extends QueryModule {
     * commit is `nodata`, so change feeds skip it. */
   def zorderPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(exprs.length == 4, "usage: graft_zorder(root, c1, c2, nFiles)")
+    require(exprs.length >= 4 && exprs.length <= 6,
+      "usage: graft_zorder(root, c1, c2[, c3[, c4]], nFiles)")
     val root = litStr(exprs(0), "root")
-    val (c1, c2) = (litStr(exprs(1), "c1"), litStr(exprs(2), "c2"))
-    val nFiles = litInt(exprs(3), "nFiles")
+    val cols = exprs.slice(1, exprs.length - 1).zipWithIndex
+      .map { case (e, i) => litStr(e, s"c${i + 1}") }
+    val nFiles = litInt(exprs.last, "nFiles")
     maintPlan("zorder", Seq("version", "files_after")) {
       val s = SparkSession.active
-      val v = compactZOrdered(s, root, c1, c2, nFiles)
+      val v =
+        if (cols.length == 2) compactZOrdered(s, root, cols(0), cols(1),
+          nFiles) // the pinned 2×16-bit interleave (q185's layout)
+        else compactZOrderedN(s, root, cols, nFiles)
       Seq(v.toLong, snapshotFiles(root, v).size.toLong)
     }
   }

@@ -1587,6 +1587,33 @@ class TimeTravelSpec extends SparkSpec {
         base.filter(col("o_orderkey") % 3 === 2).count())
   }
 
+  test("graft_zorder takes 2-4 columns; the N-dim maintenance rewrite prunes every dimension (r18)") {
+    val root = newRoot()
+    val src = Tables.table(spark, sf, "orders").limit(800)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice")).cast("long").as("pl"))
+    TimeTravel.commit(spark, root, src)
+    graft.GraftFunctions.register(spark)
+    val rep = spark.sql(s"SELECT * FROM graft_zorder('$root', " +
+      "'o_orderkey', 'o_custkey', 'pl', 8)").head()
+    val v = rep.getLong(0).toInt
+    val files = TimeTravel.snapshotFiles(root, v)
+    val st = TimeTravel.statsFor(root, v)
+    assert(files.forall(f => Seq("o_orderkey", "o_custkey", "pl")
+      .forall(c => st.contains((f, c)))), "missing per-dimension stats")
+    // the TERTIARY dimension's band read prunes from log metadata —
+    // a band inside the scaled LOWER HALF of pl (the 8-cell layout
+    // gives each dimension one prefix bit, splitting at mid-RANGE)
+    val ks = src.select("pl").collect().map(_.getLong(0)).sorted
+    val mid = (ks.head + ks.last) / 2
+    val (lo, hi) = (ks.head, math.min(ks(300), mid - 1))
+    val kept = files.count(f => st.get((f, "pl"))
+      .forall { case (l, h) => h >= lo && l <= hi })
+    assert(kept < files.size, "tertiary-dim pruning kept everything")
+    assert(TimeTravel.readAsOfWhere(spark, root, v, "pl", lo, hi).count()
+      === src.filter(col("pl").between(lo, hi)).count())
+  }
+
   test("deep clone survives source destruction; DVs, stats, mapping, constraints carry (r18)") {
     val root = newRoot()
     val base = Tables.table(spark, sf, "orders").limit(600)
