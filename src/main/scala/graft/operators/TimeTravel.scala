@@ -2125,8 +2125,12 @@ object TimeTravel extends QueryModule {
         k.stripPrefix("graft.branch.") -> v.toInt
     }
 
+  // '@' separates name from sequence and is OUTSIDE the name charset:
+  // with '-' as the separator, branch "x" commit 12 ("b-x-12.json")
+  // would parse as branch "x-1" commit 2 — branch names may contain
+  // dashes and digits, so any ≥10-commit branch silently lost commits
   private val BranchName = """[A-Za-z_][A-Za-z0-9_.-]*""".r
-  private val BranchCommitName = """b-(.+)-(\d+)\.json""".r
+  private val BranchCommitName = """b-(.+)@(\d+)\.json""".r
 
   /** CREATE a branch at generation `gen` (Iceberg's createBranch): one
     * metadata commit recording the base. The base generation is PINNED
@@ -2235,7 +2239,7 @@ object TimeTravel extends QueryModule {
         val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.b-$uid")
         writeBytes(fs, tmp, render(k, System.currentTimeMillis()))
         if (claimVersion(fs, tmp,
-            new org.apache.hadoop.fs.Path(s"${logDir(root)}/b-$name-$k.json")))
+            new org.apache.hadoop.fs.Path(s"${logDir(root)}/b-$name@$k.json")))
           committed = true
         else {
           fs.delete(tmp, false)
@@ -2367,8 +2371,9 @@ object TimeTravel extends QueryModule {
           case None => s.read.parquet(paths: _*)
         }
       }))
+    val addedSet = added.toSet
     val nrows = parseArr(txt, "nrows")
-      .filter(l => added.contains(l.takeWhile(_ != '|')))
+      .filter(l => addedSet(l.takeWhile(_ != '|')))
     commitNames(s, root, added, Nil,
       nrowsIn = if (nrows.size == added.size) Some(nrows) else None,
       schemaDdl = parseArr(txt, "schemav").headOption

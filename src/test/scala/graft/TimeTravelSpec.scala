@@ -1538,6 +1538,28 @@ class TimeTravelSpec extends SparkSpec {
     assert(pub.filter(col("price").isNull).count() === 0L)
   }
 
+  test("branch sequences parse past 9 commits; dashed names never collide (r18)") {
+    // with '-' as the name/seq separator, branch "x" commit 12 parsed
+    // as branch "x-1" commit 2 — any ≥10-commit branch silently lost
+    // commits and dashed names cross-contaminated ('@' separator now)
+    val root = newRoot()
+    val base = orders.limit(130)
+    TimeTravel.commit(spark, root, base.limit(10))
+    TimeTravel.createBranch(spark, root, "x", 0)
+    TimeTravel.createBranch(spark, root, "x-1", 0)
+    for (i <- 0 until 12)
+      TimeTravel.commitToBranch(spark, root, "x",
+        base.offset(10 + i * 10).limit(10))
+    TimeTravel.commitToBranch(spark, root, "x-1", base.offset(10).limit(10))
+    graft.GraftFunctions.register(spark)
+    val listed = spark.sql(s"SELECT * FROM graft_branches('$root')")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(listed === Map("x" -> 12L, "x-1" -> 1L),
+      s"branch commit listing mixed up sequences: $listed")
+    assert(TimeTravel.readBranch(spark, root, "x").count() === 130L)
+    assert(TimeTravel.readBranch(spark, root, "x-1").count() === 20L)
+  }
+
   test("cherry-pick publishes one branch commit onto an ADVANCED main; double-picks and stale constraints refuse (r18)") {
     val root = newRoot()
     val base = orders.limit(600)
