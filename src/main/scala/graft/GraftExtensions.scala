@@ -106,6 +106,22 @@ object GraftFunctions {
     ("graft_tags", graft.operators.TimeTravel.tagsPlan _,
       "graft_tags(root) - one row per live snapshot tag: name, " +
         "generation"),
+    ("graft_partitions", graft.operators.TimeTravel.partitionsPlan _,
+      "graft_partitions(root) - one row per tagged partition value " +
+        "group: lines, file count, logged live rows, masked rows " +
+        "(commit-log metadata only)"),
+    ("graft_optimize_where", graft.operators.TimeTravel.optimizeWherePlan _,
+      "graft_optimize_where(root, partCol, value, targetFiles) - " +
+        "partition-scoped OPTIMIZE: bin-pack only the matching value " +
+        "groups, value lines carried; returns (version, files_before, " +
+        "files_after)"),
+    ("graft_vacuum_dry", graft.operators.TimeTravel.vacuumDryPlan _,
+      "graft_vacuum_dry(root[, graceMins]) - VACUUM DRY RUN: one row " +
+        "per file a vacuum would reclaim; deletes nothing"),
+    ("graft_restore_ts", graft.operators.TimeTravel.restoreTsPlan _,
+      "graft_restore_ts(root, tsMillis) - RESTORE to the generation in " +
+        "force at the instant (metadata-only rollback, lazy); returns " +
+        "(version, restored_gen, files_readded, files_retired)"),
     ("graft_clone_deep", graft.operators.TimeTravel.cloneDeepPlan _,
       "graft_clone_deep(src, dst) - retention-independent deep clone: " +
         "distributed byte copy of the snapshot's files + DV sidecars, " +

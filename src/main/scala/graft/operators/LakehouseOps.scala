@@ -3309,6 +3309,74 @@ object LakehouseOps extends QueryModule {
           .orderBy("o_orderpriority")
       }),
 
+    // Q244 PARTITION-SCOPED OPTIMIZE (Delta's `OPTIMIZE t WHERE part =
+    // v`): at 100 TB the practical maintenance statement is "compact
+    // yesterday's partition", never the table — `graft_optimize_where`
+    // bin-packs ONLY the value groups matching the predicate, the
+    // packed outputs CARRY their value lines (equality pruning survives
+    // — required inline), untouched partitions keep their physical
+    // files (required inline), and rows are untouched (`nodata`).
+    // Oracle: the plain whole-table aggregate — maintenance must never
+    // change an answer.
+    Q("q244_optimize_where",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttow_", s"q244:$d")
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitPartitioned(s, root,
+            o.filter(col("o_orderkey") % 3 =!= 0), "o_orderpriority")
+        if (TimeTravel.currentVersion(root) < 1)
+          TimeTravel.commitPartitioned(s, root,
+            o.filter(col("o_orderkey") % 3 === 0), "o_orderpriority")
+        if (TimeTravel.currentVersion(root) < 2) {
+          val before = TimeTravel.snapshotFiles(root, 1)
+          val rep = s.sql(s"SELECT * FROM graft_optimize_where('$root', " +
+            "'o_orderpriority', '3-MEDIUM', 1)").head()
+          val v = rep.getLong(0).toInt
+          val after = TimeTravel.snapshotFiles(root, v)
+          val tv = TimeTravel.tvalsFor(root, v)
+          require(after.count(f =>
+            tv((f, "o_orderpriority"))._2 == "3-MEDIUM") == 1,
+            "q244: the scoped optimize did not pack the group")
+          require((before.toSet intersect after.toSet).nonEmpty,
+            "q244: the scoped optimize rewrote untouched partitions")
+        }
+        prioAgg(TimeTravel.readAsOfValue(s, root,
+          TimeTravel.currentVersion(root), "o_orderpriority", "3-MEDIUM")
+          .unionByName(TimeTravel.readAsOf(s, root,
+            TimeTravel.currentVersion(root))
+            .filter(col("o_orderpriority") =!= "3-MEDIUM")))
+          .orderBy("o_orderpriority")
+      }),
+
+    // Q245 PARTITIONS METADATA TABLE (Iceberg's `partitions`): one row
+    // per tagged value group with file count and logged LIVE row count,
+    // resolved from commit-log metadata alone — zero file opens, so the
+    // size report costs the same at 100 TB as at 100 MB (required
+    // inline: one file per value after commitPartitioned). Oracle: the
+    // per-value row counts replayed over the source table.
+    Q("q245_partitions_meta",
+      Some("""SELECT 'o_orderpriority|=|' || o_orderpriority AS part,
+             |  count(*) AS n_rows
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY part""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttpm_", s"q245:$d")
+        graft.GraftFunctions.register(s)
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitPartitioned(s, root, orders3(s, d),
+            "o_orderpriority")
+        val pm = s.sql(s"SELECT * FROM graft_partitions('$root')")
+        require(pm.filter(col("n_files") =!= 1).isEmpty,
+          "q245: commitPartitioned should land one file per value")
+        pm.select(col("part"), col("rows").as("n_rows")).orderBy("part")
+      }),
+
     // Q243 CHERRY-PICK (Iceberg's cherrypick_snapshot — q241's partial
     // publish): when main has ADVANCED past the branch base,
     // fast-forward refuses (required inline) — but one APPEND-ONLY

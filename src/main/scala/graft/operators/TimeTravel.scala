@@ -3678,6 +3678,145 @@ object TimeTravel extends QueryModule {
       .queryExecution.logical
   }
 
+  /** Iceberg's `partitions` metadata table: one row per distinct tagged
+    * value-line set (`col|tag|value`, comma-joined, sorted; empty string
+    * = the unpartitioned group) with its file count, logged LIVE row
+    * count (DV masks subtracted; NULL when any member file predates
+    * row-count logging), and masked-row total. Commit-log metadata
+    * only — zero file opens, so the size report costs the same at
+    * 100 TB as at 100 MB. The view an operator sizes per-partition
+    * maintenance ([[compactWhere]], retention) with. */
+  def partitionsMeta(s: SparkSession, root: String): DataFrame = {
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: no table at $root")
+    val files = snapshotFiles(root, gen)
+    val tv = tvalsFor(root, gen)
+    val nrows = nrowsFor(root, gen)
+    val dvs = dvsFor(root, gen)
+    def lines(f: String): String = tv.collect {
+      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
+    }.toSeq.sorted.mkString(",")
+    val rows = files.groupBy(lines).toSeq.sortBy(_._1).map { case (part, fls) =>
+      val counts = fls.map(nrows.get)
+      val masked = fls.flatMap(f => dvs.get(f).map(_._2)).sum
+      (part, fls.size.toLong,
+        if (counts.forall(_.isDefined))
+          java.lang.Long.valueOf(counts.flatten.sum - masked)
+        else null.asInstanceOf[java.lang.Long],
+        masked)
+    }
+    import s.implicits._
+    rows.toDF("part", "n_files", "rows", "dv_rows")
+  }
+
+  /** `graft_partitions(root)` — the partitions metadata TVF. */
+  def partitionsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1, "usage: graft_partitions(root)")
+    partitionsMeta(SparkSession.active, litStr(exprs(0), "root"))
+      .queryExecution.logical
+  }
+
+  /** PARTITION-SCOPED OPTIMIZE (Delta's `OPTIMIZE t WHERE part = v`):
+    * bin-pack ONLY the value groups whose lines carry `partCol`'s
+    * `value` — at 100 TB the practical maintenance shape is "compact
+    * yesterday's partition", never the table. Groups pack separately
+    * (multi-term specs keep every line — the [[compactSmall]] r18
+    * discipline), outputs CARRY the group's lines so pruning survives,
+    * rows are untouched (`nodata`, change feeds skip), dvExpect guards
+    * the racing-DV window, and untouched partitions keep their
+    * physical files. Returns the committed version; the current one
+    * when every matching group is already within `targetFiles`. */
+  def compactWhere(s: SparkSession, root: String, partCol: String,
+      value: String, targetFiles: Int): Int = {
+    require(targetFiles > 0, s"time travel: bad targetFiles $targetFiles")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: cannot compact empty table $root")
+    requireFeaturesWritable(root)
+    val tv = tvalsFor(root, gen)
+    def lines(f: String): Seq[String] = tv.collect {
+      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
+    }.toSeq.sorted
+    val physCol = colmapAsOf(root, gen).getOrElse(partCol, partCol)
+    val groups = snapshotFiles(root, gen).groupBy(lines).filter {
+      case (key, fls) => fls.size > targetFiles &&
+        key.exists(l => l.startsWith(s"$physCol|") && l.endsWith(s"|$value"))
+    }
+    if (groups.isEmpty) return gen
+    val dvAtRead = dvsFor(root, gen)
+    val adds = Seq.newBuilder[String]
+    val stats = Seq.newBuilder[String]
+    val removedAll = Seq.newBuilder[String]
+    groups.toSeq.sortBy(_._2.head).foreach { case (key, fls) =>
+      val added = stagePlain(s, root,
+        readFilesFilledDvs(s, root, gen, fls).coalesce(targetFiles))
+      adds ++= added
+      removedAll ++= fls
+      stats ++= added.flatMap(n => key.map(line => s"$n|$line"))
+    }
+    val removed = removedAll.result()
+    commitNames(s, root, adds.result(), removed, stats.result(),
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL),
+      flags = Seq("nodata"),
+      dvExpect =
+        Some(removed.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
+  }
+
+  /** `graft_optimize_where(root, partCol, value, targetFiles)` —
+    * partition-scoped OPTIMIZE from pure SQL (lazy, idempotent once
+    * within target). Returns (version, files_before, files_after) for
+    * the WHOLE snapshot. */
+  def optimizeWherePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4,
+      "usage: graft_optimize_where(root, partCol, value, targetFiles)")
+    val root = litStr(exprs(0), "root")
+    val partCol = litStr(exprs(1), "partCol")
+    val value = litStr(exprs(2), "value")
+    val target = litInt(exprs(3), "targetFiles")
+    maintPlan("optimize_where",
+        Seq("version", "files_before", "files_after")) {
+      val s = SparkSession.active
+      val before = snapshotFiles(root, currentVersion(root)).size
+      val v = compactWhere(s, root, partCol, value, target)
+      Seq(v.toLong, before.toLong, snapshotFiles(root, v).size.toLong)
+    }
+  }
+
+  /** `graft_vacuum_dry(root[, graceMins])` — Delta's VACUUM DRY RUN:
+    * report what a vacuum would reclaim, delete nothing. */
+  def vacuumDryPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "usage: graft_vacuum_dry(root[, graceMins])")
+    val root = litStr(exprs(0), "root")
+    val graceMs =
+      if (exprs.length == 2) litLong(exprs(1), "graceMins") * 60000L else 0L
+    val s = SparkSession.active
+    import s.implicits._
+    vacuumDryRun(root, graceMs).toDF("file").queryExecution.logical
+  }
+
+  /** `graft_restore_ts(root, tsMillis)` — RESTORE to the generation in
+    * force at a wall-clock instant (Delta's RESTORE TIMESTAMP AS OF),
+    * through the same metadata-only rollback as [[restorePlan]]. */
+  def restoreTsPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_restore_ts(root, tsMillis)")
+    val root = litStr(exprs(0), "root")
+    val ts = litLong(exprs(1), "tsMillis")
+    maintPlan("restore_ts",
+        Seq("version", "restored_gen", "files_readded", "files_retired")) {
+      val s = SparkSession.active
+      val toGen = versionAtTime(root, ts)
+      val target = snapshotFiles(root, toGen).toSet
+      val current = snapshotFiles(root, currentVersion(root)).toSet
+      val v = restore(s, root, toGen)
+      Seq(v.toLong, toGen.toLong,
+        (target -- current).size.toLong, (current -- target).size.toLong)
+    }
+  }
+
   /** `graft_clone(src, dst)` — the q179 zero-copy shallow clone from
     * pure SQL (Delta's `CREATE TABLE … SHALLOW CLONE`). The clone runs
     * at EXECUTION (lazy MaintenanceNode — EXPLAIN creates nothing);
@@ -4508,13 +4647,27 @@ object TimeTravel extends QueryModule {
     * table with live writers should pass hours, like Delta's default
     * 7-day retention. */
   def vacuum(root: String, graceMs: Long): Seq[String] = {
-    // referenced = every surviving commit's adds PLUS every checkpoint's
-    // resolved file list — after history expiry the oldest surviving
-    // snapshot is backed by a checkpoint, not by the deleted commits —
-    // PLUS every live clone's absolute references into this table
-    // (r14 verdict #4: source retention must not break shallow clones)
-    // PLUS every live branch's staged adds (r18: branch commits share
-    // the data directory; a vacuum must not eat an unpublished branch)
+    val (fs, victims) = vacuumCandidates(root, graceMs)
+    victims.map { p => fs.delete(p, false); p.getName }.sorted
+  }
+
+  /** VACUUM DRY RUN (Delta's `VACUUM … DRY RUN`): the files [[vacuum]]
+    * WOULD delete under the same grace window, deleting nothing — the
+    * audit step before an irreversible reclaim. Same planning cost. */
+  def vacuumDryRun(root: String, graceMs: Long): Seq[String] =
+    vacuumCandidates(root, graceMs)._2.map(_.getName).sorted
+
+  /** The shared planning half of [[vacuum]]/[[vacuumDryRun]]: every
+    * unreferenced, grace-aged data and change file. referenced = every
+    * surviving commit's adds PLUS every checkpoint's resolved file
+    * list — after history expiry the oldest surviving snapshot is
+    * backed by a checkpoint, not by the deleted commits — PLUS every
+    * live clone's absolute references into this table (r14 verdict #4:
+    * source retention must not break shallow clones) PLUS every live
+    * branch's staged adds (r18: branch commits share the data
+    * directory; a vacuum must not eat an unpublished branch). */
+  private def vacuumCandidates(root: String, graceMs: Long)
+      : (org.apache.hadoop.fs.FileSystem, Seq[org.apache.hadoop.fs.Path]) = {
     val (fsL, commits, ckpts) = listLog(root)
     val branchAdds = branchesFor(root,
       commits.lastOption.map(_._1).getOrElse(-1)) match {
@@ -4533,7 +4686,7 @@ object TimeTravel extends QueryModule {
     val d = new org.apache.hadoop.fs.Path(s"$root/data")
     val dataGone = (if (fs.exists(d)) fs.listStatus(d).toSeq else Seq.empty)
       .filter(st => st.isFile && !referenced(st.getPath.getName) && aged(st))
-      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
+      .map(_.getPath)
     // change files referenced by no surviving commit (their commits were
     // expired by retention — the range is unreadable anyway) go too
     val cdcRef = commits
@@ -4541,8 +4694,8 @@ object TimeTravel extends QueryModule {
     val cd = new org.apache.hadoop.fs.Path(cdcDir(root))
     val cdcGone = (if (fs.exists(cd)) fs.listStatus(cd).toSeq else Seq.empty)
       .filter(st => st.isFile && !cdcRef(st.getPath.getName) && aged(st))
-      .map { st => fs.delete(st.getPath, false); st.getPath.getName }
-    (dataGone ++ cdcGone).sorted
+      .map(_.getPath)
+    (fs, dataGone ++ cdcGone)
   }
 
   /** History RETENTION: delete commit files below `keepFrom` (and

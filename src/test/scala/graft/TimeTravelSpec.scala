@@ -1679,6 +1679,60 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.vacuum(dst).isEmpty)
   }
 
+  test("ops surface: graft_partitions sizes groups, optimize_where packs one, vacuum_dry deletes nothing, restore_ts rolls back (r18)") {
+    val root = newRoot()
+    val base = orders.limit(600)
+    TimeTravel.commitPartitioned(spark, root, base, "o_orderpriority")
+    val ts0 = TimeTravel.commitTimes(root).head._2
+    val med = base.filter(col("o_orderpriority") === "3-MEDIUM")
+    for (i <- 0 until 3)
+      TimeTravel.commitPartitioned(spark, root,
+        med.offset(i * 10).limit(10), "o_orderpriority")
+    graft.GraftFunctions.register(spark)
+    // partitions metadata: per-group file counts and LIVE row counts
+    // from commit-log metadata alone
+    val pm = spark.sql(s"SELECT * FROM graft_partitions('$root')")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val medKey = "o_orderpriority|=|3-MEDIUM"
+    assert(pm(medKey)._1 === 4L, s"group files: $pm")
+    assert(pm(medKey)._2 === med.count() + 30)
+    val otherKey = pm.keys.find(k => k != medKey).get
+    assert(pm(otherKey)._1 === 1L)
+    // partition-scoped OPTIMIZE: only the 3-MEDIUM group packs
+    val before = TimeTravel.snapshotFiles(root,
+      TimeTravel.currentVersion(root))
+    val rep = spark.sql(s"SELECT * FROM graft_optimize_where('$root', " +
+      "'o_orderpriority', '3-MEDIUM', 1)").head()
+    val v = rep.getLong(0).toInt
+    val after = TimeTravel.snapshotFiles(root, v)
+    val tv = TimeTravel.tvalsFor(root, v)
+    assert(after.count(f => tv((f, "o_orderpriority"))._2 == "3-MEDIUM")
+      === 1, "the scoped optimize did not pack the group")
+    assert((before.toSet intersect after.toSet).nonEmpty,
+      "the scoped optimize rewrote untouched partitions")
+    assert(TimeTravel.readAsOfValue(spark, root, v,
+      "o_orderpriority", "3-MEDIUM").count() === med.count() + 30)
+    // VACUUM DRY RUN: reports the orphan, deletes nothing
+    base.limit(30).write.mode("overwrite").parquet(s"$root/orphan")
+    val of = new java.io.File(s"$root/orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(of.toPath,
+      java.nio.file.Paths.get(s"$root/data/orphan-${of.getName}"))
+    val dry = spark.sql(s"SELECT * FROM graft_vacuum_dry('$root')")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry === Seq(s"orphan-${of.getName}"), s"dry run: $dry")
+    assert(new java.io.File(s"$root/data/orphan-${of.getName}").exists(),
+      "DRY RUN deleted a file")
+    assert(TimeTravel.vacuum(root) === dry, "vacuum disagreed with dry run")
+    // RESTORE TIMESTAMP AS OF: back to the first commit's instant
+    val rrep = spark.sql(
+      s"SELECT * FROM graft_restore_ts('$root', ${ts0}L)").head()
+    assert(rrep.getLong(1) === 0L)
+    assert(TimeTravel.readAsOf(spark, root,
+      TimeTravel.currentVersion(root)).count() === base.count())
+  }
+
   private def withSqlConf[T](confs: (String, String)*)(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
