@@ -203,12 +203,16 @@ object TimeTravel extends QueryModule {
   }
 
   /** The WRITE-path protocol gate: refuse when `root` requires a writer
-    * feature this build does not implement — called by every write
-    * entry (library DML, DSv2 staged commits, maintenance verbs) before
-    * heavy work, and unconditionally inside [[commitNames]] so no write
-    * path can bypass it; a refused write leaves the LOG unchanged (at
-    * worst vacuum-able staged orphans). Old logs carry no array and
-    * pass free. */
+    * feature this build does not implement. The UNBYPASSABLE check
+    * lives inside [[commitNames]] (every write lands through it, and a
+    * refusal there leaves the LOG unchanged — at worst vacuum-able
+    * staged orphans); the row-level DML and maintenance verbs also
+    * check before their heavy reads so refusals stay cheap. One
+    * resolution (listing + checkpoint/tail fold) per call — the same
+    * cost class as the other per-commit folds, so plain staging verbs
+    * deliberately rely on the chokepoint alone instead of paying a
+    * second fold per statement. Old logs carry no array and pass
+    * free. */
   private[graft] def requireFeaturesWritable(root: String): Unit = {
     val gen = currentVersion(root)
     if (gen < 0) return
@@ -298,6 +302,7 @@ object TimeTravel extends QueryModule {
   def commit(s: SparkSession, root: String, df: DataFrame,
       removed: Seq[String] = Nil, flags: Seq[String] = Nil,
       txn: Option[String] = None): Int = {
+    requireFeaturesWritable(root) // refuse before staging a byte
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val added = stagePlain(s, root, df)
@@ -384,10 +389,7 @@ object TimeTravel extends QueryModule {
       val g0 = currentVersion(root)
       if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
     }
-    val dfP =
-      if (cmB.isEmpty) df
-      else df.select(df.schema.fieldNames.toSeq.map(n =>
-        col(n).as(cmB.getOrElse(n, n))): _*)
+    val dfP = toPhysicalFrameCm(cmB, df)
     val physKey = cmB.getOrElse(keyCol, keyCol)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     dfP.withColumn("gb", pmod(hash(col(physKey)), lit(nBuckets)))
@@ -447,10 +449,7 @@ object TimeTravel extends QueryModule {
       val g0 = currentVersion(root)
       if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
     }
-    val dfP =
-      if (cmC.isEmpty) df
-      else df.select(df.schema.fieldNames.toSeq.map(n =>
-        col(n).as(cmC.getOrElse(n, n))): _*)
+    val dfP = toPhysicalFrameCm(cmC, df)
     val sortCol = cmC.getOrElse(lSortCol, lSortCol)
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     dfP.repartitionByRange(nFiles, col(sortCol))
@@ -527,10 +526,7 @@ object TimeTravel extends QueryModule {
       val g0 = currentVersion(root)
       if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
     }
-    val dfP =
-      if (cmZ.isEmpty) df
-      else df.select(df.schema.fieldNames.toSeq.map(n =>
-        col(n).as(cmZ.getOrElse(n, n))): _*)
+    val dfP = toPhysicalFrameCm(cmZ, df)
     val c1 = cmZ.getOrElse(lc1, lc1)
     val c2 = cmZ.getOrElse(lc2, lc2)
     val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
@@ -634,10 +630,7 @@ object TimeTravel extends QueryModule {
       val g0 = currentVersion(root)
       if (g0 < 0) Map.empty[String, String] else colmapAsOf(root, g0)
     }
-    val dfP =
-      if (cmZ.isEmpty) df
-      else df.select(df.schema.fieldNames.toSeq.map(nm =>
-        col(nm).as(cmZ.getOrElse(nm, nm))): _*)
+    val dfP = toPhysicalFrameCm(cmZ, df)
     val cols = lcols.map(c => cmZ.getOrElse(c, c))
     val prefixBits = java.lang.Integer.numberOfTrailingZeros(nFiles)
     require(prefixBits <= 16 * n,
@@ -1971,10 +1964,6 @@ object TimeTravel extends QueryModule {
     * SQL CHECK semantics: a NULL predicate passes. */
   private def validateConstraints(s: SparkSession, root: String,
       df: DataFrame): Unit = {
-    // every staging writer validates before heavy work — the cheapest
-    // shared seam for the writer-feature protocol gate (commitNames
-    // re-checks unconditionally, so non-validating paths stay gated)
-    requireFeaturesWritable(root)
     val gen = currentVersion(root)
     if (gen < 0) return
     val cs = constraintsAsOf(root, gen)
@@ -2211,17 +2200,20 @@ object TimeTravel extends QueryModule {
     * against the table's live set. Returns the branch sequence number. */
   def commitToBranch(s: SparkSession, root: String, name: String,
       df: DataFrame): Int = {
-    validateConstraints(s, root, df) // includes the writer-feature gate
+    requireFeaturesWritable(root)
+    validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val cur = currentVersion(root)
-    val base = branchesFor(root, cur).getOrElse(name,
-      throw new IllegalArgumentException(
-        s"time travel: no branch '$name' under $root"))
-    val cmap = colmapAsOf(root, base)
-    val physDf =
-      if (cmap.isEmpty) df
-      else df.select(df.schema.fieldNames.toSeq.map(n =>
-        col(n).as(cmap.getOrElse(n, n))): _*)
+    require(branchesFor(root, cur).contains(name),
+      s"time travel: no branch '$name' under $root")
+    // the staging colmap resolves at the CURRENT generation, not the
+    // base: physical names are rename-STABLE (a rename changes only the
+    // logical side), so base-era columns translate identically either
+    // way — but a column ADDED on main after the fork exists only in
+    // the current map, and base-resolution would store it under its
+    // logical name, which a later cherry-pick's physical-schema read
+    // would silently null (r18 review)
+    val physDf = toPhysicalFrame(root, cur, df)
     val added = stagePlain(s, root, physDf)
     val nrows = added.map(f => s"$f|${footerRows(root, f)}")
     val (fs, _) = fsFor(root)
@@ -2256,10 +2248,14 @@ object TimeTravel extends QueryModule {
     * generations are invisible (that is the point of the fork). */
   def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
     val (base, files, schemaDdl, _) = branchState(root, name)
+    val cur = currentVersion(root)
     val logical = schemaDdl
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .orElse(schemaAsOf(root, base))
-    val cmap = colmapAsOf(root, base)
+    // colmap at CURRENT gen (rename-stable physical names, plus any
+    // post-fork adds the branch commits stored under fresh physical
+    // names — the commitToBranch discipline)
+    val cmap = colmapAsOf(root, cur)
     val physSchema = logical.map(sc =>
       org.apache.spark.sql.types.StructType(
         sc.map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
@@ -2270,7 +2266,15 @@ object TimeTravel extends QueryModule {
         case None => s.read.parquet(paths: _*)
       }
     }
-    val raw = readFilesWithDvs(s, root, base, files, reader)
+    // recorded column DEFAULTS fill per footer group, exactly like
+    // every other read path (r18 review: the raw read served NULL on
+    // pre-default base files where graft_asof serves the default)
+    val raw = defaultFillGroups(root, base, files)
+      .map { case (fls, fills) =>
+        fills.foldLeft(readFilesWithDvs(s, root, base, fls, reader)) {
+          case (d, (c, v)) => d.withColumn(c, v)
+        }
+      }.reduce(_ unionByName _)
     logical match {
       case Some(sc) if cmap.nonEmpty =>
         raw.select(sc.map(f =>
@@ -2338,7 +2342,7 @@ object TimeTravel extends QueryModule {
     * are re-referenced, not copied. The branch stays live (pick the
     * rest later, or drop it). Returns the new main generation. */
   def cherryPick(s: SparkSession, root: String, name: String,
-      k: Int): Int = {
+      k: Int): Int = lockFor(root).synchronized {
     val cur = currentVersion(root)
     require(branchesFor(root, cur).contains(name),
       s"time travel: no branch '$name' under $root")
@@ -2354,30 +2358,44 @@ object TimeTravel extends QueryModule {
     require(parseArr(txt, "removed").isEmpty,
       s"time travel: branch commit $name/$k removes files — cherry-pick " +
         "serves append-only commits; fast-forward or rebase instead")
+    if (added.isEmpty) return cur
+    // EXACTLY-ONCE pick: the pick records a txn keyed by the staged
+    // content's (globally unique, uid-prefixed) first file name, and a
+    // re-pick refuses even after a compaction retired the picked files
+    // from the live set (the old live-set guard alone passed then and
+    // DUPLICATED every picked row — the packed outputs carry them).
+    // Checkpoint-folded like every txn, so retention keeps the guard.
+    // Same-JVM racers are excluded by lockFor (the commitTxn contract);
+    // the live-set check below stays as the fast duplicate tell.
+    val pickId = s"cherrypick-${added.head}"
+    require(lastTxnVersion(root, pickId).isEmpty,
+      s"time travel: branch commit $name/$k was already cherry-picked " +
+        s"(its rows live on in the snapshot even if a compaction " +
+        "retired the original files) — nothing to re-apply")
     val live = snapshotFiles(root, cur).toSet
     val dup = added.filter(live)
     require(dup.isEmpty,
       s"time travel: cherry-pick of $name/$k would re-add files already " +
         s"in the snapshot (${dup.mkString(", ")}) — already picked?")
-    if (added.isEmpty) return cur
     // re-validate the picked rows against the constraints in force NOW
-    // (the branch commit predates any constraint added since); the read
-    // goes through the current mapping like every staged validation
+    // (the branch commit predates any constraint added since) — through
+    // the current mapping AND with recorded defaults filled, like every
+    // staged validation (a defaulted CHECK must not pass vacuously on
+    // the raw NULLs of pre-default branch files)
     validateConstraints(s, root,
-      toLogicalFrame(root, cur, {
-        val paths = added.map(f => dataPath(root, f))
-        physSchemaAsOf(root, cur) match {
-          case Some(sc) => s.read.schema(sc).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
-      }))
+      toLogicalFrame(root, cur, readFilesFilledDvs(s, root, cur, added)))
     val addedSet = added.toSet
     val nrows = parseArr(txt, "nrows")
       .filter(l => addedSet(l.takeWhile(_ != '|')))
     commitNames(s, root, added, Nil,
       nrowsIn = if (nrows.size == added.size) Some(nrows) else None,
-      schemaDdl = parseArr(txt, "schemav").headOption
-        .orElse(schemaAsOf(root, cur).map(_.toDDL)),
+      // the pick must NOT regress the head schema to the branch-era
+      // one: main may have evolved since the branch commit, and
+      // schemaAsOf resolves the newest logged schema — log the CURRENT
+      // schema; the picked files' extra/missing columns ride the usual
+      // schema-on-read rules (projected away / null-filled)
+      schemaDdl = schemaAsOf(root, cur).map(_.toDDL),
+      txn = Some(s"$pickId|0"),
       flags = Seq("cherry-pick"))
   }
 
@@ -2649,6 +2667,7 @@ object TimeTravel extends QueryModule {
     * Constraints and schema enforcement run against the logical frame —
     * the names users wrote them in. */
   def commitMapped(s: SparkSession, root: String, df: DataFrame): Int = {
+    requireFeaturesWritable(root) // refuse before staging a byte
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val gen = currentVersion(root)
@@ -2898,33 +2917,14 @@ object TimeTravel extends QueryModule {
     val dvs = dvsFor(root, gen)
     def liveRows(f: String): Option[Long] =
       nrows.get(f).map(n => n - dvs.get(f).map(_._2).getOrElse(0L))
-    val tv = tvalsFor(root, gen)
-    def groupKey(f: String): Seq[String] = tv.collect {
-      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
-    }.toSeq.sorted
+    val byFile = tagLinesByFile(root, gen)
+    def groupKey(f: String): Seq[String] = byFile.getOrElse(f, Nil)
     val small = snapshotFiles(root, gen)
       .filter(f => liveRows(f).exists(_ < smallRows))
     val groups = small.groupBy(groupKey).filter(_._2.size >= minFiles)
     if (groups.isEmpty) return gen
-    val dvAtRead = dvsFor(root, gen)
-    val adds = Seq.newBuilder[String]
-    val stats = Seq.newBuilder[String]
-    val removedAll = Seq.newBuilder[String]
-    groups.toSeq.sortBy(_._2.head).foreach { case (key, fls) =>
-      val total = fls.flatMap(liveRows).sum
-      val nOut = math.max(1, math.ceil(total.toDouble / smallRows).toInt)
-      val added = stagePlain(s, root,
-        readFilesFilledDvs(s, root, gen, fls).coalesce(nOut))
-      adds ++= added
-      removedAll ++= fls
-      stats ++= added.flatMap(n => key.map(line => s"$n|$line"))
-    }
-    val removed = removedAll.result()
-    commitNames(s, root, adds.result(), removed, stats.result(),
-      schemaDdl = schemaAsOf(root, gen).map(_.toDDL),
-      flags = Seq("nodata"),
-      dvExpect =
-        Some(removed.map(f => f -> dvAtRead.get(f).map(_._1)).toMap))
+    packValueGroups(s, root, gen, groups, fls =>
+      math.ceil(fls.flatMap(liveRows).sum.toDouble / smallRows).toInt)
   }
 
   /** Post-commit AUTO-COMPACTION trigger (Delta's
@@ -2980,13 +2980,19 @@ object TimeTravel extends QueryModule {
     * names at `gen`, plus any `extra` columns carried through verbatim
     * (`_change_type` on CDC frames). Identity on unmapped tables. */
   private def toPhysicalFrame(root: String, gen: Int, logical: DataFrame,
-      extra: Seq[String] = Nil): DataFrame = {
-    val cm = colmapAsOf(root, gen)
+      extra: Seq[String] = Nil): DataFrame =
+    toPhysicalFrameCm(
+      if (gen < 0) Map.empty else colmapAsOf(root, gen), logical, extra)
+
+  /** [[toPhysicalFrame]] over an already-resolved mapping — the single
+    * projection idiom every mapped staging writer shares (r18 review:
+    * four verb-local copies had started to drift). */
+  private def toPhysicalFrameCm(cm: Map[String, String],
+      logical: DataFrame, extra: Seq[String] = Nil): DataFrame =
     if (cm.isEmpty) logical
     else logical.select(
       (logical.columns.toSeq.filterNot(extra.contains).map(n =>
         col(n).as(cm.getOrElse(n, n))) ++ extra.map(col)): _*)
-  }
 
   def compactZOrdered(s: SparkSession, root: String, c1: String,
       c2: String, nFiles: Int): Int = {
@@ -3307,6 +3313,19 @@ object TimeTravel extends QueryModule {
         case _ => m
       }
     }
+
+  /** Per-file tagged value lines (`col|tag|value`, sorted) at `gen`,
+    * grouped in ONE pass over the tvals fold — the per-file
+    * `tv.collect { case ((`f`, …` pattern re-walked every entry per
+    * file, O(files × entries) on the driver (r18 review). Shared by
+    * the value-group maintenance verbs and the partitions metadata. */
+  private def tagLinesByFile(root: String, gen: Int)
+      : Map[String, Seq[String]] =
+    tvalsFor(root, gen).toSeq
+      .groupBy(_._1._1)
+      .map { case (f, es) =>
+        f -> es.map { case ((_, c), (tag, v)) => s"$c|$tag|$v" }.sorted
+      }
 
   /** Equality read pruned by the log's partition values: only files whose
     * recorded value matches — plus files with NO recorded value,
@@ -3690,12 +3709,10 @@ object TimeTravel extends QueryModule {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: no table at $root")
     val files = snapshotFiles(root, gen)
-    val tv = tvalsFor(root, gen)
+    val byFile = tagLinesByFile(root, gen)
     val nrows = nrowsFor(root, gen)
     val dvs = dvsFor(root, gen)
-    def lines(f: String): String = tv.collect {
-      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
-    }.toSeq.sorted.mkString(",")
+    def lines(f: String): String = byFile.getOrElse(f, Nil).mkString(",")
     val rows = files.groupBy(lines).toSeq.sortBy(_._1).map { case (part, fls) =>
       val counts = fls.map(nrows.get)
       val masked = fls.flatMap(f => dvs.get(f).map(_._2)).sum
@@ -3733,23 +3750,34 @@ object TimeTravel extends QueryModule {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot compact empty table $root")
     requireFeaturesWritable(root)
-    val tv = tvalsFor(root, gen)
-    def lines(f: String): Seq[String] = tv.collect {
-      case ((`f`, c), (tag, v)) => s"$c|$tag|$v"
-    }.toSeq.sorted
+    val byFile = tagLinesByFile(root, gen)
     val physCol = colmapAsOf(root, gen).getOrElse(partCol, partCol)
-    val groups = snapshotFiles(root, gen).groupBy(lines).filter {
-      case (key, fls) => fls.size > targetFiles &&
-        key.exists(l => l.startsWith(s"$physCol|") && l.endsWith(s"|$value"))
-    }
+    val groups = snapshotFiles(root, gen)
+      .groupBy(f => byFile.getOrElse(f, Nil)).filter {
+        case (key, fls) => fls.size > targetFiles &&
+          key.exists(l =>
+            l.startsWith(s"$physCol|") && l.endsWith(s"|$value"))
+      }
     if (groups.isEmpty) return gen
+    packValueGroups(s, root, gen, groups, _ => targetFiles)
+  }
+
+  /** The shared pack-and-commit body of [[compactSmall]] and
+    * [[compactWhere]] (r18 review: two drifting copies): stage each
+    * value group's live rows into `nOutFor(group files)` outputs, carry
+    * the group's tagged lines onto them, retire the inputs, and land
+    * ONE `nodata` commit guarded by dvExpect. */
+  private def packValueGroups(s: SparkSession, root: String, gen: Int,
+      groups: Map[Seq[String], Seq[String]],
+      nOutFor: Seq[String] => Int): Int = {
     val dvAtRead = dvsFor(root, gen)
     val adds = Seq.newBuilder[String]
     val stats = Seq.newBuilder[String]
     val removedAll = Seq.newBuilder[String]
     groups.toSeq.sortBy(_._2.head).foreach { case (key, fls) =>
       val added = stagePlain(s, root,
-        readFilesFilledDvs(s, root, gen, fls).coalesce(targetFiles))
+        readFilesFilledDvs(s, root, gen, fls)
+          .coalesce(math.max(1, nOutFor(fls))))
       adds ++= added
       removedAll ++= fls
       stats ++= added.flatMap(n => key.map(line => s"$n|$line"))

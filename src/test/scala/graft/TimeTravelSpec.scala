@@ -1636,6 +1636,61 @@ class TimeTravelSpec extends SparkSpec {
       === src.filter(col("pl").between(lo, hi)).count())
   }
 
+  test("cherry-pick keeps main's evolved schema; re-picks refuse even after compaction; branch reads fill defaults (r18 review)") {
+    val root = newRoot()
+    val base = orders.limit(300)
+    TimeTravel.commit(spark, root, base.filter(col("o_orderkey") % 2 === 0))
+    TimeTravel.createBranch(spark, root, "c", 0)
+    TimeTravel.commitToBranch(spark, root, "c",
+      base.filter(col("o_orderkey") % 2 === 1))
+    // main EVOLVES after the branch commit: a defaulted column lands
+    TimeTravel.addColumnMapped(spark, root, "flag", "BIGINT", Some("7"))
+    // the pick must NOT regress the head schema to the branch-era one
+    val v = TimeTravel.cherryPick(spark, root, "c", 0)
+    assert(TimeTravel.schemaAsOf(root, v)
+      .exists(_.fieldNames.contains("flag")),
+      "cherry-pick erased main's schema evolution")
+    val head = TimeTravel.readAsOfMapped(spark, root, v)
+    assert(head.count() === base.count())
+    assert(head.filter(col("flag").isNull || col("flag") =!= 7)
+      .count() === 0L, "picked rows lost the column default")
+    // post-fork branch commits store the ADDED column under its fresh
+    // physical name (current-colmap staging): the values survive a pick
+    TimeTravel.commitToBranch(spark, root, "c",
+      base.limit(10)
+        .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("flag", lit(9L)))
+    val v2 = TimeTravel.cherryPick(spark, root, "c", 1)
+    assert(TimeTravel.readAsOfMapped(spark, root, v2)
+      .filter(col("flag") === 9).count() === 10L,
+      "a post-fork added column's branch values were lost")
+    // a COMPACTION retires the picked files; the re-pick must STILL
+    // refuse — the rows live on in the packed outputs, and the old
+    // live-set guard alone would have duplicated every one of them
+    TimeTravel.compact(spark, root, 1)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.cherryPick(spark, root, "c", 0)
+    }
+    assert(e.getMessage.contains("already cherry-picked"), e.getMessage)
+    assert(TimeTravel.readAsOfMapped(spark, root,
+      TimeTravel.currentVersion(root)).count() === base.count() + 10)
+
+    // a branch over a DEFAULTED table reads the default, not NULL —
+    // the same fill every other read path serves
+    val root2 = newRoot()
+    TimeTravel.commit(spark, root2, base.limit(50))
+    TimeTravel.addColumnMapped(spark, root2, "region", "BIGINT", Some("3"))
+    TimeTravel.createBranch(spark, root2, "b", 1)
+    TimeTravel.commitToBranch(spark, root2, "b",
+      base.offset(50).limit(10).withColumn("region", lit(5L)))
+    val br = TimeTravel.readBranch(spark, root2, "b")
+    assert(br.filter(col("region").isNull).count() === 0L,
+      "branch read null-filled a defaulted column")
+    assert(br.filter(col("region") === 3).count() === 50L)
+    assert(br.filter(col("region") === 5).count() === 10L)
+  }
+
   test("deep clone survives source destruction; DVs, stats, mapping, constraints carry (r18)") {
     val root = newRoot()
     val base = Tables.table(spark, sf, "orders").limit(600)
