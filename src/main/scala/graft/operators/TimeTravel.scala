@@ -205,14 +205,13 @@ object TimeTravel extends QueryModule {
   /** The WRITE-path protocol gate: refuse when `root` requires a writer
     * feature this build does not implement. The UNBYPASSABLE check
     * lives inside [[commitNames]] (every write lands through it, and a
-    * refusal there leaves the LOG unchanged — at worst vacuum-able
-    * staged orphans); the row-level DML and maintenance verbs also
-    * check before their heavy reads so refusals stay cheap. One
-    * resolution (listing + checkpoint/tail fold) per call — the same
-    * cost class as the other per-commit folds, so plain staging verbs
-    * deliberately rely on the chokepoint alone instead of paying a
-    * second fold per statement. Old logs carry no array and pass
-    * free. */
+    * refusal there leaves the LOG unchanged); the staging verbs gate
+    * BEFORE writing anything through the shared `validateConstraints`
+    * seam, and the row-level DML / maintenance verbs before their
+    * heavy reads — a refusal never costs a full-dataset stage write.
+    * One resolution (listing + checkpoint/tail fold) per call, the
+    * same cost class as the other per-commit folds. Old logs carry no
+    * array and pass free. */
   private[graft] def requireFeaturesWritable(root: String): Unit = {
     val gen = currentVersion(root)
     if (gen < 0) return
@@ -302,7 +301,6 @@ object TimeTravel extends QueryModule {
   def commit(s: SparkSession, root: String, df: DataFrame,
       removed: Seq[String] = Nil, flags: Seq[String] = Nil,
       txn: Option[String] = None): Int = {
-    requireFeaturesWritable(root) // refuse before staging a byte
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val added = stagePlain(s, root, df)
@@ -1964,6 +1962,13 @@ object TimeTravel extends QueryModule {
     * SQL CHECK semantics: a NULL predicate passes. */
   private def validateConstraints(s: SparkSession, root: String,
       df: DataFrame): Unit = {
+    // the shared pre-staging seam for the writer-feature gate: the bulk
+    // staging verbs (clustered/bucketed/zordered/partitioned/bloomed
+    // commits) validate BEFORE writing the whole input to a stage dir —
+    // without the gate here they would stage a full dataset only for
+    // commitNames to refuse it (r18 review; the fold is cheap next to
+    // the staging write it avoids)
+    requireFeaturesWritable(root)
     val gen = currentVersion(root)
     if (gen < 0) return
     val cs = constraintsAsOf(root, gen)
@@ -2117,9 +2122,27 @@ object TimeTravel extends QueryModule {
   // '@' separates name from sequence and is OUTSIDE the name charset:
   // with '-' as the separator, branch "x" commit 12 ("b-x-12.json")
   // would parse as branch "x-1" commit 2 — branch names may contain
-  // dashes and digits, so any ≥10-commit branch silently lost commits
+  // dashes and digits, so any ≥10-commit branch silently lost commits.
+  // (No back-compat parse for the '-' form: it was introduced and
+  // replaced within the same unreleased change — no log ever shipped
+  // with it.)
   private val BranchName = """[A-Za-z_][A-Za-z0-9_.-]*""".r
   private val BranchCommitName = """b-(.+)@(\d+)\.json""".r
+
+  /** The logical→physical mapping a BRANCH frame resolves through: the
+    * BASE generation's map first (a base-era column keeps its physical
+    * name forever — a main-side rename after the fork moves only the
+    * logical side, so the branch's base-era logical names must keep
+    * resolving), falling back to the CURRENT map (a column ADDED on
+    * main after the fork exists only there, and must store under its
+    * fresh physical name or a later cherry-pick's physical-schema read
+    * silently nulls it). Either resolution alone breaks one of the two
+    * cases (r18 review, both directions). */
+  private def branchColmap(root: String, base: Int): Map[String, String] = {
+    val cmCur = colmapAsOf(root, currentVersion(root))
+    val cmBase = colmapAsOf(root, base)
+    cmCur ++ cmBase // base wins on shared logical names
+  }
 
   /** CREATE a branch at generation `gen` (Iceberg's createBranch): one
     * metadata commit recording the base. The base generation is PINNED
@@ -2200,20 +2223,16 @@ object TimeTravel extends QueryModule {
     * against the table's live set. Returns the branch sequence number. */
   def commitToBranch(s: SparkSession, root: String, name: String,
       df: DataFrame): Int = {
-    requireFeaturesWritable(root)
-    validateConstraints(s, root, df)
+    validateConstraints(s, root, df) // includes the writer-feature gate
     validateSchema(s, root, df.schema)
     val cur = currentVersion(root)
-    require(branchesFor(root, cur).contains(name),
-      s"time travel: no branch '$name' under $root")
-    // the staging colmap resolves at the CURRENT generation, not the
-    // base: physical names are rename-STABLE (a rename changes only the
-    // logical side), so base-era columns translate identically either
-    // way — but a column ADDED on main after the fork exists only in
-    // the current map, and base-resolution would store it under its
-    // logical name, which a later cherry-pick's physical-schema read
-    // would silently null (r18 review)
-    val physDf = toPhysicalFrame(root, cur, df)
+    val base = branchesFor(root, cur).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"time travel: no branch '$name' under $root"))
+    // base-first merged mapping: base-era logical names keep resolving
+    // across main-side renames, post-fork adds get their fresh physical
+    // names (see branchColmap)
+    val physDf = toPhysicalFrameCm(branchColmap(root, base), df)
     val added = stagePlain(s, root, physDf)
     val nrows = added.map(f => s"$f|${footerRows(root, f)}")
     val (fs, _) = fsFor(root)
@@ -2248,14 +2267,12 @@ object TimeTravel extends QueryModule {
     * generations are invisible (that is the point of the fork). */
   def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
     val (base, files, schemaDdl, _) = branchState(root, name)
-    val cur = currentVersion(root)
     val logical = schemaDdl
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .orElse(schemaAsOf(root, base))
-    // colmap at CURRENT gen (rename-stable physical names, plus any
-    // post-fork adds the branch commits stored under fresh physical
-    // names — the commitToBranch discipline)
-    val cmap = colmapAsOf(root, cur)
+    // base-first merged mapping — the commitToBranch discipline (see
+    // branchColmap: either single-generation resolution nulls a column)
+    val cmap = branchColmap(root, base)
     val physSchema = logical.map(sc =>
       org.apache.spark.sql.types.StructType(
         sc.map(f => f.copy(name = cmap.getOrElse(f.name, f.name)))))
@@ -2369,9 +2386,11 @@ object TimeTravel extends QueryModule {
     // the live-set check below stays as the fast duplicate tell.
     val pickId = s"cherrypick-${added.head}"
     require(lastTxnVersion(root, pickId).isEmpty,
-      s"time travel: branch commit $name/$k was already cherry-picked " +
-        s"(its rows live on in the snapshot even if a compaction " +
-        "retired the original files) — nothing to re-apply")
+      s"time travel: branch commit $name/$k was already cherry-picked — " +
+        "its rows live on in the snapshot even if a compaction retired " +
+        "the original files. If a RESTORE rolled the pick back, re-stage " +
+        "the rows with a fresh commitToBranch (the guard is keyed by the " +
+        "staged content, and a fresh stage gets fresh names)")
     val live = snapshotFiles(root, cur).toSet
     val dup = added.filter(live)
     require(dup.isEmpty,
@@ -2667,7 +2686,6 @@ object TimeTravel extends QueryModule {
     * Constraints and schema enforcement run against the logical frame —
     * the names users wrote them in. */
   def commitMapped(s: SparkSession, root: String, df: DataFrame): Int = {
-    requireFeaturesWritable(root) // refuse before staging a byte
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
     val gen = currentVersion(root)

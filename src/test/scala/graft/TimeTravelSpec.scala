@@ -1689,6 +1689,31 @@ class TimeTravelSpec extends SparkSpec {
       "branch read null-filled a defaulted column")
     assert(br.filter(col("region") === 3).count() === 50L)
     assert(br.filter(col("region") === 5).count() === 10L)
+
+    // a main-side RENAME after the fork must not null the branch's
+    // view (base-era logical names keep resolving through the merged
+    // mapping), and a pick of the pre-rename commit lands real values
+    // under the NEW name
+    val root3 = newRoot()
+    val b3 = base.limit(40).select(col("o_orderkey"),
+      col("o_totalprice").cast("double").as("price"))
+    TimeTravel.commit(spark, root3, b3)
+    TimeTravel.createBranch(spark, root3, "r", 0)
+    TimeTravel.commitToBranch(spark, root3, "r",
+      b3.limit(5).select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        col("price")))
+    TimeTravel.renameColumn(spark, root3, "price", "cost")
+    val br3 = TimeTravel.readBranch(spark, root3, "r")
+    assert(br3.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(br3.filter(col("price").isNull).count() === 0L,
+      "a rename after the fork nulled the branch view")
+    assert(br3.count() === 45L)
+    val vr = TimeTravel.cherryPick(spark, root3, "r", 0)
+    val hr = TimeTravel.readAsOfMapped(spark, root3, vr)
+    assert(hr.columns.toSeq === Seq("o_orderkey", "cost"))
+    assert(hr.filter(col("cost").isNull).count() === 0L,
+      "the pick nulled the renamed column")
+    assert(hr.count() === 45L)
   }
 
   test("deep clone survives source destruction; DVs, stats, mapping, constraints carry (r18)") {
