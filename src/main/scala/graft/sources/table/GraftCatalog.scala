@@ -653,8 +653,9 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
         throw new IllegalStateException(
           "graft catalog: deleteWhere called with filters canDeleteWhere " +
             "did not accept"))
-      // c arrives PHYSICAL (dvRange maps it); the DV writer reads the
-      // physical schema with defaults filled, so mapped tables mask here
+      // c arrives LOGICAL (deleteVectorWhere translates); the DV writer
+      // reads the physical schema with defaults filled, so mapped
+      // tables mask here
       TimeTravel.deleteVectorWhere(SparkSession.active, root, c, lo, hi)
     }
     ()
@@ -670,9 +671,9 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
 
   /** The single-column integral range `[lo, hi]` the ENTIRE filter set
     * (implicitly ANDed) pins down, when it does — the predicate shape
-    * [[TimeTravel.deleteVectorWhere]] serves; the column goes through
-    * the MAPPING (the DV writer reads the physical schema with defaults
-    * filled since r17, so mapped/defaulted tables take this path too).
+    * [[TimeTravel.deleteVectorWhere]] serves; the column stays LOGICAL —
+    * the verb translates through the mapping itself, like its sibling
+    * DML verbs (mapped/defaulted tables take this path too).
     * Any filter on another column or a non-range shape returns None —
     * those fall back to the delta/copy-on-write row-level ops. */
   private def dvRange(filters: Array[Filter]): Option[(String, Long, Long)] = {
@@ -704,10 +705,10 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
           case _ => false
         }
       if (!integral) None
-      // PHYSICAL column name: log stats and the DV position scan both
-      // speak physical (identity on unmapped tables)
-      else Some((readSide.phys(cols.head),
-        bs.map(_._2).max, bs.map(_._3).min))
+      // LOGICAL column name: deleteVectorWhere translates through the
+      // mapping itself like its sibling DML verbs (r18 ADVICE — the
+      // old pre-translation here made it the one physical-named verb)
+      else Some((cols.head, bs.map(_._2).max, bs.map(_._3).min))
     }
   }
 

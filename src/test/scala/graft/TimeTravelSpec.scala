@@ -1813,6 +1813,225 @@ class TimeTravelSpec extends SparkSpec {
       TimeTravel.currentVersion(root)).count() === base.count())
   }
 
+  test("parquet multi-part checkpoints: DVs, stats, nrows, txn ride retention; resolution stays O(tail) (r19)") {
+    val root = newRoot()
+    TimeTravel.CkptParquetMinLines = 0
+    try {
+      TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 4)
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      TimeTravel.deleteVectorWhere(spark, root, "o_orderkey", 0L, mx / 10)
+      // the idempotent append stays ABOVE the band and the mask range,
+      // so live-row expectations stay closed-form
+      TimeTravel.commitTxn(spark, root,
+        orders.filter(col("o_orderkey") > mx / 2).limit(10), "pq-app", 3L)
+      val v = TimeTravel.currentVersion(root)
+      assert(TimeTravel.checkpoint(root, v) === v)
+      // format: a sidecar parts DIRECTORY + a small manifest carrying
+      // the reader-feature gate pre-r19 builds refuse on
+      assert(new java.io.File(s"$root/_graft_log/$v.ckpt.parquet")
+        .isDirectory, "no parquet parts directory")
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_graft_log/$v.ckpt.json")), "UTF-8")
+      assert(manifest.contains(""""format":["parquet"]"""))
+      assert(manifest.contains("ckpt-parquet"))
+      assert(!manifest.contains(""""files":"""),
+        "the manifest still inlines the O(files) payload")
+      // the format marker gates the checkpoint FILE, not the table
+      assert(!TimeTravel.featuresAsOf(root, v).contains("ckpt-parquet"))
+      // checkpointed resolution: zero tail commit parses
+      val (filesAt, parsed) = TimeTravel.resolveSnapshot(root, v)
+      assert(parsed === 0, s"parquet checkpoint did not bound the log: $parsed")
+      // retention: the checkpoint is now the only carrier of state
+      TimeTravel.expireHistory(root, v)
+      val liveCount = orders.filter(col("o_orderkey") > mx / 10).count() + 10
+      assert(TimeTravel.readAsOf(spark, root, v).count() === liveCount,
+        "DV masks lost through a parquet checkpoint + retention")
+      assert(TimeTravel.lastTxnVersion(root, "pq-app") === Some(3L),
+        "txn records lost through a parquet checkpoint + retention")
+      assert(TimeTravel.schemaAsOf(root, v).map(_.fieldNames.toSeq) ===
+        Some(Seq("o_orderkey", "o_orderpriority", "o_totalprice")))
+      assert(TimeTravel.statsFor(root, v).nonEmpty &&
+        TimeTravel.nrowsFor(root, v).nonEmpty)
+      // range pruning still runs off the checkpoint's stats rows
+      val band = TimeTravel.readAsOfWhere(spark, root, v, "o_orderkey",
+        mx / 4, mx / 2)
+      assert(band.count() ===
+        orders.filter(col("o_orderkey").between(mx / 4, mx / 2)).count())
+      assert(band.inputFiles.length < filesAt.size,
+        "stats pruning lost through the parquet checkpoint")
+      // two more commits: resolution = checkpoint + 2 tail parses
+      TimeTravel.commit(spark, root, orders.limit(5))
+      TimeTravel.commit(spark, root, orders.limit(6))
+      assert(TimeTravel.resolveSnapshot(root, v + 2)._2 === 2)
+      assert(TimeTravel.readAsOf(spark, root, v + 2).count() ===
+        liveCount + 11)
+    } finally TimeTravel.CkptParquetMinLines = 4096
+  }
+
+  test("parquet checkpoints: blooms ride the binary column; key lookups keep pruning (r19)") {
+    val root = newRoot()
+    TimeTravel.CkptParquetMinLines = 0
+    try {
+      TimeTravel.commitBloomed(spark, root, orders, "o_orderkey", 4)
+      TimeTravel.checkpoint(root, 0)
+      assert(new java.io.File(s"$root/_graft_log/0.ckpt.parquet").isDirectory)
+      TimeTravel.setProperty(spark, root, "graft.retention", "test")
+      TimeTravel.expireHistory(root, 1)
+      val key = orders.agg(min("o_orderkey")).head().getLong(0)
+      val hit = TimeTravel.readAsOfKeys(spark, root, 1, "o_orderkey", Seq(key))
+      assert(hit.count() === orders.filter(col("o_orderkey") === key).count())
+      assert(hit.inputFiles.length <= 2,
+        s"bloom pruning lost: scanned ${hit.inputFiles.length} of 4")
+      assert(TimeTravel.readAsOfKeys(spark, root, 1, "o_orderkey",
+        Seq(-12345L)).count() === 0)
+    } finally TimeTravel.CkptParquetMinLines = 4096
+  }
+
+  test("parquet checkpoints split into size-targeted parts; legacy and parquet coexist in one log (r19)") {
+    val root = newRoot()
+    TimeTravel.CkptParquetMinLines = 0
+    TimeTravel.CkptRowsPerPart = 50
+    try {
+      TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 64)
+      val (before, _) = TimeTravel.resolveSnapshot(root, 0)
+      TimeTravel.checkpoint(root, 0)
+      // 64 files + 64 stats + 64 nrows = 192 lines / 50 per part = 4
+      val parts = new java.io.File(s"$root/_graft_log/0.ckpt.parquet")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 4,
+        s"expected 4 size-targeted parts, got ${parts.length}")
+      val (after, parsed) = TimeTravel.resolveSnapshot(root, 0)
+      assert(parsed === 0 && after.sorted === before.sorted,
+        "multi-part resolution changed the snapshot")
+      // a LEGACY checkpoint later in the same log takes over as base
+      TimeTravel.CkptParquetMinLines = Int.MaxValue
+      TimeTravel.commit(spark, root, orders.limit(5))
+      TimeTravel.checkpoint(root, 1)
+      assert(!new java.io.File(s"$root/_graft_log/1.ckpt.parquet").exists())
+      assert(TimeTravel.resolveSnapshot(root, 1)._2 === 0)
+      assert(TimeTravel.readAsOf(spark, root, 1).count() ===
+        orders.count() + 5)
+      // retention deletes the parquet parts with their manifest (the
+      // legacy checkpoint at 1 anchors, so the parquet one at 0 drops)
+      TimeTravel.commit(spark, root, orders.limit(3))
+      TimeTravel.expireHistory(root, 2)
+      assert(!new java.io.File(s"$root/_graft_log/0.ckpt.parquet").exists(),
+        "expired parquet checkpoint left its parts directory behind")
+      assert(!new java.io.File(s"$root/_graft_log/0.ckpt.json").exists())
+      assert(TimeTravel.readAsOf(spark, root, 2).count() ===
+        orders.count() + 8)
+    } finally {
+      TimeTravel.CkptParquetMinLines = 4096
+      TimeTravel.CkptRowsPerPart = 100000
+    }
+  }
+
+  test("dropBranch refuses a nonexistent branch without landing a commit") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(20))
+    val before = TimeTravel.currentVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.dropBranch(spark, root, "ghost")
+    }
+    assert(e.getMessage.contains("no branch 'ghost'"))
+    assert(TimeTravel.currentVersion(root) === before,
+      "a refused drop still landed a metadata commit")
+  }
+
+  test("readBranch at an empty/truncated base answers an empty frame") {
+    val root = newRoot()
+    val df = orders.limit(40)
+    TimeTravel.commit(spark, root, df)
+    // truncate: remove-only commit (the catalog's TRUNCATE TABLE shape)
+    val all = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSeq
+    TimeTravel.commitStagedFiles(spark, root, Nil, df.schema.toDDL,
+      removed = all)
+    TimeTravel.createBranch(spark, root, "fresh",
+      TimeTravel.currentVersion(root))
+    val br = TimeTravel.readBranch(spark, root, "fresh")
+    assert(br.count() === 0L)
+    assert(br.columns.toSeq ===
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice"))
+    // and a branch commit after the empty base reads back normally
+    TimeTravel.commitToBranch(spark, root, "fresh", df.limit(7))
+    assert(TimeTravel.readBranch(spark, root, "fresh").count() === 7L)
+    TimeTravel.dropBranch(spark, root, "fresh")
+  }
+
+  test("createBranch refuses leftover commit files from a raced drop") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(30))
+    TimeTravel.createBranch(spark, root, "w", 0)
+    TimeTravel.commitToBranch(spark, root, "w", orders.limit(5))
+    // simulate a racer whose staged branch commit survived the drop:
+    // keep a copy of the commit file, drop the branch, plant it back
+    val bf = new java.io.File(s"$root/_graft_log/b-w@0.json")
+    val bytes = java.nio.file.Files.readAllBytes(bf.toPath)
+    TimeTravel.dropBranch(spark, root, "w")
+    java.nio.file.Files.write(bf.toPath, bytes)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.createBranch(spark, root, "w", 0)
+    }
+    assert(e.getMessage.contains("leftover branch commit files"))
+    // cleanup restores creatability
+    bf.delete()
+    TimeTravel.createBranch(spark, root, "w", 0)
+    TimeTravel.dropBranch(spark, root, "w")
+  }
+
+  test("a rewrite planned under a stale DDL epoch conflicts loudly") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders.limit(100),
+      "o_orderkey", 2)
+    val gen = TimeTravel.currentVersion(root)
+    val stale = TimeTravel.ddlEpoch(root, gen)
+    val kept = TimeTravel.readAsOf(spark, root, gen)
+      .filter(col("o_orderkey") % 2 === 0)
+    // an interleaved metadata-only RENAME between the read and the
+    // commit: neither removed-live nor dvExpect fires, but the epoch
+    // check must — the kept rows were staged under the old names
+    TimeTravel.renameColumn(spark, root, "o_orderpriority", "prio")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commitClustered(spark, root, kept, "o_orderkey", 2,
+        ddlExpect = Some(stale))
+    }
+    assert(e.getMessage.contains("DDL conflict"))
+    // re-planned against the current epoch, the rewrite lands and the
+    // mapping survives: the renamed logical name still resolves
+    val gen2 = TimeTravel.currentVersion(root)
+    val kept2 = TimeTravel.readAsOfMapped(spark, root, gen2)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("prio"), col("o_totalprice"))
+    // logical frame under the CURRENT epoch commits cleanly
+    TimeTravel.commitClustered(spark, root,
+      kept2.withColumnRenamed("prio", "prio"), "o_orderkey", 2,
+      removed = Nil, ddlExpect = Some(TimeTravel.ddlEpoch(root, gen2)))
+    val head = TimeTravel.readAsOfMapped(spark, root,
+      TimeTravel.currentVersion(root))
+    assert(head.columns.contains("prio") &&
+      !head.columns.contains("o_orderpriority"))
+  }
+
+  test("a failing auto-compact never fails the append that triggered it") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(50))
+    // poison the thresholds: compactSmall's parse throws inside
+    // autoCompactIfDue — best-effort means the trigger swallows (and
+    // warns once), the table stays writable, the version only moves
+    // for real commits
+    TimeTravel.setProperty(spark, root, "graft.autoCompact", "true")
+    TimeTravel.setProperty(spark, root,
+      "graft.autoCompact.smallRows", "not-a-number")
+    val v = TimeTravel.currentVersion(root)
+    TimeTravel.autoCompactIfDue(spark, root) // must not throw
+    assert(TimeTravel.currentVersion(root) === v,
+      "a failed auto-compact landed a commit")
+    assert(TimeTravel.commit(spark, root, orders.limit(10)) === v + 1)
+    assert(TimeTravel.readAsOf(spark, root, v + 1).count() === 60L)
+  }
+
   private def withSqlConf[T](confs: (String, String)*)(body: => T): T = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
