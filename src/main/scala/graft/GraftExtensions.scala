@@ -148,7 +148,21 @@ object GraftFunctions {
       "graft_cherrypick(root, name, k) - apply ONE append-only branch " +
         "commit onto the CURRENT main head (the partial publish when " +
         "fast-forward refuses); re-validates constraints, refuses " +
-        "double-picks; zero data bytes move"))
+        "double-picks; zero data bytes move"),
+    ("graft_rebase", graft.operators.TimeTravel.rebasePlan _,
+      "graft_rebase(root, name) - land EVERY unpicked append-only " +
+        "branch commit on the current main head, in order, exactly " +
+        "once (the cherry-pick loop as one verb); refuses " +
+        "remove-carrying branches"),
+    ("graft_branch_delete", graft.operators.TimeTravel.branchDeletePlan _,
+      "graft_branch_delete(root, name, col, lo, hi) - row-level DELETE " +
+        "on a branch head (copy-on-write, branch view only); main " +
+        "never sees it until graft_ff publishes"),
+    ("graft_analyze", graft.operators.TimeTravel.analyzePlan _,
+      "graft_analyze(root, 'c1,c2') - record per-file column-NDV HLL " +
+        "sketches in the log (ANALYZE TABLE ... FOR COLUMNS); scans " +
+        "union the surviving files' sketches into DSv2 column stats " +
+        "for CBO join estimation"))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder, _) =>

@@ -3420,6 +3420,415 @@ object LakehouseOps extends QueryModule {
           TimeTravel.dropBranch(s, root, "cand")
         prioAgg(TimeTravel.readAsOf(s, root,
           TimeTravel.currentVersion(root))).orderBy("o_orderpriority")
+      }),
+
+    // Q246 WAP IN PURE SQL (r18 verdict #2 — Iceberg's write-audit-
+    // publish without one library call): `INSERT INTO cat.`t@audit``
+    // resolves the BRANCH through the catalog and stages through the
+    // ordinary distributed DSv2 writer, but the commit claims a branch
+    // sequence number — main's generation counter is untouched
+    // mid-flight (required inline, the q241 check); the audit reads
+    // `graft_branch_read`, the publish is `graft_ff`. Oracle: the
+    // three-leg slice algebra q241 pins, all built by SQL here.
+    Q("q246_branch_wap_sql",
+      Some("""WITH a AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY o_orderpriority),
+             |b AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT 'audit' AS leg, * FROM b
+             |UNION ALL SELECT 'main' AS leg, * FROM a
+             |UNION ALL SELECT 'published' AS leg, * FROM b
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val wh = WorkDirs.cached("graft_wap_", s"q246:$d")
+        val root = s"$wh/orders_t"
+        graft.GraftFunctions.register(s)
+        withConfs(s,
+          "spark.sql.catalog.gcat246" -> CatalogClass,
+          "spark.sql.catalog.gcat246.warehouse" -> wh) {
+          orders3(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_totalprice").cast("double").as("o_totalprice"))
+            .createOrReplaceTempView("q246_src")
+          if (TimeTravel.currentVersion(root) < 0)
+            s.sql("""CREATE TABLE gcat246.orders_t (
+                    |  o_orderkey BIGINT, o_orderpriority STRING,
+                    |  o_totalprice DOUBLE)""".stripMargin)
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("INSERT INTO gcat246.orders_t " +
+              "SELECT * FROM q246_src WHERE o_orderkey % 3 <> 0")
+          val gen1 = TimeTravel.currentVersion(root)
+          if (gen1 == 1 &&
+              !TimeTravel.branchesFor(root, gen1).contains("audit"))
+            s.sql(s"SELECT * FROM graft_branch('$root', 'audit', 1)")
+              .collect()
+          if (TimeTravel.branchesFor(root,
+                TimeTravel.currentVersion(root)).contains("audit") &&
+              s.sql(s"SELECT * FROM graft_branches('$root')")
+                .head().getLong(2) == 0L) {
+            // the WAP write: pure SQL INSERT addressed at the branch.
+            // The branch-create ref is generation 2 (a metadata
+            // commit); the INSERT itself must not move the counter.
+            val before = TimeTravel.currentVersion(root)
+            s.sql("INSERT INTO gcat246.`orders_t@audit` " +
+              "SELECT * FROM q246_src WHERE o_orderkey % 3 = 0")
+            require(TimeTravel.currentVersion(root) == before,
+              "q246: branch INSERT moved main's generation counter")
+            require(s.sql("SELECT count(*) FROM gcat246.orders_t")
+                .head().getLong(0) ==
+              s.sql("SELECT count(*) FROM q246_src " +
+                "WHERE o_orderkey % 3 <> 0").head().getLong(0),
+              "q246: branch rows leaked into main")
+          }
+          def legAgg(from: String, leg: String) = s.sql(
+            s"""SELECT '$leg' AS leg, o_orderpriority, count(*) AS n,
+               |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               |    AS total
+               |FROM $from GROUP BY o_orderpriority""".stripMargin)
+            .collect().map(r => (r.getString(0), r.getString(1),
+              r.getLong(2), r.getDouble(3))).toSeq
+          val (auditLeg, mainLeg) =
+            if (TimeTravel.branchesFor(root,
+                TimeTravel.currentVersion(root)).contains("audit")) {
+              val b = legAgg(s"graft_branch_read('$root', 'audit')", "audit")
+              val m = legAgg(s"graft_asof('$root', 1)", "main")
+              s.sql(s"SELECT * FROM graft_ff('$root', 'audit')").collect()
+              (b, m)
+            } else (
+              legAgg(s"graft_asof('$root', " +
+                s"${TimeTravel.currentVersion(root)})", "audit"),
+              legAgg(s"graft_asof('$root', 1)", "main"))
+          val pub = legAgg(
+            s"graft_asof('$root', ${TimeTravel.currentVersion(root)})",
+            "published")
+          (auditLeg ++ mainLeg ++ pub)
+            .toDF("leg", "o_orderpriority", "n", "total")
+            .orderBy("leg", "o_orderpriority")
+        }
+      }),
+
+    // Q247 BRANCH DML (r18 verdict #3 — the most common WAP audit
+    // outcome is FIXING the staged data): a fork takes row-level
+    // DELETE (`graft_branch_delete`, stats-pruned copy-on-write) and
+    // UPDATE (`updateBranchWhere`) on its own head — main is untouched
+    // (required inline) until `graft_ff` publishes the adds+removes as
+    // one atomic commit. Oracle: the delete/update bands replayed as
+    // WHERE/CASE over the source table, three legs.
+    Q("q247_branch_dml",
+      Some("""WITH m AS (SELECT max(o_orderkey)//5 AS u FROM orders),
+             |f AS (SELECT o_orderpriority,
+             |        CASE WHEN o_orderkey >= 3*(SELECT u FROM m)
+             |               AND o_orderkey <= 4*(SELECT u FROM m)
+             |             THEN 0 ELSE o_totalprice END AS price
+             |      FROM orders, m WHERE o_orderkey > m.u),
+             |b AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM f GROUP BY o_orderpriority),
+             |a AS (SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT 'branch' AS leg, * FROM b
+             |UNION ALL SELECT 'main' AS leg, * FROM a
+             |UNION ALL SELECT 'published' AS leg, * FROM b
+             |ORDER BY leg, o_orderpriority""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val root = WorkDirs.cached("graft_ttbd_", s"q247:$d")
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        val u = t(s, d, "orders").agg(max("o_orderkey")).head().getLong(0) / 5
+        val full = o.count()
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commitClustered(s, root, o, "o_orderkey", 4)
+        // published iff the head already lost the deleted band's rows;
+        // the branch-create ref itself is a metadata commit (v moves,
+        // data does not)
+        def headCount: Long = TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root)).count()
+        if (headCount == full && !TimeTravel.branchesFor(root,
+            TimeTravel.currentVersion(root)).contains("fix"))
+          s.sql(s"SELECT * FROM graft_branch('$root', 'fix', 0)").collect()
+        def nCommits: Long =
+          s.sql(s"SELECT * FROM graft_branches('$root')").collect()
+            .collectFirst { case r if r.getString(0) == "fix" => r.getLong(2) }
+            .getOrElse(-1L)
+        if (nCommits == 0L) {
+          // row-level DELETE on the branch head, from SQL
+          val rep = s.sql(s"SELECT * FROM graft_branch_delete('$root', " +
+            s"'fix', 'o_orderkey', 0, ${u}L)").head()
+          require(rep.getLong(0) == 0L, s"q247: delete report $rep")
+        }
+        if (nCommits == 1L) {
+          // row-level UPDATE on the branch head: zero the band's price
+          val tp = o.schema("o_totalprice").dataType
+          val before = TimeTravel.currentVersion(root)
+          TimeTravel.updateBranchWhere(s, root, "fix", "o_orderkey",
+            3 * u, 4 * u, "o_totalprice", lit(0).cast(tp))
+          // main untouched by both DML legs: counter AND row count
+          require(TimeTravel.currentVersion(root) == before &&
+            headCount == full,
+            "q247: branch DML leaked into main")
+        }
+        def legAgg(df: DataFrame, leg: String) =
+          prioAgg(df).select(lit(leg).as("leg"), col("o_orderpriority"),
+            col("n"), col("total"))
+        val (branchLeg, mainLeg) =
+          if (TimeTravel.branchesFor(root,
+              TimeTravel.currentVersion(root)).contains("fix")) {
+            val b = legAgg(TimeTravel.readBranch(s, root, "fix"), "branch")
+              .collect()
+            val m = legAgg(TimeTravel.readAsOf(s, root, 0), "main").collect()
+            // publish: FF carries the branch's adds AND removes as one
+            // atomic main commit
+            s.sql(s"SELECT * FROM graft_ff('$root', 'fix')").collect()
+            (b, m)
+          } else (
+            legAgg(TimeTravel.readAsOf(s, root,
+              TimeTravel.currentVersion(root)), "branch").collect(),
+            legAgg(TimeTravel.readAsOf(s, root, 0), "main").collect())
+        val pub = legAgg(TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root)), "published").collect()
+        (branchLeg ++ mainLeg ++ pub).toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3)))
+          .toDF("leg", "o_orderpriority", "n", "total")
+          .orderBy("leg", "o_orderpriority")
+      }),
+
+    // Q248 REBASE (r18 verdict #3 — the recovery loop when main
+    // advanced past the base): fast-forward refuses (required inline),
+    // and `graft_rebase` lands EVERY unpicked append-only branch
+    // commit on the current head in order, exactly once — a re-run
+    // picks nothing (required inline; cherry-pick's content-keyed txn
+    // guard). Oracle: orders plus the duplicated main-advance slice.
+    Q("q248_rebase",
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM (SELECT * FROM orders
+             |      UNION ALL SELECT * FROM orders WHERE o_orderkey % 4 = 1)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = WorkDirs.cached("graft_ttrb_", s"q248:$d")
+        graft.GraftFunctions.register(s)
+        val o = orders3(s, d)
+        val nBase = o.filter(col("o_orderkey") % 4 =!= 0).count()
+        val nAdv = o.filter(col("o_orderkey") % 4 === 1).count()
+        // data-state probes, not version numbers: the branch-create
+        // ref is itself a metadata commit, so the counter alone cannot
+        // distinguish "advanced" from "ref landed"
+        def headCount: Long = TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root)).count()
+        if (TimeTravel.currentVersion(root) < 0)
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 4 =!= 0))
+        if (!TimeTravel.branchesFor(root,
+            TimeTravel.currentVersion(root)).contains("feed"))
+          s.sql(s"SELECT * FROM graft_branch('$root', 'feed', 0)").collect()
+        def nCommits: Long =
+          s.sql(s"SELECT * FROM graft_branches('$root')").collect()
+            .collectFirst { case r if r.getString(0) == "feed" => r.getLong(2) }
+            .getOrElse(-1L)
+        if (nCommits == 0L)
+          TimeTravel.commitToBranch(s, root, "feed",
+            o.filter(col("o_orderkey") % 8 === 0))
+        if (nCommits == 1L)
+          TimeTravel.commitToBranch(s, root, "feed",
+            o.filter(col("o_orderkey") % 8 === 4))
+        if (headCount == nBase)
+          // main advances independently: FF is now impossible
+          TimeTravel.commit(s, root, o.filter(col("o_orderkey") % 4 === 1))
+        if (headCount == nBase + nAdv) {
+          val ffRefused =
+            try { TimeTravel.fastForward(s, root, "feed"); false }
+            catch { case _: IllegalArgumentException => true }
+          require(ffRefused, "q248: FF on an advanced main did not refuse")
+          val rep = s.sql(s"SELECT * FROM graft_rebase('$root', 'feed')")
+            .head()
+          require(rep.getLong(1) == 2L, s"q248: rebase report $rep")
+        }
+        // exactly-once: a re-run (or a crashed-rebase retry) lands none
+        val rep2 = s.sql(s"SELECT * FROM graft_rebase('$root', 'feed')")
+          .head()
+        require(rep2.getLong(1) == 0L, s"q248: rebase re-picked: $rep2")
+        prioAgg(TimeTravel.readAsOf(s, root,
+          TimeTravel.currentVersion(root))).orderBy("o_orderpriority")
+      }),
+
+    // Q249 IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY —
+    // r18 verdict #5, the warehouse-migration user's first dimension
+    // table): `TBLPROPERTIES('graft.identityCol'='id')` makes the
+    // engine assign gaps-tolerant monotone BIGINT ids at every INSERT
+    // and streaming epoch, advancing a claim-protected high-water mark
+    // in the same commit — a racing identity writer re-assigns instead
+    // of colliding, and an explicit user-supplied id refuses loudly
+    // (required inline, with uniqueness and cross-commit monotonicity).
+    // Ids are engine-valued, so the HASH gate runs on the carried data;
+    // the id properties are hard inline requires.
+    Q("q249_identity_column",
+      Some("""SELECT o_orderpriority, count(*) AS n, count(*) AS n_ids
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_idc_", s"q249:$d")
+        val root = s"$wh/dim"
+        withConfs(s,
+          "spark.sql.catalog.gcat249" -> CatalogClass,
+          "spark.sql.catalog.gcat249.warehouse" -> wh) {
+          orders3(s, d)
+            .select(lit(null).cast("long").as("id"), col("o_orderkey"),
+              col("o_orderpriority"))
+            .createOrReplaceTempView("q249_src")
+          if (TimeTravel.currentVersion(root) < 0)
+            s.sql("""CREATE TABLE gcat249.dim (
+                    |  id BIGINT, o_orderkey BIGINT, o_orderpriority STRING)
+                    |TBLPROPERTIES('graft.identityCol'='id')""".stripMargin)
+          if (TimeTravel.currentVersion(root) < 1)
+            s.sql("INSERT INTO gcat249.dim SELECT * FROM q249_src " +
+              "WHERE o_orderkey % 3 = 0")
+          if (TimeTravel.currentVersion(root) < 2) {
+            // cross-commit monotonicity: every id of commit 2 must land
+            // above commit 1's high-water mark
+            val hw1 = s.sql("SELECT max(id) FROM gcat249.dim")
+              .head().getLong(0)
+            s.sql("INSERT INTO gcat249.dim SELECT * FROM q249_src " +
+              "WHERE o_orderkey % 3 = 1")
+            require(s.sql(s"SELECT count(*) FROM gcat249.dim " +
+                s"WHERE id <= $hw1").head().getLong(0) ==
+              s.sql("SELECT count(*) FROM q249_src WHERE o_orderkey % 3 = 0")
+                .head().getLong(0),
+              "q249: the second INSERT's ids dipped below the mark")
+            // GENERATED ALWAYS: an explicit id refuses loudly
+            val refused =
+              try { s.sql("INSERT INTO gcat249.dim VALUES " +
+                "(7, 7, 'X')"); false }
+              catch { case e: Exception =>
+                e.getMessage.contains("GENERATED ALWAYS") ||
+                  Option(e.getCause).exists(
+                    _.getMessage.contains("GENERATED ALWAYS")) }
+            require(refused, "q249: an explicit id did not refuse")
+          }
+          if (TimeTravel.currentVersion(root) < 3) {
+            // one STREAMING epoch assigns through the same discipline
+            val stage = WorkDirs.freshSubdir("graft_idc_", s"q249s:$d", "in")
+            orders3(s, d).filter(col("o_orderkey") % 3 === 2)
+              .select(lit(null).cast("long").as("id"), col("o_orderkey"),
+                col("o_orderpriority"))
+              .write.mode("overwrite").parquet(stage)
+            val ckpt = WorkDirs.freshSubdir("graft_idc_", s"q249s:$d", "ck")
+            val q = s.readStream
+              .schema("id BIGINT, o_orderkey BIGINT, o_orderpriority STRING")
+              .parquet(stage)
+              .writeStream.format("graft.sources.cdf.CdfDataSource")
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start(root)
+            q.awaitTermination()
+          }
+          // uniqueness across every batch AND stream commit
+          val ids = s.sql(
+            "SELECT count(*) AS n, count(DISTINCT id) AS d, " +
+              "count(CASE WHEN id IS NULL THEN 1 END) AS nulls " +
+              "FROM gcat249.dim").head()
+          require(ids.getLong(0) == ids.getLong(1) && ids.getLong(2) == 0L,
+            s"q249: ids not unique/non-null: $ids")
+          s.sql("""SELECT o_orderpriority, count(*) AS n,
+                  |  count(DISTINCT id) AS n_ids
+                  |FROM gcat249.dim
+                  |GROUP BY o_orderpriority
+                  |ORDER BY o_orderpriority""".stripMargin)
+        }
+      }),
+
+    // Q250 ANALYZE → CBO JOIN REORDER (r18 verdict stretch — ANALYZE
+    // TABLE … FOR COLUMNS over the commit log): `graft_analyze` records
+    // ONE per-file HLL sketch per column in the log (distributed
+    // single-pass agg, cost ∝ the snapshot once; checkpoint-folded like
+    // every per-file metadatum), the DSv2 scan unions exactly the
+    // PRUNED files' sketches into `columnStats`, and with CBO on
+    // Catalyst's cost-based join reorder moves the SELECTIVE dimension
+    // under the fact first — required inline: the optimized plan joins
+    // the unique-key dim BEFORE the syntactically-earlier fan-out dim,
+    // the same query with CBO off keeps the (bad) syntactic order, and
+    // the fan-out key's distinctCount reaches catalyst attributeStats.
+    // Oracle: the join algebra replayed as a closed-form aggregate.
+    Q("q250_ndv_cbo_reorder",
+      Some("""SELECT o_orderpriority, 40 * count(*) AS n
+             |FROM orders WHERE o_custkey % 97 = 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val wh = WorkDirs.cached("graft_ndv_", s"q250:$d")
+        val fact = s"$wh/fact"
+        val dup = s"$wh/fan"
+        val uniq = s"$wh/sel"
+        graft.GraftFunctions.register(s)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        if (TimeTravel.currentVersion(fact) < 0) {
+          TimeTravel.commit(s, fact, o)
+          // SAME row count either dim — only NDV tells the joins apart:
+          // fan: 40 rows per priority (join fans out ×40); sel: one row
+          // per eligible custkey (join selects)
+          TimeTravel.commit(s, dup,
+            o.select(col("o_orderpriority").as("p_key")).distinct()
+              .crossJoin(s.range(40).toDF("p_seq"))
+              .select(col("p_key"), col("p_seq")))
+          TimeTravel.commit(s, uniq,
+            o.select(col("o_custkey").as("c_key"))
+              // % 97: a handful of rows at every SF (1 / 15 / 154) —
+              // always fewer than the fan dim's 200, which is where the
+              // DP search stops preferring the syntactic order
+              .filter(col("c_key") % 97 === 0).distinct()
+              .withColumn("c_tag", col("c_key") % 7))
+          Seq(fact -> "o_custkey,o_orderpriority", dup -> "p_key",
+            uniq -> "c_key").foreach { case (r, cs) =>
+            s.sql(s"SELECT * FROM graft_analyze('$r', '$cs')").collect()
+          }
+        }
+        withConfs(s,
+          "spark.sql.catalog.gcat250" -> CatalogClass,
+          "spark.sql.catalog.gcat250.warehouse" -> wh,
+          "spark.sql.cbo.enabled" -> "true",
+          "spark.sql.cbo.joinReorder.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+          // the NDV surface: the fan-out key's distinct count reaches
+          // catalyst attributeStats off the scan's column stats
+          val fstats = s.sql("SELECT * FROM gcat250.fact")
+            .queryExecution.optimizedPlan.stats
+          val prioNdv = fstats.attributeStats.toSeq.collectFirst {
+            case (a, cs) if a.name == "o_orderpriority" => cs.distinctCount
+          }.flatten
+          require(prioNdv.exists(n => n >= 4 && n <= 6),
+            s"q250: NDV did not reach attributeStats: $prioNdv")
+          val sql =
+            """SELECT f.o_orderpriority, count(*) AS n
+              |FROM gcat250.fact f
+              |JOIN gcat250.fan b ON f.o_orderpriority = b.p_key
+              |JOIN gcat250.sel u ON f.o_custkey = u.c_key
+              |GROUP BY f.o_orderpriority""".stripMargin
+          def leafOrder(df: DataFrame): Seq[String] =
+            df.queryExecution.optimizedPlan.collectLeaves()
+              .map(_.toString)
+              .collect {
+                case l if l.contains("gcat250.fan") => "fan"
+                case l if l.contains("gcat250.sel") => "sel"
+              }
+          val q = s.sql(sql)
+          require(leafOrder(q) == Seq("sel", "fan"),
+            s"q250: CBO did not reorder the selective dim first: " +
+              s"${leafOrder(q)}")
+          // control: CBO off keeps the syntactic (fan-out-first) order
+          val off = withConfs(s, "spark.sql.cbo.enabled" -> "false",
+            "spark.sql.cbo.joinReorder.enabled" -> "false") {
+            leafOrder(s.sql(sql))
+          }
+          require(off == Seq("fan", "sel"),
+            s"q250: the CBO-off control already reordered: $off")
+          q.orderBy("o_orderpriority")
+        }
       })
   )
 }

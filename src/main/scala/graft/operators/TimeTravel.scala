@@ -176,7 +176,13 @@ object TimeTravel extends QueryModule {
     * payload that moves to parquet sidecar parts in the r19 format.
     * Small table-level arrays (constraints, props, colmap, txn,
     * schemav, features, wfeatures) stay inline in the JSON manifest. */
-  private val CkptFileKeys = Set("files", "dvs", "stats", "blooms", "nrows")
+  private val CkptFileKeys =
+    Set("files", "dvs", "stats", "blooms", "nrows", "ndvs")
+
+  /** Checkpoint keys whose parquet rows carry their payload in the
+    * BINARY column (sketch bytes) with the `|`-joined header in `line`;
+    * readers reconstruct the legacy base64 line form on demand. */
+  private val CkptBinaryKeys = Set("blooms", "ndvs")
 
   /** File-level line count at/above which [[checkpoint]] writes the
     * parquet multi-part format; below it the legacy single-JSON blob is
@@ -235,7 +241,7 @@ object TimeTravel extends QueryModule {
           val df = s.read.schema(CkptPartSchema)
             .parquet(ckptPartsDir(root, version))
             .filter(col("k") === k)
-          if (k == "blooms")
+          if (CkptBinaryKeys(k))
             df.select(col("line"), col("bin")).collect().toSeq.map { r =>
               r.getString(0) + "|" + java.util.Base64.getEncoder
                 .encodeToString(r.getAs[Array[Byte]](1))
@@ -245,9 +251,15 @@ object TimeTravel extends QueryModule {
   }
 
   /** Checkpoint-handle cache, keyed by manifest path. Checkpoints are
-    * content-immutable (a pure function of the log), so entries never
+    * content-immutable (a pure function of the log — racing
+    * checkpointers produce logically identical bytes), so entries never
     * invalidate; LRU-bounded so a long-lived session over many tables
-    * stays flat. */
+    * stays flat. A FRESH reader process always gates its first load —
+    * the cache only ever short-circuits content this process already
+    * gated (the protocol-gate spec clears it to simulate that fresh
+    * reader against a forged file). */
+  private[graft] def invalidateCkptCache(): Unit = ckptCache.clear()
+
   private val ckptCache =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, CkptHandle](64, 0.75f, true) {
@@ -1793,6 +1805,12 @@ object TimeTravel extends QueryModule {
     * scan, the same price [[commit]] pays), rename into `data/` under
     * commit-uid names, claim the next version. Callers drop zero-row
     * temps before handing them here (they know the counts). */
+  /** Table property naming the IDENTITY column (Delta's `GENERATED
+    * ALWAYS AS IDENTITY`, r18 verdict #5) and the log-carried
+    * high-water mark its writers advance claim-protected. */
+  private[graft] val IdentityColKey = "graft.identityCol"
+  private[graft] val IdentityHwmKey = "graft.identity.hwm"
+
   private[graft] def commitStagedFiles(s: SparkSession, root: String,
       temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
       txn: Option[String] = None,
@@ -1801,11 +1819,11 @@ object TimeTravel extends QueryModule {
       dvs: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val gen0 = currentVersion(root)
     if (temps.nonEmpty) {
       // staged temps carry PHYSICAL names on mapped tables; constraints
       // are written in LOGICAL ones — project before validating, or a
       // CHECK on a renamed column would null-fill and pass vacuously
-      val gen0 = currentVersion(root)
       val cm = if (gen0 < 0) Map.empty[String, String]
         else colmapAsOf(root, gen0)
       val raw = s.read.parquet(temps: _*)
@@ -1819,18 +1837,84 @@ object TimeTravel extends QueryModule {
       validateConstraints(s, root, logical)
     }
     val (fs, _) = fsFor(root)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
-    val uid = java.util.UUID.randomUUID().toString.take(8)
-    val added = temps.sorted.zipWithIndex.map { case (t, i) =>
-      val name = s"$uid-w$i.parquet"
-      require(fs.rename(new org.apache.hadoop.fs.Path(t),
-          new org.apache.hadoop.fs.Path(s"$root/data/$name")),
-        s"time travel: staged rename of $t failed")
-      name
+    // on a lost identity race the rename has already happened — the
+    // retry re-reads these (uncommitted, vacuum-fodder-if-abandoned)
+    // data-dir paths and re-assigns over them
+    var renamed: Seq[String] = Nil
+    def land(stage: Seq[String], extraProps: Seq[String],
+        identityExpect: Option[Option[String]]): Int = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val added = stage.sorted.zipWithIndex.map { case (t, i) =>
+        val name = s"$uid-w$i.parquet"
+        require(fs.rename(new org.apache.hadoop.fs.Path(t),
+            new org.apache.hadoop.fs.Path(s"$root/data/$name")),
+          s"time travel: staged rename of $t failed")
+        name
+      }
+      renamed = added.map(n => s"$root/data/$n")
+      commitNames(s, root, added, removed,
+        schemaDdl = Some(schemaDdl), txn = txn, dvExpect = dvExpect,
+        props = props ++ extraProps, cdc = cdc, dvs = dvs, flags = flags,
+        identityExpect = identityExpect)
     }
-    commitNames(s, root, added, removed,
-      schemaDdl = Some(schemaDdl), txn = txn, dvExpect = dvExpect,
-      props = props, cdc = cdc, dvs = dvs, flags = flags)
+    val idCol = (if (gen0 < 0) None
+      else propsAsOf(root, gen0).get(IdentityColKey)).filter(_.nonEmpty)
+    val idPhys = idCol.map(c =>
+      (if (gen0 < 0) Map.empty[String, String] else colmapAsOf(root, gen0))
+        .getOrElse(c, c))
+    if (temps.isEmpty || idPhys.isEmpty ||
+        !s.read.parquet(temps: _*).columns.contains(idPhys.get))
+      return land(temps, Nil, None)
+    // IDENTITY fill (Delta's GENERATED ALWAYS AS IDENTITY): ids are
+    // ENGINE-assigned — a staged non-null value refuses loudly (first
+    // pass only; retry passes re-assign the engine's own values). The
+    // assignment is hwm + 1 + monotonically_increasing_id(): unique and
+    // above every prior id, gaps-tolerant (Delta documents the same),
+    // computed DISTRIBUTED over the staged delta (cost ∝ the commit's
+    // bytes, never the table's). The commit carries the advanced
+    // high-water mark as a property and commitNames verifies the mark
+    // it planned against INSIDE the lock — a racing identity writer
+    // becomes a re-fill retry here, never a silent id collision.
+    val phys = idPhys.get
+    val firstRaw = s.read.parquet(temps: _*)
+    require(firstRaw.filter(col(phys).isNotNull).limit(1).isEmpty,
+      s"time travel: ${idCol.get} of $root is GENERATED ALWAYS AS " +
+        "IDENTITY — ids are engine-assigned; stage NULLs in that column")
+    var cur = temps
+    var attempts = 0
+    while (true) {
+      val liveGen = currentVersion(root)
+      val prevHwm =
+        if (liveGen < 0) None else propsAsOf(root, liveGen).get(IdentityHwmKey)
+      val hwm = prevHwm.map(_.toLong).getOrElse(0L)
+      val stageDir = s"$root/stage-id-${java.util.UUID.randomUUID().toString.take(8)}"
+      s.read.parquet(cur: _*)
+        .withColumn(phys,
+          (lit(hwm + 1) + monotonically_increasing_id()).cast("long"))
+        .write.mode("overwrite").parquet(stageDir)
+      cur.foreach(t => fs.delete(new org.apache.hadoop.fs.Path(t), false))
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).toSeq
+      val newHwm = s.read.parquet(stageDir).agg(max(col(phys)))
+        .head().getLong(0)
+      try {
+        val v = land(staged, Seq(s"$IdentityHwmKey|$newHwm"), Some(prevHwm))
+        fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if e.getMessage.contains("identity") && attempts < 4 =>
+          // a racing identity commit advanced the mark: re-assign over
+          // the just-renamed (still uncommitted) files — their stale
+          // ids are overwritten wholesale on the next pass
+          attempts += 1
+          fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+          cur = renamed
+      }
+    }
+    -1 // unreachable
   }
 
   /** Change files for a METADATA delete (SQL `DELETE` on a file-aligned
@@ -2281,6 +2365,20 @@ object TimeTravel extends QueryModule {
     * fresh physical name or a later cherry-pick's physical-schema read
     * silently nulls it). Either resolution alone breaks one of the two
     * cases (r18 review, both directions). */
+  /** (base generation, branch head logical schema, branch mapping) —
+    * what the catalog's `tbl@branch` write surface needs to build the
+    * DSv2 table without re-walking the log per call (r19 WAP SQL). */
+  private[graft] def branchWriteInfo(root: String, name: String)
+      : (Int, org.apache.spark.sql.types.StructType, Map[String, String]) = {
+    val (base, _, schemaDdl, _, _) = branchState(root, name)
+    val logical = schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .orElse(schemaAsOf(root, base))
+      .getOrElse(throw new IllegalArgumentException(
+        s"time travel: branch '$name' of $root has no logged schema"))
+    (base, logical, branchColmap(root, base))
+  }
+
   private def branchColmap(root: String, base: Int): Map[String, String] = {
     val cmCur = colmapAsOf(root, currentVersion(root))
     val cmBase = colmapAsOf(root, base)
@@ -2398,18 +2496,43 @@ object TimeTravel extends QueryModule {
     val physDf = toPhysicalFrameCm(branchColmap(root, base), df)
     val added = stagePlain(s, root, physDf)
     val nrows = added.map(f => s"$f|${footerRows(root, f)}")
+    commitNamesToBranch(root, name, added, Nil, nrows, df.schema.toDDL)
+  }
+
+  /** Claim the next branch commit file — the shared landing half of
+    * every branch write (append, staged SQL INSERT, branch DML). The
+    * same optimistic claim discipline as main commits, on the branch's
+    * own `b-<name>@<k>.json` sequence; `removed` entries retire files
+    * from the BRANCH view only (r19 branch DML — main snapshots never
+    * see branch commits at all). Returns the branch sequence number. */
+  private def commitNamesToBranch(root: String, name: String,
+      added: Seq[String], removed: Seq[String], nrows: Seq[String],
+      schemaDdl: String): Int = {
     val (fs, _) = fsFor(root)
     def render(k: Int, ts: Long) =
       s"""{"branch":["${jsonEsc(name)}"],"bseq":$k,"ts":["$ts"],""" +
         s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
-        s""""removed":[],""" +
+        s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
         s""""nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
-        s""""schemav":["${jsonEsc(df.schema.toDDL)}"]}"""
+        s""""schemav":["${jsonEsc(schemaDdl)}"]}"""
     var k = branchCommits(root, name).lastOption.map(_._1 + 1).getOrElse(0)
     val uid = java.util.UUID.randomUUID().toString.take(8)
     var committed = false
     while (!committed) {
       lockFor(root).synchronized {
+        // a remove-carrying branch commit was planned against the
+        // branch head it read — a racing branch write invalidates the
+        // plan exactly like main's remove-conflict validation
+        if (removed.nonEmpty) {
+          val live = branchState(root, name)._2.toSet
+          val gone = removed.filterNot(live)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"time travel: branch commit conflict on '$name' of $root " +
+                s"— removed files ${gone.mkString(", ")} are not in the " +
+                "branch head (a concurrent branch write retired them); " +
+                "re-read the branch and re-plan")
+        }
         val tmp = new org.apache.hadoop.fs.Path(s"${logDir(root)}/.b-$uid")
         writeBytes(fs, tmp, render(k, System.currentTimeMillis()))
         if (claimVersion(fs, tmp,
@@ -2424,12 +2547,71 @@ object TimeTravel extends QueryModule {
     k
   }
 
+  /** Land already-staged temp files as a BRANCH commit — the DSv2 sink
+    * half of the WAP (write-audit-publish) SQL surface: `INSERT INTO
+    * cat.`tbl@branch`` stages through the ordinary distributed writer
+    * and the commit claims a branch sequence number instead of a main
+    * generation, so main readers never see the rows until `graft_ff`
+    * publishes them (r18 verdict #2). Validation mirrors
+    * [[commitStagedFiles]]: temps carry PHYSICAL names (the writer
+    * renamed through the branch mapping); constraints check the
+    * logical projection. */
+  private[graft] def commitStagedToBranch(s: SparkSession, root: String,
+      name: String, temps: Seq[String], schemaDdl: String): Int = {
+    val base = branchesFor(root, currentVersion(root)).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"time travel: no branch '$name' under $root"))
+    validateSchema(s, root,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    if (temps.nonEmpty) {
+      val cm = branchColmap(root, base)
+      val raw = s.read.parquet(temps: _*)
+      val logical =
+        if (cm.isEmpty) raw
+        else {
+          val inv = cm.map(_.swap)
+          raw.select(raw.columns.toSeq
+            .map(c => col(c).as(inv.getOrElse(c, c))): _*)
+        }
+      validateConstraints(s, root, logical)
+    }
+    val (fs, _) = fsFor(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val added = temps.sorted.zipWithIndex.map { case (t, i) =>
+      val fin = s"$uid-w$i.parquet"
+      require(fs.rename(new org.apache.hadoop.fs.Path(t),
+          new org.apache.hadoop.fs.Path(s"$root/data/$fin")),
+        s"time travel: staged rename of $t failed")
+      fin
+    }
+    val nrows = added.map(f => s"$f|${footerRows(root, f)}")
+    commitNamesToBranch(root, name, added, Nil, nrows, schemaDdl)
+  }
+
   /** Read the branch HEAD: the base snapshot plus the branch commits'
     * delta, under the branch's latest logical schema — deletion vectors
     * in force at the BASE still mask the base's files. Main's later
     * generations are invisible (that is the point of the fork). */
-  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
-    val (base, files, schemaDdl, _, _) = branchState(root, name)
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    readBranchSubset(s, root, name, None)
+
+  /** [[readBranch]] restricted to `only` head files when given — the
+    * read half branch DML shares: same base-DV application, default
+    * fill, and logical projection, over just the touched files. */
+  private def readBranchSubset(s: SparkSession, root: String,
+      name: String, only: Option[Seq[String]]): DataFrame = {
+    val (base, headFiles, schemaDdl, _, _) = branchState(root, name)
+    val files = only match {
+      case Some(sel) =>
+        val head = headFiles.toSet
+        val missing = sel.filterNot(head)
+        require(missing.isEmpty,
+          s"time travel: branch '$name' subset read names files outside " +
+            s"the head: ${missing.mkString(", ")}")
+        sel
+      case None => headFiles
+    }
     val logical = schemaDdl
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .orElse(schemaAsOf(root, base))
@@ -2616,6 +2798,106 @@ object TimeTravel extends QueryModule {
       flags = Seq("cherry-pick"))
   }
 
+  /** Row-level DELETE on a BRANCH head (r18 verdict #3 — the most
+    * common WAP audit outcome is fixing the staged data): copy-on-write
+    * over the touched head files — base files read through the base's
+    * deletion vectors and defaults, kept rows re-stage under the branch
+    * mapping, and ONE branch commit retires the touched files from the
+    * BRANCH VIEW only. Main never sees any of it; fast-forward later
+    * publishes the adds+removes as one atomic main commit (the FF fold
+    * already carries removes). Pruning uses the base generation's
+    * per-file stats; branch-staged files carry no stats and rewrite
+    * conservatively. Returns the branch sequence number, or -1 when no
+    * file overlaps. */
+  def deleteFromBranchWhere(s: SparkSession, root: String, name: String,
+      statCol: String, lo: Long, hi: Long): Int = {
+    requireFeaturesWritable(root)
+    val (base, files, schemaDdl, _, _) = branchState(root, name)
+    val cm = branchColmap(root, base)
+    val phys = cm.getOrElse(statCol, statCol)
+    val stats = statsFor(root, base)
+    val touched = files.filter { f =>
+      stats.get((f, phys)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // stat-less (incl. branch-staged): must scan
+      }
+    }
+    if (touched.isEmpty) return -1
+    val keptL = readBranchSubset(s, root, name, Some(touched))
+      .filter(!col(statCol).between(lo, hi))
+    val added = stagePlain(s, root, toPhysicalFrameCm(cm, keptL))
+    val nrows = added.map(f => s"$f|${footerRows(root, f)}")
+    val ddl = schemaDdl.getOrElse(
+      schemaAsOf(root, base).map(_.toDDL).getOrElse(keptL.schema.toDDL))
+    commitNamesToBranch(root, name, added, touched, nrows, ddl)
+  }
+
+  /** Row-level UPDATE on a BRANCH head — [[deleteFromBranchWhere]]'s
+    * copy-on-write shape with the assignment folded in as a codegen'd
+    * CASE; CHECK constraints re-validate the rewrite (an update can
+    * break one). Returns the branch sequence number, or -1 when no
+    * file overlaps. */
+  def updateBranchWhere(s: SparkSession, root: String, name: String,
+      statCol: String, lo: Long, hi: Long, setCol: String,
+      setTo: org.apache.spark.sql.Column): Int = {
+    requireFeaturesWritable(root)
+    val (base, files, schemaDdl, _, _) = branchState(root, name)
+    val cm = branchColmap(root, base)
+    val phys = cm.getOrElse(statCol, statCol)
+    val stats = statsFor(root, base)
+    val touched = files.filter { f =>
+      stats.get((f, phys)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true
+      }
+    }
+    if (touched.isEmpty) return -1
+    val band = col(statCol).between(lo, hi)
+    val rewritten = readBranchSubset(s, root, name, Some(touched))
+      .withColumn(setCol, when(band, setTo).otherwise(col(setCol)))
+    validateConstraints(s, root, rewritten)
+    val added = stagePlain(s, root, toPhysicalFrameCm(cm, rewritten))
+    val nrows = added.map(f => s"$f|${footerRows(root, f)}")
+    val ddl = schemaDdl.getOrElse(
+      schemaAsOf(root, base).map(_.toDDL).getOrElse(rewritten.schema.toDDL))
+    commitNamesToBranch(root, name, added, touched, nrows, ddl)
+  }
+
+  /** REBASE a branch onto the CURRENT main head (r18 verdict #3): the
+    * ordered cherry-pick of every not-yet-picked append-only branch
+    * commit — the recovery loop users hand-rolled when main advanced
+    * past the base and fast-forward refused. Exactly-once per commit
+    * via cherry-pick's content-keyed txn guard, so a crashed rebase
+    * re-runs safely and lands each commit once. Remove-carrying branch
+    * commits (branch DML) refuse loudly — their removes name base
+    * files whose world moved; re-create the branch from the new head
+    * instead. The branch stays live (drop it once published). Returns
+    * the final main generation. */
+  def rebase(s: SparkSession, root: String, name: String): Int = {
+    val cur = currentVersion(root)
+    require(branchesFor(root, cur).contains(name),
+      s"time travel: no branch '$name' under $root")
+    val (fs, _) = fsFor(root)
+    val commits = branchCommits(root, name)
+    // refuse removes UP FRONT: a partial rebase that stops midway at
+    // the first remove-commit would be half-published
+    commits.foreach { case (k, f) =>
+      require(parseArr(readBytes(fs, f), "removed").isEmpty,
+        s"time travel: branch commit $name/$k removes files — rebase " +
+          "serves append-only branches; re-create the branch from the " +
+          "current head and re-apply the DML there")
+    }
+    var v = cur
+    commits.foreach { case (k, f) =>
+      val added = parseArr(readBytes(fs, f), "added")
+      // skip commits a prior (crashed) rebase already landed
+      if (added.nonEmpty &&
+          lastTxnVersion(root, s"cherrypick-${added.head}").isEmpty)
+        v = cherryPick(s, root, name, k)
+    }
+    v
+  }
+
   /** `graft_cherrypick(root, name, k)` — cherry-pick from SQL (lazy).
     * Returns (version, files_added). */
   def cherryPickPlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -2696,6 +2978,55 @@ object TimeTravel extends QueryModule {
       val after = snapshotFiles(root, v).toSet
       Seq(v.toLong, (after -- before).size.toLong,
         (before -- after).size.toLong)
+    }
+  }
+
+  /** `graft_analyze(root, 'c1,c2,…')` — ANALYZE-style per-file column
+    * NDV sketches from SQL (lazy maintenance verb). Returns (version,
+    * n_columns). */
+  def analyzePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_analyze(root, 'c1,c2,…')")
+    val root = litStr(exprs(0), "root")
+    val cols = litStr(exprs(1), "cols").split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    maintPlan("analyze", Seq("version", "n_columns")) {
+      Seq(analyzeNdv(SparkSession.active, root, cols).toLong,
+        cols.size.toLong)
+    }
+  }
+
+  /** `graft_rebase(root, name)` — land every unpicked append-only
+    * branch commit on the CURRENT main head (lazy). Returns (version,
+    * commits_landed). */
+  def rebasePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2, "usage: graft_rebase(root, name)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    maintPlan("rebase", Seq("version", "commits_landed")) {
+      val s = SparkSession.active
+      val before = currentVersion(root)
+      val v = rebase(s, root, name)
+      Seq(v.toLong, (v - before).toLong)
+    }
+  }
+
+  /** `graft_branch_delete(root, name, col, lo, hi)` — row-level DELETE
+    * on a branch head from SQL (lazy). Returns (bseq, files_rewritten). */
+  def branchDeletePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 5,
+      "usage: graft_branch_delete(root, name, col, lo, hi)")
+    val root = litStr(exprs(0), "root")
+    val name = litStr(exprs(1), "name")
+    val c = litStr(exprs(2), "col")
+    val lo = litLong(exprs(3), "lo")
+    val hi = litLong(exprs(4), "hi")
+    maintPlan("branch_delete", Seq("bseq", "head_files")) {
+      val s = SparkSession.active
+      val k = deleteFromBranchWhere(s, root, name, c, lo, hi)
+      Seq(k.toLong, branchState(root, name)._2.size.toLong)
     }
   }
 
@@ -3825,6 +4156,59 @@ object TimeTravel extends QueryModule {
       }.toSet
   }
 
+  /** Per-file COLUMN-NDV sketches visible at `gen` (ANALYZE-style
+    * statistics — r18 verdict stretch): `file|col|base64(HLL sketch)`
+    * lines recorded by [[analyzeNdv]], keyed (file, col), last write
+    * winning, checkpoint-folded like every per-file metadatum. The
+    * sketches MERGE: a pruned scan unions exactly its surviving files'
+    * sketches, so the distinct-count estimate tracks the scan, not the
+    * table — the CBO food `SupportsReportStatistics.columnStats`
+    * serves. */
+  private[graft] def ndvsFor(root: String, gen: Int)
+      : Map[(String, String), String] =
+    foldCkptTail(root, gen, "ndvs",
+      Map.empty[(String, String), String]) { (m, line) =>
+      line.split('|') match {
+        case Array(f, c, b64) => m.updated((f, c), b64)
+        case _ => m
+      }
+    }
+
+  /** ANALYZE (Delta/Iceberg's ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS): compute ONE per-file HLL sketch per requested column
+    * over the current snapshot — a DISTRIBUTED single-pass agg grouped
+    * by file; only (files × cols) kilobyte sketches reach the driver —
+    * and record them as `ndvs` lines in one `nodata` metadata commit.
+    * Column names arrive LOGICAL and record physical-keyed like the
+    * min/max stats lines. Later appends simply lack sketches until the
+    * next ANALYZE (readers degrade to no-NDV conservatively, never
+    * wrongly). Returns the committed version. */
+  def analyzeNdv(s: SparkSession, root: String, lcols: Seq[String]): Int = {
+    require(lcols.nonEmpty, "time travel: analyzeNdv needs columns")
+    val gen = currentVersion(root)
+    require(gen >= 0, s"time travel: nothing to analyze under $root")
+    requireFeaturesWritable(root)
+    val cm = colmapAsOf(root, gen)
+    val cols = lcols.map(c => cm.getOrElse(c, c))
+    val files = snapshotFiles(root, gen)
+    require(files.nonEmpty, s"time travel: no files to analyze under $root")
+    val aggs = cols.map(c => expr(s"hll_sketch_agg(`$c`)").as(c))
+    val rows = s.read.parquet(files.map(f => dataPath(root, f)): _*)
+      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        s"${r.getString(0)}|$c|${java.util.Base64.getEncoder
+          .encodeToString(r.getAs[Array[Byte]](i + 1))}"
+      }
+    }.toSeq.sorted
+    commitNames(s, root, Nil, Nil, ndvs = lines,
+      flags = Seq("nodata", "analyze"),
+      schemaDdl = schemaAsOf(root, gen).map(_.toDDL))
+  }
+
   /** Per-file recorded row counts visible at `gen` (commit metadata),
     * checkpoint-based like [[statsFor]]. */
   private[graft] def nrowsFor(root: String, gen: Int): Map[String, Long] =
@@ -4249,8 +4633,9 @@ object TimeTravel extends QueryModule {
       cdc: Seq[String] = Nil,
       colmap: Seq[String] = Nil,
       expectVersion: Option[Int] = None,
-      ddlExpect: Option[(Map[String, String], Option[String])] = None)
-      : Int = {
+      ddlExpect: Option[(Map[String, String], Option[String])] = None,
+      identityExpect: Option[Option[String]] = None,
+      ndvs: Seq[String] = Nil): Int = {
     // the unbypassable write-path protocol gate (wfeatures); write
     // verbs also check before staging so refusals stay cheap
     requireFeaturesWritable(root)
@@ -4294,6 +4679,8 @@ object TimeTravel extends QueryModule {
          else s""","wfeatures":[${wfeatures.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (blooms.isEmpty) ""
          else s""","blooms":[${blooms.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
+        (if (ndvs.isEmpty) ""
+         else s""","ndvs":[${ndvs.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (nrows.isEmpty) ""
          else s""","nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}]""") +
         (if (constraints.isEmpty) ""
@@ -4374,6 +4761,20 @@ object TimeTravel extends QueryModule {
                 "mapping or schema changed between the rewrite's read " +
                 s"and its commit (generation ${v - 1}); re-read the " +
                 "table and re-plan the rewrite")
+        }
+        // an identity-filling commit planned its ids against a specific
+        // high-water mark — a racing identity writer advancing it
+        // would make blind landing a silent id COLLISION; the conflict
+        // sends the caller back to re-assign (commitStagedFiles loops)
+        identityExpect.foreach { exp =>
+          val now =
+            if (v == 0) None
+            else propsAsOf(root, v - 1).get(IdentityHwmKey)
+          if (now != exp)
+            throw new java.util.ConcurrentModificationException(
+              s"time travel: identity high-water conflict under $root " +
+                s"— planned against $exp, the log is at $now; " +
+                "re-assign the ids and retry")
         }
         // IN-COMMIT TIMESTAMP (Delta's inCommitTimestamps, r15 verdict
         // #6): the claim-time instant is stored IN the commit JSON, so
@@ -4470,6 +4871,10 @@ object TimeTravel extends QueryModule {
     val bloomRaw = bloomsFor(root, v).collect {
       case (f, (c, m, k, bits)) if fileSet(f) => (s"$f|$c|$m|$k", bits)
     }.toSeq.sortBy(_._1)
+    val ndvRaw = ndvsFor(root, v).collect {
+      case ((f, c), b64) if fileSet(f) =>
+        (s"$f|$c", java.util.Base64.getDecoder.decode(b64))
+    }.toSeq.sortBy(_._1)
     val nrowLines = nrowsFor(root, v).collect {
       case (f, n) if fileSet(f) => s"$f|$n"
     }.toSeq.sorted
@@ -4482,7 +4887,7 @@ object TimeTravel extends QueryModule {
       if (ls.isEmpty) ""
       else s""","$key":[${ls.map("\"" + jsonEsc(_) + "\"").mkString(",")}]"""
     val fileLevelCount = files.size + dvLines.size + statLines.size +
-      bloomRaw.size + nrowLines.size
+      bloomRaw.size + nrowLines.size + ndvRaw.size
     val spark = SparkSession.getActiveSession
     val txt =
       if (fileLevelCount < CkptParquetMinLines || spark.isEmpty) {
@@ -4491,11 +4896,14 @@ object TimeTravel extends QueryModule {
         // understanding it forever
         val bloomLines = bloomRaw.map { case (l, bits) =>
           l + "|" + java.util.Base64.getEncoder.encodeToString(bits) }
+        val ndvLines = ndvRaw.map { case (l, bits) =>
+          l + "|" + java.util.Base64.getEncoder.encodeToString(bits) }
         s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
           arr("features", featLines) + arr("wfeatures", wfeatLines) +
           arr("dvs", dvLines) + arr("constraints", csLines) +
           arr("props", prLines) + arr("colmap", cmLines) +
           arr("stats", statLines) + arr("blooms", bloomLines) +
+          arr("ndvs", ndvLines) +
           arr("nrows", nrowLines) + arr("txn", txnLines) +
           (if (schemaDdl.isEmpty) ""
            else s""","schemav":["${jsonEsc(schemaDdl.get)}"]""") +
@@ -4519,7 +4927,9 @@ object TimeTravel extends QueryModule {
             statLines.map(l => org.apache.spark.sql.Row("stats", l, null)) ++
             nrowLines.map(l => org.apache.spark.sql.Row("nrows", l, null)) ++
             bloomRaw.map { case (l, bits) =>
-              org.apache.spark.sql.Row("blooms", l, bits) }
+              org.apache.spark.sql.Row("blooms", l, bits) } ++
+            ndvRaw.map { case (l, bits) =>
+              org.apache.spark.sql.Row("ndvs", l, bits) }
         val nParts = math.max(1,
           math.ceil(fileLevelCount.toDouble / CkptRowsPerPart).toInt)
         import scala.jdk.CollectionConverters._
@@ -4969,8 +5379,35 @@ object TimeTravel extends QueryModule {
     * 7-day retention. */
   def vacuum(root: String, graceMs: Long): Seq[String] = {
     val (fs, victims) = vacuumCandidates(root, graceMs)
-    victims.map { p => fs.delete(p, false); p.getName }.sorted
+    // EXECUTE deletes as a distributed job once the victim count is
+    // worth a task launch (r18 verdict #4 — at 10⁶ files a serial
+    // driver loop is a single-threaded delete storm; Delta runs VACUUM
+    // as a job): planning stays the driver-side metadata fold above,
+    // one task deletes one batch. Small reclaim sets (and no active
+    // session) keep the zero-overhead loop.
+    val spark = SparkSession.getActiveSession
+    if (victims.size >= VacuumDistributedMin && spark.nonEmpty) {
+      val s = spark.get
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sessionState.newHadoopConf())
+      val paths = victims.map(_.toString)
+      s.sparkContext.parallelize(paths,
+        math.max(1, math.min(paths.size / 16 + 1, 64)))
+        .foreachPartition { it =>
+          it.foreach { p0 =>
+            val p = new org.apache.hadoop.fs.Path(p0)
+            p.getFileSystem(conf.value).delete(p, false)
+            ()
+          }
+        }
+    } else victims.foreach(p => fs.delete(p, false))
+    victims.map(_.getName).sorted
   }
+
+  /** Victim count at/above which [[vacuum]] deletes as a Spark job; a
+    * var so the spec drives the distributed path on a fixture-sized
+    * reclaim set. */
+  @volatile private[graft] var VacuumDistributedMin: Int = 64
 
   /** VACUUM DRY RUN (Delta's `VACUUM … DRY RUN`): the files [[vacuum]]
     * WOULD delete under the same grace window, deleting nothing — the

@@ -111,6 +111,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       timestamp / 1000L)))
 
   private def load(ident: Identifier, gen: Option[Int]): Table = {
+    // `tbl@branch` addresses a BRANCH for the WAP workflow (Iceberg's
+    // write-audit-publish): `INSERT INTO cat.`tbl@audit`` stages
+    // through the ordinary distributed writer but the commit claims a
+    // BRANCH sequence number — main readers never see the rows until
+    // graft_ff publishes them (r18 verdict #2). Write surface only;
+    // audits read via graft_branch_read.
+    val at = ident.name().indexOf('@')
+    if (at > 0) {
+      require(gen.isEmpty,
+        s"graft catalog: time travel over branch identifier ${ident.name()} " +
+          "is not supported — branches have one head")
+      val tbl = ident.name().substring(0, at)
+      val branch = ident.name().substring(at + 1)
+      val root = rootFor(Identifier.of(ident.namespace(), tbl))
+      if (TimeTravel.currentVersion(root) < 0)
+        throw new NoSuchTableException(ident)
+      val (_, schema, cmap) = TimeTravel.branchWriteInfo(root, branch)
+      return CatalogBranchTable(schema, root, branch, cmap)
+    }
     val root = rootFor(ident)
     val live = TimeTravel.currentVersion(root)
     if (live < 0) throw new NoSuchTableException(ident)
@@ -137,6 +156,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val spec = partSpecOf(partitions, schema)
+    require(!ident.name().contains("@"),
+      s"graft catalog: '@' addresses a branch (${ident.name()}) — " +
+        "create the table first, then graft_branch")
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     TimeTravel.commitStagedFiles(SparkSession.active, rootFor(ident),
@@ -184,6 +206,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           if (k == "graft.partitionSpec") PartSpec.parse(v)
           else Seq(IdentityTerm(v)), schema)
       }
+      // GENERATED ALWAYS AS IDENTITY (r18 verdict #5): the surrogate-key
+      // column must exist and be BIGINT — the engine assigns monotone
+      // ids at every INSERT/epoch, claim-protected by the hwm property
+      if (k == TimeTravel.IdentityColKey && v.nonEmpty)
+        require(schema.fields.exists(f => f.name == v &&
+            f.dataType == org.apache.spark.sql.types.LongType),
+          s"graft catalog: $k names '$v', which must be a BIGINT " +
+            "column of the table")
     }
     graftProps.map { case (k, v) => s"$k|$v" }
   }
@@ -472,6 +502,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
     val spec = partSpecOf(partitions, schema)
+    require(!ident.name().contains("@"),
+      s"graft catalog: '@' addresses a branch (${ident.name()}) — " +
+        "create the table first, then graft_branch")
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       Seq(catName, ident.name()))
     GraftStagedTable(schema, rootFor(ident), replace = false,
@@ -727,5 +760,76 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
       : RowLevelOperationBuilder = {
     requireWritable()
     new GraftRowLevelOperationBuilder(root, gen, tableSchema, info)
+  }
+}
+
+/** The `tbl@branch` WRITE surface (r18 verdict #2 — Iceberg's
+  * write-audit-publish in pure SQL): `INSERT INTO cat.`tbl@audit``
+  * stages through the same distributed DSv2 writer as a main INSERT
+  * (physical names via the BRANCH mapping), and the commit claims a
+  * branch sequence number — main's generation counter never moves and
+  * main readers never see the rows. The audit step reads via
+  * `graft_branch_read`, the publish is `graft_ff`. Append-only by
+  * design: no overwrite, truncate, or row-level ops on a branch
+  * identifier (branch DML is the explicit `graft_branch_delete` /
+  * `updateBranchWhere` verbs). */
+final case class CatalogBranchTable(tableSchema: StructType, root: String,
+    branch: String, cmap: Map[String, String])
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft:$root@branch=$branch"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BranchWriteBuilder(info.schema(), root, branch, cmap)
+}
+
+/** Append-only branch write: executors stage plain parquet temps (the
+  * CdfWriterFactory the main sink uses, with the branch's mapping), the
+  * driver lands ONE branch commit via
+  * [[TimeTravel.commitStagedToBranch]]. */
+final class BranchWriteBuilder(writeSchema: StructType, root: String,
+    branch: String, cmap: Map[String, String]) extends WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new BranchBatchWrite(writeSchema, root, branch, cmap)
+    }
+}
+
+final class BranchBatchWrite(schema: StructType, root: String,
+    branch: String, cmap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    graft.sources.cdf.CdfWriterFactory(schema, root, confB, cmap)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val (live, empty) = messages
+      .collect { case m: graft.sources.cdf.CdfWriteMsg => m }
+      .partition(_.rows > 0)
+    val fs = new Path(root).getFileSystem(confB.value)
+    empty.foreach(m => fs.delete(new Path(m.tmp), false))
+    TimeTravel.commitStagedToBranch(SparkSession.active, root, branch,
+      live.map(_.tmp).toSeq,
+      graft.sources.cdf.CdfParquet.nullable(schema).toDDL)
+    ()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(root).getFileSystem(confB.value)
+    messages.collect { case m: graft.sources.cdf.CdfWriteMsg =>
+      fs.delete(new Path(m.tmp), false)
+    }
+    ()
   }
 }

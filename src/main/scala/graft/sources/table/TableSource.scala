@@ -208,6 +208,15 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   private[table] lazy val fileRows: Map[String, Long] =
     TimeTravel.nrowsFor(root, gen)
 
+  /** Per-file column-NDV sketches from the log's `ndvs` lines
+    * ([[TimeTravel.analyzeNdv]]), decoded once per table — the
+    * column-statistics source CBO join estimation feeds on. Empty
+    * (zero overhead) on never-analyzed tables. */
+  private[table] lazy val ndvSketches: Map[(String, String), Array[Byte]] =
+    TimeTravel.ndvsFor(root, gen).map { case (k, b64) =>
+      k -> java.util.Base64.getDecoder.decode(b64)
+    }
+
   /** File sizes from ONE `listStatus` of the data directory (absolute
     * shallow-clone references fall back to a per-file stat) — the
     * [[SnapshotScan]]'s `estimateStatistics` source, so Catalyst sees the
@@ -730,6 +739,36 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
       rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    // COLUMN statistics (ANALYZE-style NDV — r19): per-file HLL
+    // sketches from the log UNION over exactly the PRUNED file set, so
+    // the distinct count tracks the scan Catalyst is actually costing;
+    // a column any surviving file lacks a sketch for reports nothing
+    // (conservative, never wrong). This is the cardinality food
+    // CBO join estimation wants beyond row/byte counts.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (table.ndvSketches.nonEmpty) required.fieldNames.foreach { n =>
+        val p = table.phys(n)
+        val sketches = files.map(f => table.ndvSketches.get((f, p)))
+        if (files.nonEmpty && sketches.forall(_.isDefined)) {
+          val u = new org.apache.datasketches.hll.Union(12)
+          sketches.flatten.foreach(b =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(b)))
+          val ndv = math.max(1L, math.round(u.getEstimate))
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(ndv)
+            })
+        }
+      }
+      out
+    }
   }
 
   /** Partition-value groups, sorted by value — stable split planning. */

@@ -247,6 +247,91 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("WAP branch identifier: INSERT INTO t@branch stages to the branch; misuse refuses (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wap_spec_").toString
+    withConfs(
+      "spark.sql.catalog.wcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.wcat.warehouse" -> wh) {
+      val root = s"$wh/t"
+      orders.limit(400).createOrReplaceTempView("wap_spec_src")
+      spark.sql("""CREATE TABLE wcat.t (o_orderkey BIGINT,
+                  |  o_orderpriority STRING, o_totalprice DOUBLE)""".stripMargin)
+      spark.sql("INSERT INTO wcat.t SELECT * FROM wap_spec_src " +
+        "WHERE o_orderkey % 2 = 0")
+      val nMain = spark.sql("SELECT count(*) FROM wcat.t").head().getLong(0)
+      // a branch identifier without a branch is a loud error
+      val e0 = intercept[Exception] {
+        spark.sql("INSERT INTO wcat.`t@audit` SELECT * FROM wap_spec_src")
+      }
+      assert(e0.getMessage.contains("no branch 'audit'"))
+      TimeTravel.createBranch(spark, root, "audit", 1)
+      val vAfterRef = TimeTravel.currentVersion(root)
+      spark.sql("INSERT INTO wcat.`t@audit` SELECT * FROM wap_spec_src " +
+        "WHERE o_orderkey % 2 = 1")
+      // main: counter and rows untouched by the branch INSERT
+      assert(TimeTravel.currentVersion(root) === vAfterRef)
+      assert(spark.sql("SELECT count(*) FROM wcat.t").head().getLong(0)
+        === nMain)
+      // the branch head holds both halves
+      assert(TimeTravel.readBranch(spark, root, "audit").count() === 400L)
+      // append-only surface: INSERT OVERWRITE at a branch refuses
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE wcat.`t@audit` " +
+          "SELECT * FROM wap_spec_src")
+      }
+      // time travel over a branch identifier refuses
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM wcat.`t@audit` VERSION AS OF 0").collect()
+      }
+      assert(e2.getMessage.contains("not supported") ||
+        e2.getMessage.contains("branch"))
+      // publish: main now serves the full set
+      TimeTravel.fastForward(spark, root, "audit")
+      assert(spark.sql("SELECT count(*) FROM wcat.t").head().getLong(0)
+        === 400L)
+    }
+  }
+
+  test("identity columns: racing INSERTs re-assign instead of colliding (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idrace_").toString
+    withConfs(
+      "spark.sql.catalog.icat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.icat.warehouse" -> wh) {
+      spark.sql("""CREATE TABLE icat.d (id BIGINT, k BIGINT)
+                  |TBLPROPERTIES('graft.identityCol'='id')""".stripMargin)
+      orders.limit(300)
+        .select(lit(null).cast("long").as("id"),
+          col("o_orderkey").as("k"))
+        .createOrReplaceTempView("id_race_src")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 3).map { i =>
+        new Thread(() =>
+          try { spark.sql("INSERT INTO icat.d SELECT * FROM id_race_src " +
+            s"WHERE k % 3 = $i"); () }
+          catch { case t: Throwable => errs.add(t); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"a racing identity INSERT failed: ${errs.peek()}")
+      val r = spark.sql("SELECT count(*) AS n, count(DISTINCT id) AS d, " +
+        "count(CASE WHEN id IS NULL THEN 1 END) AS z FROM icat.d").head()
+      assert(r.getLong(0) === 300L, s"rows lost: $r")
+      assert(r.getLong(1) === 300L, s"id COLLISION under race: $r")
+      assert(r.getLong(2) === 0L, s"null ids under race: $r")
+      // the high-water mark rode the commits: a fresh INSERT lands
+      // strictly above everything
+      val hw = spark.sql("SELECT max(id) FROM icat.d").head().getLong(0)
+      spark.sql("INSERT INTO icat.d VALUES (CAST(NULL AS BIGINT), 999)")
+      assert(spark.sql(s"SELECT min(id) FROM icat.d WHERE k = 999")
+        .head().getLong(0) > hw)
+      // GENERATED ALWAYS: explicit ids refuse
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO icat.d VALUES (5, 5)")
+      }
+      assert(e.getMessage.contains("GENERATED ALWAYS") ||
+        Option(e.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")))
+    }
+  }
+
   test("q201 catalog: SQL DDL round-trip, version + timestamp travel, immutable history") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec_").toString
     withConfs(

@@ -1045,6 +1045,10 @@ class TimeTravelSpec extends SparkSpec {
       s"$root2/_graft_log/.$ckptGen.ckpt.json.crc"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       s"$root2/_graft_log/$ckptGen.ckpt.json"), forgedCkpt)
+    // the in-process handle cache trusts checkpoint immutability (the
+    // forge above violates it on purpose) — clear it to become the
+    // FRESH reader a future-featured table actually meets (r19)
+    TimeTravel.invalidateCkptCache()
     val e3 = intercept[UnsupportedOperationException] {
       TimeTravel.readAsOf(spark, root2, ckptGen)
     }
@@ -1923,6 +1927,146 @@ class TimeTravelSpec extends SparkSpec {
     } finally {
       TimeTravel.CkptParquetMinLines = 4096
       TimeTravel.CkptRowsPerPart = 100000
+    }
+  }
+
+  test("branch DML: copy-on-write stays branch-local; FF publishes adds+removes; rebase refuses removes (r19)") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 4)
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    TimeTravel.createBranch(spark, root, "fix", 0)
+    // DELETE the low band on the branch: stats-pruned copy-on-write
+    assert(TimeTravel.deleteFromBranchWhere(spark, root, "fix",
+      "o_orderkey", 0L, mx / 4) === 0)
+    val br1 = TimeTravel.readBranch(spark, root, "fix")
+    assert(br1.filter(col("o_orderkey") <= mx / 4).count() === 0L)
+    assert(br1.count() ===
+      orders.filter(col("o_orderkey") > mx / 4).count())
+    // pruning: non-overlapping clustered files survive UNREWRITTEN
+    val baseNames = TimeTravel.readAsOf(spark, root, 0)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    val headNames = br1.select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    assert((headNames intersect baseNames).nonEmpty,
+      "branch delete rewrote files outside the band")
+    // main sees none of it
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === orders.count())
+    // UPDATE a high band on the branch: zero the price
+    val tp = orders.schema("o_totalprice").dataType
+    assert(TimeTravel.updateBranchWhere(spark, root, "fix", "o_orderkey",
+      mx / 2, mx, "o_totalprice", lit(0).cast(tp)) === 1)
+    val br2 = TimeTravel.readBranch(spark, root, "fix")
+    assert(br2.filter(col("o_orderkey") >= mx / 2 &&
+      col("o_totalprice") =!= 0).count() === 0L)
+    // FF publishes the whole fixed state as ONE atomic main commit
+    val v = TimeTravel.fastForward(spark, root, "fix")
+    val head = TimeTravel.readAsOf(spark, root, v)
+    assert(head.count() === orders.filter(col("o_orderkey") > mx / 4).count())
+    assert(head.filter(col("o_orderkey") >= mx / 2 &&
+      col("o_totalprice") =!= 0).count() === 0L)
+    // gen 0 still serves the pre-fix truth
+    assert(TimeTravel.readAsOf(spark, root, 0).count() === orders.count())
+    // a remove-carrying branch cannot rebase (its removes name a moved
+    // world) — loud refusal, nothing half-published
+    TimeTravel.createBranch(spark, root, "fix2", v)
+    TimeTravel.deleteFromBranchWhere(spark, root, "fix2", "o_orderkey",
+      mx / 2, mx)
+    TimeTravel.commit(spark, root, orders.limit(10)) // main advances
+    val before = TimeTravel.currentVersion(root)
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.rebase(spark, root, "fix2")
+    }
+    assert(e.getMessage.contains("removes files"))
+    assert(TimeTravel.currentVersion(root) === before,
+      "a refused rebase landed commits")
+    TimeTravel.dropBranch(spark, root, "fix2")
+  }
+
+  test("branch DML translates through the branch mapping on a renamed table (r19)") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 4)
+    TimeTravel.renameColumn(spark, root, "o_orderkey", "okey")
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val gen = TimeTravel.currentVersion(root)
+    TimeTravel.createBranch(spark, root, "m", gen)
+    // the LOGICAL name drives the delete; stats stay physical-keyed
+    TimeTravel.deleteFromBranchWhere(spark, root, "m", "okey", 0L, mx / 2)
+    val br = TimeTravel.readBranch(spark, root, "m")
+    assert(br.columns.contains("okey"))
+    assert(br.filter(col("okey") <= mx / 2).count() === 0L)
+    assert(br.count() === orders.filter(col("o_orderkey") > mx / 2).count())
+    val v = TimeTravel.fastForward(spark, root, "m")
+    assert(TimeTravel.readAsOfMapped(spark, root, v)
+      .filter(col("okey") <= mx / 2).count() === 0L)
+  }
+
+  test("distributed vacuum reclaims the identical set the driver loop plans (r19)") {
+    val root = newRoot()
+    TimeTravel.commit(spark, root, orders.limit(100))
+    // plant MANY orphans: enough to exercise the multi-task delete
+    orders.limit(200).repartition(24).write.mode("overwrite")
+      .parquet(s"$root/orphans")
+    val moved = new java.io.File(s"$root/orphans").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val dst = java.nio.file.Paths.get(s"$root/data/orph-${f.getName}")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.getFileName.toString
+      }.toSeq.sorted
+    assert(moved.size >= 20)
+    val planned = TimeTravel.vacuumDryRun(root, 0L)
+    assert(planned === moved, "dry run disagreed with the planted set")
+    TimeTravel.VacuumDistributedMin = 1 // force the job path
+    try {
+      val reclaimed = TimeTravel.vacuum(root)
+      assert(reclaimed === planned,
+        "the distributed delete reclaimed a different set than planned")
+      moved.foreach(n => assert(
+        !new java.io.File(s"$root/data/$n").exists(), s"$n survived"))
+      // committed files untouched; the table still reads
+      assert(TimeTravel.readAsOf(spark, root, 0).count() === 100L)
+    } finally TimeTravel.VacuumDistributedMin = 64
+  }
+
+  test("ANALYZE NDV: sketches ride checkpoints and retention; pruned scans union only survivors (r19)") {
+    val root = newRoot()
+    TimeTravel.commitClustered(spark, root, orders, "o_orderkey", 4)
+    val n = orders.count()
+    TimeTravel.analyzeNdv(spark, root, Seq("o_orderkey", "o_orderpriority"))
+    // the sketches resolve from the log, keyed (file, col)
+    val gen = TimeTravel.currentVersion(root)
+    assert(TimeTravel.ndvsFor(root, gen).size === 8) // 4 files × 2 cols
+    // checkpoint + retention: the fold survives in BOTH formats
+    TimeTravel.CkptParquetMinLines = 0
+    try {
+      TimeTravel.checkpoint(root, gen)
+      TimeTravel.expireHistory(root, gen)
+      assert(TimeTravel.ndvsFor(root, gen).size === 8,
+        "NDV sketches lost through a parquet checkpoint + retention")
+    } finally TimeTravel.CkptParquetMinLines = 4096
+    // the DSv2 scan surfaces the union as column stats; a PRUNED scan
+    // unions only its surviving files' sketches
+    val wh = root.stripSuffix("/t")
+    withSqlConf(
+      "spark.sql.catalog.nvcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.nvcat.warehouse" -> wh,
+      "spark.sql.cbo.enabled" -> "true") {
+      def ndvOf(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.optimizedPlan.stats.attributeStats.toSeq
+          .collectFirst { case (a, cs) if a.name == "o_orderkey" =>
+            cs.distinctCount }.flatten.map(_.toLong).getOrElse(-1L)
+      val full = ndvOf(spark.sql("SELECT * FROM nvcat.t"))
+      assert(full > n * 9 / 10 && full < n * 11 / 10,
+        s"full-scan NDV estimate off: $full vs $n rows")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val pruned = ndvOf(spark.sql(
+        s"SELECT * FROM nvcat.t WHERE o_orderkey <= ${mx / 4}"))
+      // the quarter band keeps 1 of 4 range-clustered files — 2 when a
+      // sampled range boundary spills past mx/4 — so the surviving
+      // union must sit clearly below the full fold either way
+      assert(pruned > 0 && pruned < full * 3 / 4,
+        s"pruned-scan NDV did not track the surviving files: " +
+          s"$pruned vs $full")
     }
   }
 
