@@ -2486,6 +2486,7 @@ object TimeTravel extends QueryModule {
       df: DataFrame): Int = {
     validateConstraints(s, root, df) // includes the writer-feature gate
     validateSchema(s, root, df.schema)
+    requireNotIdentity(root, "branch appends")
     val cur = currentVersion(root)
     val base = branchesFor(root, cur).getOrElse(name,
       throw new IllegalArgumentException(
@@ -2507,13 +2508,15 @@ object TimeTravel extends QueryModule {
     * see branch commits at all). Returns the branch sequence number. */
   private def commitNamesToBranch(root: String, name: String,
       added: Seq[String], removed: Seq[String], nrows: Seq[String],
-      schemaDdl: String): Int = {
+      schemaDdl: String, txn: Option[String] = None): Int = {
     val (fs, _) = fsFor(root)
     def render(k: Int, ts: Long) =
       s"""{"branch":["${jsonEsc(name)}"],"bseq":$k,"ts":["$ts"],""" +
         s""""added":[${added.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
         s""""removed":[${removed.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
         s""""nrows":[${nrows.map("\"" + jsonEsc(_) + "\"").mkString(",")}],""" +
+        (if (txn.isEmpty) ""
+         else s""""txn":["${jsonEsc(txn.get)}"],""") +
         s""""schemav":["${jsonEsc(schemaDdl)}"]}"""
     var k = branchCommits(root, name).lastOption.map(_._1 + 1).getOrElse(0)
     val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -2557,10 +2560,12 @@ object TimeTravel extends QueryModule {
     * renamed through the branch mapping); constraints check the
     * logical projection. */
   private[graft] def commitStagedToBranch(s: SparkSession, root: String,
-      name: String, temps: Seq[String], schemaDdl: String): Int = {
+      name: String, temps: Seq[String], schemaDdl: String,
+      txn: Option[String] = None): Int = {
     val base = branchesFor(root, currentVersion(root)).getOrElse(name,
       throw new IllegalArgumentException(
         s"time travel: no branch '$name' under $root"))
+    requireNotIdentity(root, "branch appends")
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     if (temps.nonEmpty) {
@@ -2586,7 +2591,62 @@ object TimeTravel extends QueryModule {
       fin
     }
     val nrows = added.map(f => s"$f|${footerRows(root, f)}")
-    commitNamesToBranch(root, name, added, Nil, nrows, schemaDdl)
+    commitNamesToBranch(root, name, added, Nil, nrows, schemaDdl, txn)
+  }
+
+  /** Identity tables assign ids against the MAIN high-water mark at
+    * commit time — a branch append would bake ids that later main
+    * commits could reuse before the publish lands. Refuse loudly until
+    * branch-scoped id reservation exists (branch DML is fine: the
+    * copy-on-write rewrites carry EXISTING ids). */
+  private def requireNotIdentity(root: String, what: String): Unit = {
+    val gen = currentVersion(root)
+    if (gen >= 0 &&
+        propsAsOf(root, gen).get(IdentityColKey).exists(_.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"time travel: $what on identity-column tables are not " +
+          "supported — ids are assigned against main's high-water " +
+          "mark; insert on main, or drop the identity property")
+  }
+
+  /** The branch's resolved appId → newest-txn-version map — branch
+    * commits carry their own txn records (the streaming WAP epoch
+    * guard). Branch commits never expire out from under a live branch
+    * (drop/publish delete them WITH the ref), so no checkpoint fold is
+    * needed; after a publish the ref is gone and a replayed epoch
+    * refuses on the missing branch — loud, never a duplicate. */
+  private def branchTxns(root: String, name: String): Map[String, Long] = {
+    val (fs, _) = fsFor(root)
+    branchCommits(root, name).foldLeft(Map.empty[String, Long]) {
+      case (m, (_, f)) =>
+        parseArr(readBytes(fs, f), "txn").foldLeft(m) { (acc, line) =>
+          line.split('|') match {
+            case Array(a, v) =>
+              try acc.updated(a, math.max(v.toLong,
+                acc.getOrElse(a, Long.MinValue)))
+              catch { case _: NumberFormatException => acc }
+            case _ => acc
+          }
+        }
+    }
+  }
+
+  /** IDEMPOTENT branch commit of staged temps (the streaming WAP
+    * sink's epoch contract — the branch-side [[commitStagedTxn]]): a
+    * replayed epoch deletes its temps and lands nothing. */
+  private[graft] def commitStagedToBranchTxn(s: SparkSession, root: String,
+      name: String, temps: Seq[String], schemaDdl: String,
+      appId: String, version: Long): Int = {
+    require(!appId.contains("|"), "txn appId must not contain '|'")
+    lockFor(root).synchronized {
+      if (branchTxns(root, name).get(appId).exists(_ >= version)) {
+        val (fs, _) = fsFor(root)
+        temps.foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(t), false))
+        branchCommits(root, name).lastOption.map(_._1).getOrElse(-1)
+      } else commitStagedToBranch(s, root, name, temps, schemaDdl,
+        txn = Some(s"$appId|$version"))
+    }
   }
 
   /** Read the branch HEAD: the base snapshot plus the branch commits'

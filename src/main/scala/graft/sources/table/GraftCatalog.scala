@@ -92,8 +92,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    TimeTravel.currentVersion(rootFor(ident)) >= 0
+  override def tableExists(ident: Identifier): Boolean = {
+    // `tbl@branch` exists iff the table AND the branch do — so
+    // `writeStream.toTable` resolves the branch write surface instead
+    // of trying to CREATE a table whose name carries '@' (refused)
+    val at = ident.name().indexOf('@')
+    if (at > 0) {
+      val root = rootFor(
+        Identifier.of(ident.namespace(), ident.name().substring(0, at)))
+      val live = TimeTravel.currentVersion(root)
+      live >= 0 && TimeTravel.branchesFor(root, live)
+        .contains(ident.name().substring(at + 1))
+    } else TimeTravel.currentVersion(rootFor(ident)) >= 0
+  }
 
   override def loadTable(ident: Identifier): Table =
     load(ident, None)
@@ -209,11 +220,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       // GENERATED ALWAYS AS IDENTITY (r18 verdict #5): the surrogate-key
       // column must exist and be BIGINT — the engine assigns monotone
       // ids at every INSERT/epoch, claim-protected by the hwm property
-      if (k == TimeTravel.IdentityColKey && v.nonEmpty)
+      if (k == TimeTravel.IdentityColKey && v.nonEmpty) {
         require(schema.fields.exists(f => f.name == v &&
             f.dataType == org.apache.spark.sql.types.LongType),
           s"graft catalog: $k names '$v', which must be a BIGINT " +
             "column of the table")
+        // the hive-partitioned staging path does not run the identity
+        // fill — refuse the combination at DDL time instead of landing
+        // silent NULL ids on the first INSERT
+        require(spec.isEmpty && !graftProps.exists { case (pk, pv) =>
+            (pk == "graft.partitionSpec" || pk == "graft.partitionCol") &&
+              pv.nonEmpty },
+          s"graft catalog: $k is not supported on PARTITIONED tables — " +
+            "drop the partition spec or the identity column")
+      }
     }
     graftProps.map { case (k, v) => s"$k|$v" }
   }
@@ -440,6 +460,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       // VALIDATED against the current logical schema before it lands, so
       // a typo fails the ALTER, not some later INSERT.
       case p: TableChange.SetProperty =>
+        // identity columns are DECLARED AT CREATE (Delta parity: an
+        // existing column cannot become GENERATED ALWAYS — its rows
+        // already carry arbitrary values the mark never covered)
+        if (p.property() == TimeTravel.IdentityColKey && p.value().nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft catalog: identity columns are declared at CREATE " +
+              "TABLE (TBLPROPERTIES('graft.identityCol'='…')) — an " +
+              "existing column cannot become GENERATED ALWAYS")
+        // and a partition spec cannot evolve ONTO an identity table
+        // (the partitioned staging path does not run the identity fill)
+        if ((p.property() == "graft.partitionSpec" ||
+            p.property() == "graft.partitionCol") && p.value().nonEmpty)
+          require(!TimeTravel.propsAsOf(root,
+              TimeTravel.currentVersion(root))
+              .get(TimeTravel.IdentityColKey).exists(_.nonEmpty),
+            "graft catalog: cannot declare a partition spec on an " +
+              "identity-column table — the partitioned staging path " +
+              "does not run the identity fill")
         if (p.property() == "graft.partitionSpec" && p.value().nonEmpty)
           validateTerms(PartSpec.parse(p.value()),
             TimeTravel.schemaAsOf(root, TimeTravel.currentVersion(root))
@@ -779,23 +817,74 @@ final case class CatalogBranchTable(tableSchema: StructType, root: String,
   override def name(): String = s"graft:$root@branch=$branch"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new BranchWriteBuilder(info.schema(), root, branch, cmap)
+    new BranchWriteBuilder(info.schema(), root, branch, cmap,
+      info.queryId())
 }
 
 /** Append-only branch write: executors stage plain parquet temps (the
   * CdfWriterFactory the main sink uses, with the branch's mapping), the
   * driver lands ONE branch commit via
-  * [[TimeTravel.commitStagedToBranch]]. */
+  * [[TimeTravel.commitStagedToBranch]] — or, for a streaming epoch,
+  * one txn-tagged branch commit per micro-batch
+  * (`writeStream.toTable("cat.`t@audit`")`, the streaming half of the
+  * WAP loop: ingest to the branch exactly-once, audit, publish). */
 final class BranchWriteBuilder(writeSchema: StructType, root: String,
-    branch: String, cmap: Map[String, String]) extends WriteBuilder {
+    branch: String, cmap: Map[String, String], queryId: String)
+    extends WriteBuilder {
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new BranchBatchWrite(writeSchema, root, branch, cmap)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new BranchStreamingWrite(writeSchema, root, branch, cmap, queryId)
     }
+}
+
+/** One txn-tagged BRANCH commit per epoch — exactly-once by the same
+  * (appId, epoch) contract as the main streaming sink, with the txn
+  * record riding the branch commit file: a restart's replayed epoch
+  * deletes its temps and lands nothing; after a publish the ref is
+  * gone and the replay refuses loudly on the missing branch. */
+final class BranchStreamingWrite(schema: StructType, root: String,
+    branch: String, cmap: Map[String, String], queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val confB = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    graft.sources.cdf.CdfWriterFactory(schema, root, confB, cmap)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val (live, empty) = messages
+      .collect { case m: graft.sources.cdf.CdfWriteMsg => m }
+      .partition(_.rows > 0)
+    val fs = new Path(root).getFileSystem(confB.value)
+    empty.foreach(m => fs.delete(new Path(m.tmp), false))
+    TimeTravel.commitStagedToBranchTxn(SparkSession.active, root, branch,
+      live.map(_.tmp).toSeq,
+      graft.sources.cdf.CdfParquet.nullable(schema).toDDL,
+      s"cdf-branch-$queryId", epochId)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val fs = new Path(root).getFileSystem(confB.value)
+    messages.collect { case m: graft.sources.cdf.CdfWriteMsg =>
+      fs.delete(new Path(m.tmp), false)
+    }
+    ()
+  }
 }
 
 final class BranchBatchWrite(schema: StructType, root: String,

@@ -332,6 +332,97 @@ class TableSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming WAP: writeStream.toTable at a branch lands txn-tagged epochs; restart replays nothing (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_swap_").toString
+    withConfs(
+      "spark.sql.catalog.swcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.swcat.warehouse" -> wh) {
+      val root = s"$wh/t"
+      val base = orders.limit(400)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+      spark.sql("CREATE TABLE swcat.t (k BIGINT, p DOUBLE)")
+      base.filter(col("k") % 2 === 0).createOrReplaceTempView("swap_src")
+      spark.sql("INSERT INTO swcat.t SELECT * FROM swap_src")
+      val nMain = spark.sql("SELECT count(*) FROM swcat.t").head().getLong(0)
+      TimeTravel.createBranch(spark, root, "audit", 1)
+      val vRef = TimeTravel.currentVersion(root)
+      // the streaming half: 2 input files × maxFilesPerTrigger 1 →
+      // two txn-tagged branch epochs
+      val in = s"$wh/in"
+      base.filter(col("k") % 2 === 1).repartition(2)
+        .write.mode("overwrite").parquet(in)
+      val ckpt = s"$wh/ckpt"
+      def drain(): Unit = {
+        val q = spark.readStream.schema("k BIGINT, p DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("swcat.`t@audit`")
+        q.awaitTermination()
+      }
+      drain()
+      def nCommits: Long =
+        spark.sql(s"SELECT * FROM graft_branches('$root')").head().getLong(2)
+      graft.GraftFunctions.register(spark)
+      val landed = nCommits
+      assert(landed >= 2, s"expected >=2 branch epochs, got $landed")
+      // main untouched; the branch head holds everything
+      assert(TimeTravel.currentVersion(root) === vRef)
+      assert(spark.sql("SELECT count(*) FROM swcat.t").head().getLong(0)
+        === nMain)
+      assert(TimeTravel.readBranch(spark, root, "audit").count() === 400L)
+      // restart from the SAME checkpoint: the txn guard replays nothing
+      drain()
+      assert(nCommits === landed,
+        "a restarted drained stream landed a duplicate branch epoch")
+      assert(TimeTravel.readBranch(spark, root, "audit").count() === 400L)
+      // publish completes the WAP loop
+      TimeTravel.fastForward(spark, root, "audit")
+      assert(spark.sql("SELECT count(*) FROM swcat.t").head().getLong(0)
+        === 400L)
+    }
+  }
+
+  test("identity guards: no branch appends, no partitioned identity, no ALTER-on identity (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_idg_").toString
+    withConfs(
+      "spark.sql.catalog.idgcat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.idgcat.warehouse" -> wh) {
+      // partitioned + identity refuses at CREATE
+      val e1 = intercept[Exception] {
+        spark.sql("""CREATE TABLE idgcat.p (id BIGINT, v STRING)
+                    |PARTITIONED BY (v)
+                    |TBLPROPERTIES('graft.identityCol'='id')""".stripMargin)
+      }
+      assert(e1.getMessage.contains("PARTITIONED"))
+      // identity cannot be declared by ALTER
+      spark.sql("CREATE TABLE idgcat.d (id BIGINT, v BIGINT)")
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE idgcat.d SET TBLPROPERTIES" +
+          "('graft.identityCol'='id')")
+      }
+      assert(e2.getMessage.contains("CREATE"))
+      // branch appends refuse on identity tables (ids are assigned
+      // against MAIN's high-water mark)
+      spark.sql("""CREATE TABLE idgcat.i (id BIGINT, v BIGINT)
+                  |TBLPROPERTIES('graft.identityCol'='id')""".stripMargin)
+      spark.sql("INSERT INTO idgcat.i VALUES (CAST(NULL AS BIGINT), 1)")
+      TimeTravel.createBranch(spark, s"$wh/i", "b", 1)
+      val e3 = intercept[Exception] {
+        spark.sql("INSERT INTO idgcat.`i@b` VALUES (CAST(NULL AS BIGINT), 2)")
+      }
+      assert(e3.getMessage.contains("high-water") ||
+        Option(e3.getCause).exists(_.getMessage.contains("high-water")))
+      // a partition spec cannot evolve ONTO an identity table
+      val e4 = intercept[Exception] {
+        spark.sql("ALTER TABLE idgcat.i SET TBLPROPERTIES" +
+          "('graft.partitionCol'='v')")
+      }
+      assert(e4.getMessage.contains("identity"))
+    }
+  }
+
   test("q201 catalog: SQL DDL round-trip, version + timestamp travel, immutable history") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cat_spec_").toString
     withConfs(
