@@ -3494,6 +3494,13 @@ object LakehouseOps extends QueryModule {
             if (TimeTravel.branchesFor(root,
                 TimeTravel.currentVersion(root)).contains("audit")) {
               val b = legAgg(s"graft_branch_read('$root', 'audit')", "audit")
+              // the DSv2 branch scan answers the same audit in pure
+              // SQL FROM position (r19 read surface)
+              require(s.sql(
+                  "SELECT count(*) FROM gcat246.`orders_t@audit`")
+                  .head().getLong(0) == b.map(_._3).sum,
+                "q246: the branch identifier read disagrees with " +
+                  "graft_branch_read")
               val m = legAgg(s"graft_asof('$root', 1)", "main")
               s.sql(s"SELECT * FROM graft_ff('$root', 'audit')").collect()
               (b, m)

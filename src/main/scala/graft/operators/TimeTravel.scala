@@ -2379,6 +2379,22 @@ object TimeTravel extends QueryModule {
     (base, logical, branchColmap(root, base))
   }
 
+  /** The branch HEAD's file set — the DSv2 read surface's resolution
+    * (`SELECT … FROM cat.`t@branch``): base snapshot fold plus the
+    * branch commits' adds-minus-removes. */
+  private[graft] def branchHeadFiles(root: String, name: String)
+      : Seq[String] = branchState(root, name)._2
+
+  /** The branch's base-first merged mapping, for the DSv2 branch scan. */
+  private[graft] def branchColmapOf(root: String, name: String)
+      : Map[String, String] = {
+    val cur = currentVersion(root)
+    val base = branchesFor(root, cur).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"time travel: no branch '$name' under $root"))
+    branchColmap(root, base)
+  }
+
   private def branchColmap(root: String, base: Int): Map[String, String] = {
     val cmCur = colmapAsOf(root, currentVersion(root))
     val cmBase = colmapAsOf(root, base)

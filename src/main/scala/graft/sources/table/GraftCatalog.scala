@@ -138,8 +138,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       val root = rootFor(Identifier.of(ident.namespace(), tbl))
       if (TimeTravel.currentVersion(root) < 0)
         throw new NoSuchTableException(ident)
-      val (_, schema, cmap) = TimeTravel.branchWriteInfo(root, branch)
-      return CatalogBranchTable(schema, root, branch, cmap)
+      val (bbase, schema, cmap) = TimeTravel.branchWriteInfo(root, branch)
+      return CatalogBranchTable(schema, root, branch, cmap, bbase)
     }
     val root = rootFor(ident)
     val live = TimeTravel.currentVersion(root)
@@ -812,13 +812,22 @@ final case class CatalogLogTable(tableSchema: StructType, root: String,
   * identifier (branch DML is the explicit `graft_branch_delete` /
   * `updateBranchWhere` verbs). */
 final case class CatalogBranchTable(tableSchema: StructType, root: String,
-    branch: String, cmap: Map[String, String])
-    extends Table with SupportsWrite {
+    branch: String, cmap: Map[String, String], base: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  // the AUDIT read surface (r19): the branch head through the full
+  // DSv2 scan — base-keyed stats/DV/default/mapping state, branch adds
+  // scanning conservatively — so `SELECT … FROM cat.`t@audit`` closes
+  // the WAP loop in pure SQL (resolved lazily: a pure INSERT never
+  // pays for it)
+  private lazy val readSide =
+    GraftLogTable(tableSchema, root, base, Some(branch))
   override def name(): String = s"graft:$root@branch=$branch"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    readSide.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BranchWriteBuilder(info.schema(), root, branch, cmap,
       info.queryId())

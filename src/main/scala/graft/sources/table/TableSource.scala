@@ -141,10 +141,20 @@ object PosMetaColumn extends MetadataColumn {
 }
 
 final case class GraftLogTable(tableSchema: StructType, root: String,
-    gen: Int) extends Table with SupportsRead with SupportsMetadataColumns {
+    gen: Int, branch: Option[String] = None)
+    extends Table with SupportsRead with SupportsMetadataColumns {
 
-  // the snapshot's file set and its log metadata, resolved ONCE per table
-  private[table] val files: Seq[String] = TimeTravel.snapshotFiles(root, gen)
+  // the snapshot's file set and its log metadata, resolved ONCE per
+  // table. With `branch` set this is the BRANCH-HEAD read surface
+  // (r19 WAP audit in pure SQL): files come from the branch fold at
+  // its BASE generation (`gen` IS the base), so every base-keyed
+  // metadatum below — stats, DVs, defaults, widening, mapping — reads
+  // exactly as the branch sees the world; branch-staged files simply
+  // lack stats/pvals/nrows entries and scan conservatively.
+  private[table] val files: Seq[String] = branch match {
+    case Some(b) => TimeTravel.branchHeadFiles(root, b)
+    case None => TimeTravel.snapshotFiles(root, gen)
+  }
   private[table] val stats: Map[(String, String), (Long, Long)] =
     TimeTravel.statsFor(root, gen)
   private[table] val pvals: Map[String, (String, String)] =
@@ -163,8 +173,10 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
     * schema, so an `ALTER TABLE RENAME COLUMN` moves zero data bytes and
     * the table stays fully readable (and file-skippable) through this
     * source. */
-  private[table] val colmap: Map[String, String] =
-    TimeTravel.colmapAsOf(root, gen)
+  private[table] val colmap: Map[String, String] = branch match {
+    case Some(b) => TimeTravel.branchColmapOf(root, b)
+    case None => TimeTravel.colmapAsOf(root, gen)
+  }
   private[table] def phys(c: String): String = colmap.getOrElse(c, c)
   private[table] val logicalOf: Map[String, String] = colmap.map(_.swap)
 
@@ -273,8 +285,11 @@ final case class GraftLogTable(tableSchema: StructType, root: String,
   override def partitioning(): Array[Transform] =
     partColLogical.map(c => Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+    if (branch.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else // a branch head is one moving ref, not an offset log
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetaColumn, PosMetaColumn)
 
@@ -711,6 +726,10 @@ final class SnapshotScan(table: GraftLogTable, required: StructType,
     * a batch-only surface. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(table.branch.isEmpty,
+      "table: streaming reads over a branch head are not supported — " +
+        "the branch is one moving ref, not an offset log; stream the " +
+        "main table or publish first")
     require(!required.fieldNames.contains(FileMetaColumn.NAME) &&
         !required.fieldNames.contains(PosMetaColumn.NAME),
       "table: the _file/_pos metadata columns are batch-only")

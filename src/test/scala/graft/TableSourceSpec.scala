@@ -272,8 +272,23 @@ class TableSourceSpec extends SparkSpec {
       assert(TimeTravel.currentVersion(root) === vAfterRef)
       assert(spark.sql("SELECT count(*) FROM wcat.t").head().getLong(0)
         === nMain)
-      // the branch head holds both halves
+      // the branch head holds both halves — through the library read
+      // AND the DSv2 branch scan (the pure-SQL audit read, r19)
       assert(TimeTravel.readBranch(spark, root, "audit").count() === 400L)
+      assert(spark.sql("SELECT count(*) FROM wcat.`t@audit`")
+        .head().getLong(0) === 400L)
+      assert(spark.sql("SELECT count(*) FROM wcat.`t@audit` " +
+        "WHERE o_orderkey % 2 = 1").head().getLong(0) ===
+        spark.sql("SELECT count(*) FROM wap_spec_src " +
+          "WHERE o_orderkey % 2 = 1").head().getLong(0))
+      // streaming reads over a branch head refuse (one moving ref)
+      val eS = intercept[Exception] {
+        spark.readStream.table("wcat.`t@audit`")
+          .writeStream.format("memory").queryName("wap_audit_stream")
+          .start()
+      }
+      assert(eS.getMessage.contains("branch") ||
+        Option(eS.getCause).exists(_.getMessage.contains("branch")))
       // append-only surface: INSERT OVERWRITE at a branch refuses
       intercept[Exception] {
         spark.sql("INSERT OVERWRITE wcat.`t@audit` " +
