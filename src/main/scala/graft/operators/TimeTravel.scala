@@ -1722,6 +1722,8 @@ object TimeTravel extends QueryModule {
     val v = commitStagedFiles(s, root, temps, schemaDdl,
       dvExpect = Some(entries.map { case (f, _, old) => f -> old }.toMap),
       dvs = written.map { case (f, n, c) => s"$f|$n|$c" },
+      // delta re-inserts carry EXISTING ids (update = delete+reinsert)
+      identityFill = false,
       cdc = cdc,
       flags = Seq("rowdelta"))
     // fragments are consumed — drop them (best-effort; a missed delete
@@ -1816,7 +1818,11 @@ object TimeTravel extends QueryModule {
       txn: Option[String] = None,
       dvExpect: Option[Map[String, Option[String]]] = None,
       props: Seq[String] = Nil, cdc: Seq[String] = Nil,
-      dvs: Seq[String] = Nil, flags: Seq[String] = Nil): Int = {
+      dvs: Seq[String] = Nil, flags: Seq[String] = Nil,
+      // row-level REWRITES re-stage existing rows WITH their already-
+      // assigned ids — only fresh INSERT/epoch paths run the identity
+      // fill (and its GENERATED ALWAYS refusal)
+      identityFill: Boolean = true): Int = {
     validateSchema(s, root,
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
     val gen0 = currentVersion(root)
@@ -1863,7 +1869,7 @@ object TimeTravel extends QueryModule {
     val idPhys = idCol.map(c =>
       (if (gen0 < 0) Map.empty[String, String] else colmapAsOf(root, gen0))
         .getOrElse(c, c))
-    if (temps.isEmpty || idPhys.isEmpty ||
+    if (!identityFill || temps.isEmpty || idPhys.isEmpty ||
         !s.read.parquet(temps: _*).columns.contains(idPhys.get))
       return land(temps, Nil, None)
     // IDENTITY fill (Delta's GENERATED ALWAYS AS IDENTITY): ids are

@@ -455,7 +455,10 @@ final class ReplaceGroupsWrite(op: GraftRowLevelOperation, root: String,
       live.map(_.tmp).toSeq, graft.sources.cdf.CdfParquet.nullable(schema).toDDL,
       removed = removed,
       dvExpect = Some(removed.map(f => f -> dvAtScan.get(f).map(_._1)).toMap),
-      cdc = cdc)
+      cdc = cdc,
+      // the rewrite carries EXISTING ids — never re-fill (and never
+      // trip the GENERATED ALWAYS refusal on legitimately-valued rows)
+      identityFill = false)
     ()
   }
 

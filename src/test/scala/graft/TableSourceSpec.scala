@@ -435,6 +435,21 @@ class TableSourceSpec extends SparkSpec {
           "('graft.partitionCol'='v')")
       }
       assert(e4.getMessage.contains("identity"))
+      // row-level DML PRESERVES existing ids (the rewrite re-stages
+      // rows with their already-assigned values — no refusal, no
+      // re-assignment)
+      spark.sql("INSERT INTO idgcat.i VALUES (CAST(NULL AS BIGINT), 2), " +
+        "(CAST(NULL AS BIGINT), 3)")
+      val idsBefore = spark.sql("SELECT v, id FROM idgcat.i").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sql("UPDATE idgcat.i SET v = v + 10 WHERE v = 2")
+      spark.sql("DELETE FROM idgcat.i WHERE v = 3")
+      val after = spark.sql("SELECT v, id FROM idgcat.i").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after(12L) === idsBefore(2L),
+        "UPDATE re-assigned an existing identity value")
+      assert(after(1L) === idsBefore(1L))
+      assert(!after.contains(3L) && after.size === 2)
     }
   }
 
