@@ -237,7 +237,12 @@ object TimeTravel extends QueryModule {
           parseArr(manifestTxt, k).filterNot(_ == CkptParquetFeature)
         else if (!isParquet || !CkptFileKeys(k)) parseArr(manifestTxt, k)
         else {
-          val s = SparkSession.active
+          val s = SparkSession.getActiveSession.getOrElse(
+            throw new IllegalStateException(
+              s"time travel: checkpoint $version of $root is " +
+                "parquet-format — resolving it requires an active " +
+                "SparkSession (start one, or keep small tables on the " +
+                "legacy JSON format)"))
           val df = s.read.schema(CkptPartSchema)
             .parquet(ckptPartsDir(root, version))
             .filter(col("k") === k)
@@ -259,6 +264,18 @@ object TimeTravel extends QueryModule {
     * gated (the protocol-gate spec clears it to simulate that fresh
     * reader against a forged file). */
   private[graft] def invalidateCkptCache(): Unit = ckptCache.clear()
+
+  /** Drop the cached handles under `root` — DROP TABLE / RENAME free
+    * the PATH for a future table whose checkpoints would otherwise be
+    * served from the dropped table's cached state (r19 review). */
+  private[graft] def invalidateCkptCacheFor(root: String): Unit =
+    ckptCache.synchronized {
+      val it = ckptCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(root) || k.contains(root)) it.remove()
+      }
+    }
 
   private val ckptCache =
     java.util.Collections.synchronizedMap(
@@ -426,6 +443,10 @@ object TimeTravel extends QueryModule {
       txn: Option[String] = None): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // identity tables take their ids from the catalog INSERT/epoch
+    // path's fill — a raw library append would land df's values
+    // verbatim, outside the high-water mark (r19 review)
+    requireNotIdentity(root, "library appends")
     val added = stagePlain(s, root, df)
     // Optimistic concurrency: claim version N with an atomically-refusing
     // rename (claimVersion); the loser of a race re-reads the log and
@@ -517,6 +538,10 @@ object TimeTravel extends QueryModule {
       : Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // identity guard (r19 review): DML/maintenance callers hand
+    // ddlExpect (their read epoch) and re-stage EXISTING ids; a DIRECT
+    // append would land raw id values outside the high-water mark
+    if (ddlExpect.isEmpty) requireNotIdentity(root, "library appends")
     // mapped tables (r18): logical frame in, PHYSICAL staging out —
     // bucket ids ride file names so only the hash input column needs
     // translating, and it hashes the same VALUES either way. A DML
@@ -584,6 +609,10 @@ object TimeTravel extends QueryModule {
       : Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // identity guard (r19 review): DML/maintenance callers hand
+    // ddlExpect (their read epoch) and re-stage EXISTING ids; a DIRECT
+    // append would land raw id values outside the high-water mark
+    if (ddlExpect.isEmpty) requireNotIdentity(root, "library appends")
     // mapped tables (r18): logical frame + sort key in, PHYSICAL staging
     // and stat keys out, logical schema logged — the commitZOrdered
     // discipline; identity on unmapped tables. DML callers hand their
@@ -663,6 +692,10 @@ object TimeTravel extends QueryModule {
       s"time travel: z-order nFiles must be a power of two, got $nFiles")
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // identity guard (r19 review): DML/maintenance callers hand
+    // ddlExpect (their read epoch) and re-stage EXISTING ids; a DIRECT
+    // append would land raw id values outside the high-water mark
+    if (ddlExpect.isEmpty) requireNotIdentity(root, "library appends")
     // COLUMN-MAPPED tables (r17 verdict #1): `df` and the key columns
     // arrive LOGICAL; files must store PHYSICAL names (byte-compatible
     // across renames) and stats lines key by physical name (the q210
@@ -773,6 +806,10 @@ object TimeTravel extends QueryModule {
       s"time travel: z-order nFiles must be a power of two, got $nFiles")
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    // identity guard (r19 review): DML/maintenance callers hand
+    // ddlExpect (their read epoch) and re-stage EXISTING ids; a DIRECT
+    // append would land raw id values outside the high-water mark
+    if (ddlExpect.isEmpty) requireNotIdentity(root, "library appends")
     // mapped tables: logical frame in, PHYSICAL staging + stat keys out
     // (the same discipline as the 2-column form — r17 verdict #1);
     // callers hand their read epoch via ddlExpect (see commitBucketed)
@@ -958,6 +995,9 @@ object TimeTravel extends QueryModule {
       keyCol: String, nBuckets: Int): Int = {
     val gen = currentVersion(root)
     require(gen >= 0, s"time travel: cannot merge into empty table $root")
+    // a MERGE INSERTS unmatched source rows — on an identity table
+    // those would need engine ids the merge path does not assign
+    requireNotIdentity(root, "merges")
     // COLUMN-MAPPED tables are supported (r18, lifting the r17 refusal):
     // `source` and `keyCol` arrive LOGICAL; the touched buckets read
     // physically (renamed columns keep their bytes, defaults filled)
@@ -1864,13 +1904,26 @@ object TimeTravel extends QueryModule {
         props = props ++ extraProps, cdc = cdc, dvs = dvs, flags = flags,
         identityExpect = identityExpect)
     }
+    // a CTAS cannot be born GENERATED ALWAYS — its SELECT already
+    // carries id values the high-water mark never covered, and a later
+    // INSERT would re-assign from hwm 0 into collisions (r19 review)
+    require(temps.isEmpty || !props.exists(p =>
+        p.startsWith(IdentityColKey + "|") &&
+          p.length > IdentityColKey.length + 1),
+      "time travel: identity tables are created EMPTY (CREATE TABLE " +
+        "with TBLPROPERTIES('graft.identityCol'=…), then INSERT) — a " +
+        "CTAS would carry user-supplied ids outside the high-water mark")
     val idCol = (if (gen0 < 0) None
       else propsAsOf(root, gen0).get(IdentityColKey)).filter(_.nonEmpty)
     val idPhys = idCol.map(c =>
       (if (gen0 < 0) Map.empty[String, String] else colmapAsOf(root, gen0))
         .getOrElse(c, c))
+    // one probe frame serves the column check AND the GENERATED ALWAYS
+    // refusal (r19 review: four separate s.read.parquet calls re-read
+    // every footer on the streaming hot path)
+    lazy val probe = s.read.parquet(temps: _*)
     if (!identityFill || temps.isEmpty || idPhys.isEmpty ||
-        !s.read.parquet(temps: _*).columns.contains(idPhys.get))
+        !probe.columns.contains(idPhys.get))
       return land(temps, Nil, None)
     // IDENTITY fill (Delta's GENERATED ALWAYS AS IDENTITY): ids are
     // ENGINE-assigned — a staged non-null value refuses loudly (first
@@ -1883,8 +1936,7 @@ object TimeTravel extends QueryModule {
     // it planned against INSIDE the lock — a racing identity writer
     // becomes a re-fill retry here, never a silent id collision.
     val phys = idPhys.get
-    val firstRaw = s.read.parquet(temps: _*)
-    require(firstRaw.filter(col(phys).isNotNull).limit(1).isEmpty,
+    require(probe.filter(col(phys).isNotNull).limit(1).isEmpty,
       s"time travel: ${idCol.get} of $root is GENERATED ALWAYS AS " +
         "IDENTITY — ids are engine-assigned; stage NULLs in that column")
     var cur = temps
@@ -3095,7 +3147,8 @@ object TimeTravel extends QueryModule {
   }
 
   /** `graft_branch_delete(root, name, col, lo, hi)` — row-level DELETE
-    * on a branch head from SQL (lazy). Returns (bseq, files_rewritten). */
+    * on a branch head from SQL (lazy). Returns (bseq, head_files: the
+    * branch head's file count AFTER the delete). */
   def branchDeletePlan(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 5,
@@ -3740,6 +3793,7 @@ object TimeTravel extends QueryModule {
       partCol: String, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    requireNotIdentity(root, "library appends") // r19 review
     val renamed = stagePartitioned(s, root, df, col(partCol), None)
     // '|' is the stats-line separator: a value carrying it would lose
     // its pruning line silently at read resolution (r14 ADVICE) — refuse
@@ -3809,6 +3863,7 @@ object TimeTravel extends QueryModule {
       df: DataFrame, baseCol: String, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    requireNotIdentity(root, "library appends") // r19 review
     val renamed = stagePartitioned(s, root, df,
       date_format(col(baseCol), "yyyy-MM"), None)
     commitNames(s, root, renamed.map(_._1), removed,
@@ -4275,14 +4330,33 @@ object TimeTravel extends QueryModule {
     val files = snapshotFiles(root, gen)
     require(files.nonEmpty, s"time travel: no files to analyze under $root")
     val aggs = cols.map(c => expr(s"hll_sketch_agg(`$c`)").as(c))
-    val rows = s.read.parquet(files.map(f => dataPath(root, f)): _*)
-      .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1)
-        .as("__f"))
+    // explicit PHYSICAL read schema: widened tables' narrow files
+    // up-convert instead of crashing the vectorized reader (r19
+    // review). DV-masked rows count into the sketch — a bounded
+    // overcount CBO tolerates; the next OPTIMIZE/ANALYZE sheds it.
+    val paths = files.map(f => dataPath(root, f))
+    val base = physSchemaAsOf(root, gen) match {
+      case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+      case None => s.read.parquet(paths: _*)
+    }
+    val rows = base
+      .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // key each sketch by the SNAPSHOT'S file entry — matched on the
+    // full normalized path, so shallow-clone ABSOLUTE references
+    // resolve too (a basename key silently never matched them)
+    val byPath = files.map { f =>
+      new org.apache.hadoop.fs.Path(dataPath(root, f)).toUri.getPath -> f
+    }.toMap
     val lines = rows.flatMap { r =>
+      val entry = byPath.getOrElse(
+        new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath,
+        throw new IllegalStateException(
+          s"time travel: analyze read ${r.getString(0)}, which maps to " +
+            s"no snapshot entry of $root"))
       cols.zipWithIndex.map { case (c, i) =>
-        s"${r.getString(0)}|$c|${java.util.Base64.getEncoder
+        s"$entry|$c|${java.util.Base64.getEncoder
           .encodeToString(r.getAs[Array[Byte]](i + 1))}"
       }
     }.toSeq.sorted
@@ -4601,6 +4675,7 @@ object TimeTravel extends QueryModule {
       keyCol: String, nFiles: Int, removed: Seq[String] = Nil): Int = {
     validateConstraints(s, root, df)
     validateSchema(s, root, df.schema)
+    requireNotIdentity(root, "library appends") // r19 review
     val stage = s"$root/stage-${java.util.UUID.randomUUID()}"
     df.repartition(nFiles, col(keyCol)).write.mode("overwrite").parquet(stage)
     val staged = s.read.parquet(stage)
@@ -4884,17 +4959,6 @@ object TimeTravel extends QueryModule {
         if (claimVersion(fs, tmp,
             new org.apache.hadoop.fs.Path(s"${logDir(root)}/$v.json"))) {
           committed = true
-          // AUTO-CHECKPOINT every 10 generations (Delta's
-          // checkpointInterval default): without it a one-commit-per-
-          // micro-batch table makes every reader fold an ever-growing
-          // commit tail — the metadata cost a 100 TB deployment feels
-          // first. The write is deterministic (racing writers produce
-          // identical bytes) and resolution from then on reads one
-          // checkpoint + ≤10 tail commits.
-          if (v > 0 && v % AutoCheckpointEvery == 0)
-            try checkpoint(root, v)
-            catch { case scala.util.control.NonFatal(_) =>
-              () } // best-effort: a failed checkpoint never fails a commit
         } else {
           fs.delete(tmp, false)
           val latest = currentVersion(root)
@@ -4903,6 +4967,20 @@ object TimeTravel extends QueryModule {
         }
       }
     }
+    // AUTO-CHECKPOINT every 10 generations (Delta's checkpointInterval
+    // default): without it a one-commit-per-micro-batch table makes
+    // every reader fold an ever-growing commit tail — the metadata cost
+    // a 100 TB deployment feels first. Runs OUTSIDE the commit lock
+    // (r19 review: the parquet-format checkpoint is a distributed job —
+    // holding lockFor through it would stall every same-JVM committer
+    // for the job's duration). Safe outside: checkpoint content is a
+    // pure function of the log at version v, so racing committers /
+    // checkpointers produce logically identical state and the dir/file
+    // rename race keeps exactly one. Best-effort: a failed checkpoint
+    // never fails the commit that triggered it.
+    if (v > 0 && v % AutoCheckpointEvery == 0)
+      try { checkpoint(root, v); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     v
   }
 

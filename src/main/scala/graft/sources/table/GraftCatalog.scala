@@ -499,6 +499,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val root = new Path(rootFor(ident))
     val fs = root.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
+    // a future table at the SAME path must not resolve the dropped
+    // table's cached checkpoint handles (r19 review)
+    TimeTravel.invalidateCkptCacheFor(rootFor(ident))
     TimeTravel.currentVersion(root.toString) >= 0 && fs.delete(root, true)
   }
 
@@ -522,6 +525,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       throw new TableAlreadyExistsException(Seq(catName, to.name()))
     require(fs.rename(src, dst),
       s"graft catalog: rename of ${old.name()} to ${to.name()} failed")
+    // a future table at the vacated OLD path must not resolve this
+    // table's cached checkpoint handles (r19 review)
+    TimeTravel.invalidateCkptCacheFor(rootFor(old))
     ()
   }
 

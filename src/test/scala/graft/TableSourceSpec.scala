@@ -450,7 +450,52 @@ class TableSourceSpec extends SparkSpec {
         "UPDATE re-assigned an existing identity value")
       assert(after(1L) === idsBefore(1L))
       assert(!after.contains(3L) && after.size === 2)
+      // CTAS cannot be born GENERATED ALWAYS — its SELECT carries ids
+      // outside the mark
+      val eC = intercept[Exception] {
+        spark.sql("CREATE TABLE idgcat.c " +
+          "TBLPROPERTIES('graft.identityCol'='id') AS " +
+          "SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v")
+      }
+      assert(eC.getMessage.contains("EMPTY") ||
+        Option(eC.getCause).exists(_.getMessage.contains("EMPTY")))
+      // library appends refuse too: ids come from the fill
+      val eL = intercept[Exception] {
+        TimeTravel.commit(spark, s"$wh/i",
+          spark.sql("SELECT CAST(NULL AS BIGINT) AS id, " +
+            "CAST(9 AS BIGINT) AS v"))
+      }
+      assert(eL.getMessage.contains("high-water"))
     }
+  }
+
+  test("DROP TABLE invalidates cached checkpoint handles at the path (r19)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dropc_").toString
+    val root = s"$wh/t"
+    TimeTravel.CkptParquetMinLines = 0
+    try withConfs(
+      "spark.sql.catalog.dccat" -> "graft.sources.table.GraftCatalog",
+      "spark.sql.catalog.dccat.warehouse" -> wh) {
+      orders.limit(200)
+        .select(col("o_orderkey").as("k")).createOrReplaceTempView("dc_src")
+      spark.sql("CREATE TABLE dccat.t (k BIGINT)")
+      spark.sql("INSERT INTO dccat.t SELECT * FROM dc_src " +
+        "WHERE k % 2 = 0")
+      TimeTravel.checkpoint(root, 1)
+      // resolve through (and cache) the parquet checkpoint
+      val n0 = spark.sql("SELECT count(*) FROM dccat.t").head().getLong(0)
+      assert(n0 > 0)
+      spark.sql("DROP TABLE dccat.t")
+      // a NEW table at the SAME path, checkpointed at the SAME version
+      spark.sql("CREATE TABLE dccat.t (k BIGINT)")
+      spark.sql("INSERT INTO dccat.t SELECT * FROM dc_src " +
+        "WHERE k % 4 = 1")
+      TimeTravel.checkpoint(root, 1)
+      val n1 = spark.sql("SELECT count(*) FROM dccat.t").head().getLong(0)
+      assert(n1 === orders.limit(200)
+        .filter(col("o_orderkey") % 4 === 1).count(),
+        "the re-created table served the dropped table's cached state")
+    } finally TimeTravel.CkptParquetMinLines = 4096
   }
 
   test("q201 catalog: SQL DDL round-trip, version + timestamp travel, immutable history") {
