@@ -352,8 +352,15 @@ object CommerceAnalytics extends QueryModule {
         val hw = Window.partitionBy("cust").orderBy(
           expr("conv(substring(md5(concat(cast(cust as string), ':', cast(item as string))), 1, 15), 16, 10)")
             .cast("long").asc, col("item").asc)
+        // CACHED (r20, guide §1.2 — don't compute things twice): the
+        // capped sample feeds BOTH the per-item support counts and the
+        // per-customer baskets; uncached, each leg re-runs the
+        // orders⋈lineitem distinct + per-customer rank window (~3
+        // shuffles) end-to-end. CacheManager dedupes by plan, so repeat
+        // invocations share one entry (the pqTopK discipline).
         val samp = inc.withColumn("hr", row_number().over(hw))
           .filter(col("hr") <= 16).select("cust", "item")
+          .cache()
         val supp = samp.groupBy("item").agg(count(lit(1)).as("n"))
         val baskets = samp.groupBy("cust")
           .agg(sort_array(collect_list(col("item"))).as("items"))

@@ -412,7 +412,8 @@ object LakehouseOps extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").as("total"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          graft.StreamSizing.shards(s, root).toString)
         try {
           val q = agg.writeStream.format("memory").queryName("q176_sink")
             .outputMode("complete")
@@ -756,7 +757,8 @@ object LakehouseOps extends QueryModule {
             sum(col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").as("total"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          graft.StreamSizing.shards(s, root).toString)
         try {
           val q = agg.writeStream.format("memory").queryName("q192_sink")
             .outputMode("complete")
@@ -1545,7 +1547,8 @@ object LakehouseOps extends QueryModule {
               sum(col("o_totalprice").cast("decimal(18,2)"))
                 .cast("double").as("total"))
           val prev = s.conf.get("spark.sql.shuffle.partitions")
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions",
+            graft.StreamSizing.shards(s, root).toString)
           try {
             val q = agg.writeStream.format("memory").queryName("q212_sink")
               .outputMode("complete")

@@ -634,8 +634,7 @@ object ScaleOps extends QueryModule {
     // TB that is quadratic in the hot supplier. Instead each interval
     // [ship, receipt] is exploded onto a coarse day grid (cell = day div
     // 32 — ~2-3 cells per interval at the fixture's ≤ ~60-day spans) and
-    // pairs meet through a plain EQUI-join on (suppkey, cell), so the
-    // shuffle is hash-partitioned and AQE-splittable like any other join.
+    // pairs meet inside their (suppkey, cell) grid group.
     // A pair overlapping k shared cells would be counted k times; the
     // standard dedup-free trick assigns each pair to the ONE cell that
     // contains max(start_a, start_b) — overlap guarantees both intervals
@@ -645,9 +644,23 @@ object ScaleOps extends QueryModule {
     // a.id < b.id kills self- and mirror-pairs. The fixture carries no
     // receipt date, so the in-flight window is synthesized as ship +
     // 1..30 days of exact integer arithmetic — identical on both engines.
+    //
+    // r20 (guide §2.3/§2.4): pair generation moved from the equi-SELF-JOIN
+    // on (suppkey, cell) to IN-GROUP counting — ONE shuffle of the
+    // exploded cells into groupBy(suppkey, cell) + collect_list, then the
+    // overlap count is folded per group with size(filter(...)) higher-
+    // order expressions (codegen'd, no pair array ever materialized; the
+    // q110 in-row discipline). The join form shuffled the same exploded
+    // rows TWICE and at fixture-scale estimates planned a broadcast of
+    // the whole exploded fact side (890k rows / 112 MB HashedRelation —
+    // plans/r20/q131_grid_interval_join_before.txt); measured 4.77 s →
+    // 0.34 s isolated at sf0.1/32c. Per-task memory is O(group), the same
+    // bound the join's per-partition hash build had: grid-cell coarseness
+    // bounds the group, and a hot (supplier, cell) costs O(n²) CPU in
+    // either formulation (the pair set IS quadratic) with no O(n²)
+    // buffering here — counts fold as they stream.
     // The oracle replays the plain equi+theta join; ScaleOpsSpec asserts
-    // the plan joins on the composite grid key with no nested-loop
-    // product and that the grid answer equals the theta formulation.
+    // grid ≡ theta and no nested-loop product in the plan.
     Q("q131_grid_interval_join",
       Some("""WITH iv AS (
              |  SELECT l_suppkey AS suppkey,
@@ -671,16 +684,18 @@ object ScaleOps extends QueryModule {
             (col("sd") + col("w")).as("ed"))
         val cells = li.withColumn("cell",
           explode(expr(s"sequence(sd div $g, ed div $g)")))
-        val a = cells.select(col("suppkey"), col("cell"),
-          col("id").as("a_id"), col("sd").as("a_sd"), col("ed").as("a_ed"))
-        val b = cells.select(col("suppkey"), col("cell"),
-          col("id").as("b_id"), col("sd").as("b_sd"), col("ed").as("b_ed"))
-        a.join(b, Seq("suppkey", "cell"))
-          .filter(col("a_id") < col("b_id") &&
-            col("a_sd") <= col("b_ed") && col("b_sd") <= col("a_ed") &&
-            col("cell") === expr(s"greatest(a_sd, b_sd) div $g"))
+        cells
+          .groupBy("suppkey", "cell")
+          .agg(collect_list(struct(col("id"), col("sd"), col("ed"))).as("xs"))
+          .select(col("suppkey"),
+            expr(s"""aggregate(
+                    |  transform(xs, x -> cast(size(
+                    |    filter(xs, y ->
+                    |      x.id < y.id AND x.sd <= y.ed AND y.sd <= x.ed AND
+                    |      cell = greatest(x.sd, y.sd) div $g)) as bigint)),
+                    |  0L, (acc, c) -> acc + c)""".stripMargin).as("c"))
           .groupBy("suppkey")
-          .agg(count(lit(1)).as("n_overlaps"))
+          .agg(sum("c").as("n_overlaps"))
           .orderBy("suppkey")
       }),
 

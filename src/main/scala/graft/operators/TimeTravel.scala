@@ -270,10 +270,17 @@ object TimeTravel extends QueryModule {
     * served from the dropped table's cached state (r19 review). */
   private[graft] def invalidateCkptCacheFor(root: String): Unit =
     ckptCache.synchronized {
+      // path-separator boundary (r19 ADVICE): keys are checkpoint FILE
+      // paths under <root>/_graft_log/, so `root + "/"` is the exact
+      // prefix — a bare contains(root) would also evict a sibling table
+      // whose path merely starts with this root's characters (/wh/t vs
+      // /wh/t2). Keys may carry a scheme (file:/...) the caller's root
+      // lacks, hence contains, not startsWith.
+      val boundary = (if (root.endsWith("/")) root else root + "/")
       val it = ckptCache.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
-        if (k.startsWith(root) || k.contains(root)) it.remove()
+        if (k.contains(boundary)) it.remove()
       }
     }
 
@@ -1853,6 +1860,13 @@ object TimeTravel extends QueryModule {
   private[graft] val IdentityColKey = "graft.identityCol"
   private[graft] val IdentityHwmKey = "graft.identity.hwm"
 
+  /** The identity high-water-mark commit conflict, as its own TYPE
+    * (still a ConcurrentModificationException for callers that handle
+    * conflicts generically) so the re-assign retry loop keys on the
+    * class, never on message wording (r19 ADVICE). */
+  private[graft] final class IdentityHwmConflict(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   private[graft] def commitStagedFiles(s: SparkSession, root: String,
       temps: Seq[String], schemaDdl: String, removed: Seq[String] = Nil,
       txn: Option[String] = None,
@@ -1962,8 +1976,11 @@ object TimeTravel extends QueryModule {
         fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
         return v
       } catch {
-        case e: java.util.ConcurrentModificationException
-            if e.getMessage.contains("identity") && attempts < 4 =>
+        // typed conflict (r19 ADVICE): the retry keys on the exception
+        // CLASS, not a message substring, so rewording the conflict (or
+        // another conflict that happens to mention "identity") cannot
+        // change retry behavior
+        case _: IdentityHwmConflict if attempts < 4 =>
           // a racing identity commit advanced the mark: re-assign over
           // the just-renamed (still uncommitted) files — their stale
           // ids are overwritten wholesale on the next pass
@@ -4928,7 +4945,7 @@ object TimeTravel extends QueryModule {
             if (v == 0) None
             else propsAsOf(root, v - 1).get(IdentityHwmKey)
           if (now != exp)
-            throw new java.util.ConcurrentModificationException(
+            throw new IdentityHwmConflict(
               s"time travel: identity high-water conflict under $root " +
                 s"— planned against $exp, the log is at $now; " +
                 "re-assign the ids and retry")
@@ -5102,8 +5119,13 @@ object TimeTravel extends QueryModule {
           new org.apache.hadoop.fs.Path(ckptPartsDir(root, v))
         // parts land BEFORE the manifest (a manifest must never point
         // at nothing); a racing checkpointer's dir is logically equal
-        // content — first rename wins, the loser discards its parts
-        if (!fs.rename(tmpDir, partsDest)) fs.delete(tmpDir, true)
+        // content — first rename wins, the loser discards its parts.
+        // The exists check matters (r19 ADVICE): Hadoop rename onto an
+        // existing directory moves the source INTO it and returns true,
+        // so without it the loser's dot-dir would nest inside the
+        // winner's sidecar and leak instead of being deleted.
+        if (fs.exists(partsDest) || !fs.rename(tmpDir, partsDest))
+          fs.delete(tmpDir, true)
         s"""{"version":$v,"format":["parquet"]""" +
           arr("features", (featLines :+ CkptParquetFeature).sorted) +
           arr("wfeatures", wfeatLines) +

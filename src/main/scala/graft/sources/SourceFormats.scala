@@ -301,7 +301,8 @@ object SourceFormats extends QueryModule {
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .cast("double").as("total"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions",
+          graft.StreamSizing.shards(s, glogDir).toString)
         try {
           val q = agg.writeStream.format("memory").queryName("q156_sink")
             .outputMode("complete")

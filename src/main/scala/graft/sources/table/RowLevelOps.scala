@@ -53,12 +53,26 @@ final class GraftRowLevelOperationBuilder(root: String, gen: Int,
     * the pre-images by reading the masked positions back from the
     * touched files and lands the diff-form change files in the same
     * commit (TimeTravel.cdcForRowDelta). */
-  override def build(): RowLevelOperation =
+  override def build(): RowLevelOperation = {
+    // MERGE parity with the library verb (TimeTravel.merge): WHEN NOT
+    // MATCHED THEN INSERT rows would land NULL or caller-supplied ids —
+    // identityFill=false is correct for UPDATE/DELETE rewrites (existing
+    // ids carry over) but would silently break the GENERATED ALWAYS
+    // unique/hwm invariant for merge-inserted rows. Refuse loudly.
+    if (info.command() == RowLevelOperation.Command.MERGE && gen >= 0 &&
+        TimeTravel.propsAsOf(root, gen)
+          .get(TimeTravel.IdentityColKey).exists(_.nonEmpty))
+      throw new UnsupportedOperationException(
+        "time travel: MERGE INTO identity-column tables is not " +
+          "supported — merge-inserted rows would bypass the GENERATED " +
+          "ALWAYS id assignment; insert on main, or drop the identity " +
+          "property")
     if (gen >= 0 &&
         TimeTravel.propsAsOf(root, gen)
           .get("graft.enableDeletionVectors").contains("true"))
       new GraftDeltaOperation(root, gen, tableSchema, info.command())
     else new GraftRowLevelOperation(root, gen, tableSchema, info.command())
+  }
 }
 
 /** The scan→write handshake both operation flavors share: the files the

@@ -244,6 +244,11 @@ object StreamingQueries extends QueryModule {
   private val streamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Scale-adaptive state shards for the events-file streams (r20):
+    * derived from the source's bytes — see [[graft.StreamSizing]]. */
+  private def evShards(s: SparkSession, dir: String): Int =
+    graft.StreamSizing.shards(s, s"$dir/events.parquet")
+
   /** Streaming read of the events parquet (handles the TIMESTAMP(NANOS)
     * column the same way Tables.table does: nanos-as-long → micros). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -344,10 +349,13 @@ object StreamingQueries extends QueryModule {
     * checkpoint I/O whether or not it holds rows — a stream-stream join
     * carries 4 stores per shard, so inheriting the batch-side 32 costs
     * 128 checkpointed stores per micro-batch. State-shard count is a
-    * throughput-sizing knob (raise it for hot streams at scale); size it
-    * to the micro-batch volume here and restore the batch setting after. */
-  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
-    runToMemoryThrottled(df, name, mode)._1
+    * throughput-sizing knob (raise it for hot streams at scale); r20:
+    * sized from the SOURCE BYTES ([[graft.StreamSizing]] — one shard per
+    * ~32 MB, floor 2, capped at session parallelism) instead of the
+    * previous constant 8, and the batch setting restored after. */
+  private def runToMemory(df: DataFrame, name: String, mode: String,
+      shards: Int): DataFrame =
+    runToMemoryThrottled(df, name, mode, shards)._1
 
   /** runToMemory, also returning the per-micro-batch input-row counts —
     * the observable a rate-limit spec needs: with a source-side
@@ -358,10 +366,10 @@ object StreamingQueries extends QueryModule {
     * into one micro-batch and the state/shuffle for that batch must fit
     * in memory all at once). */
   private def runToMemoryThrottled(df: DataFrame, name: String,
-      mode: String): (DataFrame, Seq[Long]) = {
+      mode: String, shards: Int): (DataFrame, Seq[Long]) = {
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", shards.toString)
     val perBatch = try {
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -474,7 +482,8 @@ object StreamingQueries extends QueryModule {
       .csv(landDir)
       .join(dims, Seq("product_id"))
       .select("transaction_id", "quantity", "category")
-    val (out, perBatch) = runToMemoryThrottled(enriched, "q34_out", "append")
+    val (out, perBatch) = runToMemoryThrottled(enriched, "q34_out", "append",
+      graft.StreamSizing.shards(s, landDir))
     (out.orderBy("transaction_id"), perBatch)
   }
 
@@ -506,7 +515,8 @@ object StreamingQueries extends QueryModule {
     // to the unthrottled one.
     def runOnce(): Seq[Long] = {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.StreamSizing.shards(s, land).toString)
       try {
         val q = s.readStream.schema(schema).option("header", "true")
           .option("maxFilesPerTrigger", "2").csv(land)
@@ -613,7 +623,8 @@ object StreamingQueries extends QueryModule {
       .select("transaction_id", "quantity", "category", "pk")
     def runOnce(): Long = {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        graft.StreamSizing.shards(s, land).toString)
       try {
         val q = s.readStream.schema(schema).option("header", "true").csv(land)
           .writeStream
@@ -792,7 +803,7 @@ object StreamingQueries extends QueryModule {
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
-        runToMemory(agg, "q29_out", "complete")
+        runToMemory(agg, "q29_out", "complete", evShards(s, d))
           .select(col("window.start").cast("long").as("window_start"),
             col("event_type"), col("n"), col("total"))
           .orderBy("window_start", "event_type")
@@ -809,7 +820,7 @@ object StreamingQueries extends QueryModule {
         val agg = eventsStream(s, d)
           .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
           .agg(count(lit(1)).as("n"))
-        runToMemory(agg, "q30_out", "complete")
+        runToMemory(agg, "q30_out", "complete", evShards(s, d))
           .select(col("window.start").cast("long").as("window_start"), col("n"))
           .orderBy("window_start")
       }),
@@ -872,7 +883,7 @@ object StreamingQueries extends QueryModule {
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "10 minutes"))
           .agg(count(lit(1)).as("n"))
-        runToMemory(agg, "q31_out", "append")
+        runToMemory(agg, "q31_out", "append", evShards(s, d))
           .select(col("window.start").cast("long").as("window_start"), col("n"))
           .orderBy("window_start")
       }),
@@ -913,7 +924,7 @@ object StreamingQueries extends QueryModule {
           .groupBy(window(window_time(col("window")), "1 hour"),
             col("event_type"))
           .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
-        runToMemory(hourly, "q133_out", "append")
+        runToMemory(hourly, "q133_out", "append", evShards(s, d))
           .select(col("window.start").cast("long").as("hour_start"),
             col("event_type"), col("n"),
             col("tot").cast("double").as("total"))
@@ -951,7 +962,7 @@ object StreamingQueries extends QueryModule {
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", evShards(s, d).toString)
         try {
           val q = agg.writeStream.format("memory").queryName("q137_sink")
             .outputMode("complete")
@@ -1033,7 +1044,7 @@ object StreamingQueries extends QueryModule {
               col("ts_us") >= col("vf_us") && col("ts_us") < col("vt_us"))
           .select(col("event_id"), col("v").cast("int").as("version"),
             col("plan_code"))
-        runToMemory(enriched, "q124_out", "append").orderBy("event_id")
+        runToMemory(enriched, "q124_out", "append", evShards(s, d)).orderBy("event_id")
       }),
 
     Q("q34_streaming_pipeline",
@@ -1134,7 +1145,7 @@ object StreamingQueries extends QueryModule {
         // One emission per touched user per micro-batch; the fields are
         // monotone write-once, so max() collapses them to the final state
         // regardless of how AvailableNow sliced the input.
-        runToMemory(out.toDF(), "q30c_out", "update")
+        runToMemory(out.toDF(), "q30c_out", "update", evShards(s, d))
           .groupBy("user_id")
           .agg(max(col("stage")).as("stage"),
             max(col("first_view_us")).as("first_view_us"),
@@ -1182,7 +1193,7 @@ object StreamingQueries extends QueryModule {
           def unpad(c: String) =
             when(col(c) === lit(Double.NegativeInfinity), lit(-1.0))
               .otherwise(col(c)).as(c)
-          runToMemory(out.toDF(), "q30d_out", "update")
+          runToMemory(out.toDF(), "q30d_out", "update", evShards(s, d))
             .groupBy("user_id")
             .agg(max(col("n_events")).as("n_events"),
               max(col("top1")).as("top1"),
@@ -1249,7 +1260,7 @@ object StreamingQueries extends QueryModule {
               OutputMode.Update())
           // element-wise max-fold: cells only grow, so max per index is
           // the final sketch no matter how batches sliced the stream
-          val folded = runToMemory(out.toDF(), "q94_out", "update")
+          val folded = runToMemory(out.toDF(), "q94_out", "update", evShards(s, d))
             .select(col("event_type"), posexplode(col("cells")).as(Seq("idx", "cell")))
             .groupBy("event_type", "idx").agg(max("cell").as("cell"))
           val exact = Tables.table(s, d, "events")
@@ -1327,7 +1338,7 @@ object StreamingQueries extends QueryModule {
             .transformWithState(new SessionProcessor,
               org.apache.spark.sql.streaming.TimeMode.EventTime(),
               OutputMode.Update())
-          runToMemory(out.toDF(), "q30e_out", "update")
+          runToMemory(out.toDF(), "q30e_out", "update", evShards(s, d))
             .groupBy("user_id", "session_start_us")
             .agg(max(col("session_end_us")).as("session_end_us"),
               max(col("n_events")).as("n_events"),
@@ -1369,7 +1380,7 @@ object StreamingQueries extends QueryModule {
             col("p_ts") >= col("v_ts") &&
             col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
           .select("view_id", "purchase_id")
-        runToMemory(joined, "q32b_out", "append")
+        runToMemory(joined, "q32b_out", "append", evShards(s, d))
           .orderBy("view_id", "purchase_id")
       }),
 
@@ -1406,7 +1417,7 @@ object StreamingQueries extends QueryModule {
             col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
           "left_semi")
           .select("view_id")
-        runToMemory(joined, "q143_out", "append")
+        runToMemory(joined, "q143_out", "append", evShards(s, d))
           .orderBy("view_id")
       }),
 
@@ -1462,7 +1473,7 @@ object StreamingQueries extends QueryModule {
             col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
           "left_outer")
           .select("view_id", "purchase_id")
-        runToMemory(joined, "q109_out", "append")
+        runToMemory(joined, "q109_out", "append", evShards(s, d))
           .orderBy("view_id", "purchase_id")
       }),
 
@@ -1524,7 +1535,7 @@ object StreamingQueries extends QueryModule {
             col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
           "full_outer")
           .select("view_id", "purchase_id")
-        runToMemory(joined, "q147_out", "append")
+        runToMemory(joined, "q147_out", "append", evShards(s, d))
           .orderBy(asc_nulls_first("view_id"), asc_nulls_first("purchase_id"))
       }),
 
@@ -1550,7 +1561,7 @@ object StreamingQueries extends QueryModule {
           .dropDuplicatesWithinWatermark("event_id")
           .join(dim, col("user_id") === col("c_custkey"))
           .select("event_id", "c_name")
-        runToMemory(joined, "q32_out", "append").orderBy("event_id")
+        runToMemory(joined, "q32_out", "append", evShards(s, d)).orderBy("event_id")
       })
   )
 }

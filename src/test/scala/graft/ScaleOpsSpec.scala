@@ -240,8 +240,9 @@ class ScaleOpsSpec extends SparkSpec {
       .groupBy("suppkey").agg(count(lit(1)).as("n_overlaps"))
       .orderBy("suppkey")
     assert(grid.collect().toSeq === theta.collect().toSeq)
-    // The scalable property: pairs meet through a hash join on the
-    // composite (suppkey, cell) key — never a nested-loop pair product.
+    // The scalable property: pairs meet inside their composite
+    // (suppkey, cell) grid group (r20: in-group size/filter counting,
+    // one shuffle) — never a nested-loop pair product.
     val plan = grid.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),

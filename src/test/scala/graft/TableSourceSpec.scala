@@ -344,6 +344,23 @@ class TableSourceSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("GENERATED ALWAYS") ||
         Option(e.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")))
+      // SQL MERGE refuses too (r19 ADVICE high): merge-inserted rows
+      // would bypass the identity fill (identityFill=false on the
+      // row-level rewrite path) and land NULL/user ids silently
+      spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(7 AS BIGINT) AS k")
+        .createOrReplaceTempView("id_merge_src")
+      val em = intercept[Exception] {
+        spark.sql("""MERGE INTO icat.d t USING id_merge_src s ON t.k = s.k
+                    |WHEN MATCHED THEN UPDATE SET t.k = s.k
+                    |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, s.k)
+                    |""".stripMargin)
+      }
+      def m(t: Throwable): String =
+        Option(t.getMessage).getOrElse("") +
+          Option(t.getCause).map(c => Option(c.getMessage).getOrElse(""))
+            .getOrElse("")
+      assert(m(em).contains("MERGE INTO identity-column"),
+        s"expected the identity MERGE refusal, got: ${m(em)}")
     }
   }
 
