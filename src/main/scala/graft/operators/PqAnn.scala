@@ -57,6 +57,59 @@ object PqAnn extends QueryModule {
     * collapses. */
   def shortlistFor(n: Long): Int = math.max(32L, n / 6L).toInt
 
+  /** Bounded ADC shortlist heap over (adc, id) WITHOUT boxing (r20,
+    * guide §1.2 step 2 — per-task work): a binary min-heap under the
+    * EVICTION order (adc DESC, id ASC), so the root is exactly the
+    * element the former boxed `PriorityQueue[(Double, Long)]`'s poll()
+    * removed on overflow — admit/evict decisions, including boundary
+    * ties, are identical, while the code scan allocates nothing per
+    * candidate (the old form boxed a tuple per heap offer across the
+    * n×n ADC iteration space). */
+  private final class ShortlistHeap(cap: Int) {
+    private val hA = new Array[Double](cap)
+    private val hI = new Array[Long](cap)
+    private var n = 0
+    /** `a` sorts before `b` in eviction order (evicted earlier). */
+    @inline private def before(a1: Double, i1: Long, a2: Double,
+        i2: Long): Boolean = a1 > a2 || (a1 == a2 && i1 < i2)
+    private def siftDown(start: Int): Unit = {
+      var i = start
+      var going = true
+      while (going) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && before(hA(l), hI(l), hA(m), hI(m))) m = l
+        if (r < n && before(hA(r), hI(r), hA(m), hI(m))) m = r
+        if (m == i) going = false
+        else {
+          val ta = hA(i); val ti = hI(i)
+          hA(i) = hA(m); hI(i) = hI(m); hA(m) = ta; hI(m) = ti
+          i = m
+        }
+      }
+    }
+    def offer(adc: Double, id: Long): Unit =
+      if (n < cap) {
+        var i = n
+        hA(i) = adc; hI(i) = id
+        n += 1
+        while (i > 0 && before(hA(i), hI(i), hA((i - 1) / 2),
+            hI((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ta = hA(i); val ti = hI(i)
+          hA(i) = hA(p); hI(i) = hI(p); hA(p) = ta; hI(p) = ti
+          i = p
+        }
+      } else if (n > 0 && !before(adc, id, hA(0), hI(0))) {
+        hA(0) = adc; hI(0) = id
+        siftDown(0)
+      }
+    def ids: Array[Long] = java.util.Arrays.copyOf(hI, n)
+    def entries: Array[(Double, Long)] =
+      Array.tabulate(n)(j => (hA(j), hI(j)))
+  }
+
   /** The deterministic per-candidate hash rank (same LCG family as the
     * IVF seeding) — fixes the training order independent of partitioning. */
   private def hashRank(id: Long): Double = {
@@ -233,21 +286,15 @@ object PqAnn extends QueryModule {
           m += 1
         }
         // bounded shortlist heap over the code scan: (adc asc, id asc)
-        val heap = new java.util.PriorityQueue[(Double, Long)](short + 1,
-          (a: (Double, Long), b: (Double, Long)) => {
-            val c = java.lang.Double.compare(b._1, a._1) // max-heap on adc
-            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-          })
+        val heap = new ShortlistHeap(short)
         codes.foreach { case (id, cd) =>
           if (id != qid) {
             var adc = 0.0d; var j = 0
             while (j < M) { adc += tab(j)(cd(j)); j += 1 }
-            heap.add((adc, id))
-            if (heap.size > short) heap.poll()
+            heap.offer(adc, id)
           }
         }
-        import scala.jdk.CollectionConverters._
-        heap.iterator().asScala.map { case (_, nid) => (qid, nid) }
+        heap.ids.iterator.map(nid => (qid, nid))
       }
     }.toDF("vec_id", "nbr_id")
     // exact rerank: only the shortlist's vectors are ever read at full width
@@ -255,8 +302,10 @@ object PqAnn extends QueryModule {
     val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
     cands.join(qv, "vec_id").join(nv, "nbr_id")
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos",
+        // codegen'd dot (r20): bit-identical left fold to the former
+        // aggregate(zip_with(...)) without the per-row zip array
+        graft.functions.VectorFunctions.dot(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
@@ -317,21 +366,15 @@ object PqAnn extends QueryModule {
               }
               m += 1
             }
-            val heap = new java.util.PriorityQueue[(Double, Long)](short + 1,
-              (a: (Double, Long), b: (Double, Long)) => {
-                val c = java.lang.Double.compare(b._1, a._1)
-                if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-              })
+            val heap = new ShortlistHeap(short)
             res.foreach { case (nid, c) =>
               if (nid != id) {
                 var adc = 0.0d; var j = 0
                 while (j < M) { adc += tab(j)(c(j)); j += 1 }
-                heap.add((adc, nid))
-                if (heap.size > short) heap.poll()
+                heap.offer(adc, nid)
               }
             }
-            import scala.jdk.CollectionConverters._
-            heap.iterator().asScala.map { case (adc, nid) => (id, nid, adc) }
+            heap.entries.iterator.map { case (adc, nid) => (id, nid, adc) }
           }
         }
       }.toDF("vec_id", "nbr_id", "adc")
@@ -345,8 +388,10 @@ object PqAnn extends QueryModule {
     val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
     shortlist.join(qv, "vec_id").join(nv, "nbr_id")
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos",
+        // codegen'd dot (r20): bit-identical left fold to the former
+        // aggregate(zip_with(...)) without the per-row zip array
+        graft.functions.VectorFunctions.dot(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
@@ -493,8 +538,10 @@ object PqAnn extends QueryModule {
     val nv = unit.select(col("vec_id").as("nbr_id"), col("v").as("nv"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nbr_id"))
     short.join(qv, "vec_id").join(nv, "nbr_id")
-      .withColumn("cos", expr(
-        "aggregate(zip_with(qv, nv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos",
+        // codegen'd dot (r20): bit-identical left fold to the former
+        // aggregate(zip_with(...)) without the per-row zip array
+        graft.functions.VectorFunctions.dot(col("qv"), col("nv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
